@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()``
+exposes every implemented operator from SURVEY.md §2 as
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB
+equivalent for the correctness gate. Column aliases match exactly on
+both sides (the driver sorts columns by name before value-hashing).
 """
 
 from __future__ import annotations
@@ -13,26 +13,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from parquet_generator_spark.plans import analytics as A
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return A.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+def queries() -> dict[str, QueryFn]:
+    return {
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "q3_shipping_priority": A.q3_shipping_priority,
+        "q5_local_supplier": A.q5_local_supplier,
+        "q6_forecast_revenue": A.q6_forecast_revenue,
+        "topk_per_group": A.topk_per_group,
+        "sessionize": A.sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": A.Q1_ORACLE,
+        "q3_shipping_priority": A.Q3_ORACLE,
+        "q5_local_supplier": A.Q5_ORACLE,
+        "q6_forecast_revenue": A.Q6_ORACLE,
+        "topk_per_group": A.TOPK_ORACLE,
+        "sessionize": A.SESSIONIZE_ORACLE,
+    }
