@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from parquet_generator_spark.plans import analytics as A
+from parquet_generator_spark.plans import reference_queries as R
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -31,6 +32,7 @@ def queries() -> dict[str, QueryFn]:
         "q6_forecast_revenue": A.q6_forecast_revenue,
         "topk_per_group": A.topk_per_group,
         "sessionize": A.sessionize,
+        **R.QUERIES,
     }
 
 
@@ -42,4 +44,5 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": A.Q6_ORACLE,
         "topk_per_group": A.TOPK_ORACLE,
         "sessionize": A.SESSIONIZE_ORACLE,
+        **R.ORACLES,
     }

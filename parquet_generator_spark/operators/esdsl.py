@@ -1,0 +1,226 @@
+"""Elasticsearch Query-DSL -> Catalyst translation.
+
+The reference drives ES with match_all, bool+match_phrase queries and
+a terms aggregation (Bootstrap.java:196-219,272-273,293;
+EsParquetWriter.java:69). This module generalizes that surface into a
+declarative translator: a DSL dict becomes a Catalyst ``Column``
+predicate / a ``groupBy`` plan, so Catalyst gets full pushdown and
+whole-stage codegen — no per-row Python anywhere.
+
+Analysis model: ES "analyzed text" is approximated as
+lowercase alphanumeric tokenization ([a-z0-9]+), which makes
+``match``/``match_phrase`` deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN = "[a-z0-9]+"
+_SEP = "[^a-z0-9]+"
+_B_L = "(^|[^a-z0-9])"   # left token boundary
+_B_R = "([^a-z0-9]|$)"   # right token boundary
+
+
+def _tokens(text: str) -> list[str]:
+    return re.findall(_TOKEN, text.lower())
+
+
+def phrase_regex(phrase: str) -> str:
+    """Regex (RE2/Java-compatible) for ES match_phrase semantics:
+    the analyzed token sequence appears consecutively."""
+    toks = [re.escape(t) for t in _tokens(phrase)]
+    if not toks:
+        return "^"  # empty phrase matches everything
+    return _B_L + _SEP.join(toks) + _B_R
+
+
+def match_phrase(col: Column | str, phrase: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(c).rlike(phrase_regex(phrase))
+
+
+def match_any(col: Column | str, query: str) -> Column:
+    """ES ``match`` (operator OR): any analyzed token present."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = _tokens(query)
+    if not toks:
+        return F.lit(True)
+    pattern = _B_L + "(" + "|".join(re.escape(t) for t in toks) + ")" + _B_R
+    return F.lower(c).rlike(pattern)
+
+
+def _wildcard_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def translate_query(q: dict | None) -> Column:
+    """DSL query dict -> boolean Column."""
+    if not q:
+        return F.lit(True)
+    if len(q) != 1:
+        raise ValueError(f"query must have one top-level key, got {list(q)}")
+    kind, body = next(iter(q.items()))
+
+    if kind == "match_all":
+        return F.lit(True)
+    if kind == "term":
+        field, val = _field_value(body, "value")
+        return F.col(field) == F.lit(val)
+    if kind == "terms":
+        field, vals = next(iter(body.items()))
+        return F.col(field).isin(list(vals))
+    if kind == "range":
+        field, conds = next(iter(body.items()))
+        col = F.col(field)
+        out = F.lit(True)
+        ops = {"gt": col.__gt__, "gte": col.__ge__,
+               "lt": col.__lt__, "lte": col.__le__}
+        for op, v in conds.items():
+            if op not in ops:
+                raise ValueError(f"unsupported range op {op!r}")
+            out = out & ops[op](F.lit(v))
+        return out
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "prefix":
+        field, val = _field_value(body, "value")
+        return F.col(field).startswith(val)
+    if kind == "wildcard":
+        field, val = _field_value(body, "value")
+        return F.col(field).rlike(_wildcard_regex(val))
+    if kind == "match":
+        field, val = _field_value(body, "query")
+        return match_any(field, val)
+    if kind == "match_phrase":
+        field, val = _field_value(body, "query")
+        return match_phrase(field, val)
+    if kind == "ids":
+        return F.col("_id").isin(list(body["values"]))
+    if kind == "bool":
+        out = F.lit(True)
+        for clause in body.get("must", []):
+            out = out & translate_query(clause)
+        for clause in body.get("filter", []):
+            out = out & translate_query(clause)
+        for clause in body.get("must_not", []):
+            out = out & ~translate_query(clause)
+        should = body.get("should", [])
+        # ES default minimum_should_match: 1 when should stands alone,
+        # 0 (non-filtering, scoring only) when must/filter are present
+        msm = body.get("minimum_should_match")
+        if msm is None:
+            msm = 0 if (body.get("must") or body.get("filter")) else 1
+        if msm not in (0, 1):
+            raise ValueError("only minimum_should_match 0/1 supported")
+        if should and msm == 1:
+            acc = F.lit(False)
+            for clause in should:
+                acc = acc | translate_query(clause)
+            out = out & acc
+        return out
+    raise ValueError(f"unsupported query kind {kind!r}")
+
+
+def _field_value(body: dict, value_key: str):
+    field, spec = next(iter(body.items()))
+    if isinstance(spec, dict):
+        return field, spec[value_key]
+    return field, spec
+
+
+_METRICS = {
+    "min": F.min, "max": F.max, "avg": F.avg, "sum": F.sum,
+    "value_count": F.count,
+}
+
+
+def _metric_col(agg_name: str, spec: dict) -> Column:
+    (mtype, mbody), = spec.items()
+    field = mbody["field"]
+    if mtype in _METRICS:
+        c = _METRICS[mtype](field)
+        if mtype in ("avg", "sum"):
+            c = F.round(c, 4)
+        return c.alias(agg_name)
+    if mtype == "cardinality":
+        # exact by default (ES is approximate); pass precision via
+        # {"approx": true} for the scale path
+        if mbody.get("approx"):
+            return F.approx_count_distinct(field).alias(agg_name)
+        return F.countDistinct(field).alias(agg_name)
+    if mtype == "stats":
+        raise ValueError("stats expands to multiple columns; use search()")
+    raise ValueError(f"unsupported metric agg {mtype!r}")
+
+
+def search(df: DataFrame, body: dict) -> DataFrame:
+    """Run an ES-style search body {query, aggs, size} on ``df``.
+
+    Without aggs: filtered rows (size-limited). With a bucket agg
+    (terms / date_histogram / histogram): ES-shaped buckets with
+    columns ``key, doc_count, <metric sub-aggs...>``, ordered by
+    doc_count desc then key (ES default), bucket count capped by
+    ``size`` inside the agg spec.
+    """
+    filtered = df.filter(translate_query(body.get("query")))
+    aggs = body.get("aggs") or body.get("aggregations")
+    if not aggs:
+        size = body.get("size")
+        return filtered.limit(size) if size is not None else filtered
+
+    (agg_name, spec), = aggs.items()
+    (atype, abody), = ((k, v) for k, v in spec.items() if k != "aggs")
+    sub = spec.get("aggs", {})
+    metric_cols = [_metric_col(n, s) for n, s in sub.items()]
+
+    if atype == "stats":
+        field = abody["field"]
+        return filtered.agg(
+            F.count(field).alias("count"),
+            F.round(F.min(field), 4).alias("min"),
+            F.round(F.max(field), 4).alias("max"),
+            F.round(F.avg(field), 4).alias("avg"),
+            F.round(F.sum(field), 4).alias("sum"),
+        )
+    if atype in _METRICS or atype == "cardinality":
+        return filtered.agg(_metric_col(agg_name, {atype: abody}))
+
+    if atype == "terms":
+        key = F.col(abody["field"]).alias("key")
+        size = abody.get("size", 10)
+        grouped = (filtered.groupBy(key)
+                   .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
+        return (grouped.orderBy(F.desc("doc_count"), F.asc("key"))
+                .limit(size))
+    if atype == "date_histogram":
+        interval = abody.get("calendar_interval",
+                             abody.get("fixed_interval", "day"))
+        trunc_unit = {"day": "day", "hour": "hour", "week": "week",
+                      "month": "month", "year": "year",
+                      "1d": "day", "1h": "hour"}[interval]
+        key = F.date_format(
+            F.date_trunc(trunc_unit, F.col(abody["field"])),
+            "yyyy-MM-dd HH:mm:ss").alias("key")
+        grouped = (filtered.groupBy(key)
+                   .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
+        return grouped.orderBy(F.asc("key"))  # date_histogram: key order
+    if atype == "histogram":
+        interval = float(abody["interval"])
+        key = (F.floor(F.col(abody["field"]) / interval) * interval
+               ).alias("key")
+        grouped = (filtered.groupBy(key)
+                   .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
+        return grouped.orderBy(F.asc("key"))
+    raise ValueError(f"unsupported bucket agg {atype!r}")
