@@ -14,7 +14,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from parquet_generator_spark.plans import analytics as A
+from parquet_generator_spark.plans import llm_queries as L
 from parquet_generator_spark.plans import reference_queries as R
+from parquet_generator_spark.plans import streaming_queries as S
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -33,6 +35,8 @@ def queries() -> dict[str, QueryFn]:
         "topk_per_group": A.topk_per_group,
         "sessionize": A.sessionize,
         **R.QUERIES,
+        **L.QUERIES,
+        **S.QUERIES,
     }
 
 
@@ -45,4 +49,6 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": A.TOPK_ORACLE,
         "sessionize": A.SESSIONIZE_ORACLE,
         **R.ORACLES,
+        **L.ORACLES,
+        **S.ORACLES,
     }

@@ -1,0 +1,251 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design (the whole point at 100 TB):
+- exact: one hash-shuffle on the content digest; map-side partial
+  aggregation keeps the shuffle tiny.
+- n-gram Jaccard is the *verifier*, never run all-pairs at scale —
+  candidates come from MinHash-LSH banding (shuffle on 64-bit band
+  keys, candidate count bounded per bucket) or SimHash bands.
+- MinHash signatures: one Arrow-batched Pandas UDF (numpy matrix min
+  per row), linear scan, no shuffle.
+- SimHash: pure Catalyst expressions (md5 -> 60-bit int per token,
+  60 bit-majority columns), so it is also DuckDB-reproducible and
+  oracle-checked exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from parquet_generator_spark.operators.text import (
+    shingles_duck,
+    shingles_spark,
+    toks_duck,
+    toks_spark,
+)
+
+# ------------------------------------------------------------------
+# exact dedup
+# ------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """One row per distinct content: the kept (minimum) id and copy
+    count. Single shuffle on the md5 digest, not the full text."""
+    return (df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """The deduplicated dataset itself (keeps the min-id row per
+    distinct content)."""
+    keep = exact_dedup_groups(df, id_col, content_col).select("keep_id")
+    return df.join(F.broadcast(keep) if False else keep,
+                   df[id_col] == keep["keep_id"], "left_semi")
+
+
+# ------------------------------------------------------------------
+# exact n-gram Jaccard (verifier / small-scale path)
+# ------------------------------------------------------------------
+
+def jaccard_pairs(df: DataFrame, id_col: str, content_col: str,
+                  threshold: float, k: int = 3) -> DataFrame:
+    """All-pairs exact k-shingle Jaccard >= threshold. O(n^2) — the
+    correctness baseline and the verifier for LSH candidates; at
+    scale call minhash_lsh_pairs instead."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.expr(shingles_spark(content_col, k)).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.round(jac, 3).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def jaccard_pairs_duck_sql(table: str, id_col: str, content_col: str,
+                           threshold: float, k: int = 3) -> str:
+    sh = shingles_duck(content_col, k)
+    return f"""
+WITH s AS (SELECT {id_col} AS id, {sh} AS sh FROM {table}),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+               THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               ELSE 0.0 END, 3) AS jaccard
+  FROM s a, s b WHERE a.id < b.id)
+SELECT id_a, id_b, jaccard FROM p
+WHERE jaccard >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------------------------
+# MinHash + LSH
+# ------------------------------------------------------------------
+
+_N_PERM = 128
+_N_BANDS = 64          # r = 2 rows/band: P(candidate) = 1-(1-j^2)^64
+# 31-bit Mersenne prime keeps (a*h + b) inside int64 — no silent
+# numpy overflow, so signatures are bit-identical everywhere
+_MERSENNE = (1 << 31) - 1
+_rng = np.random.default_rng(42)
+_PERM_A = _rng.integers(1, _MERSENNE, size=_N_PERM, dtype=np.int64)
+_PERM_B = _rng.integers(0, _MERSENNE, size=_N_PERM, dtype=np.int64)
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def minhash_signature(shingles: pd.Series) -> pd.Series:
+    """128-permutation MinHash signature per row. Arrow-batched;
+    per-row cost is one (n_shingle x 128) numpy min-reduce."""
+    import hashlib
+
+    out = []
+    for sh in shingles:
+        if sh is None or len(sh) == 0:
+            out.append([int(_MERSENNE)] * _N_PERM)
+            continue
+        hs = np.array(
+            [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % _MERSENNE
+             for s in sh],
+            dtype=np.int64)
+        # (a*h + b) mod p for each permutation; min over shingles
+        sig = ((hs[:, None] * _PERM_A[None, :] + _PERM_B[None, :])
+               % _MERSENNE).min(axis=0)
+        out.append(sig.tolist())
+    return pd.Series(out)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
+                      threshold: float, k: int = 3) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact Jaccard verify.
+
+    Plan shape: scan -> signature (Pandas UDF map) -> explode 64
+    band keys -> shuffle on band key -> per-bucket self-join ->
+    distinct candidates -> verify with exact shingle Jaccard.
+    No cross join anywhere; the band shuffle is the only wide op.
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.expr(shingles_spark(content_col, k)).alias("sh"))
+    sig = sh.withColumn("sig", minhash_signature("sh"))
+    bands = sig.select(
+        "id",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {_N_BANDS - 1}), "
+                   f"b -> concat_ws(',', sig[2*b], sig[2*b+1]))")
+        ).alias("band", "band_key"))
+    cand = (bands.alias("x")
+            .join(bands.alias("y"),
+                  (F.col("x.band") == F.col("y.band"))
+                  & (F.col("x.band_key") == F.col("y.band_key"))
+                  & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"),
+                    F.col("y.id").alias("id_b"))
+            .distinct())
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", F.round(jac, 3).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# ------------------------------------------------------------------
+# SimHash (60-bit, md5-derived => engine-independent, oracle-able)
+# ------------------------------------------------------------------
+
+_SIM_BITS = 60
+_SIM_BANDS = 4          # 15 bits each; hamming<=3 pairs always collide
+_BAND_BITS = _SIM_BITS // _SIM_BANDS
+
+
+def _tok_hashes_spark(c: str) -> str:
+    # md5 -> first 15 hex chars -> 60-bit int, per distinct token
+    return (f"transform(array_distinct({toks_spark(c)}), "
+            f"t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))")
+
+
+def _tok_hashes_duck(c: str) -> str:
+    return (f"list_transform(list_distinct({toks_duck(c)}), "
+            f"t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT))")
+
+
+def simhash_spark(c: str) -> Column:
+    """60-bit SimHash as a single Catalyst expression: bit i is the
+    majority vote of token-hash bit i over distinct tokens."""
+    th = _tok_hashes_spark(c)
+    n = f"size({th})"
+    bits = " + ".join(
+        f"(CASE WHEN 2 * size(filter({th}, h -> (h div {1 << i}) % 2 = 1)) "
+        f">= {n} THEN cast({1 << i} as bigint) ELSE 0 END)"
+        for i in range(_SIM_BITS))
+    return F.expr(bits)
+
+
+def simhash_duck(c: str) -> str:
+    th = _tok_hashes_duck(c)
+    n = f"len({th})"
+    return " + ".join(
+        f"(CASE WHEN 2 * len(list_filter({th}, h -> (h >> {i}) & 1 = 1)) "
+        f">= {n} THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(_SIM_BITS))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, content_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, found by
+    banding the 60-bit signature into 4 x 15-bit keys (pigeonhole:
+    any pair within hamming 3 shares at least one band)."""
+    sig = df.select(F.col(id_col).alias("id"),
+                    simhash_spark(content_col).alias("sig"))
+    mask = (1 << _BAND_BITS) - 1
+    bands = sig.select(
+        "id", "sig",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {_SIM_BANDS - 1}), "
+            f"b -> (sig div cast(pow(2, {_BAND_BITS} * b) as bigint)) "
+            f"% {mask + 1})")).alias("band", "band_key"))
+    ham = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
+    return (bands.alias("x")
+            .join(bands.alias("y"),
+                  (F.col("x.band") == F.col("y.band"))
+                  & (F.col("x.band_key") == F.col("y.band_key"))
+                  & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"),
+                    F.col("y.id").alias("id_b"),
+                    ham.alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_pairs_duck_sql(table: str, id_col: str, content_col: str,
+                           max_hamming: int = 3) -> str:
+    sig = simhash_duck(content_col)
+    mask = (1 << _BAND_BITS) - 1
+    return f"""
+WITH s AS (SELECT {id_col} AS id, {sig} AS sig FROM {table}),
+b AS (
+  SELECT id, sig, b.band,
+         (sig >> ({_BAND_BITS} * b.band)) & {mask} AS band_key
+  FROM s, (SELECT unnest(range({_SIM_BANDS})) AS band) b),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+         bit_count(xor(x.sig, y.sig)) AS hamming
+  FROM b x JOIN b y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.id < y.id)
+SELECT id_a, id_b, hamming FROM cand
+WHERE hamming <= {max_hamming}
+ORDER BY id_a, id_b
+"""

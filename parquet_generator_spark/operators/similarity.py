@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the exactness baseline. Expressed with
+  zip_with/aggregate so the arithmetic stays in the JVM; the
+  query-set side is broadcast, so the plan is a single pass over the
+  corpus with no shuffle (then a small top-k per query).
+- Random-hyperplane LSH: the scale path. Hyperplanes are literal
+  arrays baked into the plan (deterministic, seed=7), bucketing is a
+  JVM expression; candidate generation shuffles on the bucket key
+  only. At 100 TB the bucketed variant turns O(N*Q) into
+  O(N + sum(bucket^2)).
+- Embedding near-dup pairs: same cosine kernel under a threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(c) -> Column:
+    return F.expr(f"transform({c}, x -> cast(x AS DOUBLE))") \
+        if isinstance(c, str) else c
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS DOUBLE) * y), "
+        f"cast(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(F.expr(
+        f"aggregate({a}, cast(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + cast(x AS DOUBLE) * x)"))
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+COSINE_DUCK = ("list_dot_product({a}, {b}) / "
+               "sqrt(list_dot_product({a}, {a}) * "
+               "list_dot_product({b}, {b}))")
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus
+    is scanned once. Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(F.col(id_col).alias("qid"),
+                       F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("nid"),
+                      F.col(vec_col).alias("nvec"))
+    scored = (c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+              .select("qid", "nid",
+                      F.round(cosine("qvec", "nvec"), 4).alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("qid", "rank"))
+
+
+def brute_force_topk_duck_sql(table: str, k: int, query_pred: str,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> str:
+    # cast to DOUBLE[] so DuckDB accumulates in double like Spark does
+    cos = COSINE_DUCK.format(a=f"CAST(q.{vec_col} AS DOUBLE[])",
+                             b=f"CAST(c.{vec_col} AS DOUBLE[])")
+    return f"""
+WITH q AS (SELECT * FROM {table} WHERE {query_pred}),
+scored AS (
+  SELECT q.{id_col} AS qid, c.{id_col} AS nid,
+         round({cos}, 4) AS cos
+  FROM q, {table} c WHERE q.{id_col} != c.{id_col}),
+ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored)
+SELECT qid, nid, cos, rank FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+# ------------------------------------------------------------------
+# Random-hyperplane LSH
+# ------------------------------------------------------------------
+
+def make_hyperplanes(dim: int, n_planes: int = 16,
+                     seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(vec_col: str, planes: np.ndarray) -> Column:
+    """Bucket id = sign bits of the vector against each hyperplane.
+    Plane coefficients are literals in the plan — shipped once with
+    the task binary, not per row."""
+    bits = []
+    for i, plane in enumerate(planes):
+        arr = "array(" + ", ".join(f"cast({x!r} AS DOUBLE)"
+                                   for x in plane) + ")"
+        d = (f"aggregate(zip_with({vec_col}, {arr}, "
+             f"(x, y) -> cast(x AS DOUBLE) * y), cast(0.0 AS DOUBLE), "
+             f"(acc, v) -> acc + v)")
+        bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)")
+    return F.expr(" + ".join(bits)).cast("long")
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             planes: np.ndarray, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: rank only within the query's LSH bucket.
+    Recall < 1 by construction; measured against brute force in
+    tests/test_similarity.py."""
+    bucket = lsh_bucket(vec_col, planes)
+    c = corpus.select(F.col(id_col).alias("nid"),
+                      F.col(vec_col).alias("nvec"),
+                      bucket.alias("bucket"))
+    q = queries.select(F.col(id_col).alias("qid"),
+                       F.col(vec_col).alias("qvec"),
+                       bucket.alias("bucket"))
+    scored = (c.join(F.broadcast(q), "bucket")
+              .filter(F.col("qid") != F.col("nid"))
+              .select("qid", "nid",
+                      F.round(cosine("qvec", "nvec"), 4).alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("qid", "rank"))
+
+
+def embedding_dup_pairs(df: DataFrame, threshold: float,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= threshold).
+    All-pairs form — the correctness baseline; at scale, pre-bucket
+    with lsh_bucket and join on the bucket first."""
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine("va", "vb"), 4).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .orderBy("id_a", "id_b"))
+
+
+def embedding_dup_pairs_duck_sql(table: str, threshold: float,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> str:
+    cos = COSINE_DUCK.format(a=f"CAST(a.{vec_col} AS DOUBLE[])",
+                             b=f"CAST(b.{vec_col} AS DOUBLE[])")
+    return f"""
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       round({cos}, 4) AS cos
+FROM {table} a, {table} b
+WHERE a.{id_col} < b.{id_col}
+  AND round({cos}, 4) >= {threshold}
+ORDER BY id_a, id_b
+"""

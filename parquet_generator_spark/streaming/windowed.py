@@ -1,0 +1,40 @@
+"""Watermarked windowed aggregation — one plan shape shared by the
+batch query (oracle-checked) and the streaming query (test-checked):
+tumbling windows aligned to the epoch, counts + value sums per
+event_type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WINDOW = "6 hours"
+WINDOW_SECONDS = 6 * 3600
+
+
+def windowed_event_counts(df: DataFrame, watermark: str | None = None,
+                          ts_col: str = "ts",
+                          key_col: str = "event_type") -> DataFrame:
+    """Tumbling-window counts per key. Pass ``watermark`` (e.g.
+    "1 hour") on streams so state for closed windows is dropped —
+    unbounded state is the classic 100 TB streaming failure mode."""
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return (src.groupBy(F.window(ts_col, WINDOW).alias("win"), key_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("win_start"),
+                    F.col(key_col), "n", "sum_value"))
+
+
+WINDOWED_ORACLE = f"""
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / {WINDOW_SECONDS})
+                                    * {WINDOW_SECONDS} * 1000000 AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
