@@ -1,0 +1,93 @@
+"""Headline benchmark: times every flagship query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line the driver records as BENCH_r{N}.json.
+
+Covers every operator family from SURVEY.md §2: TPC-H-style analytics,
+ES-DSL translation, reference ETL surface, dedup/similarity, text ops,
+and the batch-equivalent streaming aggregation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parquet_generator_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+HEADLINE = [
+    # analytics engine
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "topk_per_group",
+    "sessionize",
+    # reference ETL surface
+    "terms_agg",
+    "match_phrase_filter",
+    "date_range_scan",
+    "json_decode",
+    # ES-DSL translation
+    "dsl_composite",
+    "dsl_date_histogram",
+    "dsl_stats",
+    # training-data pipeline
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_bruteforce",
+    "ann_lsh",
+    "text_quality",
+    "text_tokens",
+    "text_langid",
+    "text_fingerprint",
+    # streaming (batch-equivalent window agg)
+    "stream_windowed_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    # Warmup at the smallest SF: JVM/codegen JIT plus the one-time
+    # Python-worker spawn (numpy/pandas import) for the Pandas-UDF
+    # operators, so the first UDF query isn't charged for startup.
+    warmup_dir = "/root/testdata/sf0.001"
+    for wq in ("q1_pricing_summary", "dedup_minhash", "dedup_embedding"):
+        qs[wq](spark, warmup_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = len(qs[name](spark, sf_dir).collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ from parquet_generator_spark.operators.text import (
     toks_duck,
     toks_spark,
 )
+from parquet_generator_spark.operators.util import widen_if_narrow
 
 # ------------------------------------------------------------------
 # exact dedup
@@ -46,8 +47,7 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """The deduplicated dataset itself (keeps the min-id row per
     distinct content)."""
     keep = exact_dedup_groups(df, id_col, content_col).select("keep_id")
-    return df.join(F.broadcast(keep) if False else keep,
-                   df[id_col] == keep["keep_id"], "left_semi")
+    return df.join(keep, df[id_col] == keep["keep_id"], "left_semi")
 
 
 # ------------------------------------------------------------------
@@ -59,8 +59,9 @@ def jaccard_pairs(df: DataFrame, id_col: str, content_col: str,
     """All-pairs exact k-shingle Jaccard >= threshold. O(n^2) — the
     correctness baseline and the verifier for LSH candidates; at
     scale call minhash_lsh_pairs instead."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   F.expr(shingles_spark(content_col, k)).alias("sh"))
+    sh = widen_if_narrow(df).select(
+        F.col(id_col).alias("id"),
+        F.expr(shingles_spark(content_col, k)).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
@@ -104,21 +105,27 @@ _PERM_A = _rng.integers(1, _MERSENNE, size=_N_PERM, dtype=np.int64)
 _PERM_B = _rng.integers(0, _MERSENNE, size=_N_PERM, dtype=np.int64)
 
 
-@pandas_udf(T.ArrayType(T.LongType()))
-def minhash_signature(shingles: pd.Series) -> pd.Series:
-    """128-permutation MinHash signature per row. Arrow-batched;
-    per-row cost is one (n_shingle x 128) numpy min-reduce."""
-    import hashlib
+def shingle_hashes_spark(sh_col: str) -> str:
+    """Shingle -> 32-bit base hash, JVM-side (md5 + conv stay inside
+    codegen; the Python side only sees int64 arrays). Same value as
+    ``int(md5(s).hexdigest()[:8], 16) % p`` would give."""
+    return (f"transform({sh_col}, s -> "
+            f"cast(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) "
+            f"% {_MERSENNE})")
 
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def minhash_signature(base_hashes: pd.Series) -> pd.Series:
+    """128-permutation MinHash signature from pre-hashed shingles.
+    Arrow-batched; per-row cost is one (n_shingle x 128) numpy
+    min-reduce — no Python-side hashing (md5 runs in the JVM via
+    shingle_hashes_spark)."""
     out = []
-    for sh in shingles:
-        if sh is None or len(sh) == 0:
+    for hs in base_hashes:
+        if hs is None or len(hs) == 0:
             out.append([int(_MERSENNE)] * _N_PERM)
             continue
-        hs = np.array(
-            [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % _MERSENNE
-             for s in sh],
-            dtype=np.int64)
+        hs = np.asarray(hs, dtype=np.int64)
         # (a*h + b) mod p for each permutation; min over shingles
         sig = ((hs[:, None] * _PERM_A[None, :] + _PERM_B[None, :])
                % _MERSENNE).min(axis=0)
@@ -130,28 +137,34 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
                       threshold: float, k: int = 3) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verify.
 
-    Plan shape: scan -> signature (Pandas UDF map) -> explode 64
-    band keys -> shuffle on band key -> per-bucket self-join ->
-    distinct candidates -> verify with exact shingle Jaccard.
-    No cross join anywhere; the band shuffle is the only wide op.
+    Plan shape: scan -> signature (Pandas UDF map, computed ONCE) ->
+    explode 64 band keys -> ONE shuffle (groupBy band key) -> pair
+    expansion inside each bucket -> distinct candidates -> verify
+    with exact shingle Jaccard on a candidate-semi-joined re-scan.
+    No cross join and no self-join: a band self-join would recompute
+    the whole signature pipeline for the second side, and bucket
+    sizes bound the pair expansion.
     """
-    sh = df.select(F.col(id_col).alias("id"),
-                   F.expr(shingles_spark(content_col, k)).alias("sh"))
-    sig = sh.withColumn("sig", minhash_signature("sh"))
+    sh = widen_if_narrow(df).select(
+        F.col(id_col).alias("id"),
+        F.expr(shingles_spark(content_col, k)).alias("sh"))
+    sig = (sh.withColumn("bh", F.expr(shingle_hashes_spark("sh")))
+           .withColumn("sig", minhash_signature("bh")))
     bands = sig.select(
         "id",
         F.posexplode(
             F.expr(f"transform(sequence(0, {_N_BANDS - 1}), "
                    f"b -> concat_ws(',', sig[2*b], sig[2*b+1]))")
         ).alias("band", "band_key"))
-    cand = (bands.alias("x")
-            .join(bands.alias("y"),
-                  (F.col("x.band") == F.col("y.band"))
-                  & (F.col("x.band_key") == F.col("y.band_key"))
-                  & (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("id_a"),
-                    F.col("y.id").alias("id_b"))
-            .distinct())
+    buckets = (bands.groupBy("band", "band_key")
+               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    cand = (buckets.select(F.explode(F.expr(
+        "flatten(transform(sequence(0, size(ids) - 2), "
+        "i -> transform(sequence(i + 1, size(ids) - 1), "
+        "j -> struct(ids[i] AS id_a, ids[j] AS id_b))))")).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct())
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -184,14 +197,26 @@ def _tok_hashes_duck(c: str) -> str:
 
 def simhash_spark(c: str) -> Column:
     """60-bit SimHash as a single Catalyst expression: bit i is the
-    majority vote of token-hash bit i over distinct tokens."""
+    majority vote of token-hash bit i over distinct tokens.
+
+    One pass over the token hashes: an ``aggregate`` accumulates the
+    60 per-bit counts as an array (zip_with against the bit index
+    sequence), then a second fold turns majority votes into the
+    signature. The token-hash array is bound to a lambda variable via
+    a single-element ``transform`` so the md5 transform is evaluated
+    once per row — inlining it into 60 CASE branches made the
+    expression ~60x more expensive.
+    """
     th = _tok_hashes_spark(c)
-    n = f"size({th})"
-    bits = " + ".join(
-        f"(CASE WHEN 2 * size(filter({th}, h -> (h div {1 << i}) % 2 = 1)) "
-        f">= {n} THEN cast({1 << i} as bigint) ELSE 0 END)"
-        for i in range(_SIM_BITS))
-    return F.expr(bits)
+    zeros = "transform(sequence(0, 59), i -> cast(0 AS BIGINT))"
+    counts = (f"aggregate(s.th, {zeros}, "
+              f"(acc, h) -> zip_with(acc, sequence(0, 59), "
+              f"(c, i) -> c + shiftright(h, i) % 2))")
+    sig = (f"aggregate(zip_with({counts}, sequence(0, 59), "
+           f"(c, i) -> IF(2 * c >= size(s.th), "
+           f"shiftleft(cast(1 AS BIGINT), i), cast(0 AS BIGINT))), "
+           f"cast(0 AS BIGINT), (a, v) -> a + v)")
+    return F.expr(f"transform(array(struct({th} AS th)), s -> {sig})[0]")
 
 
 def simhash_duck(c: str) -> str:
@@ -208,8 +233,9 @@ def simhash_pairs(df: DataFrame, id_col: str, content_col: str,
     """Near-dup pairs with hamming(simhash) <= max_hamming, found by
     banding the 60-bit signature into 4 x 15-bit keys (pigeonhole:
     any pair within hamming 3 shares at least one band)."""
-    sig = df.select(F.col(id_col).alias("id"),
-                    simhash_spark(content_col).alias("sig"))
+    sig = widen_if_narrow(df).select(
+        F.col(id_col).alias("id"),
+        simhash_spark(content_col).alias("sig"))
     mask = (1 << _BAND_BITS) - 1
     bands = sig.select(
         "id", "sig",

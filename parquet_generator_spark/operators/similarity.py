@@ -140,15 +140,46 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold).
+
     All-pairs form — the correctness baseline; at scale, pre-bucket
-    with lsh_bucket and join on the bucket first."""
-    a = df.select(F.col(id_col).alias("id_a"),
-                  F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"),
-                  F.col(vec_col).alias("vb"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
-                    F.round(cosine("va", "vb"), 4).alias("cos"))
+    with lsh_bucket and join on the bucket first. Execution: the
+    corpus matrix is broadcast (same pattern as a broadcast-hash
+    join: small side ships once per executor) and each partition
+    computes its block of the similarity matrix with one float64
+    numpy matmul inside mapInPandas — the classic block-distributed
+    GEMM, no shuffle at all. The final round+threshold stays in the
+    JVM so HALF_UP rounding semantics match the SQL oracle exactly;
+    numpy only pre-filters with a small epsilon margin.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    pdf = df.select(F.col(id_col), F.col(vec_col)).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    # round(cos, 4) >= threshold admits raw values from half a
+    # rounding step below the threshold — the numpy pre-filter must
+    # keep those (plus an fp epsilon); the JVM round+filter decides.
+    margin = threshold - 0.5e-4 - 1e-9
+
+    def block_scores(batches):
+        all_ids, all_mat, all_norms = bc.value
+        for chunk in batches:
+            a_ids = chunk[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.stack(chunk[vec_col].to_numpy()).astype(np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            cos = (a_mat @ all_mat.T) / (a_norms[:, None] * all_norms[None, :])
+            keep = (a_ids[:, None] < all_ids[None, :]) & (cos >= margin)
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": all_ids[bi],
+                                "cos_raw": cos[ai, bi]})
+
+    pairs = df.select(id_col, vec_col).mapInPandas(
+        block_scores, schema="id_a bigint, id_b bigint, cos_raw double")
+    return (pairs.select("id_a", "id_b",
+                         F.round("cos_raw", 4).alias("cos"))
             .filter(F.col("cos") >= threshold)
             .orderBy("id_a", "id_b"))
 

@@ -6,11 +6,13 @@ computed column is aliased to match the DuckDB oracle SQL; double
 aggregates are rounded to 2 decimals on both sides so the
 order-insensitive value hash is immune to FP summation order.
 
-Scale notes: dimension joins (region/nation/customer/supplier/part)
-stay under the broadcast threshold at any SF (they grow ~linearly but
-are tiny); fact-side joins shuffle on their keys with AQE skew
-handling. Filters are plain column predicates so they reach the
-parquet scan as PushedFilters.
+Scale notes: only the fixed-cardinality dims (region=5, nation=25)
+carry an explicit broadcast hint. customer/supplier/part grow
+linearly with SF, so their join strategy is left to AQE: broadcast
+while under the threshold, shuffle-hash with skew-splitting beyond
+it — the plan that still works when lineitem is 100 TB. Filters are
+plain column predicates so they reach the parquet scan as
+PushedFilters.
 """
 
 from __future__ import annotations
@@ -80,7 +82,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") > cutoff)
         .join(orders.filter(F.col("o_orderdate") < cutoff),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+        # customer grows ~linearly with SF: no forced broadcast — AQE
+        # broadcasts it while it fits and shuffle-joins beyond that.
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey",
                  F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -122,8 +126,11 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
                     & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))),
                 F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp),
+        # customer/supplier scale with SF: leave the strategy to AQE
+        # (broadcast while small, shuffle-hash beyond the threshold).
+        # Only the fixed-size dims (nation 25, region 5) are forced.
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp,
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
