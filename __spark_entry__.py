@@ -14,7 +14,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from parquet_generator_spark.plans import analytics as A
+from parquet_generator_spark.plans import analytics2 as A2
 from parquet_generator_spark.plans import llm_queries as L
+from parquet_generator_spark.plans import llm_queries2 as L2
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -34,8 +36,10 @@ def queries() -> dict[str, QueryFn]:
         "q6_forecast_revenue": A.q6_forecast_revenue,
         "topk_per_group": A.topk_per_group,
         "sessionize": A.sessionize,
+        **A2.QUERIES,
         **R.QUERIES,
         **L.QUERIES,
+        **L2.QUERIES,
         **S.QUERIES,
     }
 
@@ -48,7 +52,9 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": A.Q6_ORACLE,
         "topk_per_group": A.TOPK_ORACLE,
         "sessionize": A.SESSIONIZE_ORACLE,
+        **A2.ORACLES,
         **R.ORACLES,
         **L.ORACLES,
+        **L2.ORACLES,
         **S.ORACLES,
     }

@@ -28,6 +28,14 @@ HEADLINE = [
     "q6_forecast_revenue",
     "topk_per_group",
     "sessionize",
+    "q2_cheapest_supplier",
+    "q4_order_priority",
+    "q10_returned_items",
+    "rollup_agg",
+    "percentiles_exact",
+    "window_running",
+    "asof_join",
+    "range_join_bucketed",
     # reference ETL surface
     "terms_agg",
     "match_phrase_filter",
@@ -44,6 +52,10 @@ HEADLINE = [
     "dedup_embedding",
     "ann_bruteforce",
     "ann_lsh",
+    "dedup_clusters",
+    "ngram_topk",
+    "text_scrub",
+    "quality_filter_pipeline",
     "text_quality",
     "text_tokens",
     "text_langid",

@@ -176,6 +176,46 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
 
 
 # ------------------------------------------------------------------
+# connected components (near-dup cluster assignment)
+# ------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Cluster ids for an undirected near-dup pair list: (id, cluster)
+    with cluster = min id reachable through pair edges.
+
+    Min-label propagation: each round is one shuffle join (edge ⨝
+    label) + one shuffle agg (min per neighbor), iterated to the
+    fixpoint — the standard distributed CC loop. Only pair-connected
+    nodes enter the loop (near-dup graphs are a tiny fraction of the
+    corpus); singletons are handled by the caller with a left join.
+    localCheckpoint() cuts the growing lineage each round so plans
+    stay O(1); convergence is detected by the monotone-decreasing
+    label sum reaching a fixpoint.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst"))))
+    edges = edges.localCheckpoint()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint())
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges["src"] == labels["id"])
+                 .groupBy("dst").agg(F.min("label").alias("nlabel")))
+        labels = (labels.join(neigh, labels["id"] == neigh["dst"], "left")
+                  .select(labels["id"],
+                          F.least(F.col("label"),
+                                  F.coalesce("nlabel", "label")).alias("label"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
+# ------------------------------------------------------------------
 # SimHash (60-bit, md5-derived => engine-independent, oracle-able)
 # ------------------------------------------------------------------
 
