@@ -60,8 +60,10 @@ HEADLINE = [
     "text_tokens",
     "text_langid",
     "text_fingerprint",
-    # streaming (batch-equivalent window agg)
+    # streaming (batch-equivalent forms)
     "stream_windowed_agg",
+    "stream_session_window",
+    "stream_dedup",
 ]
 
 

@@ -4,9 +4,14 @@ tests/test_streaming.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from parquet_generator_spark.sources.catalog import load_table
+from parquet_generator_spark.streaming.stateful import (
+    SESSION_WINDOW_ORACLE,
+    session_window_agg,
+)
 from parquet_generator_spark.streaming.windowed import (
     WINDOWED_ORACLE,
     windowed_event_counts,
@@ -22,5 +27,46 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("win_start", "event_type"))
 
 
-QUERIES = {"stream_windowed_agg": stream_windowed_agg}
-ORACLES = {"stream_windowed_agg": WINDOWED_ORACLE}
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the session_window plan the stream uses (30-min
+    gap merge); the oracle recomputes sessions with the portable
+    lag/cumsum formulation."""
+    ev = load_table(spark, "events", sf_dir)
+    return (session_window_agg(ev)
+            .orderBy("user_id", "session_start"))
+
+
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch equivalent of streaming first-wins dedup
+    (dropDuplicatesWithinWatermark keeps the first arrival per key):
+    earliest event per (user_id, event_type)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id"))
+    return (ev.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("event_id", "user_id", "event_type", "value")
+            .orderBy("event_id"))
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, value
+FROM (
+  SELECT event_id, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts ASC, event_id ASC) AS rk
+  FROM events)
+WHERE rk = 1 ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "stream_windowed_agg": stream_windowed_agg,
+    "stream_session_window": stream_session_window,
+    "stream_dedup": stream_dedup_first,
+}
+ORACLES = {
+    "stream_windowed_agg": WINDOWED_ORACLE,
+    "stream_session_window": SESSION_WINDOW_ORACLE,
+    "stream_dedup": STREAM_DEDUP_ORACLE,
+}

@@ -75,3 +75,93 @@ def test_windowed_agg_stream_matches_batch(spark, tmp_path):
 
     streamed = spark.sql("select * from winagg").collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    from parquet_generator_spark.streaming.stateful import session_window_agg
+
+    ev = load_table(spark, "events", SF)
+    batch = session_window_agg(ev).collect()
+
+    ev.write.parquet(str(tmp_path / "events_sw"))
+    stream = (spark.readStream.schema(ev.schema)
+              .parquet(str(tmp_path / "events_sw")))
+    agg = session_window_agg(stream, watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("sessagg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    streamed = spark.sql("select * from sessagg").collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    import json as _json
+
+    from parquet_generator_spark.streaming.stateful import stream_dedup
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    # the same 5 keys appear in every file; only the first batch's
+    # rows should survive
+    for batch in range(3):
+        with open(src / f"b{batch}.json", "w") as fh:
+            for k in range(5):
+                fh.write(_json.dumps({
+                    "key": f"k{k}",
+                    "ts": f"2024-01-01 00:{batch:02d}:00",
+                    "payload": batch}) + "\n")
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("payload", T.LongType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    deduped = stream_dedup(stream, ["key"], watermark="10 minutes")
+    q = (deduped.writeStream.format("memory").queryName("dedupq")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("select * from dedupq").collect()
+    # one survivor per key (whichever micro-batch arrived first);
+    # without the dedup all 15 rows would appear
+    assert len(rows) == 5
+    assert len({r["key"] for r in rows}) == 5
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    from parquet_generator_spark.streaming.stateful import (
+        running_purchase_totals,
+    )
+
+    ev = load_table(spark, "events", SF)
+    expected = {
+        (r["user_id"], r["n"], round(r["s"], 6))
+        for r in (ev.filter(F.col("event_type") == "purchase")
+                  .groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("value").alias("s")).collect())
+    }
+
+    # 4 files -> 4 micro-batches; state must carry across them
+    ev.repartition(4).write.parquet(str(tmp_path / "events_state"))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "events_state")))
+    q = (running_purchase_totals(stream)
+         .writeStream.format("memory").queryName("runtot")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # update mode emits one row per (user, batch); the LAST emission
+    # per user is the final running total
+    final = spark.sql("""
+        select user_id, n_purchases, total_spend from (
+          select *, row_number() over (partition by user_id
+                                       order by n_purchases desc) rk
+          from runtot) where rk = 1""").collect()
+    got = {(r["user_id"], r["n_purchases"], round(r["total_spend"], 6))
+           for r in final}
+    assert got == expected
