@@ -18,6 +18,7 @@ from parquet_generator_spark.plans import analytics2 as A2
 from parquet_generator_spark.plans import llm_queries as L
 from parquet_generator_spark.plans import llm_queries2 as L2
 from parquet_generator_spark.plans import reference_queries as R
+from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -40,6 +41,7 @@ def queries() -> dict[str, QueryFn]:
         **R.QUERIES,
         **L.QUERIES,
         **L2.QUERIES,
+        **SC.QUERIES,
         **S.QUERIES,
     }
 
@@ -56,5 +58,6 @@ def oracle_sql() -> dict[str, str]:
         **R.ORACLES,
         **L.ORACLES,
         **L2.ORACLES,
+        **SC.ORACLES,
         **S.ORACLES,
     }

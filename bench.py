@@ -36,6 +36,9 @@ HEADLINE = [
     "window_running",
     "asof_join",
     "range_join_bucketed",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "approx_sketches",
     # reference ETL surface
     "terms_agg",
     "match_phrase_filter",

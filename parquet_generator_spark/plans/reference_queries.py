@@ -15,7 +15,10 @@ from pyspark.sql import types as T
 
 from parquet_generator_spark.operators import esdsl
 from parquet_generator_spark.operators.esdsl import search
-from parquet_generator_spark.sources.catalog import load_table
+from parquet_generator_spark.sources.catalog import (
+    load_events_between,
+    load_table,
+)
 
 
 def terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,14 +57,13 @@ ORDER BY doc_id
 
 def date_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recent-N-days selection (Bootstrap.java:264) as a pruned date
-    scan: daily doc counts for the last 7 days of the stream."""
-    ev = load_table(spark, "events", sf_dir)
-    return (ev.filter(
-        (F.col("ts") >= F.lit("2024-01-24").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-31").cast("timestamp")))
-        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(F.count(F.lit(1)).alias("doc_count"))
-        .orderBy("day"))
+    scan: daily doc counts for the last 7 days of the stream. The
+    range predicate is pushed onto the raw nanos column (see
+    load_events_between) so row-group stats prune the scan."""
+    ev = load_events_between(spark, sf_dir, "2024-01-24", "2024-01-31")
+    return (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("day"))
 
 
 DATE_RANGE_ORACLE = """

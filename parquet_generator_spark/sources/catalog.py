@@ -36,6 +36,32 @@ def load_table(spark: SparkSession, name: str,
     return spark.read.parquet(path)
 
 
+def load_events_between(spark: SparkSession, sf_dir: str,
+                        start_iso: str, end_iso: str) -> DataFrame:
+    """events filtered to ``[start, end)`` with the time predicate
+    pushed to the parquet scan.
+
+    The generic loader rebuilds ``ts`` from the file's TIMESTAMP(NANOS)
+    long AFTER the scan, so a filter on the rebuilt column can never
+    prune row groups — at large scale that is a full-table read. Here
+    the bounds are converted to nanos and applied to the RAW long
+    column (plain comparison => PushedFilters + row-group statistics
+    pruning), and the timestamp is rebuilt only for surviving rows.
+    """
+    from datetime import datetime, timezone
+
+    def nanos(iso: str) -> int:
+        dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (raw.filter((F.col("ts") >= nanos(start_iso))
+                       & (F.col("ts") < nanos(end_iso)))
+            .withColumn("ts", F.timestamp_micros(
+                (F.col("ts") / 1000).cast("long"))))
+
+
 def load_tables(spark: SparkSession,
                 sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {t: load_table(spark, t, sf_dir) for t in TABLES}

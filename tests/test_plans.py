@@ -1,0 +1,87 @@
+"""Plan-shape assertions (SURVEY.md §5): the physical plan properties
+the 100 TB posture depends on — pushdown reaching the parquet scan,
+column pruning, join strategy, no nested-loop explosions — asserted
+so a regression in plan shape fails CI even while results stay
+correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def pushed_filters(plan: str) -> str:
+    return " | ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = formatted_plan(spark, "q6_forecast_revenue")
+    pf = pushed_filters(plan)
+    assert "GreaterThanOrEqual(l_shipdate" in pf
+    assert "LessThan(l_shipdate" in pf
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # projection pruned to exactly the referenced columns
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount",
+                    "l_shipdate"}
+
+
+def test_date_range_scan_pushes_nanos_bounds(spark):
+    plan = formatted_plan(spark, "date_range_scan")
+    pf = pushed_filters(plan)
+    # the raw TIMESTAMP(NANOS) long carries the range predicate; a
+    # filter on the rebuilt timestamp column would push nothing
+    assert "GreaterThanOrEqual(ts," in pf
+    assert "LessThan(ts," in pf
+
+
+def test_q5_dims_broadcast_no_sort_merge(spark):
+    plan = formatted_plan(spark, "q5_local_supplier")
+    assert "BroadcastHashJoin" in plan
+    # at test SF every join side fits the broadcast threshold; AQE
+    # must not have fallen back to sort-merge anywhere
+    assert "SortMergeJoin" not in plan
+
+
+def test_q4_uses_semi_join(spark):
+    plan = formatted_plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_range_join_is_equi_join(spark):
+    plan = formatted_plan(spark, "range_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_window_no_join(spark):
+    plan = formatted_plan(spark, "asof_join")
+    assert "Window" in plan
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin",
+                "CartesianProduct"):
+        assert bad not in plan
+
+
+@pytest.mark.parametrize("name", ["text_quality", "text_tokens",
+                                  "text_fingerprint"])
+def test_text_ops_have_no_shuffle_before_agg(spark, name):
+    plan = formatted_plan(spark, name)
+    # narrow map over the corpus: the only exchange allowed is the
+    # widen-if-narrow round robin / final sort, never a hash
+    # partitioning keyed on text
+    assert "hashpartitioning(text" not in plan
