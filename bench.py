@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_embedding",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_ivf",
     "dedup_clusters",
     "ngram_topk",
     "text_scrub",

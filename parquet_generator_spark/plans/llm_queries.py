@@ -98,6 +98,20 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ANN_K, planes)
 
 
+ANN_IVF_CELLS = 32
+ANN_IVF_PROBE = 8
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (no SQL oracle — approximate by
+    design; recall, and exactness at n_probe=n_cells, are asserted in
+    tests)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = similarity.make_centroids_from_corpus(emb, ANN_IVF_CELLS)
+    return similarity.ivf_topk(emb, emb.filter(ANN_QUERY_PRED),
+                               ANN_K, cents, n_probe=ANN_IVF_PROBE)
+
+
 # --- text analysis --------------------------------------------------
 
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,6 +224,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,

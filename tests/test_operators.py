@@ -128,3 +128,32 @@ def test_esdsl_match_phrase_tokenization(spark):
     got = sorted(r["id"] for r in
                  df.filter(esdsl.match_phrase("t", "big DATA")).collect())
     assert got == [1, 2]  # punctuation/case-insensitive token sequence
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    emb = load_table(spark, "embeddings", SF)
+    queries = emb.filter("vec_id < 10")
+    cents = similarity.make_centroids_from_corpus(emb, 8)
+    brute = [(r["qid"], r["nid"], r["cos"], r["rank"])
+             for r in similarity.brute_force_topk(emb, queries, 5).collect()]
+    # probing every cell = scanning the whole corpus = exact
+    full = [(r["qid"], r["nid"], r["cos"], r["rank"])
+            for r in similarity.ivf_topk(emb, queries, 5, cents,
+                                         n_probe=8).collect()]
+    assert full == brute
+
+
+def test_ivf_partial_probe_recall(spark):
+    emb = load_table(spark, "embeddings", SF)
+    queries = emb.filter("vec_id < 10")
+    cents = similarity.make_centroids_from_corpus(emb, 8)
+    brute = {(r["qid"], r["nid"])
+             for r in similarity.brute_force_topk(emb, queries, 5).collect()}
+    approx = similarity.ivf_topk(emb, queries, 5, cents, n_probe=2).collect()
+    aset = {(r["qid"], r["nid"]) for r in approx}
+    assert len(aset & brute) / len(brute) > 0.0
+    # each query still returns at most k candidates
+    per_q = {}
+    for r in approx:
+        per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+    assert all(n <= 5 for n in per_q.values())
