@@ -17,6 +17,7 @@ from parquet_generator_spark.plans import analytics as A
 from parquet_generator_spark.plans import analytics2 as A2
 from parquet_generator_spark.plans import llm_queries as L
 from parquet_generator_spark.plans import llm_queries2 as L2
+from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
@@ -42,6 +43,7 @@ def queries() -> dict[str, QueryFn]:
         **L.QUERIES,
         **L2.QUERIES,
         **SC.QUERIES,
+        **P.QUERIES,
         **S.QUERIES,
     }
 
@@ -59,5 +61,6 @@ def oracle_sql() -> dict[str, str]:
         **L.ORACLES,
         **L2.ORACLES,
         **SC.ORACLES,
+        **P.ORACLES,
         **S.ORACLES,
     }

@@ -39,6 +39,8 @@ HEADLINE = [
     "skew_salted_agg",
     "skew_salted_join",
     "approx_sketches",
+    "anti_join_inactive",
+    "pivot_daily_revenue",
     # reference ETL surface
     "terms_agg",
     "match_phrase_filter",
@@ -60,6 +62,8 @@ HEADLINE = [
     "ngram_topk",
     "text_scrub",
     "quality_filter_pipeline",
+    "train_test_split",
+    "multimodal_frames",
     "text_quality",
     "text_tokens",
     "text_langid",
