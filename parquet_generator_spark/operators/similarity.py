@@ -217,6 +217,31 @@ def make_centroids_from_corpus(df: DataFrame, n_centroids: int,
     return np.array([r[0] for r in rows], dtype=np.float64)
 
 
+def make_centroids_kmeans(df: DataFrame, n_centroids: int,
+                          n_iter: int = 5, sample_size: int = 4096,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means coarse quantizer: Lloyd iterations on a
+    deterministic bounded sample (smallest ids), driver-side numpy.
+    Centroid quality only affects recall, never correctness — the
+    cell assignment downstream is the same plan. At 100 TB the sample
+    collect is the only driver-side data (sample_size rows), and the
+    result ships to executors as a broadcast literal."""
+    rows = (df.orderBy(id_col).limit(sample_size)
+            .select(vec_col).collect())
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = x / np.sqrt((x * x).sum(axis=1))[:, None]
+    cents = x[:n_centroids].copy()
+    for _ in range(n_iter):
+        cents_n = cents / np.sqrt((cents * cents).sum(axis=1))[:, None]
+        assign = (x @ cents_n.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
 def embedding_dup_pairs(df: DataFrame, threshold: float,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:

@@ -128,6 +128,38 @@ def quality_components_duck(c: str) -> dict[str, str]:
     }
 
 
+# --- fused per-document profile --------------------------------------
+
+def profile_struct_spark(c: str) -> Column:
+    """All per-document text metrics in ONE expression with the token
+    array bound once (the transform-over-single-struct trick): struct
+    (n_tokens, distinct_ratio, stop_ratio, quality, pred_lang).
+
+    Semantically identical to composing quality_components_spark +
+    langid_spark; the fusion exists because every separate expression
+    re-runs the tokenizer split — ~10 tokenizations per row become 1.
+    """
+    toks = toks_spark(c)
+    t = "s.t"
+    n = f"size({t})"
+    distinct_ratio = (f"CASE WHEN {n} > 0 THEN "
+                      f"CAST(size(array_distinct({t})) AS DOUBLE) / {n} "
+                      f"ELSE 0.0 END")
+    hits = {l: f"size(filter({t}, x -> x in {_in_list(LANG_MARKERS[l])}))"
+            for l in _LANG_ORDER}
+    stop_ratio = (f"CASE WHEN {n} > 0 THEN "
+                  f"CAST({hits['en']} AS DOUBLE) / {n} ELSE 0.0 END")
+    sat = f"least(CAST({n} AS DOUBLE) / 100.0, 1.0)"
+    quality = round4(f"0.4 * {sat} + 0.3 * ({distinct_ratio}) "
+                     f"+ 0.3 * ({stop_ratio})")
+    inner = (f"struct({n} AS n_tokens, "
+             f"{round4(distinct_ratio)} AS distinct_ratio, "
+             f"{round4(stop_ratio)} AS stop_ratio, "
+             f"{quality} AS quality, "
+             f"{langid_case(hits)} AS pred_lang)")
+    return F.expr(f"transform(array(struct({toks} AS t)), s -> {inner})[0]")
+
+
 # --- fingerprinting --------------------------------------------------
 # content fingerprint: md5 of the sorted distinct token bag — stable
 # under token reordering/duplication (a cheap canonicalization, the

@@ -107,7 +107,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     design; recall, and exactness at n_probe=n_cells, are asserted in
     tests)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = similarity.make_centroids_from_corpus(emb, ANN_IVF_CELLS)
+    cents = similarity.make_centroids_kmeans(emb, ANN_IVF_CELLS)
     return similarity.ivf_topk(emb, emb.filter(ANN_QUERY_PRED),
                                ANN_K, cents, n_probe=ANN_IVF_PROBE)
 
@@ -136,13 +136,13 @@ FROM documents ORDER BY doc_id
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    comps = tx.quality_components_spark("text")
+    prof = tx.profile_struct_spark("text")
     return docs.select(
         "doc_id",
-        comps["n_tokens"].alias("n_tokens"),
-        comps["distinct_ratio"].alias("distinct_ratio"),
-        comps["stop_ratio"].alias("stop_ratio"),
-        comps["quality"].alias("quality"),
+        prof["n_tokens"].alias("n_tokens"),
+        prof["distinct_ratio"].alias("distinct_ratio"),
+        prof["stop_ratio"].alias("stop_ratio"),
+        prof["quality"].alias("quality"),
     ).orderBy("doc_id")
 
 

@@ -136,13 +136,13 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest — no second scan), language-ID, quality score, token-count
     bounds; per-source kept-corpus report."""
     docs = load_table(spark, "documents", sf_dir)
-    comps = tx.quality_components_spark("text")
     w = Window.partitionBy(F.md5("text"))
+    prof = tx.profile_struct_spark("text")
     d = (widen_if_narrow(docs).select(
         "doc_id", "source",
-        comps["n_tokens"].alias("n_tokens"),
-        comps["quality"].alias("quality"),
-        tx.langid_spark("text").alias("pred_lang"),
+        prof["n_tokens"].alias("n_tokens"),
+        prof["quality"].alias("quality"),
+        prof["pred_lang"].alias("pred_lang"),
         F.min("doc_id").over(w).alias("keep_id")))
     kept = ((F.col("doc_id") == F.col("keep_id"))
             & (F.col("pred_lang") == "en")

@@ -1,0 +1,51 @@
+"""foreachBatch upsert (merge) sink: latest-wins per key into a
+parquet dataset.
+
+The reference's continuous loop deletes and rewrites whole files per
+pull (EsParquetWriter.java:52-56); the streaming-native form is a
+per-micro-batch MERGE. Parquet has no transactional merge, so each
+batch rewrites via a staging directory swap — the pattern is exactly
+what a table format (Delta/Iceberg) executes natively; swapping the
+writer is a one-line change and the plan above it is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_latest(existing: DataFrame | None, batch: DataFrame,
+                 key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Latest-wins merge: one row per key, 'latest' = max(order_cols)
+    (deterministic: add a unique tiebreaker as the last order col)."""
+    combined = existing.unionByName(batch) if existing is not None else batch
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in order_cols])
+    return (combined.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1).drop("_rk"))
+
+
+def upsert_writer(stream: DataFrame, table_path: str, checkpoint_dir: str,
+                  key_cols: list[str], order_cols: list[str]):
+    """writeStream.foreachBatch upsert into ``table_path``; drains
+    with availableNow (continuous mode: drop the trigger)."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        existing = (spark.read.parquet(table_path)
+                    if os.path.exists(table_path) else None)
+        merged = merge_latest(existing, batch_df, key_cols, order_cols)
+        staging = table_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(table_path):
+            shutil.rmtree(table_path)
+        os.replace(staging, table_path)
+
+    return (stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -157,3 +157,17 @@ def test_ivf_partial_probe_recall(spark):
     for r in approx:
         per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
     assert all(n <= 5 for n in per_q.values())
+
+
+def test_ivf_kmeans_centroids_full_probe_still_exact(spark):
+    emb = load_table(spark, "embeddings", SF)
+    queries = emb.filter("vec_id < 10")
+    cents = similarity.make_centroids_kmeans(emb, 8, n_iter=3)
+    brute = [(r["qid"], r["nid"], r["cos"], r["rank"])
+             for r in similarity.brute_force_topk(emb, queries, 5).collect()]
+    full = [(r["qid"], r["nid"], r["cos"], r["rank"])
+            for r in similarity.ivf_topk(emb, queries, 5, cents,
+                                         n_probe=8).collect()]
+    # exactness is a property of probing every cell, independent of
+    # centroid quality
+    assert full == brute

@@ -165,3 +165,37 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     got = {(r["user_id"], r["n_purchases"], round(r["total_spend"], 6))
            for r in final}
     assert got == expected
+
+
+def test_foreachbatch_upsert_latest_wins(spark, tmp_path):
+    import json as _json
+
+    from parquet_generator_spark.streaming.upsert import upsert_writer
+
+    src = tmp_path / "upsert_in"
+    src.mkdir()
+    # three versions of the same 4 keys arrive across micro-batches
+    for version in range(3):
+        with open(src / f"v{version}.json", "w") as fh:
+            for k in range(4):
+                fh.write(_json.dumps({
+                    "key": f"k{k}", "version": version,
+                    "payload": f"k{k}-v{version}"}) + "\n")
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("payload", T.StringType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = upsert_writer(stream, str(tmp_path / "upsert_out"),
+                      str(tmp_path / "upsert_ckpt"),
+                      key_cols=["key"], order_cols=["version"])
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "upsert_out")).collect()
+    # one row per key, and regardless of file arrival order the
+    # highest version won
+    assert {(r["key"], r["version"], r["payload"]) for r in out} == {
+        (f"k{k}", 2, f"k{k}-v2") for k in range(4)}
