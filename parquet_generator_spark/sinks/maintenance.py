@@ -1,0 +1,55 @@
+"""Dataset maintenance: schema-evolution reads and small-file
+compaction.
+
+Both are consequences of continuous ingest (the reference's loop, our
+streaming sink): upstream adds fields over time, and micro-batches
+leave many small files. At 100 TB unmaintained small files dominate
+scan cost (per-file open + footer read + scheduling beats actual IO).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a dataset whose batches have drifting schemas: mergeSchema
+    unions all fields (missing ones null-filled) — the read-side twin
+    of schema.infer's merge/widen, and the lenient-decode contract the
+    reference's ExtendedJsonDecoder enforced doc-by-doc."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def dataset_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of the parquet files under ``path``."""
+    n_files = 0
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_files += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n_files, total
+
+
+def compact_dataset(spark: SparkSession, path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Rewrite a small-files dataset into ~target-size files; returns
+    the new file count. Coalesce (not repartition) so the rewrite is
+    shuffle-free; the staging swap keeps readers from seeing a
+    half-written dataset. On a real deployment this runs per
+    partition directory, oldest-first, off the ingest path."""
+    df = read_evolving(spark, path)
+    _n, total_bytes = dataset_file_stats(spark, path)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    staging = path + "_compacting"
+    df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+    import shutil
+    shutil.rmtree(path)
+    os.replace(staging, path)
+    n_after, _ = dataset_file_stats(spark, path)
+    return n_after

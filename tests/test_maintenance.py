@@ -1,0 +1,54 @@
+"""Schema evolution and compaction over an ingest-shaped dataset."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.sinks.maintenance import (
+    compact_dataset,
+    dataset_file_stats,
+    read_evolving,
+)
+
+
+def test_read_evolving_merges_drifted_schemas(spark, tmp_path):
+    path = str(tmp_path / "evolving")
+    # batch 1: (id, a); batch 2 adds column b; batch 3 adds c, drops a
+    spark.createDataFrame([(1, "x")], "id long, a string") \
+        .write.mode("append").parquet(path)
+    spark.createDataFrame([(2, "y", 10.0)], "id long, a string, b double") \
+        .write.mode("append").parquet(path)
+    spark.createDataFrame([(3, True)], "id long, c boolean") \
+        .write.mode("append").parquet(path)
+
+    df = read_evolving(spark, path)
+    assert set(df.columns) == {"id", "a", "b", "c"}
+    rows = {r["id"]: (r["a"], r["b"], r["c"])
+            for r in df.orderBy("id").collect()}
+    assert rows == {1: ("x", None, None),
+                    2: ("y", 10.0, None),
+                    3: (None, None, True)}
+
+
+def test_compact_dataset_reduces_file_count(spark, tmp_path):
+    path = str(tmp_path / "smallfiles")
+    # simulate 3 micro-batch appends, each spraying 8 tiny files
+    for batch in range(3):
+        (spark.range(batch * 1000, (batch + 1) * 1000)
+         .withColumn("v", F.col("id") * 2)
+         .repartition(8).write.mode("append").parquet(path))
+
+    before, total_bytes = dataset_file_stats(spark, path)
+    assert before >= 24
+
+    df_before = spark.read.parquet(path)
+    checksum_before = df_before.agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")).collect()[0]
+
+    n_after = compact_dataset(spark, path, target_file_bytes=total_bytes)
+    assert n_after < before
+
+    df_after = spark.read.parquet(path)
+    checksum_after = df_after.agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")).collect()[0]
+    assert tuple(checksum_after) == tuple(checksum_before)
