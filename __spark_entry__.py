@@ -15,10 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from parquet_generator_spark.plans import analytics as A
 from parquet_generator_spark.plans import analytics2 as A2
+from parquet_generator_spark.plans import analytics3 as A3
 from parquet_generator_spark.plans import llm_queries as L
 from parquet_generator_spark.plans import llm_queries2 as L2
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
+from parquet_generator_spark.plans import reference_queries2 as R2
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -39,7 +41,9 @@ def queries() -> dict[str, QueryFn]:
         "topk_per_group": A.topk_per_group,
         "sessionize": A.sessionize,
         **A2.QUERIES,
+        **A3.QUERIES,
         **R.QUERIES,
+        **R2.QUERIES,
         **L.QUERIES,
         **L2.QUERIES,
         **SC.QUERIES,
@@ -57,7 +61,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": A.TOPK_ORACLE,
         "sessionize": A.SESSIONIZE_ORACLE,
         **A2.ORACLES,
+        **A3.ORACLES,
         **R.ORACLES,
+        **R2.ORACLES,
         **L.ORACLES,
         **L2.ORACLES,
         **SC.ORACLES,

@@ -41,6 +41,12 @@ HEADLINE = [
     "approx_sketches",
     "anti_join_inactive",
     "pivot_daily_revenue",
+    "q7_nation_trade",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q22_idle_customers",
     # reference ETL surface
     "terms_agg",
     "match_phrase_filter",
@@ -50,6 +56,9 @@ HEADLINE = [
     "dsl_composite",
     "dsl_date_histogram",
     "dsl_stats",
+    "dsl_multi_metric",
+    "dsl_filters_buckets",
+    "dsl_top_hits",
     # training-data pipeline
     "dedup_exact",
     "dedup_minhash",

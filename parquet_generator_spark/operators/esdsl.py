@@ -145,34 +145,114 @@ _METRICS = {
     "value_count": F.count,
 }
 
+# ES default percents for the percentiles aggregation
+_DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
-def _metric_col(agg_name: str, spec: dict) -> Column:
-    (mtype, mbody), = spec.items()
+
+def _pct_label(p: float) -> str:
+    s = f"{p:g}".replace(".", "_")
+    return f"p{s}"
+
+
+def _metric_cols(agg_name: str, spec: dict) -> list[Column]:
+    """Metric agg spec -> output Columns (percentiles expand to one
+    column per requested percent: ``<name>_p50`` etc.)."""
+    (mtype, mbody), = ((k, v) for k, v in spec.items() if k != "aggs")
+    if mtype == "percentiles":
+        field = mbody["field"]
+        percents = [float(p) for p in mbody.get("percents",
+                                                _DEFAULT_PERCENTS)]
+        fracs = ", ".join(f"{p / 100.0!r}" for p in percents)
+        # exact by default; {"approx": true} swaps in percentile_approx
+        # (t-digest-style bounded memory) for the 100 TB path
+        fn = "percentile_approx" if mbody.get("approx") else "percentile"
+        arr = F.expr(f"{fn}({field}, array({fracs}))")
+        return [F.round(arr[i], 4).alias(f"{agg_name}_{_pct_label(p)}")
+                for i, p in enumerate(percents)]
     field = mbody["field"]
     if mtype in _METRICS:
         c = _METRICS[mtype](field)
         if mtype in ("avg", "sum"):
             c = F.round(c, 4)
-        return c.alias(agg_name)
+        return [c.alias(agg_name)]
     if mtype == "cardinality":
-        # exact by default (ES is approximate); pass precision via
-        # {"approx": true} for the scale path
+        # exact by default (ES is approximate); pass {"approx": true}
+        # for the HLL++ scale path
         if mbody.get("approx"):
-            return F.approx_count_distinct(field).alias(agg_name)
-        return F.countDistinct(field).alias(agg_name)
+            return [F.approx_count_distinct(field).alias(agg_name)]
+        return [F.countDistinct(field).alias(agg_name)]
     if mtype == "stats":
         raise ValueError("stats expands to multiple columns; use search()")
     raise ValueError(f"unsupported metric agg {mtype!r}")
 
 
+def _is_metric(spec: dict) -> bool:
+    (mtype, _), = ((k, v) for k, v in spec.items() if k != "aggs")
+    return mtype in _METRICS or mtype in ("cardinality", "percentiles")
+
+
+def _exploded_buckets(filtered: DataFrame,
+                      named_conds: list[tuple[str, Column]],
+                      metric_cols: list[Column]) -> DataFrame:
+    """Shared engine for bucket aggs whose buckets may overlap
+    (``filters``, ``range``): each row emits a struct per bucket it
+    belongs to (map-side explode — no extra scan per bucket), then one
+    shuffle groups by bucket key. Empty buckets are omitted (SQL
+    GROUP BY shape, unlike ES's zero-count buckets)."""
+    structs = [F.struct(F.lit(name).alias("key"), cond.alias("hit"))
+               for name, cond in named_conds]
+    exploded = (filtered
+                .withColumn("_b", F.explode(F.array(*structs)))
+                .filter(F.col("_b.hit"))
+                .withColumn("key", F.col("_b.key")))
+    return (exploded.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols)
+            .orderBy(F.asc("key")))
+
+
+def _top_hits(filtered: DataFrame, key: Column, terms_size: int,
+              th: dict) -> DataFrame:
+    """terms bucket agg whose sub-agg is ``top_hits``: keep the top
+    ``terms_size`` buckets by doc_count (ES bucket order), then the
+    first ``size`` docs per bucket under the given sort. The bucket
+    list is tiny -> broadcast back; per-bucket ranking is one window.
+    The caller's sort must be total for deterministic output."""
+    from pyspark.sql import Window
+
+    size = th.get("size", 3)
+    order_cols = []
+    for s in th.get("sort", []):
+        (field, spec), = s.items()
+        order = spec if isinstance(spec, str) else spec.get("order", "asc")
+        c = F.col(field)
+        order_cols.append(c.desc() if order == "desc" else c.asc())
+    source = th.get("_source")
+
+    keyed = filtered.withColumn("key", key)
+    buckets = (keyed.groupBy("key")
+               .agg(F.count(F.lit(1)).alias("doc_count"))
+               .orderBy(F.desc("doc_count"), F.asc("key"))
+               .limit(terms_size))
+    w = Window.partitionBy("key").orderBy(*order_cols)
+    hits = (keyed.join(F.broadcast(buckets), "key")
+            .withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= size))
+    cols = ["key", "doc_count", "hit_rank"] + (
+        source if source else [c for c in filtered.columns])
+    return hits.select(*cols).orderBy("key", "hit_rank")
+
+
 def search(df: DataFrame, body: dict) -> DataFrame:
     """Run an ES-style search body {query, aggs, size} on ``df``.
 
-    Without aggs: filtered rows (size-limited). With a bucket agg
-    (terms / date_histogram / histogram): ES-shaped buckets with
-    columns ``key, doc_count, <metric sub-aggs...>``, ordered by
-    doc_count desc then key (ES default), bucket count capped by
-    ``size`` inside the agg spec.
+    Without aggs: filtered rows (size-limited). Metric aggs (possibly
+    several siblings) produce a single row with one column per metric
+    (percentiles expand to ``<name>_p<N>``). Bucket aggs (terms /
+    date_histogram / histogram / range / filters) produce ES-shaped
+    buckets ``key, doc_count, <metric sub-aggs...>``; terms buckets
+    order by doc_count desc then key and honor ``size``; a
+    ``top_hits`` sub-agg of terms returns the per-bucket top documents
+    instead of metrics.
     """
     filtered = df.filter(translate_query(body.get("query")))
     aggs = body.get("aggs") or body.get("aggregations")
@@ -180,10 +260,19 @@ def search(df: DataFrame, body: dict) -> DataFrame:
         size = body.get("size")
         return filtered.limit(size) if size is not None else filtered
 
+    if all(_is_metric(s) for s in aggs.values()):
+        cols = [c for n, s in aggs.items() for c in _metric_cols(n, s)]
+        return filtered.agg(*cols)
+    if len(aggs) != 1:
+        raise ValueError(
+            "multiple sibling aggs are supported for metrics only")
+
     (agg_name, spec), = aggs.items()
     (atype, abody), = ((k, v) for k, v in spec.items() if k != "aggs")
     sub = spec.get("aggs", {})
-    metric_cols = [_metric_col(n, s) for n, s in sub.items()]
+    sub_metrics = {n: s for n, s in sub.items() if "top_hits" not in s}
+    metric_cols = [c for n, s in sub_metrics.items()
+                   for c in _metric_cols(n, s)]
 
     if atype == "stats":
         field = abody["field"]
@@ -194,12 +283,42 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             F.round(F.avg(field), 4).alias("avg"),
             F.round(F.sum(field), 4).alias("sum"),
         )
-    if atype in _METRICS or atype == "cardinality":
-        return filtered.agg(_metric_col(agg_name, {atype: abody}))
+
+    if atype == "filter":
+        # single-bucket agg: sub-metrics over the docs matching the
+        # bucket's own query, composed with the search-level query
+        return (filtered.filter(translate_query(abody))
+                .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
+
+    if atype == "filters":
+        named = abody["filters"]
+        conds = [(name, translate_query(q)) for name, q in named.items()]
+        return _exploded_buckets(filtered, conds, metric_cols)
+
+    if atype == "range":
+        col = F.col(abody["field"])
+        conds = []
+        for r in abody["ranges"]:
+            frm, to = r.get("from"), r.get("to")
+            cond = F.lit(True)
+            if frm is not None:
+                cond = cond & (col >= F.lit(frm))  # ES: from inclusive
+            if to is not None:
+                cond = cond & (col < F.lit(to))    # ES: to exclusive
+            key = r.get("key") or f"{'*' if frm is None else frm}-" \
+                                  f"{'*' if to is None else to}"
+            conds.append((key, cond))
+        return _exploded_buckets(filtered, conds, metric_cols)
 
     if atype == "terms":
         key = F.col(abody["field"]).alias("key")
         size = abody.get("size", 10)
+        th = next((s["top_hits"] for s in sub.values() if "top_hits" in s),
+                  None)
+        if th is not None:
+            if len(sub) != 1:
+                raise ValueError("top_hits must be the only sub-agg")
+            return _top_hits(filtered, F.col(abody["field"]), size, th)
         grouped = (filtered.groupBy(key)
                    .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
         return (grouped.orderBy(F.desc("doc_count"), F.asc("key"))

@@ -1,0 +1,255 @@
+"""Third wave of analytics-engine queries: multi-fact nation trade,
+conditional-aggregate ratios, argmax via scalar aggregate, HAVING-on-
+aggregate joins, disjunctive multi-table predicates, and scalar-
+subquery + anti-join composition.
+
+These are TPC-H Q7/Q14/Q15/Q18/Q19/Q22 flavors adapted to the test
+schema (no partsupp/shipmode/phone columns). Scale posture: the
+fact-fact joins (lineitem-orders) shuffle on their keys under AQE;
+nation is broadcast; scalar aggregates are computed once and
+broadcast-cross-joined rather than re-evaluated per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.sources.catalog import load_table
+
+def _rev():
+    """Extended-price revenue term (built lazily: Column construction
+    needs an active session in classic mode)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+TRADE_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 flavor: shipped revenue between two nations (either
+    direction) by ship year. The nation-pair filter is applied to
+    supplier/customer BEFORE the fact joins, so the big
+    lineitem-orders join only carries rows that can survive; nation is
+    broadcast, the rest is left to AQE."""
+    n1, n2 = TRADE_NATIONS
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    supp = (load_table(spark, "supplier", sf_dir)
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .filter(F.col("n_name").isin(*TRADE_NATIONS))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (load_table(spark, "customer", sf_dir)
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .filter(F.col("n_name").isin(*TRADE_NATIONS))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+Q7_ORACLE = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND sn.n_name IN ('{TRADE_NATIONS[0]}', '{TRADE_NATIONS[1]}')
+  AND cn.n_name IN ('{TRADE_NATIONS[0]}', '{TRADE_NATIONS[1]}')
+  AND sn.n_name <> cn.n_name
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 flavor: share of March-1996 shipped revenue from
+    PROMO-type parts — a conditional aggregate (sum-if over a join),
+    one output row. The month filter reaches the lineitem scan."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (month.join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(100.0 * F.sum(promo) / F.sum(_rev()), 4)
+                 .alias("promo_pct"),
+                 F.round(F.sum(_rev()), 2).alias("total_revenue")))
+
+
+Q14_ORACLE = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 flavor: the supplier(s) with maximum 1996Q1 shipped
+    revenue. The scalar max is an empty-frame window over the
+    already-aggregated (supplier-cardinality) rows — one extra
+    single-partition pass over small data, not a re-scan of facts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    rev = (li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue")))
+    mx = Window.partitionBy()
+    return (rev.withColumn("mx", F.max("total_revenue").over(mx))
+            .filter(F.col("total_revenue") == F.col("mx"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+LARGE_ORDER_QTY = 200.0
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 flavor: orders whose total quantity exceeds a
+    threshold (HAVING on an aggregate), joined back to customer. The
+    heavy groupBy runs on (orderkey) before any join, so the join
+    input is already collapsed to order granularity."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+           .filter(F.col("sum_qty") > LARGE_ORDER_QTY))
+    return (big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.col("o_totalprice"), "sum_qty")
+            .orderBy(F.desc("sum_qty"), F.asc("o_orderkey")))
+
+
+Q18_ORACLE = f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum_qty > {LARGE_ORDER_QTY}) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey ASC
+"""
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 flavor: revenue under an OR of brand/size/quantity
+    conjunctions spanning both join sides. Catalyst factors the
+    common join key and pushes the per-side residuals (brand IN (...)
+    reaches the part scan); the disjunction itself evaluates post-join
+    in whole-stage codegen."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((b == "Brand#13") & s.between(1, 10) & q.between(1, 20))
+        | ((b == "Brand#22") & s.between(11, 25) & q.between(10, 30))
+        | ((b == "Brand#25") & s.between(26, 50) & q.between(20, 40)))
+    return (li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .filter(cond)
+            .agg(F.round(F.sum(_rev()), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+Q19_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 11 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 26 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 flavor: per nation, customers with above-average
+    positive balance and no orders at all. The global average is a
+    one-row aggregate broadcast-cross-joined (computed once, not a
+    correlated subquery); the no-orders test is a left-anti join."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+            .orderBy("nationkey"))
+
+
+Q22_ORACLE = """
+SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY nationkey ORDER BY nationkey
+"""
+
+
+QUERIES = {
+    "q7_nation_trade": q7_nation_trade,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive": q19_disjunctive,
+    "q22_idle_customers": q22_idle_customers,
+}
+
+ORACLES = {
+    "q7_nation_trade": Q7_ORACLE,
+    "q14_promo_revenue": Q14_ORACLE,
+    "q15_top_supplier": Q15_ORACLE,
+    "q18_large_orders": Q18_ORACLE,
+    "q19_disjunctive": Q19_ORACLE,
+    "q22_idle_customers": Q22_ORACLE,
+}
