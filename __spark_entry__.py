@@ -18,6 +18,7 @@ from parquet_generator_spark.plans import analytics2 as A2
 from parquet_generator_spark.plans import analytics3 as A3
 from parquet_generator_spark.plans import llm_queries as L
 from parquet_generator_spark.plans import llm_queries2 as L2
+from parquet_generator_spark.plans import llm_queries3 as L3
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -46,6 +47,7 @@ def queries() -> dict[str, QueryFn]:
         **R2.QUERIES,
         **L.QUERIES,
         **L2.QUERIES,
+        **L3.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -66,6 +68,7 @@ def oracle_sql() -> dict[str, str]:
         **R2.ORACLES,
         **L.ORACLES,
         **L2.ORACLES,
+        **L3.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

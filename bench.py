@@ -77,6 +77,8 @@ HEADLINE = [
     "text_tokens",
     "text_langid",
     "text_fingerprint",
+    "vocab_coverage",
+    "embedding_centroids",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",
     "stream_session_window",

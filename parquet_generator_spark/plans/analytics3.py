@@ -236,6 +236,27 @@ GROUP BY nationkey ORDER BY nationkey
 """
 
 
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping_id to tag
+    subtotal levels — all 2^k grouping sets expand map-side, one
+    shuffle (same execution shape as rollup_agg)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().alias("gid"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "q7_nation_trade": q7_nation_trade,
     "q14_promo_revenue": q14_promo_revenue,
@@ -243,6 +264,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive": q19_disjunctive,
     "q22_idle_customers": q22_idle_customers,
+    "cube_agg": cube_agg,
 }
 
 ORACLES = {
@@ -252,4 +274,5 @@ ORACLES = {
     "q18_large_orders": Q18_ORACLE,
     "q19_disjunctive": Q19_ORACLE,
     "q22_idle_customers": Q22_ORACLE,
+    "cube_agg": CUBE_ORACLE,
 }

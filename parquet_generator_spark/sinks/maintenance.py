@@ -36,6 +36,49 @@ def dataset_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return n_files, total
 
 
+def sort_for_skipping(spark: SparkSession, src_path: str, dest_path: str,
+                      cols: list[str],
+                      target_file_bytes: int = 128 * 1024 * 1024) -> None:
+    """Rewrite a dataset range-partitioned + sorted by ``cols`` so
+    parquet min/max stats become selective on them — the open-format
+    analogue of clustering a table on its dominant filter keys.
+
+    After the rewrite a filter on the leading column prunes whole
+    files (ranges are disjoint across output files) and row groups
+    within files (stats are tight because values are contiguous).
+    One range shuffle; sort is per-partition, no global sort barrier.
+    """
+    df = spark.read.parquet(src_path)
+    _n, total_bytes = dataset_file_stats(spark, src_path)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    (df.repartitionByRange(n_out, *cols)
+     .sortWithinPartitions(*cols)
+     .write.mode("overwrite").parquet(dest_path))
+
+
+def file_column_ranges(path: str, column: str) -> list[tuple]:
+    """(min, max) of ``column`` per parquet file under ``path``, from
+    footer statistics — the same stats a scan uses for skipping."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == column and col.statistics:
+                        mins.append(col.statistics.min)
+                        maxs.append(col.statistics.max)
+            if mins:
+                out.append((min(mins), max(maxs)))
+    return out
+
+
 def compact_dataset(spark: SparkSession, path: str,
                     target_file_bytes: int = 128 * 1024 * 1024) -> int:
     """Rewrite a small-files dataset into ~target-size files; returns

@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 from parquet_generator_spark.sinks.maintenance import (
     compact_dataset,
     dataset_file_stats,
+    file_column_ranges,
     read_evolving,
+    sort_for_skipping,
 )
 
 
@@ -52,3 +54,29 @@ def test_compact_dataset_reduces_file_count(spark, tmp_path):
     checksum_after = df_after.agg(
         F.count(F.lit(1)), F.sum("id"), F.sum("v")).collect()[0]
     assert tuple(checksum_after) == tuple(checksum_before)
+
+
+def test_sort_for_skipping_tightens_file_stats(spark, tmp_path):
+    src = str(tmp_path / "unsorted")
+    dst = str(tmp_path / "clustered")
+    # every source file contains every category -> no file prunable
+    (spark.range(4000)
+     .withColumn("category", F.concat(F.lit("cat"), F.col("id") % 8))
+     .withColumn("v", F.col("id") * 3)
+     .repartition(6).write.parquet(src))
+    for lo, hi in file_column_ranges(src, "category"):
+        assert lo == "cat0" and hi == "cat7"
+
+    sort_for_skipping(spark, src, dst, ["category", "v"],
+                      target_file_bytes=4096)
+    ranges = file_column_ranges(dst, "category")
+    assert len(ranges) > 1
+    # a point filter now skips most files on footer stats alone
+    hit = sum(1 for lo, hi in ranges if lo <= "cat3" <= hi)
+    assert hit < len(ranges)
+
+    before = spark.read.parquet(src).agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")).collect()[0]
+    after = spark.read.parquet(dst).agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("v")).collect()[0]
+    assert tuple(after) == tuple(before)
