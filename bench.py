@@ -47,6 +47,9 @@ HEADLINE = [
     "q18_large_orders",
     "q19_disjunctive",
     "q22_idle_customers",
+    "cube_agg",
+    "above_avg_orders",
+    "ntile_deciles",
     # reference ETL surface
     "terms_agg",
     "match_phrase_filter",

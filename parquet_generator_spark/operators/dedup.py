@@ -164,9 +164,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
         "i -> transform(sequence(i + 1, size(ids) - 1), "
         "j -> struct(ids[i] AS id_a, ids[j] AS id_b))))")).alias("p"))
         .select("p.id_a", "p.id_b")
-        .distinct())
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        .distinct()
+        .localCheckpoint())
+    # verify pass: shingle only the candidate ids (a tiny fraction of
+    # the corpus) and materialize them once. Without the checkpoints
+    # the signature pipeline would re-run for the semi-join AND the
+    # final join, and joining the full `sh` twice would re-tokenize
+    # the whole corpus per side.
+    cand_ids = (cand.select(F.col("id_a").alias("id"))
+                .union(cand.select(F.col("id_b").alias("id")))
+                .distinct())
+    shc = sh.join(cand_ids, "id", "left_semi").localCheckpoint()
+    a = shc.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shc.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
@@ -272,7 +282,13 @@ def simhash_pairs(df: DataFrame, id_col: str, content_col: str,
                   max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, found by
     banding the 60-bit signature into 4 x 15-bit keys (pigeonhole:
-    any pair within hamming 3 shares at least one band)."""
+    any pair within hamming 3 shares at least one band).
+
+    Same bucket-collect shape as minhash_lsh_pairs — a band self-join
+    would re-evaluate the (expensive) signature expression for the
+    second side and re-scan the corpus; instead signatures are
+    computed once, buckets collect (id, sig) structs, and pairs
+    expand inside each bucket."""
     sig = widen_if_narrow(df).select(
         F.col(id_col).alias("id"),
         simhash_spark(content_col).alias("sig"))
@@ -283,16 +299,19 @@ def simhash_pairs(df: DataFrame, id_col: str, content_col: str,
             f"transform(sequence(0, {_SIM_BANDS - 1}), "
             f"b -> (sig div cast(pow(2, {_BAND_BITS} * b) as bigint)) "
             f"% {mask + 1})")).alias("band", "band_key"))
-    ham = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
-    return (bands.alias("x")
-            .join(bands.alias("y"),
-                  (F.col("x.band") == F.col("y.band"))
-                  & (F.col("x.band_key") == F.col("y.band_key"))
-                  & (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("id_a"),
-                    F.col("y.id").alias("id_b"),
-                    ham.alias("hamming"))
-            .distinct()
+    buckets = (bands.groupBy("band", "band_key")
+               .agg(F.array_sort(F.collect_list(F.struct("id", "sig")))
+                    .alias("xs"))
+               .filter(F.size("xs") > 1))
+    pairs = (buckets.select(F.explode(F.expr(
+        "flatten(transform(sequence(0, size(xs) - 2), "
+        "i -> transform(sequence(i + 1, size(xs) - 1), "
+        "j -> struct(xs[i].id AS id_a, xs[i].sig AS sig_a, "
+        "xs[j].id AS id_b, xs[j].sig AS sig_b))))")).alias("p"))
+        .select("p.id_a", "p.id_b",
+                F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b")))
+                .alias("hamming")))
+    return (pairs.distinct()
             .filter(F.col("hamming") <= max_hamming))
 
 

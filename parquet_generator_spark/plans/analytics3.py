@@ -257,6 +257,108 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: customers ordering in both 1996 halves vs
+    only H1. Both set ops hash-shuffle on the full row (here a single
+    key column) — same cost model as a groupBy on the key."""
+    orders = load_table(spark, "orders", sf_dir)
+
+    def custs(lo: str, hi: str):
+        return (orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp")))
+            .select("o_custkey"))
+
+    h1 = custs("1996-01-01", "1996-07-01")
+    h2 = custs("1996-07-01", "1997-01-01")
+    both = h1.intersect(h2).select(
+        F.col("o_custkey"), F.lit("both_halves").alias("cohort"))
+    only_h1 = h1.subtract(h2).select(
+        F.col("o_custkey"), F.lit("h1_only").alias("cohort"))
+    return (both.unionByName(only_h1)
+            .groupBy("cohort")
+            .agg(F.count(F.lit(1)).alias("n_cust"))
+            .orderBy("cohort"))
+
+
+SET_OPS_ORACLE = """
+WITH h1 AS (SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'),
+h2 AS (SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+         AND o_orderdate <  TIMESTAMP '1997-01-01'),
+u AS (
+  SELECT o_custkey, 'both_halves' AS cohort
+  FROM (SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2)
+  UNION ALL
+  SELECT o_custkey, 'h1_only' AS cohort
+  FROM (SELECT DISTINCT o_custkey FROM h1
+        EXCEPT SELECT o_custkey FROM h2))
+SELECT cohort, count(*) AS n_cust FROM u
+GROUP BY cohort ORDER BY cohort
+"""
+
+
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics (orders above their customer's
+    own average) decorrelated into a per-key window average — one
+    shuffle on custkey instead of a per-row subquery."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey")
+    return (orders
+            .withColumn("cust_avg", F.avg("o_totalprice").over(w))
+            .filter(F.col("o_totalprice") > F.col("cust_avg"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.avg(F.col("o_totalprice") - F.col("cust_avg")),
+                         2).alias("avg_excess"))
+            .orderBy("o_orderpriority"))
+
+
+ABOVE_AVG_ORACLE = """
+WITH w AS (
+  SELECT o_orderpriority, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders)
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(avg(o_totalprice - cust_avg), 2) AS avg_excess
+FROM w WHERE o_totalprice > cust_avg
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile segmentation of order value via ntile(10) — the global
+    ordering runs on a single post-shuffle partition of
+    order-cardinality rows; at 100 TB swap in a percentile_approx
+    cut-point join (same output shape)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders
+            .withColumn("decile", F.ntile(10).over(w))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi"),
+                 F.round(F.sum("o_totalprice"), 2).alias("volume"))
+            .orderBy("decile"))
+
+
+NTILE_ORACLE = """
+WITH d AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+           AS decile
+  FROM orders)
+SELECT decile, count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(sum(o_totalprice), 2) AS volume
+FROM d GROUP BY decile ORDER BY decile
+"""
+
+
 QUERIES = {
     "q7_nation_trade": q7_nation_trade,
     "q14_promo_revenue": q14_promo_revenue,
@@ -265,6 +367,9 @@ QUERIES = {
     "q19_disjunctive": q19_disjunctive,
     "q22_idle_customers": q22_idle_customers,
     "cube_agg": cube_agg,
+    "set_ops": set_ops,
+    "above_avg_orders": above_avg_orders,
+    "ntile_deciles": ntile_deciles,
 }
 
 ORACLES = {
@@ -275,4 +380,7 @@ ORACLES = {
     "q19_disjunctive": Q19_ORACLE,
     "q22_idle_customers": Q22_ORACLE,
     "cube_agg": CUBE_ORACLE,
+    "set_ops": SET_OPS_ORACLE,
+    "above_avg_orders": ABOVE_AVG_ORACLE,
+    "ntile_deciles": NTILE_ORACLE,
 }
