@@ -24,13 +24,20 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppkey)."""
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
-    unit = (li.groupBy("l_partkey", "l_suppkey")
+    sized = part.filter(F.col("p_size") == 15)
+    # pre-filter the fact rows to qualifying parts (broadcast semi
+    # join) BEFORE the heavy aggregation: the selective part filter
+    # can't be pushed through the groupBy by the optimizer, so without
+    # this the agg shuffles ~50x more groups than can ever survive
+    li_sized = li.join(F.broadcast(sized.select("p_partkey")),
+                       F.col("l_partkey") == F.col("p_partkey"),
+                       "left_semi")
+    unit = (li_sized.groupBy("l_partkey", "l_suppkey")
             .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4)
                  .alias("avg_unit")))
     w = Window.partitionBy("l_partkey").orderBy(
         F.asc("avg_unit"), F.asc("l_suppkey"))
-    return (unit.join(part.filter(F.col("p_size") == 15),
-                      F.col("l_partkey") == F.col("p_partkey"))
+    return (unit.join(sized, F.col("l_partkey") == F.col("p_partkey"))
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select(F.col("p_partkey"), F.col("p_name"),

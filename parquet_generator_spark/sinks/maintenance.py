@@ -56,6 +56,49 @@ def sort_for_skipping(spark: SparkSession, src_path: str, dest_path: str,
      .write.mode("overwrite").parquet(dest_path))
 
 
+def zorder_by(spark: SparkSession, src_path: str, dest_path: str,
+              cols: list[str], bits: int = 10,
+              target_file_bytes: int = 128 * 1024 * 1024) -> None:
+    """Rewrite a dataset ordered by the Morton (Z-order) interleaving
+    of ``cols`` so footer min/max stats are selective on EVERY listed
+    column at once — hierarchical sort (sort_for_skipping) only tightens
+    the leading column; Z-order trades a little per-column tightness
+    for simultaneous multi-column skipping.
+
+    Numeric columns only: each value is min-max normalized onto a
+    2^bits grid (one tiny stats aggregate supplies the bounds as
+    literals), then bits interleave via a generated Catalyst
+    expression — pure codegen, no UDF. One range shuffle on the
+    Z value; per-partition sort; no global barrier.
+    """
+    df = spark.read.parquet(src_path)
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols]).collect()[0]
+    grid = (1 << bits) - 1
+    gexprs = []
+    for c in cols:
+        mn = float(stats[f"mn_{c}"])
+        span = float(stats[f"mx_{c}"]) - mn
+        if span <= 0:
+            gexprs.append("cast(0 AS BIGINT)")
+        else:
+            gexprs.append(
+                f"cast(round((cast({c} AS DOUBLE) - {mn!r}) / {span!r} "
+                f"* {grid}) AS BIGINT)")
+    k = len(cols)
+    terms = [f"shiftleft(shiftright({g}, {i}) % 2, {i * k + j})"
+             for j, g in enumerate(gexprs) for i in range(bits)]
+    z = F.expr(" + ".join(terms))
+    _n, total_bytes = dataset_file_stats(spark, src_path)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    (df.withColumn("_z", z)
+     .repartitionByRange(n_out, "_z")
+     .sortWithinPartitions("_z")
+     .drop("_z")
+     .write.mode("overwrite").parquet(dest_path))
+
+
 def file_column_ranges(path: str, column: str) -> list[tuple]:
     """(min, max) of ``column`` per parquet file under ``path``, from
     footer statistics — the same stats a scan uses for skipping."""

@@ -10,6 +10,7 @@ from parquet_generator_spark.sinks.maintenance import (
     file_column_ranges,
     read_evolving,
     sort_for_skipping,
+    zorder_by,
 )
 
 
@@ -79,4 +80,33 @@ def test_sort_for_skipping_tightens_file_stats(spark, tmp_path):
         F.count(F.lit(1)), F.sum("id"), F.sum("v")).collect()[0]
     after = spark.read.parquet(dst).agg(
         F.count(F.lit(1)), F.sum("id"), F.sum("v")).collect()[0]
+    assert tuple(after) == tuple(before)
+
+
+def test_zorder_tightens_stats_on_both_columns(spark, tmp_path):
+    src = str(tmp_path / "grid_src")
+    dst = str(tmp_path / "grid_z")
+    # two independent uniform dimensions; row order random w.r.t. both
+    (spark.range(20000)
+     .withColumn("x", (F.col("id") * 7919) % 1000)
+     .withColumn("y", (F.col("id") * 104729) % 1000)
+     .repartition(4).write.parquet(src))
+
+    zorder_by(spark, src, dst, ["x", "y"], bits=10,
+              target_file_bytes=12 * 1024)
+    rx = file_column_ranges(dst, "x")
+    ry = file_column_ranges(dst, "y")
+    assert len(rx) >= 8
+    # most files cover well under the full 0..999 span on BOTH dims —
+    # a hierarchical sort would leave y at (almost) full span in every
+    # x stripe
+    tight_x = sum(1 for lo, hi in rx if hi - lo <= 600)
+    tight_y = sum(1 for lo, hi in ry if hi - lo <= 600)
+    assert tight_x >= len(rx) * 0.6
+    assert tight_y >= len(ry) * 0.6
+
+    before = spark.read.parquet(src).agg(
+        F.count(F.lit(1)), F.sum("x"), F.sum("y")).collect()[0]
+    after = spark.read.parquet(dst).agg(
+        F.count(F.lit(1)), F.sum("x"), F.sum("y")).collect()[0]
     assert tuple(after) == tuple(before)
