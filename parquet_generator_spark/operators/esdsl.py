@@ -66,7 +66,16 @@ def _wildcard_regex(pattern: str) -> str:
 
 
 def translate_query(q: dict | None) -> Column:
-    """DSL query dict -> boolean Column."""
+    """DSL query dict -> boolean Column.
+
+    Every leaf evaluates null-safely to TRUE/FALSE, never NULL: in ES
+    a document with a missing field simply doesn't match the leaf, so
+    under ``must_not`` it MUST come back. Spark's three-valued logic
+    would propagate NULL through the negation and drop it. The
+    ``IsNotNull AND pred`` shape keeps leaves pushdown-friendly
+    (And(IsNotNull, EqualTo/In/Range/StringStartsWith) all reach the
+    parquet scan).
+    """
     if not q:
         return F.lit(True)
     if len(q) != 1:
@@ -77,14 +86,14 @@ def translate_query(q: dict | None) -> Column:
         return F.lit(True)
     if kind == "term":
         field, val = _field_value(body, "value")
-        return F.col(field) == F.lit(val)
+        return F.col(field).isNotNull() & (F.col(field) == F.lit(val))
     if kind == "terms":
         field, vals = next(iter(body.items()))
-        return F.col(field).isin(list(vals))
+        return F.col(field).isNotNull() & F.col(field).isin(list(vals))
     if kind == "range":
         field, conds = next(iter(body.items()))
         col = F.col(field)
-        out = F.lit(True)
+        out = col.isNotNull()
         ops = {"gt": col.__gt__, "gte": col.__ge__,
                "lt": col.__lt__, "lte": col.__le__}
         for op, v in conds.items():
@@ -96,18 +105,19 @@ def translate_query(q: dict | None) -> Column:
         return F.col(body["field"]).isNotNull()
     if kind == "prefix":
         field, val = _field_value(body, "value")
-        return F.col(field).startswith(val)
+        return F.col(field).isNotNull() & F.col(field).startswith(val)
     if kind == "wildcard":
         field, val = _field_value(body, "value")
-        return F.col(field).rlike(_wildcard_regex(val))
+        return (F.col(field).isNotNull()
+                & F.col(field).rlike(_wildcard_regex(val)))
     if kind == "match":
         field, val = _field_value(body, "query")
-        return match_any(field, val)
+        return F.col(field).isNotNull() & match_any(field, val)
     if kind == "match_phrase":
         field, val = _field_value(body, "query")
-        return match_phrase(field, val)
+        return F.col(field).isNotNull() & match_phrase(field, val)
     if kind == "ids":
-        return F.col("_id").isin(list(body["values"]))
+        return F.col("_id").isNotNull() & F.col("_id").isin(list(body["values"]))
     if kind == "bool":
         out = F.lit(True)
         for clause in body.get("must", []):

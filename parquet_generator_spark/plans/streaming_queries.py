@@ -8,6 +8,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_generator_spark.sources.catalog import load_table
+from parquet_generator_spark.streaming.enrich import (
+    ENRICH_ORACLE,
+    enrich_events_with_customer,
+)
 from parquet_generator_spark.streaming.stateful import (
     SESSION_WINDOW_ORACLE,
     session_window_agg,
@@ -60,13 +64,25 @@ WHERE rk = 1 ORDER BY event_id
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the stream-static enrichment join (events stream
+    x broadcast customer dim); the streaming execution of the same
+    builder is asserted in tests/test_streaming.py."""
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    return (enrich_events_with_customer(ev, cust)
+            .orderBy("c_mktsegment"))
+
+
 QUERIES = {
     "stream_windowed_agg": stream_windowed_agg,
     "stream_session_window": stream_session_window,
     "stream_dedup": stream_dedup_first,
+    "stream_static_enrich": stream_static_enrich,
 }
 ORACLES = {
     "stream_windowed_agg": WINDOWED_ORACLE,
     "stream_session_window": SESSION_WINDOW_ORACLE,
     "stream_dedup": STREAM_DEDUP_ORACLE,
+    "stream_static_enrich": ENRICH_ORACLE,
 }

@@ -85,3 +85,41 @@ def test_text_ops_have_no_shuffle_before_agg(spark, name):
     # widen-if-narrow round robin / final sort, never a hash
     # partitioning keyed on text
     assert "hashpartitioning(text" not in plan
+
+
+def test_q19_disjunction_factored_to_both_scans(spark):
+    plan = formatted_plan(spark, "q19_disjunctive")
+    pf = pushed_filters(plan)
+    # Catalyst must factor the OR-of-conjunctions into per-side
+    # residuals that reach BOTH parquet scans
+    assert "l_quantity" in pf
+    assert "p_brand" in pf and "p_size" in pf
+
+
+def test_q2_prefilters_before_aggregation(spark):
+    plan = formatted_plan(spark, "q2_cheapest_supplier")
+    # the size-15 part filter reaches a scan, and the fact side is
+    # reduced via a broadcast semi join before the heavy groupBy
+    assert "EqualTo(p_size,15)" in pushed_filters(plan)
+    assert "LeftSemi" in plan
+
+
+def test_q7_nation_filter_pushed_and_dims_broadcast(spark):
+    plan = formatted_plan(spark, "q7_nation_trade")
+    assert "In(n_name" in pushed_filters(plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dsl_nulls_safe_leaves_still_push(spark):
+    plan = formatted_plan(spark, "dsl_nested_bool")
+    pf = pushed_filters(plan)
+    # null-safe leaf rewrite must not cost the scan-level pushdown
+    assert "StringStartsWith(source,src1)" in pf
+    assert "GreaterThanOrEqual(n_chars,200)" in pf
+
+
+def test_filters_buckets_single_scan(spark):
+    plan = formatted_plan(spark, "dsl_filters_buckets")
+    # overlap-safe bucket explode must not re-scan per bucket
+    # (each scan appears once as a numbered detail header)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

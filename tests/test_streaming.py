@@ -199,3 +199,25 @@ def test_foreachbatch_upsert_latest_wins(spark, tmp_path):
     # highest version won
     assert {(r["key"], r["version"], r["payload"]) for r in out} == {
         (f"k{k}", 2, f"k{k}-v2") for k in range(4)}
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    from parquet_generator_spark.streaming.enrich import (
+        enrich_events_with_customer,
+    )
+
+    ev = load_table(spark, "events", SF)
+    cust = load_table(spark, "customer", SF)
+    batch = enrich_events_with_customer(ev, cust).collect()
+
+    ev.repartition(3).write.parquet(str(tmp_path / "enrich_in"))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "enrich_in")))
+    agg = enrich_events_with_customer(stream, cust)
+    q = (agg.writeStream.format("memory").queryName("enrichq")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    streamed = spark.sql("select * from enrichq").collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
