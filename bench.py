@@ -62,6 +62,9 @@ HEADLINE = [
     "dsl_multi_metric",
     "dsl_filters_buckets",
     "dsl_top_hits",
+    "dsl_terms_nested",
+    "dsl_composite_paged",
+    "stream_static_enrich",
     # training-data pipeline
     "dedup_exact",
     "dedup_minhash",
@@ -82,6 +85,8 @@ HEADLINE = [
     "text_fingerprint",
     "vocab_coverage",
     "embedding_centroids",
+    "decontaminate",
+    "doc_chunks",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",
     "stream_session_window",

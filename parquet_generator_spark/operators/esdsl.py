@@ -252,6 +252,36 @@ def _top_hits(filtered: DataFrame, key: Column, terms_size: int,
     return hits.select(*cols).orderBy("key", "hit_rank")
 
 
+def _nested_terms(filtered: DataFrame, outer: dict,
+                  inner: dict) -> DataFrame:
+    """terms-in-terms two-level buckets: top-N outer buckets by
+    doc_count (ES order), then top-M inner buckets per outer. One
+    grouped pass on (outer, inner) feeds both levels: outer counts
+    re-aggregate from the pair counts (no second corpus scan), the
+    tiny top-N bucket list broadcasts back, and a per-outer window
+    ranks the inner buckets."""
+    from pyspark.sql import Window
+
+    out_size = outer.get("size", 10)
+    in_size = inner.get("size", 10)
+    pairs = (filtered.groupBy(
+        F.col(outer["field"]).alias("key"),
+        F.col(inner["field"]).alias("sub_key"))
+        .agg(F.count(F.lit(1)).alias("sub_doc_count")))
+    outer_counts = (pairs.groupBy("key")
+                    .agg(F.sum("sub_doc_count").alias("doc_count"))
+                    .orderBy(F.desc("doc_count"), F.asc("key"))
+                    .limit(out_size))
+    w = Window.partitionBy("key").orderBy(
+        F.desc("sub_doc_count"), F.asc("sub_key"))
+    return (pairs.join(F.broadcast(outer_counts), "key")
+            .withColumn("sub_rank", F.row_number().over(w))
+            .filter(F.col("sub_rank") <= in_size)
+            .select("key", "doc_count", "sub_key", "sub_doc_count",
+                    "sub_rank")
+            .orderBy(F.desc("doc_count"), F.asc("key"), "sub_rank"))
+
+
 def search(df: DataFrame, body: dict) -> DataFrame:
     """Run an ES-style search body {query, aggs, size} on ``df``.
 
@@ -280,7 +310,8 @@ def search(df: DataFrame, body: dict) -> DataFrame:
     (agg_name, spec), = aggs.items()
     (atype, abody), = ((k, v) for k, v in spec.items() if k != "aggs")
     sub = spec.get("aggs", {})
-    sub_metrics = {n: s for n, s in sub.items() if "top_hits" not in s}
+    sub_metrics = {n: s for n, s in sub.items()
+                   if "top_hits" not in s and "terms" not in s}
     metric_cols = [c for n, s in sub_metrics.items()
                    for c in _metric_cols(n, s)]
 
@@ -320,6 +351,28 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             conds.append((key, cond))
         return _exploded_buckets(filtered, conds, metric_cols)
 
+    if atype == "composite":
+        # ES's scale-path agg: buckets streamed in key order with
+        # keyset pagination — exactly a groupBy ordered by its keys;
+        # the `after` cursor becomes a lexicographic keyset predicate
+        size = abody.get("size", 10)
+        names, fields = [], []
+        for src in abody["sources"]:
+            (name, spec), = src.items()
+            names.append(name)
+            fields.append(spec["terms"]["field"])
+        grouped = (filtered.groupBy(
+            *[F.col(f).alias(n) for n, f in zip(names, fields)])
+            .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
+        after = body.get("after") or abody.get("after")
+        if after:
+            pred, eq = F.lit(False), F.lit(True)
+            for n in names:
+                pred = pred | (eq & (F.col(n) > F.lit(after[n])))
+                eq = eq & (F.col(n) == F.lit(after[n]))
+            grouped = grouped.filter(pred)
+        return grouped.orderBy(*[F.asc(n) for n in names]).limit(size)
+
     if atype == "terms":
         key = F.col(abody["field"]).alias("key")
         size = abody.get("size", 10)
@@ -329,6 +382,12 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             if len(sub) != 1:
                 raise ValueError("top_hits must be the only sub-agg")
             return _top_hits(filtered, F.col(abody["field"]), size, th)
+        inner = next(((n, s["terms"]) for n, s in sub.items()
+                      if "terms" in s), None)
+        if inner is not None:
+            if len(sub) != 1:
+                raise ValueError("nested terms must be the only sub-agg")
+            return _nested_terms(filtered, abody, inner[1])
         grouped = (filtered.groupBy(key)
                    .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
         return (grouped.orderBy(F.desc("doc_count"), F.asc("key"))

@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators.similarity import cosine, norm
-from parquet_generator_spark.operators.text import toks_duck, toks_spark
+from parquet_generator_spark.operators.text import (
+    shingles_duck,
+    shingles_spark,
+    toks_duck,
+    toks_spark,
+)
 from parquet_generator_spark.sources.catalog import load_table
 
 VOCAB_TOP = 50
@@ -115,12 +120,97 @@ ORDER BY s.label
 """
 
 
+DECON_K = 5
+BENCH_SOURCE = "src0"
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any k-token
+    shingle with the held-out benchmark slice, with the shared-shingle
+    count per doc.
+
+    The benchmark shingle set is the small side (distinct shingles of
+    the eval suite) — at scale it broadcasts, so the corpus pass is a
+    map + semi-join-shaped aggregation with one shuffle on doc_id;
+    the corpus never self-joins."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = F.expr(shingles_spark("text", DECON_K))
+    bench = (docs.filter(F.col("source") == BENCH_SOURCE)
+             .select(F.explode(sh).alias("s")).distinct())
+    corpus = (docs.filter(F.col("source") != BENCH_SOURCE)
+              .select("doc_id", F.explode(sh).alias("s")))
+    return (corpus.join(F.broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("s").alias("n_shared"))
+            .orderBy("doc_id"))
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, source, {shingles_duck('text', DECON_K)} AS shs
+  FROM documents),
+bench AS (
+  SELECT DISTINCT unnest(shs) AS s FROM sh
+  WHERE source = '{BENCH_SOURCE}'),
+corpus AS (
+  SELECT doc_id, unnest(shs) AS s FROM sh
+  WHERE source <> '{BENCH_SOURCE}')
+SELECT doc_id, count(DISTINCT s) AS n_shared
+FROM corpus JOIN bench USING (s)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-chunk planning: split each doc into fixed-size token
+    windows (50 tokens, stride 40 = 10-token overlap) and report
+    chunk counts + mean chunk length per source. The explode is
+    map-side over per-doc start offsets; one shuffle for the final
+    per-source rollup."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = toks_spark("text")
+    starts = (f"sequence(0, greatest(size({toks}) - 1, 0), "
+              f"{CHUNK_STRIDE})")
+    exploded = docs.select(
+        "source",
+        F.expr(f"size({toks})").alias("n"),
+        F.explode(F.expr(starts)).alias("start"))
+    chunk_len = F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start"))
+    return (exploded
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.round(F.avg(chunk_len), 4).alias("avg_chunk_tokens"))
+            .orderBy("source"))
+
+
+DOC_CHUNKS_ORACLE = f"""
+WITH t AS (
+  SELECT source, len({toks_duck('text')}) AS n FROM documents),
+s AS (
+  SELECT source, n,
+         unnest(range(0, greatest(n, 1), {CHUNK_STRIDE})) AS start
+  FROM t)
+SELECT source, count(*) AS n_chunks,
+       round(avg(least({CHUNK_TOKENS}, n - start)), 4)
+         AS avg_chunk_tokens
+FROM s GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "vocab_coverage": vocab_coverage,
     "embedding_centroids": embedding_centroids,
+    "decontaminate": decontaminate,
+    "doc_chunks": doc_chunks,
 }
 
 ORACLES = {
     "vocab_coverage": VOCAB_COVERAGE_ORACLE,
     "embedding_centroids": EMBEDDING_CENTROIDS_ORACLE,
+    "decontaminate": DECONTAMINATE_ORACLE,
+    "doc_chunks": DOC_CHUNKS_ORACLE,
 }

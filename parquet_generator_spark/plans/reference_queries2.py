@@ -197,8 +197,76 @@ ORDER BY b.key, h.hit_rank
 """
 
 
+def dsl_terms_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms-in-terms: top event types, and the top-3 users inside
+    each — two bucket levels from one grouped pass."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"match_all": {}},
+        "aggs": {"by_type": {
+            "terms": {"field": "event_type", "size": 10},
+            "aggs": {"by_user": {"terms": {"field": "user_id",
+                                           "size": 3}}},
+        }},
+    })
+
+
+DSL_TERMS_NESTED_ORACLE = """
+WITH pairs AS (
+  SELECT event_type AS key, user_id AS sub_key,
+         count(*) AS sub_doc_count
+  FROM events GROUP BY key, sub_key),
+outer_b AS (
+  SELECT key, CAST(sum(sub_doc_count) AS BIGINT) AS doc_count
+  FROM pairs GROUP BY key
+  ORDER BY doc_count DESC, key ASC LIMIT 10),
+ranked AS (
+  SELECT p.key, o.doc_count, p.sub_key, p.sub_doc_count,
+         row_number() OVER (PARTITION BY p.key
+                            ORDER BY p.sub_doc_count DESC,
+                                     p.sub_key ASC) AS sub_rank
+  FROM pairs p JOIN outer_b o ON p.key = o.key)
+SELECT key, doc_count, sub_key, sub_doc_count, sub_rank
+FROM ranked WHERE sub_rank <= 3
+ORDER BY doc_count DESC, key ASC, sub_rank
+"""
+
+
+def dsl_composite_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """composite agg with keyset pagination: page 2 (after a cursor)
+    of (event_type, user_id) buckets in key order with an avg
+    sub-metric — the ES scale-path aggregation, which is exactly a
+    keyed groupBy plus a lexicographic keyset predicate."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"match_all": {}},
+        "aggs": {"pages": {
+            "composite": {
+                "size": 8,
+                "sources": [{"etype": {"terms": {"field": "event_type"}}},
+                            {"uid": {"terms": {"field": "user_id"}}}],
+                "after": {"etype": "click", "uid": 5},
+            },
+            "aggs": {"avg_value": {"avg": {"field": "value"}}},
+        }},
+    })
+
+
+DSL_COMPOSITE_PAGED_ORACLE = """
+SELECT event_type AS etype, user_id AS uid, count(*) AS doc_count,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY etype, uid
+HAVING etype > 'click' OR (etype = 'click' AND uid > 5)
+ORDER BY etype ASC, uid ASC
+LIMIT 8
+"""
+
+
 QUERIES = {
     "dsl_nested_bool": dsl_nested_bool,
+    "dsl_terms_nested": dsl_terms_nested,
+    "dsl_composite_paged": dsl_composite_paged,
     "dsl_multi_metric": dsl_multi_metric,
     "dsl_filter_agg": dsl_filter_agg,
     "dsl_filters_buckets": dsl_filters_buckets,
@@ -209,6 +277,8 @@ QUERIES = {
 
 ORACLES = {
     "dsl_nested_bool": DSL_NESTED_BOOL_ORACLE,
+    "dsl_terms_nested": DSL_TERMS_NESTED_ORACLE,
+    "dsl_composite_paged": DSL_COMPOSITE_PAGED_ORACLE,
     "dsl_multi_metric": DSL_MULTI_METRIC_ORACLE,
     "dsl_filter_agg": DSL_FILTER_AGG_ORACLE,
     "dsl_filters_buckets": DSL_FILTERS_BUCKETS_ORACLE,
