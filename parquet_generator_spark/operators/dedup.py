@@ -26,6 +26,7 @@ from pyspark.sql.functions import pandas_udf
 from parquet_generator_spark.operators.text import (
     shingles_duck,
     shingles_spark,
+    shingles_spark_inline,
     toks_duck,
     toks_spark,
 )
@@ -147,7 +148,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
     """
     sh = widen_if_narrow(df).select(
         F.col(id_col).alias("id"),
-        F.expr(shingles_spark(content_col, k)).alias("sh"))
+        # inline (unbound) shingle expr: minhash_signature composes
+        # over this column, and the bound form breaks UDF extraction
+        F.expr(shingles_spark_inline(content_col, k)).alias("sh"))
     sig = (sh.withColumn("bh", F.expr(shingle_hashes_spark("sh")))
            .withColumn("sig", minhash_signature("bh")))
     bands = sig.select(

@@ -178,7 +178,29 @@ def fingerprint_duck(c: str) -> str:
 # --- shingles (shared with dedup) -----------------------------------
 
 def shingles_spark(c: str, k: int = 3) -> str:
-    """k-token shingle set as a Spark SQL expression string."""
+    """k-token shingle set as a Spark SQL expression string.
+
+    The token array is bound to a lambda variable via the
+    single-element transform(array(struct(...))) trick: Catalyst does
+    not hoist loop-invariant subexpressions out of lambda bodies, so
+    inlining the tokenizer would re-split the text once per shingle
+    index (O(tokens^2) work per document)."""
+    toks = toks_spark(c)
+    body = (
+        f"CASE WHEN size(s.t) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size(s.t) - {k}), "
+        f"i -> array_join(slice(s.t, i + 1, {k}), ' '))) "
+        f"ELSE array() END"
+    )
+    return f"transform(array(struct({toks} AS t)), s -> {body})[0]"
+
+
+def shingles_spark_inline(c: str, k: int = 3) -> str:
+    """shingles_spark without the struct binding: slower (re-tokenizes
+    per shingle index) but safe to compose with a Pandas UDF — the
+    bound form's nested transform defeats Python-UDF extraction when
+    projections collapse into an aggregate's input (interpreted
+    projection then tries to eval the PythonUDF and crashes)."""
     toks = toks_spark(c)
     return (
         f"CASE WHEN size({toks}) >= {k} THEN "

@@ -112,3 +112,53 @@ def test_translator_matches_reference_semantics(dsl_df, q):
     got = {r["id"] for r in dsl_df.filter(translate_query(q)).collect()}
     want = {row["id"] for row in ROWS if _eval(q, row)}
     assert got == want, f"query {q!r}: spark={sorted(got)} ref={sorted(want)}"
+
+
+# ------------------------------------------------------------------
+# connected-components property: Spark min-label propagation ==
+# a plain union-find reference on random edge sets
+# ------------------------------------------------------------------
+
+edge_sets = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=30))
+    .filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=40)
+
+
+def _union_find_clusters(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # cluster id = min node id reachable (matches min-label fixpoint)
+    out = {}
+    for n in parent:
+        root = find(n)
+        out.setdefault(root, []).append(n)
+    return {n: min(members) for root, members in out.items()
+            for n in members}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edge_sets)
+def test_connected_components_matches_union_find(spark, edges):
+    from parquet_generator_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long")
+    got = {r["id"]: r["cluster"]
+           for r in connected_components(pairs).collect()}
+    assert got == _union_find_clusters(edges)
