@@ -87,6 +87,7 @@ HEADLINE = [
     "embedding_centroids",
     "decontaminate",
     "doc_chunks",
+    "semantic_dedup",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",
     "stream_session_window",

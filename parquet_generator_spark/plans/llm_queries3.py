@@ -201,8 +201,66 @@ FROM s GROUP BY source ORDER BY source
 """
 
 
+SEM_THRESHOLD = 0.3
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage semantic dedup: embedding-cosine candidate pairs
+    (block-GEMM mapInPandas, no shuffle) verified with exact text
+    jaccard by joining the aligned documents table on both pair
+    sides — the full modern near-dup pipeline (cheap vector recall,
+    exact text precision) in one plan. Candidates are a tiny
+    fraction of the corpus, so the verify joins stay small."""
+    from parquet_generator_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    cand = embedding_dup_pairs(emb, SEM_THRESHOLD)
+    sh = docs.select(F.col("doc_id"),
+                     F.expr(shingles_spark("text", 3)).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", "cos",
+                    F.round(jac, 3).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
+_SEM_COS = ("list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(a.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[]))))")
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_SEM_COS}, 4) AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id AND round({_SEM_COS}, 4) >= {SEM_THRESHOLD}),
+sh AS (SELECT doc_id, {shingles_duck('text', 3)} AS sh FROM documents)
+SELECT c.id_a, c.id_b, c.cos,
+       round(CASE WHEN len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)) > 0
+             THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             ELSE 0.0 END, 3) AS jaccard
+FROM cand c
+JOIN sh a ON c.id_a = a.doc_id
+JOIN sh b ON c.id_b = b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "vocab_coverage": vocab_coverage,
+    "semantic_dedup": semantic_dedup,
     "embedding_centroids": embedding_centroids,
     "decontaminate": decontaminate,
     "doc_chunks": doc_chunks,
@@ -210,6 +268,7 @@ QUERIES = {
 
 ORACLES = {
     "vocab_coverage": VOCAB_COVERAGE_ORACLE,
+    "semantic_dedup": SEMANTIC_DEDUP_ORACLE,
     "embedding_centroids": EMBEDDING_CENTROIDS_ORACLE,
     "decontaminate": DECONTAMINATE_ORACLE,
     "doc_chunks": DOC_CHUNKS_ORACLE,
