@@ -64,6 +64,7 @@ HEADLINE = [
     "dsl_top_hits",
     "dsl_terms_nested",
     "dsl_composite_paged",
+    "dsl_significant_terms",
     "stream_static_enrich",
     # training-data pipeline
     "dedup_exact",

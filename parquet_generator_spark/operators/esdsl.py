@@ -351,6 +351,31 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             conds.append((key, cond))
         return _exploded_buckets(filtered, conds, metric_cols)
 
+    if atype == "significant_terms":
+        # one scan: per-key conditional counts give foreground
+        # (query-matching) and background (all docs) in the same
+        # aggregate; score is the rate lift fg_rate / bg_rate.
+        # (ES uses JLH by default — same ranking intent, simpler and
+        # oracle-checkable.)
+        from pyspark.sql import Window
+
+        size = abody.get("size", 10)
+        cond = translate_query(body.get("query"))
+        key = F.col(abody["field"]).alias("key")
+        per_key = (df.groupBy(key)
+                   .agg(F.count(F.when(cond, 1)).alias("doc_count"),
+                        F.count(F.lit(1)).alias("bg_count")))
+        tot = Window.partitionBy()
+        scored = (per_key
+                  .withColumn("fg_total", F.sum("doc_count").over(tot))
+                  .withColumn("bg_total", F.sum("bg_count").over(tot))
+                  .filter(F.col("doc_count") > 0)
+                  .select("key", "doc_count", "bg_count",
+                          F.round((F.col("doc_count") / F.col("fg_total"))
+                                  / (F.col("bg_count") / F.col("bg_total")),
+                                  4).alias("score")))
+        return scored.orderBy(F.desc("score"), F.asc("key")).limit(size)
+
     if atype == "composite":
         # ES's scale-path agg: buckets streamed in key order with
         # keyset pagination — exactly a groupBy ordered by its keys;

@@ -263,10 +263,41 @@ LIMIT 8
 """
 
 
+def dsl_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms: event types over-represented among
+    high-value events vs the whole stream — foreground and background
+    counts from ONE conditional-aggregate scan, scored by rate
+    lift."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"range": {"value": {"gte": 150.0}}},
+        "aggs": {"hot_types": {
+            "significant_terms": {"field": "event_type", "size": 10},
+        }},
+    })
+
+
+DSL_SIGNIFICANT_TERMS_ORACLE = """
+WITH per_key AS (
+  SELECT event_type AS key,
+         count(*) FILTER (WHERE value >= 150.0) AS doc_count,
+         count(*) AS bg_count
+  FROM events GROUP BY key),
+t AS (SELECT sum(doc_count) AS fg_total, sum(bg_count) AS bg_total
+      FROM per_key)
+SELECT key, doc_count, bg_count,
+       round((doc_count * 1.0 / fg_total)
+             / (bg_count * 1.0 / bg_total), 4) AS score
+FROM per_key, t WHERE doc_count > 0
+ORDER BY score DESC, key ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "dsl_nested_bool": dsl_nested_bool,
     "dsl_terms_nested": dsl_terms_nested,
     "dsl_composite_paged": dsl_composite_paged,
+    "dsl_significant_terms": dsl_significant_terms,
     "dsl_multi_metric": dsl_multi_metric,
     "dsl_filter_agg": dsl_filter_agg,
     "dsl_filters_buckets": dsl_filters_buckets,
@@ -279,6 +310,7 @@ ORACLES = {
     "dsl_nested_bool": DSL_NESTED_BOOL_ORACLE,
     "dsl_terms_nested": DSL_TERMS_NESTED_ORACLE,
     "dsl_composite_paged": DSL_COMPOSITE_PAGED_ORACLE,
+    "dsl_significant_terms": DSL_SIGNIFICANT_TERMS_ORACLE,
     "dsl_multi_metric": DSL_MULTI_METRIC_ORACLE,
     "dsl_filter_agg": DSL_FILTER_AGG_ORACLE,
     "dsl_filters_buckets": DSL_FILTERS_BUCKETS_ORACLE,
