@@ -99,3 +99,30 @@ def test_reference_schema_asvc_parity():
                     for f in regen["fields"]}
     assert regen_fields == ref_fields
     assert regen["name"] == ref["name"]
+
+
+def test_lenient_decode_handles_every_malformation(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.schema.infer import lenient_decode
+
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("sev", T.LongType()),
+    ])
+    rows = [
+        ('{"name": "ok", "sev": 3}',),        # well-formed
+        ('{"name": "missing-sev"}',),         # missing field -> null
+        ('{"name": "bad-type", "sev": "x"}',),  # type mismatch -> null
+        ('{"name": "extra", "sev": 1, "junk": true}',),  # extra dropped
+        ('{not json at all',),                # malformed -> null struct
+        (None,),                              # null input -> null
+    ]
+    df = spark.createDataFrame(rows, "doc string")
+    out = df.select(lenient_decode(F.col("doc"), schema).alias("r")).collect()
+    got = [(r["r"]["name"], r["r"]["sev"]) if r["r"] is not None else None
+           for r in out]
+    # the decoder never throws (ExtendedJsonDecoder.java parity):
+    # every malformation degrades to nulls
+    assert got == [("ok", 3), ("missing-sev", None), ("bad-type", None),
+                   ("extra", 1), (None, None), None]
