@@ -42,6 +42,7 @@ HEADLINE = [
     "anti_join_inactive",
     "pivot_daily_revenue",
     "q7_nation_trade",
+    "q8_market_share",
     "q14_promo_revenue",
     "q15_top_supplier",
     "q18_large_orders",

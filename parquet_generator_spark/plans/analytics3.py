@@ -236,6 +236,70 @@ GROUP BY nationkey ORDER BY nationkey
 """
 
 
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_3"
+MKT_PTYPE = "ECONOMY"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 flavor: NATION_3's share of ECONOMY-part revenue sold
+    to ASIA customers, by ship year — a conditional-aggregate ratio
+    on top of a 6-table join. The part-type and region filters reach
+    their scans before the fact joins; nation/region broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    asia_cust = (load_table(spark, "customer", sf_dir)
+                 .join(F.broadcast(nation),
+                       F.col("c_nationkey") == F.col("n_nationkey"))
+                 .join(F.broadcast(region.filter(F.col("r_name") == MKT_REGION)),
+                       F.col("n_regionkey") == F.col("r_regionkey"))
+                 .select("c_custkey"))
+    supp_nat = (load_table(spark, "supplier", sf_dir)
+                .join(F.broadcast(nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"))),
+                    F.col("s_nationkey") == F.col("sn_key"))
+                .select("s_suppkey", "supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_type") == MKT_PTYPE)
+                            .select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == MKT_NATION, rev)
+                  .otherwise(F.lit(0.0))) / F.sum(rev), 4)
+            .alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"))
+        .orderBy("l_year"))
+
+
+Q8_ORACLE = f"""
+SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(CASE WHEN sn.n_name = '{MKT_NATION}'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = '{MKT_PTYPE}' AND r_name = '{MKT_REGION}'
+GROUP BY l_year ORDER BY l_year
+"""
+
+
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) with grouping_id to tag
     subtotal levels — all 2^k grouping sets expand map-side, one
@@ -366,6 +430,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive": q19_disjunctive,
     "q22_idle_customers": q22_idle_customers,
+    "q8_market_share": q8_market_share,
     "cube_agg": cube_agg,
     "set_ops": set_ops,
     "above_avg_orders": above_avg_orders,
@@ -379,6 +444,7 @@ ORACLES = {
     "q18_large_orders": Q18_ORACLE,
     "q19_disjunctive": Q19_ORACLE,
     "q22_idle_customers": Q22_ORACLE,
+    "q8_market_share": Q8_ORACLE,
     "cube_agg": CUBE_ORACLE,
     "set_ops": SET_OPS_ORACLE,
     "above_avg_orders": ABOVE_AVG_ORACLE,
