@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from parquet_generator_spark.plans import analytics as A
 from parquet_generator_spark.plans import analytics2 as A2
 from parquet_generator_spark.plans import analytics3 as A3
+from parquet_generator_spark.plans import analytics4 as A4
 from parquet_generator_spark.plans import llm_queries as L
 from parquet_generator_spark.plans import llm_queries2 as L2
 from parquet_generator_spark.plans import llm_queries3 as L3
@@ -43,6 +44,7 @@ def queries() -> dict[str, QueryFn]:
         "sessionize": A.sessionize,
         **A2.QUERIES,
         **A3.QUERIES,
+        **A4.QUERIES,
         **R.QUERIES,
         **R2.QUERIES,
         **L.QUERIES,
@@ -64,6 +66,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": A.SESSIONIZE_ORACLE,
         **A2.ORACLES,
         **A3.ORACLES,
+        **A4.ORACLES,
         **R.ORACLES,
         **R2.ORACLES,
         **L.ORACLES,

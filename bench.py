@@ -51,6 +51,14 @@ HEADLINE = [
     "cube_agg",
     "above_avg_orders",
     "ntile_deciles",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q20_bulk_suppliers",
+    "q21_waiting_suppliers",
     # reference ETL surface
     "terms_agg",
     "match_phrase_filter",

@@ -38,6 +38,13 @@ def get_spark(app_name: str = "parquet-generator-spark",
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # runtime bloom filters: a selective filter on one join side
+        # prunes the other side's scan before the shuffle — the
+        # difference between shuffling 100 TB and shuffling the ~1%
+        # that can actually match
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # MIN/MAX/COUNT over plain parquet answered from footer stats
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
