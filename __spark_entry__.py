@@ -23,6 +23,7 @@ from parquet_generator_spark.plans import llm_queries3 as L3
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
+from parquet_generator_spark.plans import reference_queries3 as R3
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -47,6 +48,7 @@ def queries() -> dict[str, QueryFn]:
         **A4.QUERIES,
         **R.QUERIES,
         **R2.QUERIES,
+        **R3.QUERIES,
         **L.QUERIES,
         **L2.QUERIES,
         **L3.QUERIES,
@@ -69,6 +71,7 @@ def oracle_sql() -> dict[str, str]:
         **A4.ORACLES,
         **R.ORACLES,
         **R2.ORACLES,
+        **R3.ORACLES,
         **L.ORACLES,
         **L2.ORACLES,
         **L3.ORACLES,

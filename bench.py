@@ -74,6 +74,11 @@ HEADLINE = [
     "dsl_terms_nested",
     "dsl_composite_paged",
     "dsl_significant_terms",
+    "dsl_derivative",
+    "dsl_moving_avg",
+    "dsl_bucket_script_selector",
+    "dsl_bucket_sort",
+    "dsl_avg_bucket",
     "stream_static_enrich",
     # training-data pipeline
     "dedup_exact",

@@ -201,6 +201,85 @@ def _is_metric(spec: dict) -> bool:
     return mtype in _METRICS or mtype in ("cardinality", "percentiles")
 
 
+# --- pipeline aggregations -------------------------------------------
+# ES pipeline aggs work on the BUCKET frame, not the raw docs: they
+# are second-pass window/arithmetic ops over the (small, post-shuffle)
+# aggregation result, so they cost nothing at 100 TB — the heavy
+# lifting already happened in the grouped aggregate.
+# Deviation from ES: bucket_script / bucket_selector take a SQL
+# expression over the bucket columns (``"expr"``) instead of a
+# painless script with params.* paths.
+
+_PARENT_PIPES = ("derivative", "cumulative_sum", "moving_fn",
+                 "moving_avg", "bucket_script", "bucket_selector",
+                 "bucket_sort")
+_SERIAL_PIPES = ("derivative", "cumulative_sum", "moving_fn",
+                 "moving_avg")
+_SIBLING_PIPES = {"avg_bucket": F.avg, "sum_bucket": F.sum,
+                  "max_bucket": F.max, "min_bucket": F.min}
+
+
+def _pipe_type(spec: dict) -> str | None:
+    (ptype, _), = ((k, v) for k, v in spec.items() if k != "aggs")
+    return ptype if ptype in _PARENT_PIPES else None
+
+
+def _apply_pipelines(grouped: DataFrame, pipes: list[tuple[str, dict]],
+                     serial_ok: bool) -> DataFrame:
+    """Apply parent-level pipeline aggs, in declaration order, to a
+    bucket frame with a ``key`` column. Serial pipes (derivative /
+    cumulative_sum / moving_*) need a bucket ordering, so they window
+    over ``ORDER BY key`` — a single-partition pass over
+    bucket-cardinality rows (histogram buckets are bounded: days,
+    hours, fixed bins — not data-scale). ES likewise restricts them to
+    histogram-family parents; we raise on terms/composite parents."""
+    from pyspark.sql import Window
+
+    df = grouped
+    w = Window.orderBy(F.asc("key"))
+    for name, spec in pipes:
+        (ptype, pbody), = ((k, v) for k, v in spec.items() if k != "aggs")
+        if ptype in _SERIAL_PIPES and not serial_ok:
+            raise ValueError(
+                f"{ptype} requires a histogram-family parent agg")
+        if ptype == "derivative":
+            path = pbody["buckets_path"]
+            df = df.withColumn(
+                name, F.round(F.col(path) - F.lag(path, 1).over(w), 4))
+        elif ptype == "cumulative_sum":
+            path = pbody["buckets_path"]
+            df = df.withColumn(
+                name,
+                F.round(F.sum(path).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+        elif ptype in ("moving_fn", "moving_avg"):
+            # trailing window INCLUDING the current bucket (SQL moving
+            # average; ES's shift parameter can express the same)
+            path = pbody["buckets_path"]
+            n = int(pbody.get("window", 5))
+            df = df.withColumn(
+                name,
+                F.round(F.avg(path).over(w.rowsBetween(-(n - 1), 0)), 4))
+        elif ptype == "bucket_script":
+            df = df.withColumn(
+                name, F.round(F.expr(pbody["expr"]), 4))
+        elif ptype == "bucket_selector":
+            df = df.filter(F.expr(pbody["expr"]))
+        elif ptype == "bucket_sort":
+            order_cols = []
+            for s in pbody.get("sort", []):
+                (field, sspec), = s.items()
+                order = (sspec if isinstance(sspec, str)
+                         else sspec.get("order", "asc"))
+                c = F.col(field)
+                order_cols.append(c.desc() if order == "desc" else c.asc())
+            order_cols.append(F.asc("key"))  # total order for determinism
+            df = df.orderBy(*order_cols)
+            if "size" in pbody:
+                df = df.limit(int(pbody["size"]))
+    return df
+
+
 def _exploded_buckets(filtered: DataFrame,
                       named_conds: list[tuple[str, Column]],
                       metric_cols: list[Column]) -> DataFrame:
@@ -303,6 +382,28 @@ def search(df: DataFrame, body: dict) -> DataFrame:
     if all(_is_metric(s) for s in aggs.values()):
         cols = [c for n, s in aggs.items() for c in _metric_cols(n, s)]
         return filtered.agg(*cols)
+
+    # sibling pipeline aggs (avg_bucket etc.): reduce a bucket agg's
+    # metric column to one row — buckets first, then a scalar agg of
+    # the (small) bucket frame
+    siblings = {n: s for n, s in aggs.items()
+                if next(iter(s)) in _SIBLING_PIPES}
+    if siblings:
+        buckets = {n: s for n, s in aggs.items() if n not in siblings}
+        if len(buckets) != 1:
+            raise ValueError(
+                "sibling pipeline aggs need exactly one bucket agg")
+        frame = search(df, {"query": body.get("query"), "aggs": buckets})
+        cols = []
+        for n, s in siblings.items():
+            (ptype, pbody), = s.items()
+            path = pbody["buckets_path"].split(">")[-1]
+            c = _SIBLING_PIPES[ptype](path)
+            if ptype in ("avg_bucket", "sum_bucket"):
+                c = F.round(c, 4)
+            cols.append(c.alias(n))
+        return frame.agg(*cols)
+
     if len(aggs) != 1:
         raise ValueError(
             "multiple sibling aggs are supported for metrics only")
@@ -310,8 +411,10 @@ def search(df: DataFrame, body: dict) -> DataFrame:
     (agg_name, spec), = aggs.items()
     (atype, abody), = ((k, v) for k, v in spec.items() if k != "aggs")
     sub = spec.get("aggs", {})
+    sub_pipes = [(n, s) for n, s in sub.items() if _pipe_type(s)]
     sub_metrics = {n: s for n, s in sub.items()
-                   if "top_hits" not in s and "terms" not in s}
+                   if "top_hits" not in s and "terms" not in s
+                   and not _pipe_type(s)}
     metric_cols = [c for n, s in sub_metrics.items()
                    for c in _metric_cols(n, s)]
 
@@ -415,8 +518,11 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             return _nested_terms(filtered, abody, inner[1])
         grouped = (filtered.groupBy(key)
                    .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
-        return (grouped.orderBy(F.desc("doc_count"), F.asc("key"))
-                .limit(size))
+        grouped = (grouped.orderBy(F.desc("doc_count"), F.asc("key"))
+                   .limit(size))
+        if sub_pipes:
+            grouped = _apply_pipelines(grouped, sub_pipes, serial_ok=False)
+        return grouped
     if atype == "date_histogram":
         interval = abody.get("calendar_interval",
                              abody.get("fixed_interval", "day"))
@@ -428,6 +534,8 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss").alias("key")
         grouped = (filtered.groupBy(key)
                    .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
+        if sub_pipes:
+            grouped = _apply_pipelines(grouped, sub_pipes, serial_ok=True)
         return grouped.orderBy(F.asc("key"))  # date_histogram: key order
     if atype == "histogram":
         interval = float(abody["interval"])
@@ -435,5 +543,7 @@ def search(df: DataFrame, body: dict) -> DataFrame:
                ).alias("key")
         grouped = (filtered.groupBy(key)
                    .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
+        if sub_pipes:
+            grouped = _apply_pipelines(grouped, sub_pipes, serial_ok=True)
         return grouped.orderBy(F.asc("key"))
     raise ValueError(f"unsupported bucket agg {atype!r}")

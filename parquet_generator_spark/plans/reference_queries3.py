@@ -1,0 +1,205 @@
+"""ES-DSL pipeline aggregations: second-pass computations over the
+bucket frame (derivative, cumulative_sum, moving average,
+bucket_script/bucket_selector, bucket_sort, and sibling *_bucket
+reductions).
+
+Generalizes the reference's aggregation usage (terms agg,
+Bootstrap.java:196-219) to the pipeline-agg family of the ES DSL.
+Scale posture: every pipeline op runs AFTER the grouped aggregate, on
+bucket-cardinality rows (days/bins — bounded, not data-scale), as a
+single-partition window. The corpus-sized work is the one shuffle the
+parent aggregation already does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_generator_spark.operators.esdsl import search
+from parquet_generator_spark.sources.catalog import load_table
+
+_DAY_KEY = "strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')"
+
+
+def dsl_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase revenue with day-over-day derivative and running
+    cumulative sum — ES `derivative` + `cumulative_sum` pipeline aggs
+    over a date_histogram parent."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "revenue": {"sum": {"field": "value"}},
+                "rev_deriv": {"derivative": {"buckets_path": "revenue"}},
+                "rev_cumsum": {"cumulative_sum":
+                               {"buckets_path": "revenue"}},
+            },
+        }},
+    })
+
+
+DSL_DERIVATIVE_ORACLE = f"""
+WITH b AS (
+  SELECT {_DAY_KEY} AS key,
+         count(*) AS doc_count,
+         round(sum(value), 4) AS revenue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY key)
+SELECT key, doc_count, revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY key), 4) AS rev_deriv,
+       round(sum(revenue) OVER (ORDER BY key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS rev_cumsum
+FROM b ORDER BY key
+"""
+
+
+def dsl_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average of daily event volume — ES
+    `moving_fn` pipeline agg (trailing window including the current
+    bucket)."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "click"}},
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "vol_ma7": {"moving_fn": {"buckets_path": "doc_count",
+                                          "window": 7}},
+            },
+        }},
+    })
+
+
+DSL_MOVING_AVG_ORACLE = f"""
+WITH b AS (
+  SELECT {_DAY_KEY} AS key, count(*) AS doc_count
+  FROM events WHERE event_type = 'click'
+  GROUP BY key)
+SELECT key, doc_count,
+       round(avg(doc_count) OVER (ORDER BY key
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS vol_ma7
+FROM b ORDER BY key
+"""
+
+
+BUSY_DAY_MIN_DOCS = 8
+
+
+def dsl_bucket_script_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day average order value via `bucket_script` (revenue /
+    doc_count), keeping only busy days via `bucket_selector` — the ES
+    spelling of a HAVING clause over derived bucket metrics."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "revenue": {"sum": {"field": "value"}},
+                "aov": {"bucket_script":
+                        {"expr": "revenue / doc_count"}},
+                "busy": {"bucket_selector":
+                         {"expr": f"doc_count >= {BUSY_DAY_MIN_DOCS}"}},
+            },
+        }},
+    })
+
+
+DSL_BUCKET_SCRIPT_ORACLE = f"""
+WITH b AS (
+  SELECT {_DAY_KEY} AS key,
+         count(*) AS doc_count,
+         round(sum(value), 4) AS revenue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY key)
+SELECT key, doc_count, revenue,
+       round(revenue / doc_count, 4) AS aov
+FROM b WHERE doc_count >= {BUSY_DAY_MIN_DOCS}
+ORDER BY key
+"""
+
+
+TOP_DAYS = 5
+
+
+def dsl_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue days: `bucket_sort` pipeline agg re-orders and
+    truncates the bucket frame (ORDER BY metric LIMIT n after the
+    aggregate)."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "revenue": {"sum": {"field": "value"}},
+                "top": {"bucket_sort": {
+                    "sort": [{"revenue": {"order": "desc"}}],
+                    "size": TOP_DAYS}},
+            },
+        }},
+    })
+
+
+DSL_BUCKET_SORT_ORACLE = f"""
+WITH b AS (
+  SELECT {_DAY_KEY} AS key,
+         count(*) AS doc_count,
+         round(sum(value), 4) AS revenue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY key)
+SELECT key, doc_count, revenue
+FROM b ORDER BY revenue DESC, key LIMIT {TOP_DAYS}
+"""
+
+
+def dsl_avg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sibling pipeline aggs: reduce the per-day revenue series to
+    scalars (mean / peak daily revenue) — `avg_bucket` / `max_bucket`
+    beside the date_histogram, aggregating its bucket frame."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {"revenue": {"sum": {"field": "value"}}},
+            },
+            "mean_daily_rev": {"avg_bucket":
+                               {"buckets_path": "per_day>revenue"}},
+            "peak_daily_rev": {"max_bucket":
+                               {"buckets_path": "per_day>revenue"}},
+        },
+    })
+
+
+DSL_AVG_BUCKET_ORACLE = f"""
+WITH b AS (
+  SELECT {_DAY_KEY} AS key, round(sum(value), 4) AS revenue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY key)
+SELECT round(avg(revenue), 4) AS mean_daily_rev,
+       max(revenue) AS peak_daily_rev
+FROM b
+"""
+
+
+QUERIES = {
+    "dsl_derivative": dsl_derivative,
+    "dsl_moving_avg": dsl_moving_avg,
+    "dsl_bucket_script_selector": dsl_bucket_script_selector,
+    "dsl_bucket_sort": dsl_bucket_sort,
+    "dsl_avg_bucket": dsl_avg_bucket,
+}
+
+ORACLES = {
+    "dsl_derivative": DSL_DERIVATIVE_ORACLE,
+    "dsl_moving_avg": DSL_MOVING_AVG_ORACLE,
+    "dsl_bucket_script_selector": DSL_BUCKET_SCRIPT_ORACLE,
+    "dsl_bucket_sort": DSL_BUCKET_SORT_ORACLE,
+    "dsl_avg_bucket": DSL_AVG_BUCKET_ORACLE,
+}
