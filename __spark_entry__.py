@@ -20,6 +20,7 @@ from parquet_generator_spark.plans import analytics4 as A4
 from parquet_generator_spark.plans import llm_queries as L
 from parquet_generator_spark.plans import llm_queries2 as L2
 from parquet_generator_spark.plans import llm_queries3 as L3
+from parquet_generator_spark.plans import llm_queries4 as L4
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -52,6 +53,7 @@ def queries() -> dict[str, QueryFn]:
         **L.QUERIES,
         **L2.QUERIES,
         **L3.QUERIES,
+        **L4.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -75,6 +77,7 @@ def oracle_sql() -> dict[str, str]:
         **L.ORACLES,
         **L2.ORACLES,
         **L3.ORACLES,
+        **L4.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

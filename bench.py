@@ -79,6 +79,7 @@ HEADLINE = [
     "dsl_bucket_script_selector",
     "dsl_bucket_sort",
     "dsl_avg_bucket",
+    "dsl_date_histogram_zerofill",
     "stream_static_enrich",
     # training-data pipeline
     "dedup_exact",
@@ -103,6 +104,9 @@ HEADLINE = [
     "decontaminate",
     "doc_chunks",
     "semantic_dedup",
+    "gopher_quality",
+    "funnel_stages",
+    "cohort_retention",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",
     "stream_session_window",

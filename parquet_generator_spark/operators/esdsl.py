@@ -534,6 +534,33 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss").alias("key")
         grouped = (filtered.groupBy(key)
                    .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
+        if abody.get("min_doc_count", 1) == 0:
+            # ES zero-filled buckets: build the full calendar axis
+            # (from extended_bounds, or the data min/max — one extra
+            # scalar agg) and left-join the real buckets onto it.
+            # The axis is bucket-cardinality (days/hours), so the join
+            # is a broadcast; empty buckets get doc_count=0 and null
+            # metrics, exactly ES's shape.
+            ivl = {"day": "1 day", "hour": "1 hour", "week": "1 week",
+                   "month": "1 month", "year": "1 year"}[trunc_unit]
+            eb = abody.get("extended_bounds")
+            if eb:
+                bounds = filtered.limit(1).select(
+                    F.lit(eb["min"]).cast("timestamp").alias("lo"),
+                    F.lit(eb["max"]).cast("timestamp").alias("hi"))
+            else:
+                bounds = filtered.agg(F.min(abody["field"]).alias("lo"),
+                                      F.max(abody["field"]).alias("hi"))
+            axis = (bounds.select(F.explode(F.expr(
+                f"sequence(date_trunc('{trunc_unit}', lo), "
+                f"date_trunc('{trunc_unit}', hi), interval {ivl})"))
+                .alias("t"))
+                .select(F.date_format("t", "yyyy-MM-dd HH:mm:ss")
+                        .alias("key")))
+            grouped = (axis.join(grouped, "key", "left")
+                       .withColumn("doc_count",
+                                   F.coalesce(F.col("doc_count"),
+                                              F.lit(0).cast("long"))))
         if sub_pipes:
             grouped = _apply_pipelines(grouped, sub_pipes, serial_ok=True)
         return grouped.orderBy(F.asc("key"))  # date_histogram: key order

@@ -1,0 +1,206 @@
+"""Fourth wave of training-data / behavioral analytics queries:
+Gopher-style repetition quality rules, funnel analysis, and cohort
+retention.
+
+gopher_quality adapts the Gopher/MassiveText repetition filters
+(Rae et al. 2021, "Scaling Language Models", App. A) to the word-
+stream documents table: type-token ratio, top-word and top-bigram
+mass fractions, mean word length — all computed with built-in
+explode/groupBy (map-side partial aggregation keeps the shuffle at
+distinct-terms-per-doc, not token count; no Python in the hot path).
+
+funnel_stages / cohort_retention are the standard product-analytics
+operators over the events table, built as staged aggregate joins
+(each stage collapses to user-cardinality before the next join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.sources.catalog import load_table
+
+
+# ----------------------------------------------------- gopher_quality
+
+GOPHER_MIN_WORDS = 20
+GOPHER_TTR_MIN = 0.4
+GOPHER_TOP_WORD_MAX = 0.15
+GOPHER_TOP_BIGRAM_MAX = 0.05
+GOPHER_WLEN_LO = 4.0
+GOPHER_WLEN_HI = 5.0
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition/quality profile with a keep flag.
+
+    Word stats ride one explode -> groupBy(doc_id, word) (map-side
+    combine collapses token counts before the shuffle); bigrams are
+    built array-side with a transform-over-sequence (no window sort),
+    then the same grouped pass. The two doc-level profiles join on
+    doc_id. All ratios are exact integer-count divisions, so they are
+    bit-identical across engines."""
+    docs = (load_table(spark, "documents", sf_dir)
+            .select("doc_id", F.split("text", " ").alias("a")))
+    words = docs.select("doc_id", F.explode("a").alias("word"))
+    wstats = (words.groupBy("doc_id", "word").count()
+              .groupBy("doc_id")
+              .agg(F.sum("count").alias("n_words"),
+                   F.count(F.lit(1)).alias("n_distinct"),
+                   F.max("count").alias("max_wc"),
+                   (F.sum(F.col("count") * F.length("word"))
+                    / F.sum("count")).alias("mean_wlen")))
+    bigrams = docs.select("doc_id", F.explode(F.expr(
+        "transform(sequence(1, size(a) - 1), "
+        "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+        .alias("bg"))
+    bstats = (bigrams.groupBy("doc_id", "bg").count()
+              .groupBy("doc_id")
+              .agg(F.sum("count").alias("n_bg"),
+                   F.max("count").alias("max_bg")))
+    ttr = F.col("n_distinct") / F.col("n_words")
+    top_word = F.col("max_wc") / F.col("n_words")
+    top_bigram = F.col("max_bg") / F.col("n_bg")
+    keep = ((F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (ttr >= GOPHER_TTR_MIN)
+            & (top_word <= GOPHER_TOP_WORD_MAX)
+            & (top_bigram <= GOPHER_TOP_BIGRAM_MAX)
+            & F.col("mean_wlen").between(GOPHER_WLEN_LO, GOPHER_WLEN_HI))
+    return (wstats.join(bstats, "doc_id")
+            .select("doc_id", "n_words", "n_distinct",
+                    F.round(ttr, 4).alias("ttr"),
+                    F.round(top_word, 4).alias("top_word_frac"),
+                    F.round(top_bigram, 4).alias("top_bigram_frac"),
+                    F.round("mean_wlen", 4).alias("mean_wlen"),
+                    keep.alias("keep"))
+            .orderBy("doc_id"))
+
+
+GOPHER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+ws AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_wc,
+         CAST(sum(c * length(word)) AS BIGINT) AS wlen_sum
+  FROM wc GROUP BY 1),
+ba AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bi AS (SELECT doc_id, a,
+              unnest(generate_series(1, len(a) - 1)) AS i
+       FROM ba),
+bg AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS b FROM bi),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+              CAST(max(c) AS BIGINT) AS max_bg
+       FROM bc GROUP BY 1)
+SELECT ws.doc_id, n_words, n_distinct,
+       round(n_distinct / n_words, 4) AS ttr,
+       round(max_wc / n_words, 4) AS top_word_frac,
+       round(max_bg / n_bg, 4) AS top_bigram_frac,
+       round(wlen_sum / n_words, 4) AS mean_wlen,
+       (n_words >= {GOPHER_MIN_WORDS}
+        AND n_distinct / n_words >= {GOPHER_TTR_MIN}
+        AND max_wc / n_words <= {GOPHER_TOP_WORD_MAX}
+        AND max_bg / n_bg <= {GOPHER_TOP_BIGRAM_MAX}
+        AND wlen_sum / n_words BETWEEN {GOPHER_WLEN_LO} AND {GOPHER_WLEN_HI})
+         AS keep
+FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+ORDER BY ws.doc_id
+"""
+
+
+# ------------------------------------------------------ funnel_stages
+
+FUNNEL = ("view", "click", "purchase")
+
+
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked
+    AFTER their first view, then purchased AFTER that first qualifying
+    click. Each stage is a user-cardinality aggregate joined to the
+    (filtered) events of the next stage — three shuffles on user_id,
+    every intermediate already collapsed to one row per user."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts")
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = (e.join(prev, "user_id")
+                 .filter(F.col("ts") > F.col("t")).drop("t"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after(None, FUNNEL[0])
+    c = first_after(v, FUNNEL[1])
+    p = first_after(c, FUNNEL[2])
+    return (v.agg(F.count(F.lit(1)).alias("n_view"))
+            .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+            .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase"))))
+
+
+FUNNEL_ORACLE = f"""
+WITH v AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = '{FUNNEL[0]}' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = '{FUNNEL[1]}' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = '{FUNNEL[2]}' GROUP BY 1)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase
+"""
+
+
+# --------------------------------------------------- cohort_retention
+
+RETENTION_MAX_WEEKS = 4
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention by first-seen cohort: each user's cohort is
+    the day of their first event; activity weeks are day-offsets / 7
+    from that anchor. One user-cardinality aggregate (the anchor)
+    broadcasts back onto events; the distinct-user count shuffles on
+    the (cohort, week) pair."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    week = F.floor(F.datediff(F.col("d"), F.col("first_d")) / 7)
+    return (ev.join(F.broadcast(first), "user_id")
+            .withColumn("week_offset", week.cast("int"))
+            .filter(F.col("week_offset") < RETENTION_MAX_WEEKS)
+            .groupBy(F.date_format("first_d", "yyyy-MM-dd")
+                     .alias("cohort_day"), "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .orderBy("cohort_day", "week_offset"))
+
+
+RETENTION_ORACLE = f"""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT user_id, min(d) AS first_d FROM ev GROUP BY 1)
+SELECT strftime(first_d, '%Y-%m-%d') AS cohort_day,
+       CAST(floor(date_diff('day', first_d, d) / 7.0) AS INT)
+         AS week_offset,
+       count(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN f ON ev.user_id = f.user_id
+WHERE floor(date_diff('day', first_d, d) / 7.0) < {RETENTION_MAX_WEEKS}
+GROUP BY cohort_day, week_offset
+ORDER BY cohort_day, week_offset
+"""
+
+
+QUERIES = {
+    "gopher_quality": gopher_quality,
+    "funnel_stages": funnel_stages,
+    "cohort_retention": cohort_retention,
+}
+
+ORACLES = {
+    "gopher_quality": GOPHER_ORACLE,
+    "funnel_stages": FUNNEL_ORACLE,
+    "cohort_retention": RETENTION_ORACLE,
+}

@@ -188,8 +188,46 @@ FROM b
 """
 
 
+def dsl_date_histogram_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram with ``min_doc_count: 0`` — ES emits EMPTY
+    calendar buckets (doc_count 0, null metrics) for gaps in the data.
+    The calendar axis derives from the data min/max (one scalar agg)
+    and broadcast-left-joins the real buckets."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"bool": {"must": [
+            {"term": {"event_type": "purchase"}},
+            {"range": {"value": {"gt": 150}}},
+        ]}},
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 0},
+            "aggs": {"revenue": {"sum": {"field": "value"}}},
+        }},
+    })
+
+
+DSL_ZEROFILL_ORACLE = f"""
+WITH f AS (SELECT * FROM events
+           WHERE event_type = 'purchase' AND value > 150),
+b AS (
+  SELECT {_DAY_KEY} AS key, count(*) AS doc_count,
+         round(sum(value), 4) AS revenue
+  FROM f GROUP BY key),
+axis AS (
+  SELECT strftime(unnest(generate_series(
+           date_trunc('day', min(ts)), date_trunc('day', max(ts)),
+           INTERVAL 1 DAY)), '%Y-%m-%d %H:%M:%S') AS key
+  FROM f)
+SELECT axis.key, coalesce(b.doc_count, 0) AS doc_count, b.revenue
+FROM axis LEFT JOIN b ON axis.key = b.key
+ORDER BY axis.key
+"""
+
+
 QUERIES = {
     "dsl_derivative": dsl_derivative,
+    "dsl_date_histogram_zerofill": dsl_date_histogram_zerofill,
     "dsl_moving_avg": dsl_moving_avg,
     "dsl_bucket_script_selector": dsl_bucket_script_selector,
     "dsl_bucket_sort": dsl_bucket_sort,
@@ -198,6 +236,7 @@ QUERIES = {
 
 ORACLES = {
     "dsl_derivative": DSL_DERIVATIVE_ORACLE,
+    "dsl_date_histogram_zerofill": DSL_ZEROFILL_ORACLE,
     "dsl_moving_avg": DSL_MOVING_AVG_ORACLE,
     "dsl_bucket_script_selector": DSL_BUCKET_SCRIPT_ORACLE,
     "dsl_bucket_sort": DSL_BUCKET_SORT_ORACLE,
