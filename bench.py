@@ -107,6 +107,10 @@ HEADLINE = [
     "gopher_quality",
     "funnel_stages",
     "cohort_retention",
+    "grouping_sets_agg",
+    "unpivot_melt",
+    "dsl_histogram",
+    "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",
     "stream_session_window",

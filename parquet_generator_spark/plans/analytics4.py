@@ -384,7 +384,71 @@ LIMIT {Q21_TOPN}
 """
 
 
+# ------------------------------------------------- grouping sets
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (a la carte subtotals, unlike ROLLUP's
+    prefix chain or CUBE's full lattice): per-(flag,status) detail,
+    per-flag subtotal, and grand total in one pass — all sets expand
+    map-side, one shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows")))
+
+
+GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), ())
+"""
+
+
+# ------------------------------------------------------ unpivot
+
+
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (unpivot/melt) of lineitem measures, then
+    per-(flag, measure) averages — the inverse of pivot. The unpivot
+    is a zero-shuffle map-side expand (each row emits one row per
+    measure); only the final aggregate shuffles."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure", "val")
+        .groupBy("l_returnflag", "measure")
+        .agg(F.round(F.avg("val"), 4).alias("avg_val"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag", "measure"))
+
+
+UNPIVOT_ORACLE = """
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+  FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+SELECT l_returnflag, measure,
+       round(avg(val), 4) AS avg_val, count(*) AS n
+FROM long GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+"""
+
+
 QUERIES = {
+    "grouping_sets_agg": grouping_sets_agg,
+    "unpivot_melt": unpivot_melt,
     "q9_product_profit": q9_product_profit,
     "q11_important_parts": q11_important_parts,
     "q12_priority_lines": q12_priority_lines,
@@ -396,6 +460,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "grouping_sets_agg": GROUPING_SETS_ORACLE,
+    "unpivot_melt": UNPIVOT_ORACLE,
     "q9_product_profit": Q9_ORACLE,
     "q11_important_parts": Q11_ORACLE,
     "q12_priority_lines": Q12_ORACLE,

@@ -225,9 +225,35 @@ ORDER BY axis.key
 """
 
 
+HIST_INTERVAL = 50
+
+
+def dsl_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric `histogram` bucket agg (fixed-width value bins) with a
+    metric sub-agg — floor(value/interval)*interval becomes the group
+    key, one shuffle on the bin."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"by_value": {
+            "histogram": {"field": "value", "interval": HIST_INTERVAL},
+            "aggs": {"avg_value": {"avg": {"field": "value"}}},
+        }},
+    })
+
+
+DSL_HISTOGRAM_ORACLE = f"""
+SELECT floor(value / {HIST_INTERVAL}) * {HIST_INTERVAL} AS key,
+       count(*) AS doc_count, round(avg(value), 4) AS avg_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY key ORDER BY key ASC
+"""
+
+
 QUERIES = {
     "dsl_derivative": dsl_derivative,
     "dsl_date_histogram_zerofill": dsl_date_histogram_zerofill,
+    "dsl_histogram": dsl_histogram,
     "dsl_moving_avg": dsl_moving_avg,
     "dsl_bucket_script_selector": dsl_bucket_script_selector,
     "dsl_bucket_sort": dsl_bucket_sort,
@@ -237,6 +263,7 @@ QUERIES = {
 ORACLES = {
     "dsl_derivative": DSL_DERIVATIVE_ORACLE,
     "dsl_date_histogram_zerofill": DSL_ZEROFILL_ORACLE,
+    "dsl_histogram": DSL_HISTOGRAM_ORACLE,
     "dsl_moving_avg": DSL_MOVING_AVG_ORACLE,
     "dsl_bucket_script_selector": DSL_BUCKET_SCRIPT_ORACLE,
     "dsl_bucket_sort": DSL_BUCKET_SORT_ORACLE,

@@ -16,6 +16,10 @@ from parquet_generator_spark.streaming.stateful import (
     SESSION_WINDOW_ORACLE,
     session_window_agg,
 )
+from parquet_generator_spark.streaming.stream_join import (
+    PAIRS_ORACLE,
+    view_click_pairs,
+)
 from parquet_generator_spark.streaming.windowed import (
     WINDOWED_ORACLE,
     windowed_event_counts,
@@ -74,13 +78,28 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_mktsegment"))
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the stream-stream time-interval join (clicks
+    attributed to views within 10 minutes), aggregated per user; the
+    streaming execution of the same builder (watermarked both sides,
+    bounded state) is asserted in tests/test_streaming.py."""
+    ev = load_table(spark, "events", sf_dir)
+    return (view_click_pairs(ev, ev)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.countDistinct("v_ts").alias("n_views_hit"))
+            .orderBy("user_id"))
+
+
 QUERIES = {
+    "stream_stream_join": stream_stream_join,
     "stream_windowed_agg": stream_windowed_agg,
     "stream_session_window": stream_session_window,
     "stream_dedup": stream_dedup_first,
     "stream_static_enrich": stream_static_enrich,
 }
 ORACLES = {
+    "stream_stream_join": PAIRS_ORACLE,
     "stream_windowed_agg": WINDOWED_ORACLE,
     "stream_session_window": SESSION_WINDOW_ORACLE,
     "stream_dedup": STREAM_DEDUP_ORACLE,

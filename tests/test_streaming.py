@@ -221,3 +221,29 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
 
     streamed = spark.sql("select * from enrichq").collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    from parquet_generator_spark.streaming.stream_join import (
+        view_click_pairs,
+    )
+
+    ev = load_table(spark, "events", SF)
+    batch = view_click_pairs(ev, ev).collect()
+    assert batch  # the interval join must actually produce pairs
+
+    ev.repartition(3).write.parquet(str(tmp_path / "ssj_in"))
+    v_stream = (spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(tmp_path / "ssj_in")))
+    c_stream = (spark.readStream.schema(ev.schema)
+                .parquet(str(tmp_path / "ssj_in")))
+    # files carry unordered 30-day-spread event times; the watermark
+    # must exceed that spread or cross-batch rows are dropped as late
+    pairs = view_click_pairs(v_stream, c_stream, watermark="40 days")
+    q = (pairs.writeStream.format("memory").queryName("ssjq")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    streamed = spark.sql("select * from ssjq").collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
