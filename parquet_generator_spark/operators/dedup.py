@@ -205,10 +205,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     stay O(1); convergence is detected by the monotone-decreasing
     label sum reaching a fixpoint.
     """
+    # checkpoint the pair list BEFORE the symmetrizing union: both
+    # union branches read `pairs`, so an unmaterialized pairs pipeline
+    # (LSH + verify joins) would execute twice
+    pairs = pairs.select("id_a", "id_b").localCheckpoint()
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst"))))
-    edges = edges.localCheckpoint()
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint())
