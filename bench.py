@@ -107,6 +107,8 @@ HEADLINE = [
     "gopher_quality",
     "funnel_stages",
     "cohort_retention",
+    "knn_classify",
+    "stratified_sample",
     "grouping_sets_agg",
     "unpivot_melt",
     "dsl_histogram",

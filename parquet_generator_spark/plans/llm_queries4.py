@@ -193,13 +193,118 @@ ORDER BY cohort_day, week_offset
 """
 
 
+# ------------------------------------------------------ knn_classify
+
+KNN_K = 5
+KNN_QUERY_MOD = 20
+
+
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction over the embeddings table:
+    every 20th vector is a query; its label is predicted from the 5
+    nearest (cosine) neighbors among the rest. Reuses the brute-force
+    top-k kernel (queries broadcast, corpus scanned once); the vote is
+    a count per (query, label) + one window rank. At scale the
+    brute-force kernel swaps for the IVF/LSH path unchanged."""
+    from parquet_generator_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    topk = brute_force_topk(emb, queries, KNN_K)
+    labels = emb.select(F.col("vec_id").alias("nid"),
+                        F.col("label").alias("n_label"))
+    from pyspark.sql import Window
+    votes = (topk.join(F.broadcast(labels), "nid")
+             .groupBy("qid", "n_label")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"),
+                                          F.asc("n_label"))
+    pred = (votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1))
+    truth = emb.select(F.col("vec_id").alias("qid"),
+                       F.col("label").alias("true_label"))
+    return (pred.join(F.broadcast(truth), "qid")
+            .select("qid", "true_label",
+                    F.col("n_label").alias("pred_label"), "votes")
+            .orderBy("qid"))
+
+
+def _knn_oracle() -> str:
+    from parquet_generator_spark.operators.similarity import (
+        brute_force_topk_duck_sql,
+    )
+    topk = brute_force_topk_duck_sql(
+        "embeddings", KNN_K,
+        f"vec_id % {KNN_QUERY_MOD} = 0").strip()
+    return f"""
+WITH ranked AS ({topk}),
+votes AS (
+  SELECT r.qid, e.label AS n_label, count(*) AS votes
+  FROM ranked r JOIN embeddings e ON r.nid = e.vec_id
+  GROUP BY r.qid, e.label),
+pred AS (
+  SELECT qid, n_label, votes,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY votes DESC, n_label ASC) AS rk
+  FROM votes)
+SELECT p.qid, t.label AS true_label, p.n_label AS pred_label, p.votes
+FROM pred p JOIN embeddings t ON p.qid = t.vec_id
+WHERE p.rk = 1
+ORDER BY p.qid
+"""
+
+
+KNN_ORACLE = _knn_oracle()
+
+
+# ------------------------------------------------- stratified_sample
+
+STRATUM_SIZE = 10
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size-per-stratum sample: the first
+    STRATUM_SIZE documents of each source, ordered by an md5 hash of
+    the doc id — a reproducible balanced training mixture independent
+    of engine, layout, and partitioning (same contract as
+    train_test_split). One shuffle on the stratum key; a skewed
+    stratum can salt the window into ranges at scale."""
+    from pyspark.sql import Window
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.asc("doc_id"))
+    return (docs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= STRATUM_SIZE)
+            .select("source", "doc_id", "rk")
+            .orderBy("source", "rk"))
+
+
+STRATIFIED_ORACLE = f"""
+SELECT source, doc_id, rk
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= {STRATUM_SIZE}
+ORDER BY source, rk
+"""
+
+
 QUERIES = {
+    "knn_classify": knn_classify,
+    "stratified_sample": stratified_sample,
     "gopher_quality": gopher_quality,
     "funnel_stages": funnel_stages,
     "cohort_retention": cohort_retention,
 }
 
 ORACLES = {
+    "knn_classify": KNN_ORACLE,
+    "stratified_sample": STRATIFIED_ORACLE,
     "gopher_quality": GOPHER_ORACLE,
     "funnel_stages": FUNNEL_ORACLE,
     "cohort_retention": RETENTION_ORACLE,
