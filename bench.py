@@ -80,6 +80,7 @@ HEADLINE = [
     "dsl_bucket_sort",
     "dsl_avg_bucket",
     "dsl_date_histogram_zerofill",
+    "dsl_match_msm",
     "stream_static_enrich",
     # training-data pipeline
     "dedup_exact",
@@ -111,6 +112,8 @@ HEADLINE = [
     "stratified_sample",
     "grouping_sets_agg",
     "unpivot_melt",
+    "window_ranks",
+    "corr_stats",
     "dsl_histogram",
     "stream_stream_join",
     # streaming (batch-equivalent forms)

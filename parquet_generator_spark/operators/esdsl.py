@@ -53,6 +53,25 @@ def match_any(col: Column | str, query: str) -> Column:
     return F.lower(c).rlike(pattern)
 
 
+def token_present(col: Column | str, token: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(c).rlike(_B_L + re.escape(token) + _B_R)
+
+
+def match_min_should(col: Column | str, query: str, min_match: int) -> Column:
+    """ES ``match`` with ``minimum_should_match: n`` — at least n of
+    the analyzed tokens present. Each token test is one JVM-side rlike;
+    the count is a sum of int casts, all inside codegen."""
+    toks = _tokens(query)
+    if not toks or min_match <= 0:
+        return F.lit(True)
+    hits = None
+    for t in toks:
+        h = token_present(col, t).cast("int")
+        hits = h if hits is None else hits + h
+    return hits >= F.lit(min(min_match, len(toks)))
+
+
 def _wildcard_regex(pattern: str) -> str:
     out = []
     for ch in pattern:
@@ -111,8 +130,23 @@ def translate_query(q: dict | None) -> Column:
         return (F.col(field).isNotNull()
                 & F.col(field).rlike(_wildcard_regex(val)))
     if kind == "match":
-        field, val = _field_value(body, "query")
-        return F.col(field).isNotNull() & match_any(field, val)
+        field, spec = next(iter(body.items()))
+        if isinstance(spec, dict):
+            val = spec["query"]
+            operator = spec.get("operator", "or")
+            msm = spec.get("minimum_should_match")
+        else:
+            val, operator, msm = spec, "or", None
+        nn = F.col(field).isNotNull()
+        toks = _tokens(val)
+        if operator == "and":
+            cond = F.lit(True)
+            for t in toks:
+                cond = cond & token_present(field, t)
+            return nn & cond
+        if msm is not None:
+            return nn & match_min_should(field, val, int(msm))
+        return nn & match_any(field, val)
     if kind == "match_phrase":
         field, val = _field_value(body, "query")
         return F.col(field).isNotNull() & match_phrase(field, val)
@@ -132,13 +166,19 @@ def translate_query(q: dict | None) -> Column:
         msm = body.get("minimum_should_match")
         if msm is None:
             msm = 0 if (body.get("must") or body.get("filter")) else 1
-        if msm not in (0, 1):
-            raise ValueError("only minimum_should_match 0/1 supported")
         if should and msm == 1:
+            # the common case stays a plain disjunction — Or(leaf...)
+            # can still push to the scan, a count-of-casts cannot
             acc = F.lit(False)
             for clause in should:
                 acc = acc | translate_query(clause)
             out = out & acc
+        elif should and msm > 1:
+            hits = None
+            for clause in should:
+                h = translate_query(clause).cast("int")
+                hits = h if hits is None else hits + h
+            out = out & (hits >= F.lit(min(msm, len(should))))
         return out
     raise ValueError(f"unsupported query kind {kind!r}")
 

@@ -446,7 +446,81 @@ ORDER BY l_returnflag, measure
 """
 
 
+# ------------------------------------------------- window functions
+
+
+def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in one frame: rank /
+    dense_rank / percent_rank / cume_dist plus lag over customers by
+    balance within market segment. One shuffle on the partition key;
+    all functions share the single sorted pass."""
+    cust = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (cust
+            .withColumn("rnk", F.rank().over(w))
+            .withColumn("drnk", F.dense_rank().over(w))
+            .withColumn("prnk", F.round(F.percent_rank().over(w), 4))
+            .withColumn("cdist", F.round(F.cume_dist().over(w), 4))
+            .withColumn("gap_above", F.round(
+                F.lag("c_acctbal", 1).over(w) - F.col("c_acctbal"), 2))
+            .filter(F.col("rnk") <= 10)
+            .select("c_mktsegment", "c_custkey",
+                    F.round("c_acctbal", 2).alias("acctbal"),
+                    "rnk", "drnk", "prnk", "cdist", "gap_above")
+            .orderBy("c_mktsegment", "rnk"))
+
+
+WINDOW_RANKS_ORACLE = """
+SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+       rnk, drnk, prnk, cdist, gap_above
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         CAST(rank() OVER w AS INT) AS rnk,
+         CAST(dense_rank() OVER w AS INT) AS drnk,
+         round(percent_rank() OVER w, 4) AS prnk,
+         round(cume_dist() OVER w, 4) AS cdist,
+         round(lag(c_acctbal, 1) OVER w - c_acctbal, 2) AS gap_above
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC))
+WHERE rnk <= 10
+ORDER BY c_mktsegment, rnk
+"""
+
+
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group: Pearson correlation and
+    sample covariance of quantity vs extended price, sample stddev,
+    and the exact median — all single-pass built-in aggregates (the
+    median swaps to percentile_approx's t-digest at 100 TB)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+                 .alias("qty_price_corr"),
+                 F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+                 .alias("qty_price_covar"),
+                 F.round(F.stddev_samp("l_extendedprice"), 2)
+                 .alias("price_stddev"),
+                 F.round(F.expr("percentile(l_quantity, 0.5)"), 2)
+                 .alias("qty_median"))
+            .orderBy("l_returnflag"))
+
+
+CORR_STATS_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 2)
+         AS qty_price_covar,
+       round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+       round(quantile_cont(l_quantity, 0.5), 2) AS qty_median
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "window_ranks": window_ranks,
+    "corr_stats": corr_stats,
     "grouping_sets_agg": grouping_sets_agg,
     "unpivot_melt": unpivot_melt,
     "q9_product_profit": q9_product_profit,
@@ -460,6 +534,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_ranks": WINDOW_RANKS_ORACLE,
+    "corr_stats": CORR_STATS_ORACLE,
     "grouping_sets_agg": GROUPING_SETS_ORACLE,
     "unpivot_melt": UNPIVOT_ORACLE,
     "q9_product_profit": Q9_ORACLE,

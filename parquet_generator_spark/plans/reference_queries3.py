@@ -250,10 +250,51 @@ GROUP BY key ORDER BY key ASC
 """
 
 
+def dsl_match_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`match` with `minimum_should_match: 2` (at least 2 of 3 query
+    tokens present — a sum of codegen rlike tests) combined with a
+    bool `should` requiring 2 of 3 heterogeneous clauses. Every leaf
+    stays null-safe, so the k-of-m count is never NULL-poisoned."""
+    docs = load_table(spark, "documents", sf_dir)
+    from parquet_generator_spark.operators.esdsl import search
+    return (search(docs, {
+        "query": {"bool": {
+            "must": [{"match": {"text": {
+                "query": "spark window merge",
+                "minimum_should_match": 2}}}],
+            "should": [
+                {"term": {"lang": "en"}},
+                {"prefix": {"source": {"value": "src1"}}},
+                {"range": {"n_chars": {"gte": 200}}},
+            ],
+            "minimum_should_match": 2,
+        }},
+    }).select("doc_id", "lang", "source", "n_chars").orderBy("doc_id"))
+
+
+def _tok_re(t: str) -> str:
+    return f"(^|[^a-z0-9]){t}([^a-z0-9]|$)"
+
+
+DSL_MATCH_MSM_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (CAST(regexp_matches(lower(text), '{_tok_re("spark")}') AS INT)
+       + CAST(regexp_matches(lower(text), '{_tok_re("window")}') AS INT)
+       + CAST(regexp_matches(lower(text), '{_tok_re("merge")}') AS INT))
+      >= 2
+  AND (CAST((lang IS NOT NULL AND lang = 'en') AS INT)
+       + CAST((source IS NOT NULL AND source LIKE 'src1%') AS INT)
+       + CAST((n_chars IS NOT NULL AND n_chars >= 200) AS INT)) >= 2
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dsl_derivative": dsl_derivative,
     "dsl_date_histogram_zerofill": dsl_date_histogram_zerofill,
     "dsl_histogram": dsl_histogram,
+    "dsl_match_msm": dsl_match_msm,
     "dsl_moving_avg": dsl_moving_avg,
     "dsl_bucket_script_selector": dsl_bucket_script_selector,
     "dsl_bucket_sort": dsl_bucket_sort,
@@ -264,6 +305,7 @@ ORACLES = {
     "dsl_derivative": DSL_DERIVATIVE_ORACLE,
     "dsl_date_histogram_zerofill": DSL_ZEROFILL_ORACLE,
     "dsl_histogram": DSL_HISTOGRAM_ORACLE,
+    "dsl_match_msm": DSL_MATCH_MSM_ORACLE,
     "dsl_moving_avg": DSL_MOVING_AVG_ORACLE,
     "dsl_bucket_script_selector": DSL_BUCKET_SCRIPT_ORACLE,
     "dsl_bucket_sort": DSL_BUCKET_SORT_ORACLE,
