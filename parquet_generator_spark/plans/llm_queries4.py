@@ -35,30 +35,36 @@ GOPHER_WLEN_HI = 5.0
 def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition/quality profile with a keep flag.
 
-    Word stats ride one explode -> groupBy(doc_id, word) (map-side
-    combine collapses token counts before the shuffle); bigrams are
-    built array-side with a transform-over-sequence (no window sort),
-    then the same grouped pass. The two doc-level profiles join on
-    doc_id. All ratios are exact integer-count divisions, so they are
-    bit-identical across engines."""
+    ONE scan, ONE explode, two grouped passes: unigrams and bigrams
+    (built array-side with a transform-over-sequence — no window
+    sort) are tagged and unioned into a single exploded term list, so
+    the text column is read once; groupBy(doc_id, kind, term) with
+    map-side combine collapses token counts before the shuffle, and
+    conditional aggregates split the two profiles back apart at doc
+    granularity. All ratios are exact integer-count divisions, so
+    they are bit-identical across engines."""
     docs = (load_table(spark, "documents", sf_dir)
             .select("doc_id", F.split("text", " ").alias("a")))
-    words = docs.select("doc_id", F.explode("a").alias("word"))
-    wstats = (words.groupBy("doc_id", "word").count()
-              .groupBy("doc_id")
-              .agg(F.sum("count").alias("n_words"),
-                   F.count(F.lit(1)).alias("n_distinct"),
-                   F.max("count").alias("max_wc"),
-                   (F.sum(F.col("count") * F.length("word"))
-                    / F.sum("count")).alias("mean_wlen")))
-    bigrams = docs.select("doc_id", F.explode(F.expr(
-        "transform(sequence(1, size(a) - 1), "
-        "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
-        .alias("bg"))
-    bstats = (bigrams.groupBy("doc_id", "bg").count()
-              .groupBy("doc_id")
-              .agg(F.sum("count").alias("n_bg"),
-                   F.max("count").alias("max_bg")))
+    # kind 'w' = unigram, 'b' = bigram, tagged structs in one array
+    terms = docs.select("doc_id", F.explode(F.expr(
+        "concat("
+        "  transform(a, w -> struct('w' AS kind, w AS term)),"
+        "  transform(sequence(1, size(a) - 1),"
+        "    i -> struct('b' AS kind,"
+        "                concat(element_at(a, i), ' ',"
+        "                       element_at(a, i + 1)) AS term)))"))
+        .alias("t")).select("doc_id", "t.kind", "t.term")
+    is_w = F.col("kind") == "w"
+    stats = (terms.groupBy("doc_id", "kind", "term").count()
+             .groupBy("doc_id")
+             .agg(F.sum(F.when(is_w, F.col("count"))).alias("n_words"),
+                  F.count(F.when(is_w, 1)).alias("n_distinct"),
+                  F.max(F.when(is_w, F.col("count"))).alias("max_wc"),
+                  (F.sum(F.when(is_w, F.col("count") * F.length("term")))
+                   / F.sum(F.when(is_w, F.col("count"))))
+                  .alias("mean_wlen"),
+                  F.sum(F.when(~is_w, F.col("count"))).alias("n_bg"),
+                  F.max(F.when(~is_w, F.col("count"))).alias("max_bg")))
     ttr = F.col("n_distinct") / F.col("n_words")
     top_word = F.col("max_wc") / F.col("n_words")
     top_bigram = F.col("max_bg") / F.col("n_bg")
@@ -67,7 +73,7 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (top_word <= GOPHER_TOP_WORD_MAX)
             & (top_bigram <= GOPHER_TOP_BIGRAM_MAX)
             & F.col("mean_wlen").between(GOPHER_WLEN_LO, GOPHER_WLEN_HI))
-    return (wstats.join(bstats, "doc_id")
+    return (stats
             .select("doc_id", "n_words", "n_distinct",
                     F.round(ttr, 4).alias("ttr"),
                     F.round(top_word, 4).alias("top_word_frac"),
@@ -119,25 +125,32 @@ FUNNEL = ("view", "click", "purchase")
 def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel: users who viewed, then clicked
     AFTER their first view, then purchased AFTER that first qualifying
-    click. Each stage is a user-cardinality aggregate joined to the
-    (filtered) events of the next stage — three shuffles on user_id,
-    every intermediate already collapsed to one row per user."""
+    click.
+
+    ONE scan and ONE shuffle: per user, collect the first view time
+    plus the (per-user-bounded) click/purchase timestamp lists, then
+    resolve the stage chain with array filter + array_min — no
+    per-stage re-scan or join. If per-user event counts were
+    unbounded, the staged aggregate-join formulation would replace
+    the collect_list."""
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", "event_type", "ts")
-
-    def first_after(prev: DataFrame, etype: str) -> DataFrame:
-        e = ev.filter(F.col("event_type") == etype)
-        if prev is not None:
-            e = (e.join(prev, "user_id")
-                 .filter(F.col("ts") > F.col("t")).drop("t"))
-        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
-
-    v = first_after(None, FUNNEL[0])
-    c = first_after(v, FUNNEL[1])
-    p = first_after(c, FUNNEL[2])
-    return (v.agg(F.count(F.lit(1)).alias("n_view"))
-            .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
-            .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase"))))
+    per_user = (ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == FUNNEL[0],
+                     F.col("ts"))).alias("t_view"),
+        F.collect_list(F.when(F.col("event_type") == FUNNEL[1],
+                              F.col("ts"))).alias("clicks"),
+        F.collect_list(F.when(F.col("event_type") == FUNNEL[2],
+                              F.col("ts"))).alias("purchases")))
+    staged = (per_user
+              .withColumn("t_click", F.expr(
+                  "array_min(filter(clicks, c -> c > t_view))"))
+              .withColumn("t_purchase", F.expr(
+                  "array_min(filter(purchases, p -> p > t_click))")))
+    return staged.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"))
 
 
 FUNNEL_ORACLE = f"""
