@@ -81,6 +81,7 @@ HEADLINE = [
     "dsl_avg_bucket",
     "dsl_date_histogram_zerofill",
     "dsl_match_msm",
+    "dsl_terms_order_metric",
     "stream_static_enrich",
     # training-data pipeline
     "dedup_exact",
@@ -142,10 +143,12 @@ def main() -> None:
         qs[wq](spark, warmup_dir).collect()
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         n = len(qs[name](spark, sf_dir).collect())
         timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -154,6 +157,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "rows": rows,
         "sf": sf,
     }))
     spark.stop()

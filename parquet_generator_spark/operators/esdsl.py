@@ -558,8 +558,19 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             return _nested_terms(filtered, abody, inner[1])
         grouped = (filtered.groupBy(key)
                    .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
-        grouped = (grouped.orderBy(F.desc("doc_count"), F.asc("key"))
-                   .limit(size))
+        # ES bucket order: default doc_count desc; "order" overrides
+        # with _count / _key / a sub-metric name — all of which are
+        # columns of the (small, post-agg) bucket frame
+        order = abody.get("order")
+        if order:
+            (okey, odir), = order.items()
+            ocol = F.col({"_count": "doc_count", "_key": "key"}
+                         .get(okey, okey))
+            first = ocol.desc() if odir == "desc" else ocol.asc()
+            grouped = grouped.orderBy(first, F.asc("key")).limit(size)
+        else:
+            grouped = (grouped.orderBy(F.desc("doc_count"), F.asc("key"))
+                       .limit(size))
         if sub_pipes:
             grouped = _apply_pipelines(grouped, sub_pipes, serial_ok=False)
         return grouped

@@ -97,7 +97,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = (li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"),
                   "left_semi")
           .groupBy(F.col("l_partkey").alias("partkey"))
-          .agg(F.sum(_rev()).alias("raw_value")))
+          .agg(F.sum(_rev()).alias("raw_value"))
+          # part-cardinality; materialize once so the scalar threshold
+          # doesn't re-run the whole lineitem scan + aggregate
+          .localCheckpoint())
     thresh = pv.agg((Q11_FACTOR * F.avg("raw_value")).alias("thresh"))
     return (pv.crossJoin(F.broadcast(thresh))
             .filter(F.col("raw_value") > F.col("thresh"))

@@ -290,11 +290,37 @@ ORDER BY doc_id
 """
 
 
+def dsl_terms_order_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms buckets ordered by a sub-metric (ES `"order":
+    {"avg_value": "desc"}`) instead of doc_count — the ordering is a
+    sort of the post-agg bucket frame, not a second scan."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"match_all": {}},
+        "aggs": {"by_type": {
+            "terms": {"field": "event_type", "size": 3,
+                      "order": {"avg_value": "desc"}},
+            "aggs": {"avg_value": {"avg": {"field": "value"}}},
+        }},
+    })
+
+
+DSL_TERMS_ORDER_ORACLE = """
+SELECT event_type AS key, count(*) AS doc_count,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY key
+ORDER BY avg_value DESC, key ASC
+LIMIT 3
+"""
+
+
 QUERIES = {
     "dsl_derivative": dsl_derivative,
     "dsl_date_histogram_zerofill": dsl_date_histogram_zerofill,
     "dsl_histogram": dsl_histogram,
     "dsl_match_msm": dsl_match_msm,
+    "dsl_terms_order_metric": dsl_terms_order_metric,
     "dsl_moving_avg": dsl_moving_avg,
     "dsl_bucket_script_selector": dsl_bucket_script_selector,
     "dsl_bucket_sort": dsl_bucket_sort,
@@ -306,6 +332,7 @@ ORACLES = {
     "dsl_date_histogram_zerofill": DSL_ZEROFILL_ORACLE,
     "dsl_histogram": DSL_HISTOGRAM_ORACLE,
     "dsl_match_msm": DSL_MATCH_MSM_ORACLE,
+    "dsl_terms_order_metric": DSL_TERMS_ORDER_ORACLE,
     "dsl_moving_avg": DSL_MOVING_AVG_ORACLE,
     "dsl_bucket_script_selector": DSL_BUCKET_SCRIPT_ORACLE,
     "dsl_bucket_sort": DSL_BUCKET_SORT_ORACLE,
