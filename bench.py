@@ -82,6 +82,7 @@ HEADLINE = [
     "dsl_date_histogram_zerofill",
     "dsl_match_msm",
     "dsl_terms_order_metric",
+    "dsl_multi_match",
     "stream_static_enrich",
     # training-data pipeline
     "dedup_exact",

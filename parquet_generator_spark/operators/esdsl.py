@@ -150,6 +150,14 @@ def translate_query(q: dict | None) -> Column:
     if kind == "match_phrase":
         field, val = _field_value(body, "query")
         return F.col(field).isNotNull() & match_phrase(field, val)
+    if kind == "multi_match":
+        # same analyzed-token match ORed across several fields
+        val = body["query"]
+        fields = body["fields"]
+        acc = F.lit(False)
+        for f in fields:
+            acc = acc | (F.col(f).isNotNull() & match_any(f, val))
+        return acc
     if kind == "ids":
         return F.col("_id").isNotNull() & F.col("_id").isin(list(body["values"]))
     if kind == "bool":

@@ -315,7 +315,30 @@ LIMIT 3
 """
 
 
+def dsl_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`multi_match`: one analyzed query ORed across fields (here
+    text and source) — N codegen rlike tests, no extra scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (search(docs, {
+        "query": {"multi_match": {"query": "src1 vector",
+                                  "fields": ["text", "source"]}},
+    }).select("doc_id", "source").orderBy("doc_id"))
+
+
+DSL_MULTI_MATCH_ORACLE = """
+SELECT doc_id, source FROM documents
+WHERE (text IS NOT NULL AND
+       regexp_matches(lower(text),
+         '(^|[^a-z0-9])(src1|vector)([^a-z0-9]|$)'))
+   OR (source IS NOT NULL AND
+       regexp_matches(lower(source),
+         '(^|[^a-z0-9])(src1|vector)([^a-z0-9]|$)'))
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dsl_multi_match": dsl_multi_match,
     "dsl_derivative": dsl_derivative,
     "dsl_date_histogram_zerofill": dsl_date_histogram_zerofill,
     "dsl_histogram": dsl_histogram,
@@ -328,6 +351,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dsl_multi_match": DSL_MULTI_MATCH_ORACLE,
     "dsl_derivative": DSL_DERIVATIVE_ORACLE,
     "dsl_date_histogram_zerofill": DSL_ZEROFILL_ORACLE,
     "dsl_histogram": DSL_HISTOGRAM_ORACLE,

@@ -123,3 +123,33 @@ def test_filters_buckets_single_scan(spark):
     # overlap-safe bucket explode must not re-scan per bucket
     # (each scan appears once as a numbered detail header)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_gopher_quality_single_scan(spark):
+    plan = formatted_plan(spark, "gopher_quality")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_funnel_stages_single_scan(spark):
+    plan = formatted_plan(spark, "funnel_stages")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_q9_like_filter_pushed_and_dims_broadcast(spark):
+    plan = formatted_plan(spark, "q9_product_profit")
+    assert "StringContains(p_name,red)" in pushed_filters(plan)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q11_threshold_does_not_rescan_lineitem(spark):
+    # pv is checkpointed: the scalar threshold must not re-run the
+    # lineitem scan, so at most one parquet scan survives in the plan
+    plan = formatted_plan(spark, "q11_important_parts")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1
+
+
+def test_stream_stream_join_interval_bounds_in_condition(spark):
+    plan = formatted_plan(spark, "stream_stream_join")
+    # the time-interval predicates ride the join, not a post-filter
+    assert re.search(r"Join.*c_ts.*v_ts", plan) or "10 minutes" in plan
