@@ -112,6 +112,7 @@ HEADLINE = [
     "cohort_retention",
     "knn_classify",
     "stratified_sample",
+    "corpus_prep_pipeline",
     "grouping_sets_agg",
     "unpivot_melt",
     "window_ranks",

@@ -83,8 +83,8 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-GOPHER_ORACLE = f"""
-WITH w AS (
+GOPHER_CTES = f"""
+w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
 wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
 ws AS (
@@ -100,17 +100,22 @@ bg AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS b FROM bi),
 bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
 bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
               CAST(max(c) AS BIGINT) AS max_bg
-       FROM bc GROUP BY 1)
+       FROM bc GROUP BY 1)"""
+
+GOPHER_KEEP_PRED = f"""(n_words >= {GOPHER_MIN_WORDS}
+        AND n_distinct / n_words >= {GOPHER_TTR_MIN}
+        AND max_wc / n_words <= {GOPHER_TOP_WORD_MAX}
+        AND max_bg / n_bg <= {GOPHER_TOP_BIGRAM_MAX}
+        AND wlen_sum / n_words BETWEEN {GOPHER_WLEN_LO} AND {GOPHER_WLEN_HI})"""
+
+GOPHER_ORACLE = f"""
+WITH {GOPHER_CTES}
 SELECT ws.doc_id, n_words, n_distinct,
        round(n_distinct / n_words, 4) AS ttr,
        round(max_wc / n_words, 4) AS top_word_frac,
        round(max_bg / n_bg, 4) AS top_bigram_frac,
        round(wlen_sum / n_words, 4) AS mean_wlen,
-       (n_words >= {GOPHER_MIN_WORDS}
-        AND n_distinct / n_words >= {GOPHER_TTR_MIN}
-        AND max_wc / n_words <= {GOPHER_TOP_WORD_MAX}
-        AND max_bg / n_bg <= {GOPHER_TOP_BIGRAM_MAX}
-        AND wlen_sum / n_words BETWEEN {GOPHER_WLEN_LO} AND {GOPHER_WLEN_HI})
+       {GOPHER_KEEP_PRED}
          AS keep
 FROM ws JOIN bs ON ws.doc_id = bs.doc_id
 ORDER BY ws.doc_id
@@ -307,7 +312,103 @@ ORDER BY source, rk
 """
 
 
+# ----------------------------------------------- corpus_prep_pipeline
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation, composed from the
+    individually-oracle-checked stages: Gopher quality keep + exact
+    dedup (canonical copy only) + benchmark decontamination (drop any
+    doc sharing a 5-shingle with the held-out source, and the
+    held-out source itself) + deterministic hash split — reporting
+    docs and whitespace tokens per (split, source).
+
+    Each stage reduces to a doc-id set, so the composition is three
+    semi/anti joins on the corpus scan plus one aggregate. In
+    production the stage outputs are staged tables (computed once,
+    reused); here they recompute from the shared scan, which AQE
+    handles at test scale."""
+    from parquet_generator_spark.operators import dedup as dedup_ops
+    from parquet_generator_spark.plans.llm_queries3 import (
+        BENCH_SOURCE,
+        decontaminate,
+    )
+    from parquet_generator_spark.plans.pipeline_queries import (
+        SPLIT_BUCKETS,
+        _bucket_spark,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    quality_keep = (gopher_quality(spark, sf_dir)
+                    .filter(F.col("keep")).select("doc_id"))
+    canonical = (dedup_ops.exact_dedup_groups(docs, "doc_id", "text")
+                 .select(F.col("keep_id").alias("doc_id")))
+    contaminated = (decontaminate(spark, sf_dir)
+                    .filter(F.col("n_shared") >= 1).select("doc_id"))
+    b = _bucket_spark("doc_id")
+    split = (F.when(b < SPLIT_BUCKETS[0], "train")
+             .when(b < SPLIT_BUCKETS[1], "val")
+             .otherwise("test"))
+    final = (docs.filter(F.col("source") != BENCH_SOURCE)
+             .join(quality_keep, "doc_id", "left_semi")
+             .join(canonical, "doc_id", "left_semi")
+             .join(contaminated, "doc_id", "left_anti")
+             .withColumn("split", split))
+    return (final.groupBy("split", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+            .orderBy("split", "source"))
+
+
+def _corpus_prep_oracle() -> str:
+    from parquet_generator_spark.operators.text import shingles_duck
+    from parquet_generator_spark.plans.llm_queries3 import (
+        BENCH_SOURCE,
+        DECON_K,
+    )
+    from parquet_generator_spark.plans.pipeline_queries import (
+        SPLIT_BUCKETS,
+    )
+    bucket = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),"
+              " 1, 8)) AS BIGINT) % 100")
+    return f"""
+WITH {GOPHER_CTES},
+keepq AS (
+  SELECT ws.doc_id FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+  WHERE {GOPHER_KEEP_PRED}),
+canonical AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+sh AS (
+  SELECT doc_id, source, {shingles_duck('text', DECON_K)} AS shs
+  FROM documents),
+bench AS (
+  SELECT DISTINCT unnest(shs) AS s FROM sh
+  WHERE source = '{BENCH_SOURCE}'),
+corpus AS (
+  SELECT doc_id, unnest(shs) AS s FROM sh
+  WHERE source <> '{BENCH_SOURCE}'),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM corpus JOIN bench USING (s)),
+final AS (
+  SELECT doc_id, source, text,
+         CASE WHEN {bucket} < {SPLIT_BUCKETS[0]} THEN 'train'
+              WHEN {bucket} < {SPLIT_BUCKETS[1]} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+  WHERE source <> '{BENCH_SOURCE}'
+    AND doc_id IN (SELECT doc_id FROM keepq)
+    AND doc_id IN (SELECT doc_id FROM canonical)
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM final GROUP BY split, source ORDER BY split, source
+"""
+
+
+CORPUS_PREP_ORACLE = _corpus_prep_oracle()
+
+
 QUERIES = {
+    "corpus_prep_pipeline": corpus_prep_pipeline,
     "knn_classify": knn_classify,
     "stratified_sample": stratified_sample,
     "gopher_quality": gopher_quality,
@@ -316,6 +417,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_prep_pipeline": CORPUS_PREP_ORACLE,
     "knn_classify": KNN_ORACLE,
     "stratified_sample": STRATIFIED_ORACLE,
     "gopher_quality": GOPHER_ORACLE,
