@@ -83,6 +83,8 @@ HEADLINE = [
     "dsl_match_msm",
     "dsl_terms_order_metric",
     "dsl_multi_match",
+    "dsl_global_agg",
+    "json_props_agg",
     "stream_static_enrich",
     # training-data pipeline
     "dedup_exact",

@@ -150,6 +150,10 @@ def translate_query(q: dict | None) -> Column:
     if kind == "match_phrase":
         field, val = _field_value(body, "query")
         return F.col(field).isNotNull() & match_phrase(field, val)
+    if kind == "regexp":
+        field, val = _field_value(body, "value")
+        # ES regexp anchors the whole term; Java regex on our side
+        return F.col(field).isNotNull() & F.col(field).rlike(f"^(?:{val})$")
     if kind == "multi_match":
         # same analyzed-token match ORed across several fields
         val = body["query"]
@@ -426,6 +430,28 @@ def search(df: DataFrame, body: dict) -> DataFrame:
     if not aggs:
         size = body.get("size")
         return filtered.limit(size) if size is not None else filtered
+
+    # global bucket agg: metrics over ALL docs, ignoring the query —
+    # a second one-row aggregate on the unfiltered frame, cross-joined
+    # (both sides are single rows) with any filtered sibling metrics
+    globals_ = {n: s for n, s in aggs.items() if "global" in s}
+    if globals_:
+        others = {n: s for n, s in aggs.items() if n not in globals_}
+        out = None
+        if others:
+            if not all(_is_metric(s) for s in others.values()):
+                raise ValueError(
+                    "global agg composes with sibling metrics only")
+            cols = [c for n, s in others.items()
+                    for c in _metric_cols(n, s)]
+            out = filtered.agg(*cols)
+        for n, s in globals_.items():
+            gcols = [c for m, ms in s.get("aggs", {}).items()
+                     for c in _metric_cols(f"{n}_{m}", ms)]
+            gdf = df.agg(F.count(F.lit(1)).alias(f"{n}_doc_count"),
+                         *gcols)
+            out = gdf if out is None else out.crossJoin(F.broadcast(gdf))
+        return out
 
     if all(_is_metric(s) for s in aggs.values()):
         cols = [c for n, s in aggs.items() for c in _metric_cols(n, s)]

@@ -54,13 +54,20 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     ``queries`` is expected to be small (it is broadcast); the corpus
     is scanned once. Ties broken by neighbor id for determinism.
     """
+    # norms are per-ROW, not per-pair: compute them once on each side
+    # before the join (corpus norm would otherwise be re-evaluated
+    # once per query — a |Q|x blowup of the aggregate expression)
     q = queries.select(F.col(id_col).alias("qid"),
-                       F.col(vec_col).alias("qvec"))
+                       F.col(vec_col).alias("qvec"),
+                       norm(vec_col).alias("qn"))
     c = corpus.select(F.col(id_col).alias("nid"),
-                      F.col(vec_col).alias("nvec"))
+                      F.col(vec_col).alias("nvec"),
+                      norm(vec_col).alias("nn"))
     scored = (c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
               .select("qid", "nid",
-                      F.round(cosine("qvec", "nvec"), 4).alias("cos")))
+                      F.round(dot("qvec", "nvec")
+                              / (F.col("qn") * F.col("nn")), 4)
+                      .alias("cos")))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -123,14 +130,18 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
     bucket = lsh_bucket(vec_col, planes)
     c = corpus.select(F.col(id_col).alias("nid"),
                       F.col(vec_col).alias("nvec"),
+                      norm(vec_col).alias("nn"),
                       bucket.alias("bucket"))
     q = queries.select(F.col(id_col).alias("qid"),
                        F.col(vec_col).alias("qvec"),
+                       norm(vec_col).alias("qn"),
                        bucket.alias("bucket"))
     scored = (c.join(F.broadcast(q), "bucket")
               .filter(F.col("qid") != F.col("nid"))
               .select("qid", "nid",
-                      F.round(cosine("qvec", "nvec"), 4).alias("cos")))
+                      F.round(dot("qvec", "nvec")
+                              / (F.col("qn") * F.col("nn")), 4)
+                      .alias("cos")))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -190,14 +201,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     a plain equi-join => shuffle on the cell id, skew-splittable."""
     c = (ivf_assign_cells(corpus, centroids, 1, id_col, vec_col)
          .select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
-                 "cell"))
+                 norm(vec_col).alias("nn"), "cell"))
     q = (ivf_assign_cells(queries, centroids, n_probe, id_col, vec_col)
          .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
-                 "cell"))
+                 norm(vec_col).alias("qn"), "cell"))
     scored = (c.join(F.broadcast(q), "cell")
               .filter(F.col("qid") != F.col("nid"))
               .select("qid", "nid",
-                      F.round(cosine("qvec", "nvec"), 4).alias("cos"))
+                      F.round(dot("qvec", "nvec")
+                              / (F.col("qn") * F.col("nn")), 4)
+                      .alias("cos"))
               .dropDuplicates(["qid", "nid"]))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -156,6 +156,7 @@ def dsl_exists_prefix_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query": {"bool": {"must": [
             {"prefix": {"source": {"value": "src1"}}},
             {"wildcard": {"lang": {"value": "e?"}}},
+            {"regexp": {"source": {"value": "src1[0-9]?"}}},
             {"exists": {"field": "text"}},
         ]}},
     }).select("doc_id", "lang", "source").orderBy("doc_id"))
@@ -165,6 +166,7 @@ DSL_EPW_ORACLE = """
 SELECT doc_id, lang, source FROM documents
 WHERE source LIKE 'src1%'
   AND regexp_matches(lang, '^e.$')
+  AND regexp_matches(source, '^(?:src1[0-9]?)$')
   AND text IS NOT NULL
 ORDER BY doc_id
 """

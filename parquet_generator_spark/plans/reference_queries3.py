@@ -14,6 +14,7 @@ parent aggregation already does.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators.esdsl import search
 from parquet_generator_spark.sources.catalog import load_table
@@ -337,7 +338,60 @@ ORDER BY doc_id
 """
 
 
+def dsl_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`global` bucket agg: filtered metrics (purchase average) next
+    to corpus-wide metrics in one response — two one-row aggregates
+    cross-joined, each a single pass."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {
+            "purch_avg": {"avg": {"field": "value"}},
+            "all_docs": {"global": {},
+                         "aggs": {"avg_value": {"avg":
+                                                {"field": "value"}}}},
+        },
+    })
+
+
+DSL_GLOBAL_ORACLE = """
+SELECT (SELECT round(avg(value), 4) FROM events
+        WHERE event_type = 'purchase') AS purch_avg,
+       (SELECT count(*) FROM events) AS all_docs_doc_count,
+       (SELECT round(avg(value), 4) FROM events) AS all_docs_avg_value
+"""
+
+
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation: extract a field from the JSON
+    props column (the reference's lenient-decode target) and
+    aggregate it per event type — the extraction is a JVM-side JSON
+    path, no UDF, evaluated inside the single grouped pass."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.round(F.avg("k"), 4).alias("avg_k"),
+                 F.max("k").alias("max_k"),
+                 F.count("k").alias("n_with_k"))
+            .orderBy("event_type"))
+
+
+JSON_PROPS_ORACLE = """
+SELECT event_type,
+       round(avg(k), 4) AS avg_k,
+       max(k) AS max_k,
+       count(k) AS n_with_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "dsl_global_agg": dsl_global_agg,
+    "json_props_agg": json_props_agg,
     "dsl_multi_match": dsl_multi_match,
     "dsl_derivative": dsl_derivative,
     "dsl_date_histogram_zerofill": dsl_date_histogram_zerofill,
@@ -351,6 +405,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dsl_global_agg": DSL_GLOBAL_ORACLE,
+    "json_props_agg": JSON_PROPS_ORACLE,
     "dsl_multi_match": DSL_MULTI_MATCH_ORACLE,
     "dsl_derivative": DSL_DERIVATIVE_ORACLE,
     "dsl_date_histogram_zerofill": DSL_ZEROFILL_ORACLE,
