@@ -43,7 +43,8 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregates split the two profiles back apart at doc
     granularity. All ratios are exact integer-count divisions, so
     they are bit-identical across engines."""
-    docs = (load_table(spark, "documents", sf_dir)
+    from parquet_generator_spark.operators.util import widen_if_narrow
+    docs = (widen_if_narrow(load_table(spark, "documents", sf_dir))
             .select("doc_id", F.split("text", " ").alias("a")))
     # kind 'w' = unigram, 'b' = bigram, tagged structs in one array
     terms = docs.select("doc_id", F.explode(F.expr(
