@@ -119,6 +119,7 @@ HEADLINE = [
     "unpivot_melt",
     "window_ranks",
     "corr_stats",
+    "forward_fill",
     "dsl_histogram",
     "stream_stream_join",
     # streaming (batch-equivalent forms)

@@ -521,7 +521,41 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# --------------------------------------------------- forward fill
+
+
+def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series imputation: treat error readings as missing and
+    forward-fill each user's value from their last good event —
+    last(ignorenulls) over an unbounded-preceding window, one shuffle
+    on the entity key, one sorted pass."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.asc("ts"), F.asc("event_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    return (ev.withColumn("filled",
+                          F.round(F.last(good, ignorenulls=True).over(w), 2))
+            .select("event_id", "user_id", "event_type",
+                    F.round("value", 2).alias("value"), "filled")
+            .orderBy("event_id"))
+
+
+FORWARD_FILL_ORACLE = """
+SELECT event_id, user_id, event_type, round(value, 2) AS value,
+       round(last_value(CASE WHEN event_type <> 'error' THEN value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             2) AS filled
+FROM events
+ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "forward_fill": forward_fill,
     "window_ranks": window_ranks,
     "corr_stats": corr_stats,
     "grouping_sets_agg": grouping_sets_agg,
@@ -537,6 +571,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "forward_fill": FORWARD_FILL_ORACLE,
     "window_ranks": WINDOW_RANKS_ORACLE,
     "corr_stats": CORR_STATS_ORACLE,
     "grouping_sets_agg": GROUPING_SETS_ORACLE,
