@@ -149,22 +149,32 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        n = len(qs[name](spark, sf_dir).collect())
+        try:
+            n = len(qs[name](spark, sf_dir).collect())
+        except Exception as exc:  # one bad query must not kill the run
+            timings[name] = round(time.perf_counter() - t0, 3)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         rows[name] = n
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "rows": rows,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
