@@ -336,10 +336,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     finished multi-supplier order ("late" = shipped > N days after
     order date; the schema has no commit/receipt dates). The
     original's EXISTS (another supplier) + NOT EXISTS (another late
-    supplier) pair collapses into one per-order aggregate: distinct
-    supplier count, distinct late-supplier count, and the late
-    supplier id — one shuffle on orderkey instead of two correlated
-    self-joins of lineitem."""
+    supplier) pair collapses into per-order aggregates — and the two
+    COUNT(DISTINCT)s run as a TWO-LEVEL aggregate (per (order,
+    supplier) flags first, then per order) instead of Catalyst's
+    EXPAND plan, which would triple the shuffled rows."""
     li = load_table(spark, "lineitem", sf_dir)
     orders = (load_table(spark, "orders", sf_dir)
               .filter(F.col("o_orderstatus") == "F")
@@ -347,14 +347,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, "supplier", sf_dir)
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {Q21_LATE_DAYS} DAYS")
-    per_order = (
+    per_pair = (
         li.select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-             F.countDistinct(F.when(late, F.col("l_suppkey")))
-             .alias("n_late_supp"),
-             F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp")))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late_any")))
+    per_order = (
+        per_pair.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"),
+             F.sum(F.col("late_any").cast("long")).alias("n_late_supp"),
+             F.max(F.when(F.col("late_any"), F.col("l_suppkey")))
+             .alias("late_supp")))
     return (per_order
             .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
             .groupBy("late_supp")
