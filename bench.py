@@ -85,6 +85,8 @@ HEADLINE = [
     "dsl_multi_match",
     "dsl_global_agg",
     "json_props_agg",
+    "dsl_date_range_agg",
+    "sql_interface",
     "stream_static_enrich",
     # training-data pipeline
     "dedup_exact",

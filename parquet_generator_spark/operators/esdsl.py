@@ -513,16 +513,22 @@ def search(df: DataFrame, body: dict) -> DataFrame:
         conds = [(name, translate_query(q)) for name, q in named.items()]
         return _exploded_buckets(filtered, conds, metric_cols)
 
-    if atype == "range":
+    if atype in ("range", "date_range"):
         col = F.col(abody["field"])
+
+        def bound(v):
+            # date_range bounds are date/timestamp strings
+            return (F.lit(v).cast("timestamp") if atype == "date_range"
+                    else F.lit(v))
+
         conds = []
         for r in abody["ranges"]:
             frm, to = r.get("from"), r.get("to")
             cond = F.lit(True)
             if frm is not None:
-                cond = cond & (col >= F.lit(frm))  # ES: from inclusive
+                cond = cond & (col >= bound(frm))  # ES: from inclusive
             if to is not None:
-                cond = cond & (col < F.lit(to))    # ES: to exclusive
+                cond = cond & (col < bound(to))    # ES: to exclusive
             key = r.get("key") or f"{'*' if frm is None else frm}-" \
                                   f"{'*' if to is None else to}"
             conds.append((key, cond))

@@ -557,7 +557,31 @@ ORDER BY event_id
 """
 
 
+# ------------------------------------------------- SQL front end
+
+
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end: register the table as a view and run the
+    EXACT ANSI text the DuckDB oracle runs (TPC-H Q1) through
+    spark.sql — dialect-neutral SQL is portable across both engines
+    verbatim, and Catalyst plans it identically to the DataFrame
+    build of q1_pricing_summary."""
+    from parquet_generator_spark.plans.analytics import Q1_ORACLE
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView(
+        "lineitem")
+    return spark.sql(Q1_ORACLE)
+
+
+def _sql_interface_oracle() -> str:
+    from parquet_generator_spark.plans.analytics import Q1_ORACLE
+    return Q1_ORACLE
+
+
+SQL_INTERFACE_ORACLE = _sql_interface_oracle()
+
+
 QUERIES = {
+    "sql_interface": sql_interface,
     "forward_fill": forward_fill,
     "window_ranks": window_ranks,
     "corr_stats": corr_stats,
@@ -574,6 +598,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_interface": SQL_INTERFACE_ORACLE,
     "forward_fill": FORWARD_FILL_ORACLE,
     "window_ranks": WINDOW_RANKS_ORACLE,
     "corr_stats": CORR_STATS_ORACLE,

@@ -389,7 +389,45 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def dsl_date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`date_range` bucket agg: named calendar windows (from-incl /
+    to-excl, possibly overlapping) with metric sub-aggs — the same
+    map-side bucket explode as `range`/`filters`, one shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"periods": {
+            "date_range": {"field": "ts", "ranges": [
+                {"key": "wk1", "to": "2024-01-08"},
+                {"key": "wk2", "from": "2024-01-08",
+                 "to": "2024-01-15"},
+                {"key": "rest", "from": "2024-01-15"},
+            ]},
+            "aggs": {"revenue": {"sum": {"field": "value"}}},
+        }},
+    })
+
+
+DSL_DATE_RANGE_ORACLE = """
+WITH f AS (SELECT * FROM events WHERE event_type = 'purchase'),
+b AS (
+  SELECT 'wk1' AS key, count(*) AS doc_count,
+         round(sum(value), 4) AS revenue
+  FROM f WHERE ts < TIMESTAMP '2024-01-08'
+  UNION ALL
+  SELECT 'wk2', count(*), round(sum(value), 4)
+  FROM f WHERE ts >= TIMESTAMP '2024-01-08'
+    AND ts < TIMESTAMP '2024-01-15'
+  UNION ALL
+  SELECT 'rest', count(*), round(sum(value), 4)
+  FROM f WHERE ts >= TIMESTAMP '2024-01-15')
+SELECT key, doc_count, revenue FROM b
+WHERE doc_count > 0 ORDER BY key
+"""
+
+
 QUERIES = {
+    "dsl_date_range_agg": dsl_date_range_agg,
     "dsl_global_agg": dsl_global_agg,
     "json_props_agg": json_props_agg,
     "dsl_multi_match": dsl_multi_match,
@@ -405,6 +443,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dsl_date_range_agg": DSL_DATE_RANGE_ORACLE,
     "dsl_global_agg": DSL_GLOBAL_ORACLE,
     "json_props_agg": JSON_PROPS_ORACLE,
     "dsl_multi_match": DSL_MULTI_MATCH_ORACLE,
