@@ -102,6 +102,7 @@ HEADLINE = [
     "quality_filter_pipeline",
     "train_test_split",
     "multimodal_frames",
+    "media_header_parse",
     "text_quality",
     "text_tokens",
     "text_langid",

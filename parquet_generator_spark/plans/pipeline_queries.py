@@ -137,7 +137,52 @@ FROM v
 """
 
 
+def media_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary parsing, no libraries: build valid PNG headers
+    (8-byte signature + IHDR chunk, dimensions derived from n_chars)
+    as a binary column, then parse width/height back OUT of the raw
+    bytes with substring+hex+conv — all JVM-side codegen, the exact
+    shape a metadata-extraction pass over 100 TB of real image
+    payloads takes (narrow map over the binary column, no shuffle).
+    The oracle recomputes the dimensions arithmetically, so a parser
+    bug (offset, endianness) hash-mismatches."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = (F.col("n_chars") % 1024 + 16).cast("int")
+    h = (F.col("n_chars") % 768 + 16).cast("int")
+
+    def be4(c):  # 4-byte big-endian binary from an int column
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),   # PNG signature
+        F.unhex(F.lit("0000000D")),           # IHDR length = 13
+        F.unhex(F.lit("49484452")),           # "IHDR"
+        be4(w), be4(h),
+        F.unhex(F.lit("0806000000")))         # bit depth/color/etc
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("payload"))
+    parsed_w = F.conv(F.hex(F.expr("substring(payload, 17, 4)")),
+                      16, 10).cast("int")
+    parsed_h = F.conv(F.hex(F.expr("substring(payload, 21, 4)")),
+                      16, 10).cast("int")
+    return (media.select("media_id",
+                         parsed_w.alias("width"),
+                         parsed_h.alias("height"),
+                         F.length("payload").alias("n_bytes"))
+            .orderBy("media_id"))
+
+
+MEDIA_HEADER_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(n_chars % 1024 + 16 AS INT) AS width,
+       CAST(n_chars % 768 + 16 AS INT) AS height,
+       29 AS n_bytes
+FROM documents ORDER BY media_id
+"""
+
+
 QUERIES = {
+    "media_header_parse": media_header_parse,
     "anti_join_inactive": anti_join_inactive,
     "train_test_split": train_test_split,
     "pivot_daily_revenue": pivot_daily_revenue,
@@ -145,6 +190,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "media_header_parse": MEDIA_HEADER_ORACLE,
     "anti_join_inactive": ANTI_JOIN_ORACLE,
     "train_test_split": TRAIN_TEST_SPLIT_ORACLE,
     "pivot_daily_revenue": PIVOT_ORACLE,
