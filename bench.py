@@ -59,12 +59,21 @@ HEADLINE = [
     "q17_small_quantity",
     "q20_bulk_suppliers",
     "q21_waiting_suppliers",
+    "set_ops",
     # reference ETL surface
     "terms_agg",
     "match_phrase_filter",
     "date_range_scan",
     "json_decode",
     # ES-DSL translation
+    "dsl_term",
+    "dsl_range",
+    "dsl_bool",
+    "dsl_nested_bool",
+    "dsl_exists_prefix_wildcard",
+    "dsl_filter_agg",
+    "dsl_range_agg",
+    "dsl_percentiles",
     "dsl_composite",
     "dsl_date_histogram",
     "dsl_stats",
@@ -103,6 +112,7 @@ HEADLINE = [
     "train_test_split",
     "multimodal_frames",
     "media_header_parse",
+    "multimodal_meta",
     "text_quality",
     "text_tokens",
     "text_langid",
