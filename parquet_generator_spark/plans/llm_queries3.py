@@ -217,9 +217,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     docs = load_table(spark, "documents", sf_dir)
-    cand = embedding_dup_pairs(emb, SEM_THRESHOLD)
-    sh = docs.select(F.col("doc_id"),
-                     F.expr(shingles_spark("text", 3)).alias("sh"))
+    # materialize the (small) candidate list, then shingle ONLY the
+    # docs that appear in a pair — without the semi-join both verify
+    # sides would re-tokenize the full corpus
+    cand = embedding_dup_pairs(emb, SEM_THRESHOLD).localCheckpoint()
+    cand_ids = (cand.select(F.col("id_a").alias("doc_id"))
+                .union(cand.select(F.col("id_b").alias("doc_id")))
+                .distinct())
+    sh = (docs.join(cand_ids, "doc_id", "left_semi")
+          .select(F.col("doc_id"),
+                  F.expr(shingles_spark("text", 3)).alias("sh"))
+          .localCheckpoint())
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
