@@ -139,3 +139,33 @@ def compact_dataset(spark: SparkSession, path: str,
     os.replace(staging, path)
     n_after, _ = dataset_file_stats(spark, path)
     return n_after
+
+
+def overwrite_partition(df: DataFrame, path: str,
+                        partition_col: str) -> None:
+    """Idempotent backfill: rewrite ONLY the partitions present in
+    ``df`` (dynamic partition overwrite), leaving every other
+    partition untouched — the correct re-run semantics for a failed
+    or corrected day. Static overwrite mode would drop the whole
+    dataset; this drops exactly the partitions being replaced, so a
+    daily backfill at 100 TB touches one day's files, not 100 TB."""
+    (df.write
+     .mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(partition_col)
+     .parquet(path))
+
+
+def write_with_bloom_filters(df: DataFrame, path: str,
+                             columns: list[str],
+                             ndv: int = 100_000) -> None:
+    """Write parquet with per-column bloom filters: point-lookup
+    predicates (key = X) on these columns can skip row groups whose
+    bloom filter proves absence — min/max stats can't help when the
+    key space is uniformly spread across files. ``ndv`` sizes the
+    filter (expected distinct values per row group)."""
+    w = df.write.mode("overwrite")
+    for c in columns:
+        w = (w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+             .option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)))
+    w.parquet(path)

@@ -110,3 +110,56 @@ def test_zorder_tightens_stats_on_both_columns(spark, tmp_path):
     after = spark.read.parquet(dst).agg(
         F.count(F.lit(1)), F.sum("x"), F.sum("y")).collect()[0]
     assert tuple(after) == tuple(before)
+
+
+def test_overwrite_partition_touches_only_its_days(spark, tmp_path):
+    from parquet_generator_spark.sinks.maintenance import (
+        overwrite_partition,
+    )
+
+    path = str(tmp_path / "daily")
+    base = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("d1", "d2", "d3") for i in range(10)],
+        "day string, k int, v double")
+    base.write.partitionBy("day").parquet(path)
+
+    # backfill day d2 only, with corrected (fewer, different) rows
+    fix = spark.createDataFrame(
+        [("d2", 99, -1.0)], "day string, k int, v double")
+    overwrite_partition(fix, path, "day")
+
+    out = spark.read.parquet(path)
+    per_day = {r["day"]: r["n"] for r in
+               out.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+    assert per_day == {"d1": 10, "d2": 1, "d3": 10}
+    assert out.filter("day = 'd2'").collect()[0]["k"] == 99
+
+
+def test_bloom_filter_written_to_parquet_file(spark, tmp_path):
+    # this pyarrow build doesn't expose bloom_filter_offset in column
+    # metadata, so verify physically: the bloom-filtered file must
+    # carry the filter's extra bytes (~ndv bits) vs a plain write of
+    # the identical data
+    import glob
+
+    from parquet_generator_spark.sinks.maintenance import (
+        write_with_bloom_filters,
+    )
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id AS k", "cast(id % 97 AS int) AS v").coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    df.write.parquet(plain)
+    write_with_bloom_filters(df, bloomed, ["k"], ndv=10_000)
+
+    def pq_bytes(d):
+        return sum(__import__("os").path.getsize(f)
+                   for f in glob.glob(d + "/*.parquet"))
+
+    extra = pq_bytes(bloomed) - pq_bytes(plain)
+    # a 10k-ndv bloom filter is several KiB; identical data otherwise
+    assert extra > 2048, f"expected bloom bytes, got delta {extra}"
+    # and the data still reads back identically
+    assert (spark.read.parquet(bloomed).orderBy("k").collect()
+            == spark.read.parquet(plain).orderBy("k").collect())
