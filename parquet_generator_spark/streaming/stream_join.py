@@ -18,11 +18,15 @@ ATTRIBUTION_WINDOW = "10 minutes"
 
 
 def view_click_pairs(views: DataFrame, clicks: DataFrame,
-                     watermark: str | None = None) -> DataFrame:
+                     watermark: str | None = None,
+                     how: str = "inner") -> DataFrame:
     """Pairs (user_id, v_ts, c_ts): each click joined to every view by
     the same user in the preceding ATTRIBUTION_WINDOW. With
     ``watermark`` set (streaming), both sides are watermarked and the
-    interval condition bounds the join state."""
+    interval condition bounds the join state. ``how='left_outer'``
+    also emits unconverted views (c_ts null) — in streaming these
+    flush only once the watermark passes the view's join interval,
+    which is exactly the state-expiry bound."""
     v = (views.filter(F.col("event_type") == "view")
          .select("user_id", F.col("ts").alias("v_ts")))
     c = (clicks.filter(F.col("event_type") == "click")
@@ -34,7 +38,8 @@ def view_click_pairs(views: DataFrame, clicks: DataFrame,
     return (v.join(c, (F.col("user_id") == F.col("c_user"))
                    & (F.col("c_ts") > F.col("v_ts"))
                    & (F.col("c_ts") <= F.col("v_ts")
-                      + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")))
+                      + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+                   how)
             .select("user_id", "v_ts", "c_ts"))
 
 

@@ -247,3 +247,38 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
 
     streamed = spark.sql("select * from ssjq").collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    from parquet_generator_spark.streaming.stream_join import (
+        view_click_pairs,
+    )
+
+    ev = load_table(spark, "events", SF)
+    batch = view_click_pairs(ev, ev, how="left_outer").collect()
+    n_unmatched = sum(1 for r in batch if r["c_ts"] is None)
+    assert n_unmatched > 0  # data must exercise the outer path
+
+    ev.repartition(2).write.parquet(str(tmp_path / "sslo_in"))
+    v_stream = (spark.readStream.schema(ev.schema)
+                .parquet(str(tmp_path / "sslo_in")))
+    c_stream = (spark.readStream.schema(ev.schema)
+                .parquet(str(tmp_path / "sslo_in")))
+    pairs = view_click_pairs(v_stream, c_stream, watermark="40 days",
+                             how="left_outer")
+    q = (pairs.writeStream.format("memory").queryName("ssloq")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    streamed = spark.sql("select * from ssloq").collect()
+    # matched pairs always emit; unmatched views flush only when the
+    # watermark passes their interval — availableNow's final no-data
+    # batch advances it past max(event time) - 40d, which here leaves
+    # them pending, so assert the inner subset matches batch exactly
+    # and no spurious unmatched row appears
+    s_inner = sorted(tuple(r) for r in streamed if r["c_ts"] is not None)
+    b_inner = sorted(tuple(r) for r in batch if r["c_ts"] is not None)
+    assert s_inner == b_inner
+    s_unmatched = {tuple(r) for r in streamed if r["c_ts"] is None}
+    b_unmatched = {tuple(r) for r in batch if r["c_ts"] is None}
+    assert s_unmatched <= b_unmatched
