@@ -128,6 +128,7 @@ HEADLINE = [
     "knn_classify",
     "stratified_sample",
     "corpus_prep_pipeline",
+    "embedding_group_stats",
     "grouping_sets_agg",
     "unpivot_melt",
     "window_ranks",

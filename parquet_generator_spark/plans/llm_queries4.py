@@ -408,7 +408,61 @@ FROM final GROUP BY split, source ORDER BY split, source
 CORPUS_PREP_ORACLE = _corpus_prep_oracle()
 
 
+# ---------------------------------------------- embedding_group_stats
+
+
+def embedding_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label second-moment statistics of the embedding cloud
+    (mean-vector norm, covariance trace = total variance) via
+    applyInPandas — the grouped-map Pandas UDF: each label's vectors
+    arrive as ONE Arrow batch and numpy does the matrix math. This is
+    the correct tool when per-group logic is genuinely matrix-shaped
+    (whitening, PCA, calibration); a group must fit in executor
+    memory, so giant groups get pre-chunked with a salt at scale."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mu = m.mean(axis=0)
+        return pd.DataFrame({
+            "label": [int(pdf["label"].iloc[0])],
+            "n": [len(m)],
+            "mean_norm": [float(np.sqrt((mu * mu).sum()))],
+            "var_trace": [float(m.var(axis=0).sum())],
+        })
+
+    out = emb.groupBy("label").applyInPandas(
+        stats, "label int, n long, mean_norm double, var_trace double")
+    return (out.select("label", "n",
+                       F.round("mean_norm", 4).alias("mean_norm"),
+                       F.round("var_trace", 4).alias("var_trace"))
+            .orderBy("label"))
+
+
+EMBEDDING_GROUP_STATS_ORACLE = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+di AS (SELECT label, v,
+              unnest(generate_series(1, len(v))) AS i
+       FROM e),
+dd AS (SELECT label, i, v[i] AS x FROM di),
+per_dim AS (SELECT label, i, avg(x) AS mu, var_pop(x) AS vp
+            FROM dd GROUP BY label, i),
+agg AS (SELECT label, round(sqrt(sum(mu * mu)), 4) AS mean_norm,
+               round(sum(vp), 4) AS var_trace
+        FROM per_dim GROUP BY label),
+cnt AS (SELECT label, count(*) AS n FROM e GROUP BY label)
+SELECT a.label, n, mean_norm, var_trace
+FROM agg a JOIN cnt USING (label)
+ORDER BY a.label
+"""
+
+
 QUERIES = {
+    "embedding_group_stats": embedding_group_stats,
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "knn_classify": knn_classify,
     "stratified_sample": stratified_sample,
@@ -418,6 +472,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_group_stats": EMBEDDING_GROUP_STATS_ORACLE,
     "corpus_prep_pipeline": CORPUS_PREP_ORACLE,
     "knn_classify": KNN_ORACLE,
     "stratified_sample": STRATIFIED_ORACLE,
