@@ -113,3 +113,82 @@ def running_purchase_totals(df: DataFrame) -> DataFrame:
                 stateStructType=_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("end_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _ts_us(series):
+    return series.astype("datetime64[us]").astype("int64")
+
+
+def _session_fn(key, pdfs, state):
+    import datetime as _dt
+
+    import pandas as pd
+
+    def emit(rows):
+        return pd.DataFrame({
+            "user_id": [key[0]] * len(rows),
+            "session_start": [
+                _dt.datetime.utcfromtimestamp(s / 1e6) for s, _, _ in rows],
+            "session_end": [
+                _dt.datetime.utcfromtimestamp(e / 1e6) for _, e, _ in rows],
+            "n_events": [n for _, _, n in rows]})
+
+    if state.hasTimedOut:
+        start_us, end_us, n = state.get
+        state.remove()
+        yield emit([(start_us, end_us, n)])
+        return
+
+    ts = sorted(int(t) for pdf in pdfs for t in _ts_us(pdf["ts"]))
+    gap_us = SESSION_GAP_MS * 1000
+    cur = state.get if state.exists else None  # (start, end, n)
+    closed = []
+    for t in ts:
+        if cur is None:
+            cur = (t, t, 1)
+        elif t - cur[1] <= gap_us:
+            cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        else:  # gap exceeded inside the data: close the old session
+            closed.append(cur)
+            cur = (t, t, 1)
+    state.update(cur)
+    # the open session also closes when the watermark passes
+    # last-event + gap; until then more events may extend it
+    state.setTimeoutTimestamp(cur[1] // 1000 + SESSION_GAP_MS)
+    yield emit(closed)
+
+
+def timeout_sessions(stream: DataFrame,
+                     watermark: str = "0 seconds") -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUT: a
+    user's session state expires (and the closed session is emitted)
+    only when the watermark passes last-event-time + gap — bounded
+    state with correct late-data handling, the semantics
+    dropDuplicates/session_window can't give a custom aggregate.
+    One open session per user lives in the state store; emission
+    happens exclusively on timeout."""
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_fn,
+                outputStructType=SESSION_OUTPUT_SCHEMA,
+                stateStructType=_SESSION_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

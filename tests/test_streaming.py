@@ -282,3 +282,56 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
     s_unmatched = {tuple(r) for r in streamed if r["c_ts"] is None}
     b_unmatched = {tuple(r) for r in batch if r["c_ts"] is None}
     assert s_unmatched <= b_unmatched
+
+
+def test_timeout_sessions_emit_on_watermark_expiry(spark, tmp_path):
+    import json as _json
+
+    from parquet_generator_spark.streaming.stateful import timeout_sessions
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    # user 1: two sessions separated by > 30 min; user 2: one session.
+    # Files arrive in time order so the watermark rises monotonically.
+    batches = [
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+         (2, "2024-01-01 10:05:00")],
+        [(1, "2024-01-01 12:00:00"),   # closes user 1's first session
+         (2, "2024-01-01 12:01:00")],  # closes user 2's only session
+        [(1, "2024-01-01 23:00:00"),   # closes user 1's second session
+         (2, "2024-01-01 23:00:01")],
+    ]
+    import os as _os
+    import time as _time
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        with open(p, "w") as fh:
+            for uid, ts in rows:
+                fh.write(_json.dumps({"user_id": uid, "ts": ts}) + "\n")
+        # the file source orders micro-batches by mtime; same-second
+        # writes tie and arrive out of order, so pin distinct mtimes
+        _os.utime(p, (now + i * 10, now + i * 10))
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = (timeout_sessions(stream)
+         .writeStream.format("memory").queryName("tosess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["user_id"], str(r["session_start"]), str(r["session_end"]),
+            r["n_events"])
+           for r in spark.sql("select * from tosess").collect()}
+    # sessions whose (end + 30 min) the final watermark passed; the
+    # 23:00 sessions stay open in state (no later watermark advance)
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
+        (2, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1),
+        (1, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1),
+        (2, "2024-01-01 12:01:00", "2024-01-01 12:01:00", 1),
+    }
