@@ -174,6 +174,10 @@ def dsl_avg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                                {"buckets_path": "per_day>revenue"}},
             "peak_daily_rev": {"max_bucket":
                                {"buckets_path": "per_day>revenue"}},
+            "low_daily_rev": {"min_bucket":
+                              {"buckets_path": "per_day>revenue"}},
+            "total_rev": {"sum_bucket":
+                          {"buckets_path": "per_day>revenue"}},
         },
     })
 
@@ -184,7 +188,9 @@ WITH b AS (
   FROM events WHERE event_type = 'purchase'
   GROUP BY key)
 SELECT round(avg(revenue), 4) AS mean_daily_rev,
-       max(revenue) AS peak_daily_rev
+       max(revenue) AS peak_daily_rev,
+       min(revenue) AS low_daily_rev,
+       round(sum(revenue), 4) AS total_rev
 FROM b
 """
 
@@ -262,7 +268,9 @@ def dsl_match_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query": {"bool": {
             "must": [{"match": {"text": {
                 "query": "spark window merge",
-                "minimum_should_match": 2}}}],
+                "minimum_should_match": 2}}},
+                {"match": {"text": {"query": "the data",
+                                    "operator": "and"}}}],
             "should": [
                 {"term": {"lang": "en"}},
                 {"prefix": {"source": {"value": "src1"}}},
@@ -284,6 +292,8 @@ WHERE (CAST(regexp_matches(lower(text), '{_tok_re("spark")}') AS INT)
        + CAST(regexp_matches(lower(text), '{_tok_re("window")}') AS INT)
        + CAST(regexp_matches(lower(text), '{_tok_re("merge")}') AS INT))
       >= 2
+  AND regexp_matches(lower(text), '{_tok_re("the")}')
+  AND regexp_matches(lower(text), '{_tok_re("data")}')
   AND (CAST((lang IS NOT NULL AND lang = 'en') AS INT)
        + CAST((source IS NOT NULL AND source LIKE 'src1%') AS INT)
        + CAST((n_chars IS NOT NULL AND n_chars >= 200) AS INT)) >= 2
