@@ -65,11 +65,15 @@ def match_min_should(col: Column | str, query: str, min_match: int) -> Column:
     toks = _tokens(query)
     if not toks or min_match <= 0:
         return F.lit(True)
+    if min_match > len(toks):
+        # Lucene: a minimum above the optional-clause count is
+        # unsatisfiable — matches nothing
+        return F.lit(False)
     hits = None
     for t in toks:
         h = token_present(col, t).cast("int")
         hits = h if hits is None else hits + h
-    return hits >= F.lit(min(min_match, len(toks)))
+    return hits >= F.lit(min_match)
 
 
 def _wildcard_regex(pattern: str) -> str:
@@ -186,11 +190,14 @@ def translate_query(q: dict | None) -> Column:
                 acc = acc | translate_query(clause)
             out = out & acc
         elif should and msm > 1:
+            if msm > len(should):
+                # Lucene: unsatisfiable minimum matches nothing
+                return F.lit(False)
             hits = None
             for clause in should:
                 h = translate_query(clause).cast("int")
                 hits = h if hits is None else hits + h
-            out = out & (hits >= F.lit(min(msm, len(should))))
+            out = out & (hits >= F.lit(msm))
         return out
     raise ValueError(f"unsupported query kind {kind!r}")
 

@@ -44,14 +44,18 @@ _leaf = st.one_of(
 
 def _bool_node(children):
     return st.builds(
-        lambda must, filt, must_not, should: {"bool": {
+        lambda must, filt, must_not, should, msm: {"bool": {
             **({"must": must} if must else {}),
             **({"filter": filt} if filt else {}),
             **({"must_not": must_not} if must_not else {}),
             **({"should": should} if should else {}),
+            # explicit k-of-m only when should clauses exist
+            **({"minimum_should_match": msm}
+               if should and msm is not None else {}),
         }},
         st.lists(children, max_size=2), st.lists(children, max_size=2),
-        st.lists(children, max_size=2), st.lists(children, max_size=2))
+        st.lists(children, max_size=2), st.lists(children, max_size=3),
+        st.one_of(st.none(), st.integers(min_value=1, max_value=3)))
 
 
 _query = st.recursive(_leaf, _bool_node, max_leaves=8)
@@ -92,9 +96,14 @@ def _eval(q: dict, row: dict) -> bool:
         ok = (all(_eval(c, row) for c in must)
               and all(_eval(c, row) for c in filt)
               and not any(_eval(c, row) for c in must_not))
-        msm = 0 if (must or filt) else 1
-        if should and msm == 1:
-            ok = ok and any(_eval(c, row) for c in should)
+        msm = body.get("minimum_should_match")
+        if msm is None:
+            msm = 0 if (must or filt) else 1
+        if should and msm >= 1:
+            if msm > len(should):  # Lucene: unsatisfiable
+                return False
+            hits = sum(1 for c in should if _eval(c, row))
+            ok = ok and hits >= msm
         return ok
     raise AssertionError(kind)
 
