@@ -95,6 +95,8 @@ HEADLINE = [
     "dsl_global_agg",
     "json_props_agg",
     "dsl_date_range_agg",
+    "dsl_extended_stats",
+    "dsl_percentile_ranks",
     "sql_interface",
     "stream_static_enrich",
     # training-data pipeline

@@ -238,6 +238,14 @@ def _metric_cols(agg_name: str, spec: dict) -> list[Column]:
         arr = F.expr(f"{fn}({field}, array({fracs}))")
         return [F.round(arr[i], 4).alias(f"{agg_name}_{_pct_label(p)}")
                 for i, p in enumerate(percents)]
+    if mtype == "percentile_ranks":
+        # ES: for each value, the percentage of observations <= it
+        field = mbody["field"]
+        return [
+            F.round(100.0 * F.avg((F.col(field) <= F.lit(v))
+                                  .cast("double")), 4)
+            .alias(f"{agg_name}_{_pct_label(float(v))}")
+            for v in mbody["values"]]
     field = mbody["field"]
     if mtype in _METRICS:
         c = _METRICS[mtype](field)
@@ -257,7 +265,8 @@ def _metric_cols(agg_name: str, spec: dict) -> list[Column]:
 
 def _is_metric(spec: dict) -> bool:
     (mtype, _), = ((k, v) for k, v in spec.items() if k != "aggs")
-    return mtype in _METRICS or mtype in ("cardinality", "percentiles")
+    return mtype in _METRICS or mtype in (
+        "cardinality", "percentiles", "percentile_ranks")
 
 
 # --- pipeline aggregations -------------------------------------------
@@ -507,6 +516,22 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             F.round(F.max(field), 4).alias("max"),
             F.round(F.avg(field), 4).alias("avg"),
             F.round(F.sum(field), 4).alias("sum"),
+        )
+
+    if atype == "extended_stats":
+        # ES extended_stats: stats + sum_of_squares + POPULATION
+        # variance/std_deviation — all one-pass aggregates
+        field = abody["field"]
+        return filtered.agg(
+            F.count(field).alias("count"),
+            F.round(F.min(field), 4).alias("min"),
+            F.round(F.max(field), 4).alias("max"),
+            F.round(F.avg(field), 4).alias("avg"),
+            F.round(F.sum(field), 4).alias("sum"),
+            F.round(F.sum(F.col(field) * F.col(field)), 4)
+            .alias("sum_of_squares"),
+            F.round(F.var_pop(field), 4).alias("variance"),
+            F.round(F.stddev_pop(field), 4).alias("std_deviation"),
         )
 
     if atype == "filter":

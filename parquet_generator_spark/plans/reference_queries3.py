@@ -436,7 +436,56 @@ WHERE doc_count > 0 ORDER BY key
 """
 
 
+def dsl_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`extended_stats` metric agg: stats plus sum-of-squares and
+    POPULATION variance/std-deviation (ES's convention), all one
+    grouped pass."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "view"}},
+        "aggs": {"v": {"extended_stats": {"field": "value"}}},
+    })
+
+
+DSL_EXTENDED_STATS_ORACLE = """
+SELECT count(value) AS count,
+       round(min(value), 4) AS min,
+       round(max(value), 4) AS max,
+       round(avg(value), 4) AS avg,
+       round(sum(value), 4) AS sum,
+       round(sum(value * value), 4) AS sum_of_squares,
+       round(var_pop(value), 4) AS variance,
+       round(stddev_pop(value), 4) AS std_deviation
+FROM events WHERE event_type = 'view'
+"""
+
+
+def dsl_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`percentile_ranks` metric agg: for each probe value, the
+    percentage of observations at or below it (exact; the inverse of
+    the percentiles agg)."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "view"}},
+        "aggs": {"vr": {"percentile_ranks": {"field": "value",
+                                             "values": [50, 150, 300]}}},
+    })
+
+
+DSL_PERCENTILE_RANKS_ORACLE = """
+SELECT round(100.0 * avg(CASE WHEN value <= 50 THEN 1.0 ELSE 0.0 END), 4)
+         AS vr_p50,
+       round(100.0 * avg(CASE WHEN value <= 150 THEN 1.0 ELSE 0.0 END), 4)
+         AS vr_p150,
+       round(100.0 * avg(CASE WHEN value <= 300 THEN 1.0 ELSE 0.0 END), 4)
+         AS vr_p300
+FROM events WHERE event_type = 'view'
+"""
+
+
 QUERIES = {
+    "dsl_extended_stats": dsl_extended_stats,
+    "dsl_percentile_ranks": dsl_percentile_ranks,
     "dsl_date_range_agg": dsl_date_range_agg,
     "dsl_global_agg": dsl_global_agg,
     "json_props_agg": json_props_agg,
@@ -453,6 +502,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dsl_extended_stats": DSL_EXTENDED_STATS_ORACLE,
+    "dsl_percentile_ranks": DSL_PERCENTILE_RANKS_ORACLE,
     "dsl_date_range_agg": DSL_DATE_RANGE_ORACLE,
     "dsl_global_agg": DSL_GLOBAL_ORACLE,
     "json_props_agg": JSON_PROPS_ORACLE,
