@@ -97,6 +97,7 @@ HEADLINE = [
     "dsl_date_range_agg",
     "dsl_extended_stats",
     "dsl_percentile_ranks",
+    "dsl_missing_agg",
     "sql_interface",
     "stream_static_enrich",
     # training-data pipeline

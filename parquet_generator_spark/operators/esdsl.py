@@ -540,6 +540,12 @@ def search(df: DataFrame, body: dict) -> DataFrame:
         return (filtered.filter(translate_query(abody))
                 .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
 
+    if atype == "missing":
+        # single-bucket agg over docs LACKING the field (null),
+        # with metric sub-aggs over that bucket
+        return (filtered.filter(F.col(abody["field"]).isNull())
+                .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
+
     if atype == "filters":
         named = abody["filters"]
         conds = [(name, translate_query(q)) for name, q in named.items()]

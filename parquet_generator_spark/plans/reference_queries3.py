@@ -483,7 +483,36 @@ FROM events WHERE event_type = 'view'
 """
 
 
+HIGH_VALUE = 300.0
+
+
+def dsl_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`missing` bucket agg: docs lacking an (optional, derived)
+    field, with metrics over that bucket — ES's null-bucket
+    companion to `exists`."""
+    ev = load_table(spark, "events", sf_dir)
+    with_amount = ev.withColumn(
+        "big_amount",
+        F.when(F.col("value") > HIGH_VALUE, F.col("value")))
+    return search(with_amount, {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"no_big": {
+            "missing": {"field": "big_amount"},
+            "aggs": {"avg_small": {"avg": {"field": "value"}}},
+        }},
+    })
+
+
+DSL_MISSING_ORACLE = f"""
+SELECT count(*) AS doc_count,
+       round(avg(value), 4) AS avg_small
+FROM events
+WHERE event_type = 'purchase' AND value <= {HIGH_VALUE}
+"""
+
+
 QUERIES = {
+    "dsl_missing_agg": dsl_missing_agg,
     "dsl_extended_stats": dsl_extended_stats,
     "dsl_percentile_ranks": dsl_percentile_ranks,
     "dsl_date_range_agg": dsl_date_range_agg,
@@ -502,6 +531,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dsl_missing_agg": DSL_MISSING_ORACLE,
     "dsl_extended_stats": DSL_EXTENDED_STATS_ORACLE,
     "dsl_percentile_ranks": DSL_PERCENTILE_RANKS_ORACLE,
     "dsl_date_range_agg": DSL_DATE_RANGE_ORACLE,
