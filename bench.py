@@ -181,7 +181,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -190,8 +190,36 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    # Full per-query detail goes to a committed file; stdout gets ONE
+    # compact line. The driver stores only the last 2000 chars of
+    # stdout, so the printed line must fit well under that or the
+    # round's BENCH_r{N}.json records parsed=null (round-2 lesson).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail": "BENCH_FULL.json",
+    }
+    if errors:
+        out["n_errors"] = len(errors)
+    line = json.dumps(out, separators=(",", ":"))
+    # Drop the cheapest per-query entries first until the line fits —
+    # the slow queries are the ones worth reading against BASELINE.
+    by_time = sorted(timings, key=timings.get)
+    while len(line) > 1900 and by_time:
+        dropped = by_time.pop(0)
+        del out["queries"][dropped]
+        out["queries_truncated"] = True
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
