@@ -10,6 +10,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -19,20 +20,46 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read events.parquet whatever its physical ``ts`` encoding.
+
+    The generated data has shipped two encodings over time:
+    TIMESTAMP(NANOS) (which the vectorized reader only accepts as a
+    raw long via ``spark.sql.legacy.parquet.nanosAsLong``) and plain
+    ``timestamp[us]``.  Read optimistically; only fall back to the
+    legacy nanos-as-long mode when schema inference rejects the file.
+    The caller normalizes whatever dtype comes back.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Make ``ts`` a session-tz TIMESTAMP regardless of storage dtype."""
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):
+        # legacy nanos-long: rebuild a micro-precision timestamp
+        # (matches DuckDB's TIMESTAMP_NS down to the microsecond)
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if isinstance(t, TimestampNTZType):
+        # timestamp[us] with isAdjustedToUTC=false infers as NTZ;
+        # with the session tz pinned to UTC the cast is value-exact
+        # and keeps downstream TimestampType expressions working.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, name: str,
                sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which the
-        # vectorized parquet reader rejects; read nanos as long and
-        # rebuild a micro-precision timestamp (matches DuckDB's
-        # TIMESTAMP_NS down to the microsecond).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return _normalize_ts(_read_events(spark, path))
     return spark.read.parquet(path)
 
 
@@ -41,12 +68,12 @@ def load_events_between(spark: SparkSession, sf_dir: str,
     """events filtered to ``[start, end)`` with the time predicate
     pushed to the parquet scan.
 
-    The generic loader rebuilds ``ts`` from the file's TIMESTAMP(NANOS)
-    long AFTER the scan, so a filter on the rebuilt column can never
-    prune row groups — at large scale that is a full-table read. Here
-    the bounds are converted to nanos and applied to the RAW long
-    column (plain comparison => PushedFilters + row-group statistics
-    pruning), and the timestamp is rebuilt only for surviving rows.
+    The filter must hit the RAW scan column — a predicate on a
+    rebuilt/cast column never reaches PushedFilters, and at large
+    scale that is a full-table read instead of row-group pruning.
+    For native timestamp files a literal cast to the scan dtype keeps
+    the column side untouched (=> pushdown + stats pruning); only
+    legacy TIMESTAMP(NANOS) longs need the epoch-nanos arithmetic.
     """
     from datetime import datetime, timezone
 
@@ -54,12 +81,16 @@ def load_events_between(spark: SparkSession, sf_dir: str,
         dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
         return int(dt.timestamp()) * 1_000_000_000
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return (raw.filter((F.col("ts") >= nanos(start_iso))
-                       & (F.col("ts") < nanos(end_iso)))
-            .withColumn("ts", F.timestamp_micros(
-                (F.col("ts") / 1000).cast("long"))))
+    raw = _read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    t = raw.schema["ts"].dataType
+    if isinstance(t, LongType):
+        return (raw.filter((F.col("ts") >= nanos(start_iso))
+                           & (F.col("ts") < nanos(end_iso)))
+                .withColumn("ts", F.timestamp_micros(
+                    (F.col("ts") / 1000).cast("long"))))
+    lo, hi = F.lit(start_iso).cast(t), F.lit(end_iso).cast(t)
+    return _normalize_ts(
+        raw.filter((F.col("ts") >= lo) & (F.col("ts") < hi)))
 
 
 def load_tables(spark: SparkSession,
