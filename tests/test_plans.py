@@ -41,11 +41,54 @@ def test_q6_pushdown_and_pruning(spark):
                     "l_shipdate"}
 
 
-def test_date_range_scan_pushes_nanos_bounds(spark):
+def test_date_range_scan_pushes_ts_bounds(spark):
     plan = formatted_plan(spark, "date_range_scan")
     pf = pushed_filters(plan)
-    # the raw TIMESTAMP(NANOS) long carries the range predicate; a
-    # filter on the rebuilt timestamp column would push nothing
+    # the range predicate must reach the RAW scan column (native
+    # timestamp[us] here) — a filter applied after a rebuild/cast of
+    # ts would push nothing and force a full-table read at scale
+    assert "GreaterThanOrEqual(ts," in pf
+    assert "LessThan(ts," in pf
+
+
+def test_legacy_nanos_events_fallback(spark, tmp_path):
+    """Legacy TIMESTAMP(NANOS) events files still load: the reader
+    falls back to nanosAsLong and rebuilds a micro-precision
+    timestamp, and load_events_between pushes the bounds as raw
+    nanos longs onto the scan."""
+    import contextlib
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_generator_spark.sources.catalog import (
+        load_events_between, load_table)
+
+    d = tmp_path / "legacy"
+    d.mkdir()
+    ns = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([1706054400_000_000_000 + i * 86_400_000_000_000
+                        for i in range(3)], pa.timestamp("ns")),
+        "user_id": pa.array([10, 11, 12], pa.int64()),
+        "event_type": pa.array(["a", "b", "c"]),
+        "value": pa.array([1.0, 2.0, 3.0]),
+        "props": pa.array(["{}", "{}", "{}"]),
+    })
+    pq.write_table(ns, str(d / "events.parquet"), version="2.6")
+
+    ev = load_table(spark, "events", str(d))
+    assert ev.schema["ts"].dataType.typeName() == "timestamp"
+    assert ev.count() == 3
+
+    ranged = load_events_between(spark, str(d),
+                                 "2024-01-24", "2024-01-26")
+    assert ranged.count() == 2
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ranged.explain("formatted")
+    pf = pushed_filters(buf.getvalue())
     assert "GreaterThanOrEqual(ts," in pf
     assert "LessThan(ts," in pf
 
