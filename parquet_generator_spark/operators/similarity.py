@@ -106,19 +106,39 @@ def make_hyperplanes(dim: int, n_planes: int = 16,
     return rng.standard_normal((n_planes, dim))
 
 
+def _plane_dot_sql(vec_col: str, plane: np.ndarray) -> str:
+    """Spark-SQL expression for dot(vec, plane-literal); sequential
+    left-to-right float64 fold (mirrors DuckDB's list_dot_product
+    closely enough that sign bits agree)."""
+    arr = "array(" + ", ".join(f"cast({float(x)!r} AS DOUBLE)"
+                               for x in plane) + ")"
+    return (f"aggregate(zip_with({vec_col}, {arr}, "
+            f"(x, y) -> cast(x AS DOUBLE) * y), cast(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)")
+
+
 def lsh_bucket(vec_col: str, planes: np.ndarray) -> Column:
     """Bucket id = sign bits of the vector against each hyperplane.
     Plane coefficients are literals in the plan — shipped once with
     the task binary, not per row."""
-    bits = []
-    for i, plane in enumerate(planes):
-        arr = "array(" + ", ".join(f"cast({x!r} AS DOUBLE)"
-                                   for x in plane) + ")"
-        d = (f"aggregate(zip_with({vec_col}, {arr}, "
-             f"(x, y) -> cast(x AS DOUBLE) * y), cast(0.0 AS DOUBLE), "
-             f"(acc, v) -> acc + v)")
-        bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)")
+    bits = [f"(CASE WHEN {_plane_dot_sql(vec_col, plane)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)]
     return F.expr(" + ".join(bits)).cast("long")
+
+
+def lsh_band_buckets(vec_col: str, planes: np.ndarray,
+                     n_bands: int) -> list[Column]:
+    """One bucket Column per band: the sign bits of the band's
+    ``len(planes)/n_bands`` hyperplanes packed into an int."""
+    r = len(planes) // n_bands
+    out = []
+    for band in range(n_bands):
+        bits = [f"(CASE WHEN {_plane_dot_sql(vec_col, planes[band * r + p])}"
+                f" >= 0 THEN {1 << p} ELSE 0 END)"
+                for p in range(r)]
+        out.append(F.expr(" + ".join(bits)).cast("long"))
+    return out
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -257,19 +277,91 @@ def make_centroids_kmeans(df: DataFrame, n_centroids: int,
 
 def embedding_dup_pairs(df: DataFrame, threshold: float,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= threshold).
+                        vec_col: str = "embedding",
+                        n_blocks: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (round(cos,4) >= t),
+    EXACT all-pairs semantics, fully distributed.
 
-    All-pairs form — the correctness baseline; at scale, pre-bucket
-    with lsh_bucket and join on the bucket first. Execution: the
-    corpus matrix is broadcast (same pattern as a broadcast-hash
-    join: small side ships once per executor) and each partition
-    computes its block of the similarity matrix with one float64
-    numpy matmul inside mapInPandas — the classic block-distributed
-    GEMM, no shuffle at all. The final round+threshold stays in the
-    JVM so HALF_UP rounding semantics match the SQL oracle exactly;
+    Triangle-block similarity join: every vector hashes to one of B
+    blocks; each unordered block pair {i, j} is one shuffle group
+    that GEMMs its two blocks with a float64 numpy matmul inside
+    applyInPandas. No driver-side materialization and no full-table
+    broadcast anywhere: shuffle volume is B x input (each row ships
+    to the B cells whose pair contains its block), and the
+    irreducible O(N^2) compute is spread over B(B+1)/2 independent
+    tasks — at 100 TB pick B so one block fits a task's memory.
+    A pair (x, y) meets in exactly one cell ({blk(x), blk(y)}), so
+    no cross-cell dedup is needed. The final round+threshold stays
+    in the JVM so HALF_UP rounding matches the SQL oracle exactly;
     numpy only pre-filters with a small epsilon margin.
     """
+    import pandas as pd
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    cells = F.array(*[
+        F.struct(F.least(blk, F.lit(j)).alias("ci"),
+                 F.greatest(blk, F.lit(j)).alias("cj"))
+        for j in range(n_blocks)])
+    rep = (df.select(F.col(id_col).alias("vid"),
+                     F.col(vec_col).alias("vec"),
+                     blk.alias("blk"),
+                     F.explode(cells).alias("cell"))
+           .select("vid", "vec", "blk",
+                   F.col("cell.ci").alias("ci"),
+                   F.col("cell.cj").alias("cj")))
+    # round(cos, 4) >= threshold admits raw values from half a
+    # rounding step below the threshold — the numpy pre-filter must
+    # keep those (plus an fp epsilon); the JVM round+filter decides.
+    margin = threshold - 0.5e-4 - 1e-9
+
+    def cell_pairs(key, pdf):
+        ci, cj = int(key[0]), int(key[1])
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cos_raw": pd.Series(dtype="float64")})
+
+        def side(block):
+            part = pdf[pdf["blk"] == block]
+            if not len(part):
+                return None, None, None
+            ids = part["vid"].to_numpy(dtype=np.int64)
+            mat = np.stack(part["vec"].to_numpy()).astype(np.float64)
+            return ids, mat, np.sqrt((mat * mat).sum(axis=1))
+
+        a_ids, a_mat, a_n = side(ci)
+        if a_ids is None:
+            return empty
+        if ci == cj:
+            cos = (a_mat @ a_mat.T) / (a_n[:, None] * a_n[None, :])
+            keep = (a_ids[:, None] < a_ids[None, :]) & (cos >= margin)
+            ai, bi = np.nonzero(keep)
+            return pd.DataFrame({"id_a": a_ids[ai], "id_b": a_ids[bi],
+                                 "cos_raw": cos[ai, bi]})
+        b_ids, b_mat, b_n = side(cj)
+        if b_ids is None:
+            return empty
+        cos = (a_mat @ b_mat.T) / (a_n[:, None] * b_n[None, :])
+        ai, bi = np.nonzero(cos >= margin)
+        ia, ib = a_ids[ai], b_ids[bi]
+        return pd.DataFrame({"id_a": np.minimum(ia, ib),
+                             "id_b": np.maximum(ia, ib),
+                             "cos_raw": cos[ai, bi]})
+
+    pairs = rep.groupBy("ci", "cj").applyInPandas(
+        cell_pairs, schema="id_a bigint, id_b bigint, cos_raw double")
+    return (pairs.select("id_a", "id_b",
+                         F.round("cos_raw", 4).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .orderBy("id_a", "id_b"))
+
+
+def embedding_dup_pairs_gemm(df: DataFrame, threshold: float,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """TESTS-ONLY exactness baseline: whole-corpus driver collect +
+    broadcast GEMM. Not a production path (materializes the full
+    table on the driver) — kept to cross-check embedding_dup_pairs
+    and the LSH variant in tests/test_operators.py."""
     import pandas as pd
 
     spark = df.sparkSession
@@ -278,9 +370,6 @@ def embedding_dup_pairs(df: DataFrame, threshold: float,
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
-    # round(cos, 4) >= threshold admits raw values from half a
-    # rounding step below the threshold — the numpy pre-filter must
-    # keep those (plus an fp epsilon); the JVM round+filter decides.
     margin = threshold - 0.5e-4 - 1e-9
 
     def block_scores(batches):
@@ -314,5 +403,96 @@ SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
 FROM {table} a, {table} b
 WHERE a.{id_col} < b.{id_col}
   AND round({cos}, 4) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def embedding_dup_pairs_lsh(df: DataFrame, threshold: float,
+                            planes: np.ndarray, n_bands: int,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Sub-quadratic near-dup pairs: banded random-hyperplane LSH
+    candidates, exact-cosine verified.
+
+    A pair is a candidate iff ALL sign bits of at least one band
+    agree (classic OR-of-ANDs amplification); candidates then pass
+    the exact round(cos,4) >= threshold check, so precision is 1 and
+    recall is 1-(1-(1-theta/pi)^r)^b for a pair at angle theta.
+    Execution is a band-bucket equi-join — shuffle on (band, bucket)
+    only, no all-pairs, no broadcast, no driver data; the same shape
+    as minhash_lsh_pairs. Skewed mega-buckets split under AQE.
+    The DuckDB oracle (embedding_dup_pairs_lsh_duck_sql) implements
+    the IDENTICAL banding, so oracle equality holds by construction;
+    recall vs the exact baseline is measured in tests.
+    """
+    buckets = lsh_band_buckets(vec_col, planes, n_bands)
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"), b.alias("bucket"))
+        for i, b in enumerate(buckets)])
+    e = df.select(F.col(id_col).alias("vid"),
+                  F.col(vec_col).alias("vec"),
+                  norm(vec_col).alias("nrm"),
+                  F.explode(bands).alias("bb")) \
+          .select("vid", "vec", "nrm",
+                  F.col("bb.band").alias("band"),
+                  F.col("bb.bucket").alias("bucket"))
+    a = e.select(F.col("band"), F.col("bucket"),
+                 F.col("vid").alias("id_a"), F.col("vec").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = e.select(F.col("band"), F.col("bucket"),
+                 F.col("vid").alias("id_b"), F.col("vec").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.select(
+                "id_a", "id_b",
+                F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 4)
+                .alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .orderBy("id_a", "id_b"))
+
+
+def _plane_dot_duck(vec_expr: str, plane: np.ndarray) -> str:
+    arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+    return f"list_dot_product({vec_expr}, {arr})"
+
+
+def embedding_dup_pairs_lsh_duck_sql(table: str, threshold: float,
+                                     planes: np.ndarray, n_bands: int,
+                                     id_col: str = "vec_id",
+                                     vec_col: str = "embedding") -> str:
+    """DuckDB mirror of embedding_dup_pairs_lsh: identical band/bucket
+    construction (same plane literals, same bit packing), bucket
+    equi-join for candidates, exact round(cos,4) verify."""
+    r = len(planes) // n_bands
+    band_selects = []
+    for band in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN {_plane_dot_duck('e', planes[band * r + p])} >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(r))
+        band_selects.append(
+            f"SELECT {id_col} AS vid, e, {band} AS band, "
+            f"({bits}) AS bucket FROM v")
+    bands_sql = "\n  UNION ALL ".join(band_selects)
+    return f"""
+WITH v AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS e FROM {table}),
+bb AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vid < b.vid)
+SELECT id_a, id_b, cos FROM (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(va.e, vb.e) /
+               (sqrt(list_dot_product(va.e, va.e)) *
+                sqrt(list_dot_product(vb.e, vb.e))), 4) AS cos
+  FROM cand c
+  JOIN v va ON va.{id_col} = c.id_a
+  JOIN v vb ON vb.{id_col} = c.id_b)
+WHERE cos >= {threshold}
 ORDER BY id_a, id_b
 """

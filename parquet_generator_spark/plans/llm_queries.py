@@ -69,12 +69,33 @@ DEDUP_SIMHASH_ORACLE = dedup.simhash_pairs_duck_sql(
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs near-dup (triangle-block distributed GEMM —
+    no driver collect, no broadcast; see embedding_dup_pairs)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.embedding_dup_pairs(emb, EMB_DUP_THRESHOLD)
 
 
 DEDUP_EMBEDDING_ORACLE = similarity.embedding_dup_pairs_duck_sql(
     "embeddings", EMB_DUP_THRESHOLD)
+
+EMB_LSH_BANDS = 8
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic scale path: banded hyperplane-LSH candidates +
+    exact cosine verify. The oracle mirrors the banding exactly
+    (same plane literals), so the hash check is strict; recall vs
+    the exact baseline (~0.97 at cos>=0.3 with 8 bands x 2 bits) is
+    asserted in tests/test_operators.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    planes = similarity.make_hyperplanes(64, 16, seed=7)
+    return similarity.embedding_dup_pairs_lsh(
+        emb, EMB_DUP_THRESHOLD, planes, EMB_LSH_BANDS)
+
+
+DEDUP_EMBEDDING_LSH_ORACLE = similarity.embedding_dup_pairs_lsh_duck_sql(
+    "embeddings", EMB_DUP_THRESHOLD,
+    similarity.make_hyperplanes(64, 16, seed=7), EMB_LSH_BANDS)
 
 
 # --- similarity search ---------------------------------------------
@@ -222,6 +243,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
@@ -238,6 +260,7 @@ ORACLES = {
     "dedup_minhash": DEDUP_NGRAM_ORACLE,  # see dedup_minhash docstring
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "dedup_embedding": DEDUP_EMBEDDING_ORACLE,
+    "dedup_embedding_lsh": DEDUP_EMBEDDING_LSH_ORACLE,
     "ann_bruteforce": ANN_BRUTEFORCE_ORACLE,
     # ann_lsh: approximate — rows-only check by design
     "text_tokens": TEXT_TOKENS_ORACLE,

@@ -206,11 +206,12 @@ SEM_THRESHOLD = 0.3
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage semantic dedup: embedding-cosine candidate pairs
-    (block-GEMM mapInPandas, no shuffle) verified with exact text
-    jaccard by joining the aligned documents table on both pair
-    sides — the full modern near-dup pipeline (cheap vector recall,
-    exact text precision) in one plan. Candidates are a tiny
-    fraction of the corpus, so the verify joins stay small."""
+    (triangle-block distributed GEMM — no driver collect, no
+    broadcast; see similarity.embedding_dup_pairs) verified with
+    exact text jaccard by joining the aligned documents table on
+    both pair sides — the full modern near-dup pipeline (cheap
+    vector recall, exact text precision) in one plan. Candidates are
+    a tiny fraction of the corpus, so the verify joins stay small."""
     from parquet_generator_spark.operators.similarity import (
         embedding_dup_pairs,
     )

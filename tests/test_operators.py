@@ -171,3 +171,51 @@ def test_ivf_kmeans_centroids_full_probe_still_exact(spark):
     # exactness is a property of probing every cell, independent of
     # centroid quality
     assert full == brute
+
+
+def test_embedding_dup_pairs_block_equals_gemm(spark):
+    """The distributed triangle-block all-pairs must equal the
+    driver-side GEMM baseline row for row (exact semantics are a
+    property of the partitioning, not the kernel)."""
+    emb = load_table(spark, "embeddings", SF)
+    block = [tuple(r) for r in
+             similarity.embedding_dup_pairs(emb, 0.3, n_blocks=5).collect()]
+    gemm = [tuple(r) for r in
+            similarity.embedding_dup_pairs_gemm(emb, 0.3).collect()]
+    assert len(block) > 0
+    assert block == gemm
+
+
+def test_embedding_dup_pairs_lsh_precision_and_recall(spark):
+    """LSH variant: precision 1 by construction (exact verify);
+    recall vs the exact baseline bounded below by the banding math
+    (~0.97 expected at cos>=0.3 with 8 bands x 2 bits)."""
+    emb = load_table(spark, "embeddings", SF)
+    planes = similarity.make_hyperplanes(64, 16, seed=7)
+    lsh = {(r["id_a"], r["id_b"])
+           for r in similarity.embedding_dup_pairs_lsh(
+               emb, 0.3, planes, 8).collect()}
+    exact = {(r["id_a"], r["id_b"])
+             for r in similarity.embedding_dup_pairs(emb, 0.3).collect()}
+    assert lsh <= exact            # precision 1
+    assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_embedding_dup_pairs_lsh_planted_dups_full_recall(spark):
+    """True near-duplicates (cos ~ 0.999) agree on almost every
+    hyperplane sign, so every planted pair must survive banding."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # planted twin: tiny perturbation => cos ~ 0.9998
+        rows.append((1000 + i, [float(x) for x in v + rng.standard_normal(64) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    planes = similarity.make_hyperplanes(64, 16, seed=7)
+    got = {(r["id_a"], r["id_b"])
+           for r in similarity.embedding_dup_pairs_lsh(
+               df, 0.99, planes, 8).collect()}
+    assert {(i, 1000 + i) for i in range(40)} <= got
