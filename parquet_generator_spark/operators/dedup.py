@@ -16,6 +16,8 @@ Scale design (the whole point at 100 TB):
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -31,6 +33,42 @@ from parquet_generator_spark.operators.text import (
     toks_spark,
 )
 from parquet_generator_spark.operators.util import widen_if_narrow
+
+logger = logging.getLogger(__name__)
+
+# LSH band buckets larger than this are near-dup-degenerate (e.g.
+# thousands of near-empty docs sharing a signature): the pair
+# expansion is O(cap^2) per bucket and the collect_list builds one
+# giant array in a single task. Buckets above the cap are SKIPPED
+# (never truncated) and the skip is logged — set bucket_cap=None to
+# disable.
+DEFAULT_BUCKET_CAP = 4096
+
+
+def _drop_hot_buckets(bands: DataFrame, keys: list[str],
+                      bucket_cap: int | None, what: str) -> DataFrame:
+    """Remove rows belonging to band buckets with > bucket_cap
+    members BEFORE the bucket collect, so the oversized array is
+    never materialized. The size pass is a map-side-partial count
+    (cheap); the hot-key list is tiny, so the anti-join broadcasts.
+    Skipped buckets are logged loudly — dropped candidates are a
+    recall loss, never a silent truncation."""
+    if bucket_cap is None:
+        return bands
+    bands = bands.localCheckpoint()   # one signature computation
+    hot = (bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > bucket_cap)
+           .localCheckpoint())
+    n_hot = hot.count()
+    if n_hot:
+        worst = hot.agg(F.max("n")).collect()[0][0]
+        logger.warning(
+            "%s: skipping %d LSH bucket(s) over cap=%d (largest=%d); "
+            "pairs inside them are NOT reported", what, n_hot,
+            bucket_cap, worst)
+        return bands.join(F.broadcast(hot.select(*keys)), keys,
+                          "left_anti")
+    return bands
 
 # ------------------------------------------------------------------
 # exact dedup
@@ -135,7 +173,9 @@ def minhash_signature(base_hashes: pd.Series) -> pd.Series:
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
-                      threshold: float, k: int = 3) -> DataFrame:
+                      threshold: float, k: int = 3,
+                      bucket_cap: int | None = DEFAULT_BUCKET_CAP
+                      ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verify.
 
     Plan shape: scan -> signature (Pandas UDF map, computed ONCE) ->
@@ -159,6 +199,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
             F.expr(f"transform(sequence(0, {_N_BANDS - 1}), "
                    f"b -> concat_ws(',', sig[2*b], sig[2*b+1]))")
         ).alias("band", "band_key"))
+    bands = _drop_hot_buckets(bands, ["band", "band_key"], bucket_cap,
+                              "minhash_lsh_pairs")
     buckets = (bands.groupBy("band", "band_key")
                .agg(F.array_sort(F.collect_list("id")).alias("ids"))
                .filter(F.size("ids") > 1))
@@ -285,7 +327,9 @@ def simhash_duck(c: str) -> str:
 
 
 def simhash_pairs(df: DataFrame, id_col: str, content_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  bucket_cap: int | None = DEFAULT_BUCKET_CAP
+                  ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, found by
     banding the 60-bit signature into 4 x 15-bit keys (pigeonhole:
     any pair within hamming 3 shares at least one band).
@@ -305,6 +349,8 @@ def simhash_pairs(df: DataFrame, id_col: str, content_col: str,
             f"transform(sequence(0, {_SIM_BANDS - 1}), "
             f"b -> (sig div cast(pow(2, {_BAND_BITS} * b) as bigint)) "
             f"% {mask + 1})")).alias("band", "band_key"))
+    bands = _drop_hot_buckets(bands, ["band", "band_key"], bucket_cap,
+                              "simhash_pairs")
     buckets = (bands.groupBy("band", "band_key")
                .agg(F.array_sort(F.collect_list(F.struct("id", "sig")))
                     .alias("xs"))

@@ -219,3 +219,30 @@ def test_embedding_dup_pairs_lsh_planted_dups_full_recall(spark):
            for r in similarity.embedding_dup_pairs_lsh(
                df, 0.99, planes, 8).collect()}
     assert {(i, 1000 + i) for i in range(40)} <= got
+
+
+def test_lsh_bucket_cap_skips_hot_bucket(spark):
+    """A degenerate bucket (many docs sharing every band signature)
+    is skipped above the cap — its pairs disappear, everything else
+    is untouched, and nothing is silently truncated (uncapped run
+    still reports them)."""
+    hot = [(i, "the same exact text repeated") for i in range(30)]
+    normal = [(100, "a genuinely unique document about spark"),
+              (101, "a genuinely unique document about sparks")]
+    df = spark.createDataFrame(hot + normal, "doc_id bigint, text string")
+
+    capped = dedup.minhash_lsh_pairs(df, "doc_id", "text", 0.5,
+                                     bucket_cap=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)
+
+    uncapped = dedup.minhash_lsh_pairs(df, "doc_id", "text", 0.5,
+                                       bucket_cap=None)
+    full = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert (0, 1) in full and (100, 101) in full
+
+    sim_capped = dedup.simhash_pairs(df, "doc_id", "text", 3,
+                                     bucket_cap=10)
+    sgot = {(r["id_a"], r["id_b"]) for r in sim_capped.collect()}
+    assert not any(a < 100 and b < 100 for a, b in sgot)
