@@ -50,12 +50,13 @@ def _drop_hot_buckets(bands: DataFrame, keys: list[str],
     """Remove rows belonging to band buckets with > bucket_cap
     members BEFORE the bucket collect, so the oversized array is
     never materialized. The size pass is a map-side-partial count
-    (cheap); the hot-key list is tiny, so the anti-join broadcasts.
-    Skipped buckets are logged loudly — dropped candidates are a
-    recall loss, never a silent truncation."""
+    over the (cheap, lazily re-derived) band explosion — the caller
+    checkpoints the expensive signature stage so it computes once.
+    The hot-key list is tiny, so the anti-join broadcasts. Skipped
+    buckets are logged loudly — dropped candidates are a recall
+    loss, never a silent truncation."""
     if bucket_cap is None:
         return bands
-    bands = bands.localCheckpoint()   # one signature computation
     hot = (bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
            .filter(F.col("n") > bucket_cap)
            .localCheckpoint())
@@ -193,6 +194,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
         F.expr(shingles_spark_inline(content_col, k)).alias("sh"))
     sig = (sh.withColumn("bh", F.expr(shingle_hashes_spark("sh")))
            .withColumn("sig", minhash_signature("bh")))
+    if bucket_cap is not None:
+        # the hot-bucket size pass re-derives the band explosion, so
+        # pin the expensive signature stage to compute exactly once
+        sig = sig.localCheckpoint()
     bands = sig.select(
         "id",
         F.posexplode(
@@ -342,6 +347,10 @@ def simhash_pairs(df: DataFrame, id_col: str, content_col: str,
     sig = widen_if_narrow(df).select(
         F.col(id_col).alias("id"),
         simhash_spark(content_col).alias("sig"))
+    if bucket_cap is not None:
+        # pin the (expensive) signature expression to one computation;
+        # the hot-bucket size pass re-derives only the cheap explode
+        sig = sig.localCheckpoint()
     mask = (1 << _BAND_BITS) - 1
     bands = sig.select(
         "id", "sig",

@@ -126,3 +126,56 @@ def test_lenient_decode_handles_every_malformation(spark):
     # every malformation degrades to nulls
     assert got == [("ok", 3), ("missing-sev", None), ("bad-type", None),
                    ("extra", 1), (None, None), None]
+
+
+def test_lenient_decode_nested_depth_defaults(spark):
+    """Parity with the reference decoder's deep default injection
+    (ExtendedJsonDecoder.java:490,719-726 injects a null default for
+    a missing field at ANY nesting depth): fields missing two levels
+    down — inside a nested record and inside array-of-record
+    elements — must decode to null in place, with the surrounding
+    structure intact, never an error or a dropped row."""
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.schema.infer import lenient_decode
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("host", T.StringType()),
+            T.StructField("geo", T.StructType([
+                T.StructField("lat", T.DoubleType()),
+                T.StructField("lon", T.DoubleType()),
+            ])),
+        ])),
+        T.StructField("tags", T.ArrayType(T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]))),
+    ])
+    rows = [
+        # fully populated
+        ('{"id": 1, "meta": {"host": "a", "geo": {"lat": 1.5, "lon": 2.5}},'
+         ' "tags": [{"k": "x", "v": "y"}]}',),
+        # geo.lon missing (depth 3); tag element missing v (depth 2)
+        ('{"id": 2, "meta": {"host": "b", "geo": {"lat": 3.0}},'
+         ' "tags": [{"k": "x"}, {"v": "only-v"}]}',),
+        # whole nested record missing (depth 1) and empty tag object
+        ('{"id": 3, "tags": [{}]}',),
+        # nested record present but empty; tags missing entirely
+        ('{"id": 4, "meta": {}}',),
+    ]
+    df = spark.createDataFrame(rows, "doc string")
+    out = [r["r"].asDict(recursive=True) for r in
+           df.select(lenient_decode(F.col("doc"), schema).alias("r"))
+           .collect()]
+    assert out[0] == {"id": 1,
+                      "meta": {"host": "a", "geo": {"lat": 1.5, "lon": 2.5}},
+                      "tags": [{"k": "x", "v": "y"}]}
+    assert out[1] == {"id": 2,
+                      "meta": {"host": "b", "geo": {"lat": 3.0, "lon": None}},
+                      "tags": [{"k": "x", "v": None},
+                               {"k": None, "v": "only-v"}]}
+    assert out[2] == {"id": 3, "meta": None, "tags": [{"k": None, "v": None}]}
+    assert out[3] == {"id": 4,
+                      "meta": {"host": None, "geo": None}, "tags": None}
