@@ -191,13 +191,18 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
-    # Full per-query detail goes to a committed file; stdout gets ONE
-    # compact line. The driver stores only the last 2000 chars of
-    # stdout, so the printed line must fit well under that or the
-    # round's BENCH_r{N}.json records parsed=null (round-2 lesson).
+    # Full per-query detail goes to BENCH_FULL.json next to this
+    # script (untracked scratch output); stdout gets ONE compact
+    # line. The driver stores only the last 2000 chars of stdout, so
+    # the printed line must fit well under that or the round's
+    # BENCH_r{N}.json records parsed=null (round-2 lesson). The file
+    # write must never take the stdout line down with it.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-    with open(full_path, "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"# BENCH_FULL.json write failed: {exc}", file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total",
