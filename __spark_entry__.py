@@ -21,6 +21,7 @@ from parquet_generator_spark.plans import llm_queries as L
 from parquet_generator_spark.plans import llm_queries2 as L2
 from parquet_generator_spark.plans import llm_queries3 as L3
 from parquet_generator_spark.plans import llm_queries4 as L4
+from parquet_generator_spark.plans import llm_queries5 as L5
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -54,6 +55,7 @@ def queries() -> dict[str, QueryFn]:
         **L2.QUERIES,
         **L3.QUERIES,
         **L4.QUERIES,
+        **L5.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -78,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
         **L2.ORACLES,
         **L3.ORACLES,
         **L4.ORACLES,
+        **L5.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

@@ -1,0 +1,309 @@
+"""Fifth wave of LLM-training-data pipeline operators.
+
+- span_dedup: exact substring-duplication profile (Lee et al. 2021,
+  "Deduplicating Training Data Makes Language Models Better"): for
+  every K-token span occurrence, is the same span text present
+  anywhere else in the corpus? Distributed as a shuffle on the span
+  hash — no pairwise comparison anywhere, so it survives 100 TB
+  (the span->count aggregate is map-side partial; the per-doc
+  rollup joins span counts back on the same shuffle key).
+- seq_packing: greedy fixed-token-budget sequence packing (the
+  batch-construction step of LLM training): documents pack in
+  doc_id order within each source shard; sequential by definition,
+  so it runs as one applyInPandas per source group — at scale each
+  shard packs independently in parallel, which is exactly how
+  packing is done in practice.
+- source_temperature_sample: temperature-based mixture rebalancing
+  ((n_s)^alpha source weights, deterministic md5-ranked selection)
+  — reproducible across engines, layouts, and runs.
+- char_entropy: per-document character-distribution Shannon entropy
+  (gibberish / low-diversity detector). Pure explode+groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.operators.text import toks_duck, toks_spark
+from parquet_generator_spark.operators.util import widen_if_narrow
+from parquet_generator_spark.sources.catalog import load_table
+
+# ------------------------------------------------------- span_dedup
+
+SPAN_K = 8
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring duplication profile: of the
+    doc's K-token span occurrences, how many have span text that
+    occurs >= 2 times corpus-wide (another doc or another position)?
+
+    Plan: span explode -> (doc, span) occurrence counts (ONE shuffle
+    on the span; map-side partial agg) -> span totals by a second
+    agg on the SAME key (no re-shuffle of the wide data) -> join
+    back on span -> per-doc rollup.
+    """
+    docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
+    toks = toks_spark("text")
+    spans = docs.select(
+        F.col("doc_id"),
+        F.explode(F.expr(
+            f"CASE WHEN size({toks}) >= {SPAN_K} THEN "
+            f"transform(sequence(0, size({toks}) - {SPAN_K}), "
+            f"i -> array_join(slice({toks}, i + 1, {SPAN_K}), ' ')) "
+            f"ELSE array() END")).alias("span"))
+    per_doc_span = spans.groupBy("doc_id", "span").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    totals = per_doc_span.groupBy("span").agg(
+        F.sum("cnt").alias("total"))
+    dup = (per_doc_span.join(totals, "span")
+           .groupBy("doc_id")
+           .agg(F.sum("cnt").alias("n_spans"),
+                F.sum(F.when(F.col("total") >= 2, F.col("cnt"))
+                      .otherwise(F.lit(0))).alias("n_dup_spans")))
+    return (docs.select("doc_id").join(dup, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                F.round(F.when(F.coalesce("n_spans", F.lit(0)) > 0,
+                               F.coalesce("n_dup_spans", F.lit(0))
+                               .cast("double") / F.col("n_spans"))
+                        .otherwise(0.0), 4).alias("dup_frac"))
+            .orderBy("doc_id"))
+
+
+SPAN_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {toks_duck('text')} AS tk FROM documents),
+sp AS (
+  SELECT doc_id,
+         list_aggr(tk[i + 1 : i + {SPAN_K}], 'string_agg', ' ') AS span
+  FROM t, unnest(CASE WHEN len(tk) >= {SPAN_K}
+                 THEN range(0, len(tk) - {SPAN_K} + 1)
+                 ELSE [] END) AS u(i)),
+pds AS (SELECT doc_id, span, count(*) AS cnt FROM sp
+        GROUP BY doc_id, span),
+tot AS (SELECT span, CAST(sum(cnt) AS BIGINT) AS total FROM pds
+        GROUP BY span),
+agg AS (
+  SELECT p.doc_id,
+         CAST(sum(p.cnt) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN t.total >= 2 THEN p.cnt ELSE 0 END)
+              AS BIGINT) AS n_dup_spans
+  FROM pds p JOIN tot t USING (span) GROUP BY p.doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+       round(CASE WHEN COALESCE(a.n_spans, 0) > 0
+             THEN CAST(a.n_dup_spans AS DOUBLE) / a.n_spans
+             ELSE 0.0 END, 4) AS dup_frac
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ------------------------------------------------------ seq_packing
+
+PACK_BUDGET = 128
+
+
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing: documents in doc_id order pack
+    into training sequences of <= PACK_BUDGET tokens per source
+    shard (a doc longer than the budget gets its own bin). Output:
+    one row per (source, bin) with doc count, token total, fill.
+
+    Packing is sequential by definition, so it runs as a per-source
+    applyInPandas (numpy loop over the shard's token counts); at
+    scale every shard packs in parallel and nothing crosses shards.
+    """
+    import pandas as pd
+
+    docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
+    counted = docs.select(
+        "source", "doc_id",
+        F.size(F.expr(toks_spark("text"))).alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins, acc, cur = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if acc > 0 and acc + n > PACK_BUDGET:
+                cur += 1
+                acc = 0
+            acc += int(n)
+            bins.append(cur)
+        out = pdf.assign(bin=bins)
+        return (out.groupby(["source", "bin"], as_index=False)
+                .agg(n_docs=("doc_id", "size"),
+                     sum_tokens=("n_tokens", "sum")))
+
+    return (counted.groupBy("source").applyInPandas(
+                pack,
+                schema="source string, bin long, n_docs long, "
+                       "sum_tokens long")
+            .select("source", "bin", "n_docs", "sum_tokens",
+                    F.round(F.col("sum_tokens").cast("double")
+                            / PACK_BUDGET, 4).alias("fill"))
+            .orderBy("source", "bin"))
+
+
+SEQ_PACKING_ORACLE = f"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id, len({toks_duck('text')}) AS n,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+packed AS (
+  SELECT source, rn, n, 0 AS bin, n AS acc FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.n,
+         CASE WHEN p.acc > 0 AND p.acc + t.n > {PACK_BUDGET}
+              THEN p.bin + 1 ELSE p.bin END AS bin,
+         CASE WHEN p.acc > 0 AND p.acc + t.n > {PACK_BUDGET}
+              THEN t.n ELSE p.acc + t.n END AS acc
+  FROM t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1)
+SELECT source, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS sum_tokens,
+       round(CAST(sum(n) AS DOUBLE) / {PACK_BUDGET}, 4) AS fill
+FROM packed GROUP BY source, bin ORDER BY source, bin
+"""
+
+
+# ----------------------------------- source_temperature_sample
+
+TEMP_ALPHA = 0.5
+TEMP_TARGET = 1000
+
+
+def source_temperature_sample(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing: source s gets weight
+    (n_s)^alpha (alpha<1 upweights small sources), a floor-rounded
+    share of TEMP_TARGET docs, and a DETERMINISTIC selection — docs
+    ranked by md5(doc_id) within source, smallest first — so the
+    same sample comes out of any engine, any layout, any run.
+    Output per source: available, target, kept, and the kept-id sum
+    (proves the exact same docs were selected, not just as many).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(TEMP_ALPHA))
+    weights = sizes.select(
+        "source", "n_docs", w.alias("w"),
+        F.sum(w).over(Window.partitionBy()).alias("w_sum"))
+    targets = weights.select(
+        "source", "n_docs",
+        F.floor(F.lit(TEMP_TARGET) * F.col("w") / F.col("w_sum"))
+        .cast("long").alias("target"))
+    rk = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    ranked = docs.select("source", "doc_id",
+                         F.row_number().over(rk).alias("rk"))
+    kept = (ranked.join(F.broadcast(targets), "source")
+            .filter(F.col("rk") <= F.col("target"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("kept"),
+                 F.sum("doc_id").alias("kept_id_sum")))
+    return (targets.join(kept, "source", "left")
+            .select("source", "n_docs", "target",
+                    F.coalesce("kept", F.lit(0)).alias("kept"),
+                    F.coalesce("kept_id_sum", F.lit(0))
+                    .alias("kept_id_sum"))
+            .orderBy("source"))
+
+
+SOURCE_TEMPERATURE_ORACLE = f"""
+WITH sizes AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+wt AS (
+  SELECT source, n_docs, pow(n_docs, {TEMP_ALPHA}) AS w,
+         sum(pow(n_docs, {TEMP_ALPHA})) OVER () AS w_sum
+  FROM sizes),
+tg AS (
+  SELECT source, n_docs,
+         CAST(floor({TEMP_TARGET} * w / w_sum) AS BIGINT) AS target
+  FROM wt),
+rk AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rk
+  FROM documents),
+kept AS (
+  SELECT r.source, count(*) AS kept,
+         CAST(sum(r.doc_id) AS BIGINT) AS kept_id_sum
+  FROM rk r JOIN tg USING (source) WHERE r.rk <= tg.target
+  GROUP BY r.source)
+SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs, t.target,
+       CAST(COALESCE(k.kept, 0) AS BIGINT) AS kept,
+       COALESCE(k.kept_id_sum, 0) AS kept_id_sum
+FROM tg t LEFT JOIN kept k ON t.source = k.source
+ORDER BY t.source
+"""
+
+
+# ----------------------------------------------------- char_entropy
+
+ENTROPY_LOW = 3.5
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    cheap gibberish / low-diversity detector (random keyboard mash
+    and single-char spam both collapse the distribution). Explode
+    one row per character -> two grouped aggregations; both are
+    map-side partial, the shuffle carries (doc, char) counts."""
+    docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, length(text)), "
+            "i -> substring(text, i, 1))")).alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c"))
+    tot = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.sum("c").over(tot)
+    ent = (counts.withColumn("term", -p * F.log2(p))
+           .groupBy("doc_id")
+           .agg(F.round(F.sum("term"), 4).alias("entropy"),
+                F.sum("c").alias("n_chars_text")))
+    return (ent.select("doc_id", "n_chars_text", "entropy",
+                       (F.col("entropy") < ENTROPY_LOW)
+                       .alias("low_entropy"))
+            .orderBy("doc_id"))
+
+
+CHAR_ENTROPY_ORACLE = f"""
+WITH ch AS (
+  SELECT doc_id, substr(text, i, 1) AS ch
+  FROM documents, unnest(range(1, len(text) + 1)) AS u(i)),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt
+        GROUP BY doc_id)
+SELECT c.doc_id, t.n AS n_chars_text,
+       round(sum(-(CAST(c.c AS DOUBLE) / t.n)
+                 * log2(CAST(c.c AS DOUBLE) / t.n)), 4) AS entropy,
+       round(sum(-(CAST(c.c AS DOUBLE) / t.n)
+                 * log2(CAST(c.c AS DOUBLE) / t.n)), 4)
+         < {ENTROPY_LOW} AS low_entropy
+FROM cnt c JOIN tot t USING (doc_id)
+GROUP BY c.doc_id, t.n
+ORDER BY c.doc_id
+"""
+
+
+QUERIES = {
+    "span_dedup": span_dedup,
+    "seq_packing": seq_packing,
+    "source_temperature_sample": source_temperature_sample,
+    "char_entropy": char_entropy,
+}
+
+ORACLES = {
+    "span_dedup": SPAN_DEDUP_ORACLE,
+    "seq_packing": SEQ_PACKING_ORACLE,
+    "source_temperature_sample": SOURCE_TEMPERATURE_ORACLE,
+    "char_entropy": CHAR_ENTROPY_ORACLE,
+}
