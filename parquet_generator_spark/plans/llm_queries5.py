@@ -39,10 +39,11 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's K-token span occurrences, how many have span text that
     occurs >= 2 times corpus-wide (another doc or another position)?
 
-    Plan: span explode -> (doc, span) occurrence counts (ONE shuffle
-    on the span; map-side partial agg) -> span totals by a second
-    agg on the SAME key (no re-shuffle of the wide data) -> join
-    back on span -> per-doc rollup.
+    Plan: span explode -> (doc, span) occurrence counts (shuffle on
+    (doc, span); map-side partial agg collapses repeats) -> span
+    totals (second shuffle, but it carries only (span, cnt) — the
+    text never moves twice) -> join back on span -> per-doc rollup.
+    Every stage is keyed on the span hash; nothing is pairwise.
     """
     docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
     toks = toks_spark("text")

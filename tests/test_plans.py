@@ -196,3 +196,33 @@ def test_stream_stream_join_interval_bounds_in_condition(spark):
     plan = formatted_plan(spark, "stream_stream_join")
     # the time-interval predicates ride the join, not a post-filter
     assert re.search(r"Join.*c_ts.*v_ts", plan) or "10 minutes" in plan
+
+
+@pytest.mark.parametrize("name", ["span_dedup", "char_entropy",
+                                  "seq_packing",
+                                  "source_temperature_sample"])
+def test_wave5_no_pairwise_explosion(spark, name):
+    """Wave-5 pipeline ops are shuffle-keyed, never pairwise: no
+    nested-loop join or cartesian product may appear in the plan."""
+    plan = formatted_plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_dup_block_plan_is_grouped_shuffle(spark):
+    """Exact all-pairs runs as the triangle-block applyInPandas:
+    grouped on the block-cell key, never a join — the O(N^2) lives
+    inside cell tasks, not in the plan's join graph."""
+    plan = formatted_plan(spark, "dedup_embedding")
+    assert "FlatMapGroupsInPandas" in plan
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct",
+                "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan
+
+
+def test_embedding_dup_lsh_plan_is_equi_join(spark):
+    """The LSH variant's candidate generation must be a (band,
+    bucket) equi-join — no nested loop anywhere."""
+    plan = formatted_plan(spark, "dedup_embedding_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
