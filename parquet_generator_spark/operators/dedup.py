@@ -251,6 +251,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     localCheckpoint() cuts the growing lineage each round so plans
     stay O(1); convergence is detected by the monotone-decreasing
     label sum reaching a fixpoint.
+
+    Min-label needs O(component diameter) rounds — the right trade
+    for near-dup graphs (tiny star-ish clusters). If the loop exits
+    WITHOUT converging (a degenerate chain), it never returns the
+    half-propagated labels: it logs and hands off to the O(log n)
+    connected_components_star.
     """
     # checkpoint the pair list BEFORE the symmetrizing union: both
     # union branches read `pairs`, so an unmaterialized pairs pipeline
@@ -263,6 +269,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
               .withColumn("label", F.col("id"))
               .localCheckpoint())
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["src"] == labels["id"])
                  .groupBy("dst").agg(F.min("label").alias("nlabel")))
@@ -273,9 +280,75 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                   .localCheckpoint())
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        logger.warning(
+            "connected_components: min-label did not converge in %d "
+            "rounds (component diameter too large); falling back to "
+            "star contraction", max_iter)
+        return connected_components_star(pairs)
     return labels.select("id", F.col("label").alias("cluster"))
+
+
+def connected_components_star(pairs: DataFrame,
+                              max_iter: int = 20) -> DataFrame:
+    """Cluster ids via alternating large-star / small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — same output contract as connected_components but
+    O(log n) rounds instead of O(diameter), so a degenerate chain of
+    near-dups converges where plain min-label propagation times out.
+
+    Each half-round is one groupBy(min-neighbor) + join, all
+    shuffle-keyed on node id; the driver sees one convergence scalar
+    per round. Edges shrink monotonically toward (node, cluster-min)
+    stars, so later rounds touch ever-less data.
+    """
+    edges = (pairs.select(F.col("id_a").alias("u"),
+                          F.col("id_b").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint())
+    nodes = (edges.select(F.col("u").alias("id"))
+             .union(edges.select(F.col("v").alias("id")))
+             .distinct().localCheckpoint())
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # every undirected edge is seen from BOTH endpoints, so the
+        # neighbor-to-min rewiring always leaves a connecting path
+        adj = sym(e)
+        m = (adj.groupBy("u")
+             .agg(F.least(F.min("v"), F.col("u")).alias("m")))
+        j = adj.join(m, "u")
+        keep = (F.col("v") > F.col("u")) if large \
+            else (F.col("v") <= F.col("u"))
+        return (j.filter(keep & (F.col("v") != F.col("m")))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(j.select("u", F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct())
+
+    prev = None
+    for _ in range(max_iter):
+        edges = star(star(edges, large=True), large=False) \
+            .localCheckpoint()
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev:
+            break
+        prev = cur
+    # at the fixpoint edges form stars around component minima;
+    # symmetrize once more so minima label themselves
+    lab = (sym(edges).groupBy("u")
+           .agg(F.least(F.min("v"), F.col("u")).alias("cluster")))
+    return (nodes.join(lab, nodes["id"] == lab["u"], "left")
+            .select("id", F.coalesce("cluster", "id").alias("cluster")))
 
 
 # ------------------------------------------------------------------

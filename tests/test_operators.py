@@ -246,3 +246,36 @@ def test_lsh_bucket_cap_skips_hot_bucket(spark):
                                      bucket_cap=10)
     sgot = {(r["id_a"], r["id_b"]) for r in sim_capped.collect()}
     assert not any(a < 100 and b < 100 for a, b in sgot)
+
+
+def test_star_cc_matches_min_label_on_real_pairs(spark):
+    docs = load_table(spark, "documents", SF)
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.5) \
+        .localCheckpoint()
+    a = {(r["id"], r["cluster"])
+         for r in dedup.connected_components(pairs).collect()}
+    b = {(r["id"], r["cluster"])
+         for r in dedup.connected_components_star(pairs).collect()}
+    assert len(a) > 0
+    assert a == b
+
+
+def test_min_label_falls_back_to_star_on_long_chain(spark):
+    """A 40-node path has diameter 40: min-label with max_iter=3
+    cannot finish, and must hand off to star contraction instead of
+    returning half-propagated labels."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                  "id_a bigint, id_b bigint")
+    got = {r["id"]: r["cluster"]
+           for r in dedup.connected_components(chain,
+                                               max_iter=3).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_star_cc_handles_multiple_components(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["id"]: r["cluster"]
+           for r in dedup.connected_components_star(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
