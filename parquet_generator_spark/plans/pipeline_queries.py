@@ -181,8 +181,85 @@ FROM documents ORDER BY media_id
 """
 
 
+def audio_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV/RIFF sibling of media_header_parse — and the interesting
+    half of real media metadata extraction: RIFF fields are
+    LITTLE-endian, so the parser reassembles each integer from
+    per-byte substring+hex+conv with positional weights (a naive
+    big-endian read of the same bytes hash-mismatches the oracle
+    immediately). Builds a valid 44-byte canonical WAV header per
+    doc, then parses sample rate / channels / data size back out and
+    derives the clip duration — all JVM codegen, narrow map, no
+    shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    rate = (F.lit(8000) + F.col("n_chars") % 40000).cast("long")
+    chans = (F.lit(1) + F.col("doc_id") % 2).cast("long")
+    data_size = (F.col("n_chars") * 100).cast("long")
+    byte_rate = rate * chans * 2
+    block_align = chans * 2
+
+    def le(c, nbytes):  # int column -> n-byte little-endian binary
+        parts = [F.unhex(F.lpad(F.hex(F.shiftright(c, 8 * i) % 256),
+                                2, "0"))
+                 for i in range(nbytes)]
+        return F.concat(*parts)
+
+    payload = F.concat(
+        F.unhex(F.lit("52494646")),            # "RIFF"
+        le(data_size + 36, 4),                 # riff chunk size
+        F.unhex(F.lit("57415645")),            # "WAVE"
+        F.unhex(F.lit("666D7420")),            # "fmt "
+        le(F.lit(16).cast("long"), 4),         # fmt chunk size
+        le(F.lit(1).cast("long"), 2),          # PCM
+        le(chans, 2), le(rate, 4),
+        le(byte_rate, 4), le(block_align, 2),
+        le(F.lit(16).cast("long"), 2),         # bits/sample
+        F.unhex(F.lit("64617461")),            # "data"
+        le(data_size, 4))
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("payload"))
+
+    def parse_le(pos, nbytes):  # little-endian int from payload bytes
+        terms = [
+            F.conv(F.hex(F.expr(f"substring(payload, {pos + i}, 1)")),
+                   16, 10).cast("long") * (256 ** i)
+            for i in range(nbytes)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    p_rate = parse_le(25, 4)
+    p_chans = parse_le(23, 2)
+    p_data = parse_le(41, 4)
+    p_brate = parse_le(29, 4)
+    return (media.select(
+                "media_id",
+                p_rate.alias("sample_rate"),
+                p_chans.alias("channels"),
+                p_data.alias("data_bytes"),
+                F.round(p_data.cast("double") * 1000.0 / p_brate, 2)
+                .alias("duration_ms"),
+                F.length("payload").alias("n_bytes"))
+            .orderBy("media_id"))
+
+
+AUDIO_HEADER_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(8000 + n_chars % 40000 AS BIGINT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       CAST(n_chars * 100 AS BIGINT) AS data_bytes,
+       round(CAST(n_chars * 100 AS DOUBLE) * 1000.0 /
+             ((8000 + n_chars % 40000) * (1 + doc_id % 2) * 2), 2)
+         AS duration_ms,
+       44 AS n_bytes
+FROM documents ORDER BY media_id
+"""
+
+
 QUERIES = {
     "media_header_parse": media_header_parse,
+    "audio_header_parse": audio_header_parse,
     "anti_join_inactive": anti_join_inactive,
     "train_test_split": train_test_split,
     "pivot_daily_revenue": pivot_daily_revenue,
@@ -191,6 +268,7 @@ QUERIES = {
 
 ORACLES = {
     "media_header_parse": MEDIA_HEADER_ORACLE,
+    "audio_header_parse": AUDIO_HEADER_ORACLE,
     "anti_join_inactive": ANTI_JOIN_ORACLE,
     "train_test_split": TRAIN_TEST_SPLIT_ORACLE,
     "pivot_daily_revenue": PIVOT_ORACLE,
