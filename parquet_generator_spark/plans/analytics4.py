@@ -580,8 +580,48 @@ def _sql_interface_oracle() -> str:
 SQL_INTERFACE_ORACLE = _sql_interface_oracle()
 
 
+# ---------------------------------------- rolling time-range window
+
+ROLL_HOURS = 48
+_ROLL_US = ROLL_HOURS * 3600 * 1_000_000
+
+
+def rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 48-hour event features via a time-RANGE
+    window frame — the standard time-series feature-engineering op
+    (fraud velocity, engagement momentum). RANGE (not ROWS) frames
+    are value-bounded: every event sees exactly the trailing 48h of
+    its user's activity regardless of event density. Frame ordering
+    is integer MICROSECONDS on both engines (unix_micros here,
+    epoch_us in the oracle) so sub-second timestamps bound the frame
+    identically. One shuffle on user_id; the frame scan is linear
+    per partition (Spark keeps a sliding frame for RANGE windows).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts")))
+         .rangeBetween(-_ROLL_US, 0))
+    return (ev.select(
+                "event_id", "user_id",
+                F.count(F.lit(1)).over(w).alias("roll_cnt"),
+                F.round(F.sum("value").over(w), 2).alias("roll_sum"))
+            .orderBy("event_id"))
+
+
+ROLLING_WINDOW_ORACLE = f"""
+SELECT event_id, user_id,
+       count(*) OVER w AS roll_cnt,
+       round(sum(value) OVER w, 2) AS roll_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_ROLL_US} PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "sql_interface": sql_interface,
+    "rolling_window_features": rolling_window_features,
     "forward_fill": forward_fill,
     "window_ranks": window_ranks,
     "corr_stats": corr_stats,
@@ -599,6 +639,7 @@ QUERIES = {
 
 ORACLES = {
     "sql_interface": SQL_INTERFACE_ORACLE,
+    "rolling_window_features": ROLLING_WINDOW_ORACLE,
     "forward_fill": FORWARD_FILL_ORACLE,
     "window_ranks": WINDOW_RANKS_ORACLE,
     "corr_stats": CORR_STATS_ORACLE,
