@@ -105,6 +105,13 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_embedding_lsh",
+    "span_dedup",
+    "seq_packing",
+    "source_temperature_sample",
+    "char_entropy",
+    "audio_header_parse",
+    "rolling_window_features",
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",

@@ -429,26 +429,45 @@ def embedding_dup_pairs_lsh(df: DataFrame, threshold: float,
     bands = F.array(*[
         F.struct(F.lit(i).alias("band"), b.alias("bucket"))
         for i, b in enumerate(buckets)])
-    e = df.select(F.col(id_col).alias("vid"),
-                  F.col(vec_col).alias("vec"),
-                  norm(vec_col).alias("nrm"),
-                  F.explode(bands).alias("bb")) \
-          .select("vid", "vec", "nrm",
-                  F.col("bb.band").alias("band"),
-                  F.col("bb.bucket").alias("bucket"))
-    a = e.select(F.col("band"), F.col("bucket"),
-                 F.col("vid").alias("id_a"), F.col("vec").alias("va"),
-                 F.col("nrm").alias("na"))
-    b = e.select(F.col("band"), F.col("bucket"),
-                 F.col("vid").alias("id_b"), F.col("vec").alias("vb"),
-                 F.col("nrm").alias("nb"))
-    cand = (a.join(b, ["band", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    return (cand.select(
-                "id_a", "id_b",
-                F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 4)
-                .alias("cos"))
+    # One shuffle on (band, bucket); the exact verify is a
+    # bucket-LOCAL numpy GEMM inside applyInPandas with an epsilon
+    # margin pre-filter, so only pairs that can pass the threshold
+    # ever leave a task — candidate pairs are never materialized as
+    # shuffle rows (at a low demo threshold like 0.3 the candidate
+    # set is a large fraction of all pairs; emitting it would cost
+    # more than the banding saves). Low thresholds imply few-bit
+    # bands => wide buckets => the GEMM block inside; production
+    # near-dup thresholds (>= 0.9) use more rows per band => small
+    # buckets. The final round+filter stays in the JVM for HALF_UP
+    # parity with the mirrored SQL oracle.
+    import pandas as pd
+
+    margin = threshold - 0.5e-4 - 1e-9
+
+    def bucket_pairs(key, pdf):
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cos_raw": pd.Series(dtype="float64")})
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+        keep = (ids[:, None] < ids[None, :]) & (cos >= margin)
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],
+                             "cos_raw": cos[ai, bi]})
+
+    e = (df.select(F.col(id_col).alias("vid"),
+                   F.col(vec_col).alias("vec"),
+                   F.explode(bands).alias("bb"))
+         .select("vid", "vec", F.col("bb.band").alias("band"),
+                 F.col("bb.bucket").alias("bucket")))
+    pairs = e.groupBy("band", "bucket").applyInPandas(
+        bucket_pairs, schema="id_a bigint, id_b bigint, cos_raw double")
+    return (pairs.dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b",
+                    F.round("cos_raw", 4).alias("cos"))
             .filter(F.col("cos") >= threshold)
             .orderBy("id_a", "id_b"))
 
