@@ -220,9 +220,11 @@ def test_embedding_dup_block_plan_is_grouped_shuffle(spark):
         assert bad not in plan
 
 
-def test_embedding_dup_lsh_plan_is_equi_join(spark):
-    """The LSH variant's candidate generation must be a (band,
-    bucket) equi-join — no nested loop anywhere."""
+def test_embedding_dup_lsh_plan_is_bucket_grouped(spark):
+    """The LSH variant shuffles once on (band, bucket) and verifies
+    inside bucket-local GEMM tasks — no pairwise join anywhere in
+    the plan."""
     plan = formatted_plan(spark, "dedup_embedding_lsh")
+    assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
