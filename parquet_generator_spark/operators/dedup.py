@@ -445,8 +445,11 @@ def simhash_pairs(df: DataFrame, id_col: str, content_col: str,
         .select("p.id_a", "p.id_b",
                 F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b")))
                 .alias("hamming")))
-    return (pairs.distinct()
-            .filter(F.col("hamming") <= max_hamming))
+    # hamming is a function of the pair, so filtering BEFORE the
+    # distinct is equivalent — and the distinct shuffle then carries
+    # only passing pairs instead of every banded candidate
+    return (pairs.filter(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 def simhash_pairs_duck_sql(table: str, id_col: str, content_col: str,
