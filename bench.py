@@ -110,6 +110,7 @@ HEADLINE = [
     "seq_packing",
     "source_temperature_sample",
     "char_entropy",
+    "cooccurrence_pmi",
     "audio_header_parse",
     "rolling_window_features",
     "ann_bruteforce",

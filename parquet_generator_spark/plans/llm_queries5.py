@@ -18,6 +18,9 @@
   — reproducible across engines, layouts, and runs.
 - char_entropy: per-document character-distribution Shannon entropy
   (gibberish / low-diversity detector). Pure explode+groupBy.
+- cooccurrence_pmi: windowed word co-occurrence with PMI (the
+  statistic count-based embeddings factorize); array-side pair
+  generation, so no self-join — only keyed count aggregations.
 """
 
 from __future__ import annotations
@@ -295,11 +298,93 @@ ORDER BY c.doc_id
 """
 
 
+# ------------------------------------------------ cooccurrence_pmi
+
+PMI_WINDOW = 3          # max token distance within a doc
+PMI_MIN_COUNT = 50      # report pairs seen at least this often
+
+
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed word co-occurrence with pointwise mutual information
+    — the statistic under every count-based embedding (word2vec SGNS
+    factorizes a shifted PMI matrix). Pair generation is ARRAY-SIDE
+    (per-doc transform over positions x window offsets), so there is
+    no self-join anywhere; the only shuffles are the pair-count and
+    unigram-count aggregations, both map-side partial. Rows are
+    ordered by the word pair (integers + strings), never by the
+    float PMI, so engine ulp differences cannot reorder the output.
+    """
+    docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
+    toks = toks_spark("text")
+    # one row per (w1 <= w2) pair within PMI_WINDOW, positions i < j
+    # sequence(a, b) runs DESCENDING when a > b, so both levels are
+    # guarded: no outer position past size-2, and the inner range is
+    # empty-array'd out when the window would start beyond the end
+    pair_expr = (
+        f"flatten(transform(array(struct({toks} AS t)), s -> "
+        f"CASE WHEN size(s.t) >= 2 THEN "
+        f"flatten(transform(sequence(0, size(s.t) - 2), i -> "
+        f"transform(sequence(i + 1, least(i + {PMI_WINDOW},"
+        f" size(s.t) - 1)), "
+        f"j -> struct(least(s.t[i], s.t[j]) AS w1, "
+        f"greatest(s.t[i], s.t[j]) AS w2)))) "
+        f"ELSE array() END))")
+    pairs = docs.select(F.explode(F.expr(pair_expr)).alias("p")) \
+        .select("p.w1", "p.w2")
+    pair_cnt = (pairs.groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("c_xy"))
+                .filter(F.col("c_xy") >= PMI_MIN_COUNT))
+    uni = (docs.select(F.explode(F.expr(toks)).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
+    totals = (uni.agg(F.sum("c_w").alias("t_w"))
+              .crossJoin(pairs.agg(F.count(F.lit(1)).alias("t_p"))))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y"))
+    pmi = (F.log2((F.col("c_xy").cast("double") / F.col("t_p"))
+                  / ((F.col("c_x").cast("double") / F.col("t_w"))
+                     * (F.col("c_y").cast("double") / F.col("t_w")))))
+    return (pair_cnt.join(F.broadcast(u1), "w1")
+            .join(F.broadcast(u2), "w2")
+            .crossJoin(F.broadcast(totals))
+            .select("w1", "w2", "c_xy",
+                    F.round(pmi, 3).alias("pmi"))
+            .orderBy("w1", "w2"))
+
+
+COOCCURRENCE_PMI_ORACLE = f"""
+WITH t AS (SELECT doc_id, {toks_duck('text')} AS tk FROM documents),
+pr AS (
+  SELECT least(tk[i + 1], tk[j + 1]) AS w1,
+         greatest(tk[i + 1], tk[j + 1]) AS w2
+  FROM t,
+       unnest(range(0, len(tk))) AS a(i),
+       unnest(range(0, len(tk))) AS b(j)
+  WHERE j > i AND j <= least(i + {PMI_WINDOW}, len(tk) - 1)),
+pc AS (SELECT w1, w2, count(*) AS c_xy FROM pr GROUP BY w1, w2
+       HAVING count(*) >= {PMI_MIN_COUNT}),
+uni AS (
+  SELECT u.w, count(*) AS c_w
+  FROM (SELECT unnest(tk) AS w FROM t) u GROUP BY u.w),
+tot AS (SELECT (SELECT CAST(sum(c_w) AS DOUBLE) FROM uni) AS t_w,
+               (SELECT CAST(count(*) AS DOUBLE) FROM pr) AS t_p)
+SELECT pc.w1, pc.w2, CAST(pc.c_xy AS BIGINT) AS c_xy,
+       round(log2((pc.c_xy / tot.t_p) /
+                  ((ux.c_w / tot.t_w) * (uy.c_w / tot.t_w))), 3)
+         AS pmi
+FROM pc
+JOIN uni ux ON ux.w = pc.w1
+JOIN uni uy ON uy.w = pc.w2
+CROSS JOIN tot
+ORDER BY w1, w2
+"""
+
+
 QUERIES = {
     "span_dedup": span_dedup,
     "seq_packing": seq_packing,
     "source_temperature_sample": source_temperature_sample,
     "char_entropy": char_entropy,
+    "cooccurrence_pmi": cooccurrence_pmi,
 }
 
 ORACLES = {
@@ -307,4 +392,5 @@ ORACLES = {
     "seq_packing": SEQ_PACKING_ORACLE,
     "source_temperature_sample": SOURCE_TEMPERATURE_ORACLE,
     "char_entropy": CHAR_ENTROPY_ORACLE,
+    "cooccurrence_pmi": COOCCURRENCE_PMI_ORACLE,
 }
