@@ -91,3 +91,41 @@ def test_span_dedup_flags_copied_spans_only(spark, tmp_path):
     assert out[1]["n_dup_spans"] == 1
     assert out[2]["n_dup_spans"] == 0
     assert out[2]["n_spans"] > 0
+
+
+def test_seq_packing_invariants_property(spark, tmp_path):
+    """Property check over random corpora: (1) every bin's token sum
+    fits the budget unless it holds a single oversized doc; (2) bins
+    are contiguous 0..k per source; (3) no document is lost."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_generator_spark.plans.llm_queries5 import (
+        PACK_BUDGET, seq_packing)
+
+    case_dir = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=60),
+                    min_size=1, max_size=40))
+    def check(tok_counts):
+        case_dir[0] += 1
+        d = tmp_path / f"case{case_dir[0]}"
+        d.mkdir()
+        rows = [(i, "w " * n, "en", f"src{i % 2}", n * 2)
+                for i, n in enumerate(tok_counts)]
+        _docs(spark, rows).write.mode("overwrite").parquet(
+            str(d / "documents.parquet"))
+        out = seq_packing(spark, str(d)).collect()
+        per_source = {}
+        for r in out:
+            per_source.setdefault(r["source"], []).append(r)
+            assert r["sum_tokens"] <= PACK_BUDGET or r["n_docs"] == 1
+        for src, bins in per_source.items():
+            assert sorted(r["bin"] for r in bins) == list(
+                range(len(bins)))
+        assert (sum(r["sum_tokens"] for r in out)
+                == sum(tok_counts))
+        assert sum(r["n_docs"] for r in out) == len(tok_counts)
+
+    check()
