@@ -151,6 +151,7 @@ HEADLINE = [
     "stream_windowed_agg",
     "stream_session_window",
     "stream_dedup",
+    "stream_near_dedup",
 ]
 
 

@@ -68,6 +68,38 @@ WHERE rk = 1 ORDER BY event_id
 """
 
 
+def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch equivalent of the streaming signature
+    dedup (near_dedup_by_signature keeps the first arrival per
+    60-bit content SimHash): earliest event per props signature."""
+    from parquet_generator_spark.operators.dedup import simhash_spark
+
+    ev = load_table(spark, "events", sf_dir)
+    sig = ev.withColumn("sig", simhash_spark("props"))
+    w = Window.partitionBy("sig").orderBy(F.asc("ts"),
+                                          F.asc("event_id"))
+    return (sig.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("event_id", "user_id", "sig")
+            .orderBy("event_id"))
+
+
+def _near_dedup_oracle() -> str:
+    from parquet_generator_spark.operators.dedup import simhash_duck
+
+    return f"""
+SELECT event_id, user_id, sig FROM (
+  SELECT event_id, user_id, {simhash_duck('props')} AS sig, ts
+  FROM events)
+QUALIFY row_number() OVER (PARTITION BY sig
+                           ORDER BY ts ASC, event_id ASC) = 1
+ORDER BY event_id
+"""
+
+
+STREAM_NEAR_DEDUP_ORACLE = _near_dedup_oracle()
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch run of the stream-static enrichment join (events stream
     x broadcast customer dim); the streaming execution of the same
@@ -96,6 +128,7 @@ QUERIES = {
     "stream_windowed_agg": stream_windowed_agg,
     "stream_session_window": stream_session_window,
     "stream_dedup": stream_dedup_first,
+    "stream_near_dedup": stream_near_dedup,
     "stream_static_enrich": stream_static_enrich,
 }
 ORACLES = {
@@ -103,5 +136,6 @@ ORACLES = {
     "stream_windowed_agg": WINDOWED_ORACLE,
     "stream_session_window": SESSION_WINDOW_ORACLE,
     "stream_dedup": STREAM_DEDUP_ORACLE,
+    "stream_near_dedup": STREAM_NEAR_DEDUP_ORACLE,
     "stream_static_enrich": ENRICH_ORACLE,
 }

@@ -35,6 +35,24 @@ def stream_dedup(df: DataFrame, key_cols: list[str],
     return df.dropDuplicates(key_cols)
 
 
+def near_dedup_by_signature(df: DataFrame, content_col: str = "props",
+                            watermark: str | None = None,
+                            ts_col: str = "ts") -> DataFrame:
+    """Streaming near-dup suppression: first-wins on the 60-bit
+    SimHash of the content, so payloads that are identical modulo
+    tokenization (key order, whitespace, separators) collapse even
+    when their raw bytes differ. Same bounded-state story as
+    stream_dedup — the signature is just a content-derived key, and
+    the watermark purges signatures past the horizon."""
+    from parquet_generator_spark.operators.dedup import simhash_spark
+
+    sig = df.withColumn("sig", simhash_spark(content_col))
+    if watermark is not None:
+        return (sig.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["sig"]))
+    return sig.dropDuplicates(["sig"])
+
+
 def session_window_agg(df: DataFrame, watermark: str | None = None,
                        ts_col: str = "ts",
                        key_col: str = "user_id") -> DataFrame:

@@ -335,3 +335,46 @@ def test_timeout_sessions_emit_on_watermark_expiry(spark, tmp_path):
         (1, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1),
         (2, "2024-01-01 12:01:00", "2024-01-01 12:01:00", 1),
     }
+
+
+def test_stream_near_dedup_collapses_reformatted_payloads(spark, tmp_path):
+    """Signature dedup must suppress payloads that are identical
+    modulo tokenization (key order / whitespace) across micro-batches
+    — byte-level dedup would keep them all."""
+    import json as _json
+
+    from parquet_generator_spark.streaming.stateful import (
+        near_dedup_by_signature,
+    )
+
+    src = tmp_path / "neardedup_in"
+    src.mkdir()
+    variants = ['{"k": 7, "tag": "alpha"}',
+                '{ "tag":"alpha",  "k":7 }',      # same tokens, reordered
+                '{"k":7,"tag":"alpha"}']          # same tokens, compact
+    with open(src / "b0.json", "w") as fh:
+        fh.write(_json.dumps({"props": variants[0],
+                              "ts": "2024-01-01 00:00:00"}) + "\n")
+        fh.write(_json.dumps({"props": '{"k": 9, "tag": "beta"}',
+                              "ts": "2024-01-01 00:00:30"}) + "\n")
+    for b, v in enumerate(variants[1:], start=1):
+        with open(src / f"b{b}.json", "w") as fh:
+            fh.write(_json.dumps({"props": v,
+                                  "ts": f"2024-01-01 00:0{b}:00"}) + "\n")
+
+    schema = T.StructType([
+        T.StructField("props", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    deduped = near_dedup_by_signature(stream, "props",
+                                      watermark="10 minutes")
+    q = (deduped.writeStream.format("memory").queryName("neardedupq")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("select * from neardedupq").collect()
+    # the three reformattings share one signature: 2 survivors total
+    assert len(rows) == 2
+    assert len({r["sig"] for r in rows}) == 2
