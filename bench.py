@@ -92,6 +92,7 @@ HEADLINE = [
     "dsl_match_msm",
     "dsl_terms_order_metric",
     "dsl_multi_match",
+    "dsl_fuzzy",
     "dsl_global_agg",
     "json_props_agg",
     "dsl_date_range_agg",

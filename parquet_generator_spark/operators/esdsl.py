@@ -158,6 +158,18 @@ def translate_query(q: dict | None) -> Column:
         field, val = _field_value(body, "value")
         # ES regexp anchors the whole term; Java regex on our side
         return F.col(field).isNotNull() & F.col(field).rlike(f"^(?:{val})$")
+    if kind == "fuzzy":
+        # term-level edit-distance match; "AUTO" uses ES's
+        # length-banded distances (0 for <3 chars, 1 for 3-5, 2 past)
+        field, val = _field_value(body, "value")
+        spec = body[field]
+        fz = spec.get("fuzziness", "AUTO") if isinstance(spec, dict) \
+            else "AUTO"
+        if fz == "AUTO":
+            n = len(val)
+            fz = 0 if n < 3 else (1 if n <= 5 else 2)
+        return (F.col(field).isNotNull()
+                & (F.levenshtein(F.col(field), F.lit(val)) <= int(fz)))
     if kind == "multi_match":
         # same analyzed-token match ORed across several fields
         val = body["query"]

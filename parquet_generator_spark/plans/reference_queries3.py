@@ -348,6 +348,33 @@ ORDER BY doc_id
 """
 
 
+def dsl_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fuzzy`: term-level edit-distance match ("purchse" finds
+    purchase at AUTO fuzziness = 2 for a 7-char term; "viem" finds
+    view at distance 1). levenshtein runs inside codegen — a narrow
+    filter, no UDF, no extra scan."""
+    ev = load_table(spark, "events", sf_dir)
+    return (search(ev, {
+        "query": {"bool": {"should": [
+            {"fuzzy": {"event_type": {"value": "purchse"}}},
+            {"fuzzy": {"event_type": {"value": "viem",
+                                      "fuzziness": 1}}},
+        ], "minimum_should_match": 1}},
+    }).groupBy("event_type")
+      .agg(F.count(F.lit(1)).alias("n"))
+      .orderBy("event_type"))
+
+
+DSL_FUZZY_ORACLE = """
+SELECT event_type, count(*) AS n FROM events
+WHERE (event_type IS NOT NULL
+       AND levenshtein(event_type, 'purchse') <= 2)
+   OR (event_type IS NOT NULL
+       AND levenshtein(event_type, 'viem') <= 1)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def dsl_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`global` bucket agg: filtered metrics (purchase average) next
     to corpus-wide metrics in one response — two one-row aggregates
@@ -519,6 +546,7 @@ QUERIES = {
     "dsl_global_agg": dsl_global_agg,
     "json_props_agg": json_props_agg,
     "dsl_multi_match": dsl_multi_match,
+    "dsl_fuzzy": dsl_fuzzy,
     "dsl_derivative": dsl_derivative,
     "dsl_date_histogram_zerofill": dsl_date_histogram_zerofill,
     "dsl_histogram": dsl_histogram,
@@ -538,6 +566,7 @@ ORACLES = {
     "dsl_global_agg": DSL_GLOBAL_ORACLE,
     "json_props_agg": JSON_PROPS_ORACLE,
     "dsl_multi_match": DSL_MULTI_MATCH_ORACLE,
+    "dsl_fuzzy": DSL_FUZZY_ORACLE,
     "dsl_derivative": DSL_DERIVATIVE_ORACLE,
     "dsl_date_histogram_zerofill": DSL_ZEROFILL_ORACLE,
     "dsl_histogram": DSL_HISTOGRAM_ORACLE,
