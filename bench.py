@@ -108,6 +108,7 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_embedding_lsh",
     "span_dedup",
+    "tfidf_topterms",
     "seq_packing",
     "source_temperature_sample",
     "char_entropy",

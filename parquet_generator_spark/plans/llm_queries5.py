@@ -379,8 +379,72 @@ ORDER BY w1, w2
 """
 
 
+# ------------------------------------------------- tfidf_topterms
+
+TFIDF_TOP = 3
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic sparse
+    retrieval/feature representation. tf = in-doc count, idf =
+    ln((N+1)/(df+1)) + 1 (smoothed). Two keyed aggregations (term
+    frequencies per doc; document frequencies per term — both
+    map-side partial), a broadcast of the term-cardinality idf
+    table, one per-doc window for the top-k. Ranking compares the
+    ROUNDED score with the term as tie-break, so float ulp
+    differences between engines cannot flip an ordering."""
+    docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
+    toks = docs.select("doc_id",
+                       F.explode(F.expr(toks_spark("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()   # one scalar; literal in the plan
+    idf = df_.select(
+        "term",
+        (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        .alias("idf"))
+    scored = (tf.join(F.broadcast(idf), "term")
+              .select("doc_id", "term",
+                      F.round(F.col("tf") * F.col("idf"), 4)
+                      .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TFIDF_TOP)
+            .select("doc_id", "rk", "term", "tfidf")
+            .orderBy("doc_id", "rk"))
+
+
+def _tfidf_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks_duck('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0),
+               4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, rk, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored)
+WHERE rk <= {TFIDF_TOP}
+ORDER BY doc_id, rk
+"""
+
+
+TFIDF_TOPTERMS_ORACLE = _tfidf_oracle()
+
+
 QUERIES = {
     "span_dedup": span_dedup,
+    "tfidf_topterms": tfidf_topterms,
     "seq_packing": seq_packing,
     "source_temperature_sample": source_temperature_sample,
     "char_entropy": char_entropy,
@@ -389,6 +453,7 @@ QUERIES = {
 
 ORACLES = {
     "span_dedup": SPAN_DEDUP_ORACLE,
+    "tfidf_topterms": TFIDF_TOPTERMS_ORACLE,
     "seq_packing": SEQ_PACKING_ORACLE,
     "source_temperature_sample": SOURCE_TEMPERATURE_ORACLE,
     "char_entropy": CHAR_ENTROPY_ORACLE,
