@@ -109,6 +109,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "span_dedup",
     "tfidf_topterms",
+    "bm25_topk",
     "seq_packing",
     "source_temperature_sample",
     "char_entropy",

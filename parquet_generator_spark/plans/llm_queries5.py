@@ -442,9 +442,90 @@ ORDER BY doc_id, rk
 TFIDF_TOPTERMS_ORACLE = _tfidf_oracle()
 
 
+# ------------------------------------------------------ bm25_topk
+
+BM25_TERMS = ("vector", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance-RANKED retrieval with BM25 — Elasticsearch's
+    default scorer, closing the one ES behavior the DSL translator
+    alone can't express (it filters; it doesn't rank). Lucene's
+    formula: idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation
+    k1=1.2, length normalization b=0.75 against the average doc
+    length. Execution: one explode filtered to the query terms (the
+    scan prunes everything else), per-doc tf agg, term df agg
+    (query-term cardinality — broadcast), per-doc length from the
+    same token pass corpus-wide aggs as literals. Ranking compares
+    the ROUNDED score with doc_id tie-break, so float ulp noise
+    can't reorder engines."""
+    docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
+    toks = docs.select("doc_id",
+                       F.explode(F.expr(toks_spark("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    qt = toks.filter(F.col("term").isin(*BM25_TERMS))
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.select(
+        "term",
+        F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5)).alias("idf"))
+    contrib = (tf.join(F.broadcast(idf), "term").join(dl, "doc_id")
+               .select("doc_id",
+                       (F.col("idf") * F.col("tf") * (BM25_K1 + 1.0)
+                        / (F.col("tf") + BM25_K1
+                           * (1.0 - BM25_B
+                              + BM25_B * F.col("dl") / F.lit(avgdl))))
+                       .alias("c")))
+    scored = (contrib.groupBy("doc_id")
+              .agg(F.round(F.sum("c"), 4).alias("score")))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= BM25_TOP)
+            .select("rank", "doc_id", "score")
+            .orderBy("rank"))
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks_duck('text')}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({terms}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * dl.dl / st.avgdl))), 4) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT rank, doc_id, score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc)
+WHERE rank <= {BM25_TOP}
+ORDER BY rank
+"""
+
+
+BM25_TOPK_ORACLE = _bm25_oracle()
+
+
 QUERIES = {
     "span_dedup": span_dedup,
     "tfidf_topterms": tfidf_topterms,
+    "bm25_topk": bm25_topk,
     "seq_packing": seq_packing,
     "source_temperature_sample": source_temperature_sample,
     "char_entropy": char_entropy,
@@ -454,6 +535,7 @@ QUERIES = {
 ORACLES = {
     "span_dedup": SPAN_DEDUP_ORACLE,
     "tfidf_topterms": TFIDF_TOPTERMS_ORACLE,
+    "bm25_topk": BM25_TOPK_ORACLE,
     "seq_packing": SEQ_PACKING_ORACLE,
     "source_temperature_sample": SOURCE_TEMPERATURE_ORACLE,
     "char_entropy": CHAR_ENTROPY_ORACLE,
