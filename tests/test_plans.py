@@ -228,3 +228,19 @@ def test_embedding_dup_lsh_plan_is_bucket_grouped(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_registry_consistency():
+    """The three registries can only drift apart silently: every
+    bench HEADLINE entry must exist in queries(), every oracle must
+    have a query, and rows-only entries are a deliberate, named
+    exception list."""
+    import bench
+
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert set(bench.HEADLINE) <= q, sorted(set(bench.HEADLINE) - q)
+    assert o <= q, sorted(o - q)
+    # rows-only (approximate-by-design) entries — keep this list in
+    # sync with SURVEY.md when adding one
+    assert q - o == {"ann_lsh", "ann_ivf", "approx_sketches"}
