@@ -168,6 +168,86 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .orderBy("qid", "rank"))
 
 
+def lsh_topk_duck_sql(table: str, k: int, query_pred: str,
+                      planes: np.ndarray, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> str:
+    """DuckDB mirror of lsh_topk: identical single-bucket sign-bit
+    construction (same plane literals, same bit packing), bucket
+    equi-join, round(cos,4) ranking with id tie-break. Same
+    plane-dot-sign-agreement contract as the (hash-green)
+    embedding_dup_pairs_lsh oracle."""
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_dot_duck('e', plane)} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes))
+    return f"""
+WITH v AS (
+  SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS e FROM {table}),
+b AS (SELECT {id_col}, e, ({bits}) AS bucket FROM v),
+q AS (SELECT * FROM b WHERE {query_pred}),
+scored AS (
+  SELECT q.{id_col} AS qid, c.{id_col} AS nid,
+         round(list_dot_product(q.e, c.e) /
+               (sqrt(list_dot_product(q.e, q.e)) *
+                sqrt(list_dot_product(c.e, c.e))), 4) AS cos
+  FROM q JOIN b c ON q.bucket = c.bucket
+  WHERE q.{id_col} != c.{id_col}),
+ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored)
+SELECT qid, nid, cos, rank FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+def ivf_topk_duck_sql(table: str, k: int, query_pred: str,
+                      n_centroids: int, n_probe: int,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> str:
+    """DuckDB mirror of ivf_topk with the smallest-id coarse
+    quantizer (make_centroids_from_corpus): cell = argmax cosine
+    against the normalized centroid matrix with cell-asc tie-break
+    (matching ivf_assign_cells' stable argsort), corpus in its single
+    nearest cell, queries probing their n_probe nearest."""
+    return f"""
+WITH v AS (
+  SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS e FROM {table}),
+cent AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ce
+  FROM (SELECT * FROM v ORDER BY {id_col} LIMIT {n_centroids})),
+sims AS (
+  SELECT v.{id_col}, v.e, cent.cell,
+         list_dot_product(v.e, cent.ce)
+           / sqrt(list_dot_product(v.e, v.e)) AS sim
+  FROM v CROSS JOIN cent),
+cells AS (
+  SELECT {id_col}, e, cell,
+         row_number() OVER (PARTITION BY {id_col}
+                            ORDER BY sim DESC, cell ASC) AS pr
+  FROM sims),
+c AS (SELECT {id_col}, e, cell FROM cells WHERE pr = 1),
+qc AS (SELECT {id_col}, e, cell FROM cells
+       WHERE pr <= {n_probe} AND {query_pred}),
+scored AS (
+  SELECT DISTINCT q.{id_col} AS qid, c.{id_col} AS nid,
+         round(list_dot_product(q.e, c.e) /
+               (sqrt(list_dot_product(q.e, q.e)) *
+                sqrt(list_dot_product(c.e, c.e))), 4) AS cos
+  FROM qc q JOIN c ON q.cell = c.cell
+  WHERE q.{id_col} != c.{id_col}),
+ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored)
+SELECT qid, nid, cos, rank FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 # ------------------------------------------------------------------
 # IVF (inverted-file) ANN
 # ------------------------------------------------------------------

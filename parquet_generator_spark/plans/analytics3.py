@@ -392,15 +392,51 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+NTILE_RANGE_PARTS = 32  # set ~cluster width (e.g. 2-3x cores) at scale
+
+
 def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile segmentation of order value via ntile(10) — the global
-    ordering runs on a single post-shuffle partition of
-    order-cardinality rows; at 100 TB swap in a percentile_approx
-    cut-point join (same output shape)."""
+    """Decile segmentation of order value with EXACT ntile(10)
+    semantics, computed without a single-partition window. The total
+    order (o_totalprice, o_orderkey) is range-partitioned; the global
+    0-based rank of each row is its per-partition ``row_number`` plus
+    a prefix-sum offset of the earlier partitions' counts (P scalar
+    values on the driver, never data-scale). The SQL-standard ntile
+    bucket formula then maps rank -> decile: with n rows, q = n//10,
+    r = n%10, the first r buckets hold q+1 rows. Output is
+    row-identical to ``ntile(10) OVER (ORDER BY ...)`` — the oracle
+    still uses ntile — but every stage here is parallel: the range
+    exchange, the per-partition sort, and the final decile groupBy."""
     orders = load_table(spark, "orders", sf_dir)
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
-    return (orders
-            .withColumn("decile", F.ntile(10).over(w))
+    sort_cols = [F.asc("o_totalprice"), F.asc("o_orderkey")]
+    part = (orders.select("o_orderkey", "o_totalprice")
+            .repartitionByRange(NTILE_RANGE_PARTS, *sort_cols)
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint())  # materialize once: counts + rank pass
+    counts = {row["pid"]: row["n"]
+              for row in part.groupBy("pid")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    q, r = divmod(n, 10)
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "pid int, off bigint"))
+    lw = Window.partitionBy("pid").orderBy(*sort_cols)
+    big = r * (q + 1)  # rows in the r oversized leading buckets
+    ranked = (part.join(off_df, "pid")
+              .withColumn("rank0",
+                          F.col("off") + F.row_number().over(lw) - 1))
+    decile = (F.when(F.col("rank0") < big,
+                     F.floor(F.col("rank0") / (q + 1)) + 1)
+              # else-branch denominator: q==0 makes it unreachable
+              # (big == n), but keep the expression division-safe
+              .otherwise(r + F.floor((F.col("rank0") - big)
+                                     / max(q, 1)) + 1))
+    return (ranked
+            .withColumn("decile", decile.cast("int"))
             .groupBy("decile")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.min("o_totalprice"), 2).alias("lo"),

@@ -111,26 +111,42 @@ ANN_BRUTEFORCE_ORACLE = similarity.brute_force_topk_duck_sql(
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (no SQL oracle — approximate by
-    design; recall vs brute force is asserted in tests)."""
+    """LSH-bucketed approximate top-k. Approximate vs brute force
+    (recall asserted in tests), but DETERMINISTIC — the DuckDB oracle
+    mirrors the sign-bit bucketing with the same plane literals, so
+    the driver hash-checks it like any exact query."""
     emb = load_table(spark, "embeddings", sf_dir)
     planes = similarity.make_hyperplanes(64, n_planes=8)
     return similarity.lsh_topk(emb, emb.filter(ANN_QUERY_PRED),
                                ANN_K, planes)
 
 
+ANN_LSH_ORACLE = similarity.lsh_topk_duck_sql(
+    "embeddings", ANN_K, ANN_QUERY_PRED,
+    similarity.make_hyperplanes(64, n_planes=8))
+
 ANN_IVF_CELLS = 32
 ANN_IVF_PROBE = 8
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (no SQL oracle — approximate by
-    design; recall, and exactness at n_probe=n_cells, are asserted in
-    tests)."""
+    """IVF-bucketed approximate top-k. The headline query uses the
+    smallest-id coarse quantizer (make_centroids_from_corpus) so the
+    DuckDB oracle can rebuild the identical centroid matrix in SQL
+    and the driver hash-checks the whole path (cell assignment,
+    probing, ranking). The k-means quantizer
+    (make_centroids_kmeans) stays the recall-tuned production
+    variant, exercised in tests — centroid choice only moves recall,
+    never the plan shape. Exactness at n_probe=n_cells is asserted
+    in tests."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = similarity.make_centroids_kmeans(emb, ANN_IVF_CELLS)
+    cents = similarity.make_centroids_from_corpus(emb, ANN_IVF_CELLS)
     return similarity.ivf_topk(emb, emb.filter(ANN_QUERY_PRED),
                                ANN_K, cents, n_probe=ANN_IVF_PROBE)
+
+
+ANN_IVF_ORACLE = similarity.ivf_topk_duck_sql(
+    "embeddings", ANN_K, ANN_QUERY_PRED, ANN_IVF_CELLS, ANN_IVF_PROBE)
 
 
 # --- text analysis --------------------------------------------------
@@ -231,7 +247,7 @@ MULTIMODAL_META_ORACLE = """
 SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
        ELSE 'video' END AS media_type,
        count(*) AS n,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        round(avg(n_chars % 640), 2) AS avg_width
 FROM documents GROUP BY media_type ORDER BY media_type
 """
@@ -262,7 +278,8 @@ ORACLES = {
     "dedup_embedding": DEDUP_EMBEDDING_ORACLE,
     "dedup_embedding_lsh": DEDUP_EMBEDDING_LSH_ORACLE,
     "ann_bruteforce": ANN_BRUTEFORCE_ORACLE,
-    # ann_lsh: approximate — rows-only check by design
+    "ann_lsh": ANN_LSH_ORACLE,
+    "ann_ivf": ANN_IVF_ORACLE,
     "text_tokens": TEXT_TOKENS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,

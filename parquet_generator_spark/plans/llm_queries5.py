@@ -461,7 +461,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query-term cardinality — broadcast), per-doc length from the
     same token pass corpus-wide aggs as literals. Ranking compares
     the ROUNDED score with doc_id tie-break, so float ulp noise
-    can't reorder engines."""
+    can't reorder engines.
+
+    Scale note: the top-k is taken with ``orderBy(...).limit(k)``,
+    which Catalyst compiles to ``TakeOrderedAndProject`` — each
+    partition keeps its local top-k and the driver merges k·P rows —
+    instead of an unpartitioned ranking Window that would funnel
+    every scored document through one partition. ``rank`` is derived
+    afterwards over the k surviving rows (bounded input, never
+    data-scale)."""
     docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
     toks = docs.select("doc_id",
                        F.explode(F.expr(toks_spark("text"))).alias("term"))
@@ -485,9 +493,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("c")))
     scored = (contrib.groupBy("doc_id")
               .agg(F.round(F.sum("c"), 4).alias("score")))
+    top = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+           .limit(BM25_TOP))
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= BM25_TOP)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "doc_id", "score")
             .orderBy("rank"))
 

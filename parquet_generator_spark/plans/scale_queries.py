@@ -58,19 +58,55 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+HLL_RSD = 0.02
+
+
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-based scale path: HLL++ distinct users and t-digest
     median per event type — constant memory per group at any scale.
-    Approximate by design (no SQL oracle; error bounds vs the exact
-    answers are asserted in tests)."""
+
+    The sketch estimates themselves are engine-specific, so the
+    OUTPUT is made deterministic and driver-hashable: each row
+    carries the exact answers plus in-bound booleans — ``hll_ok``
+    (|approx - exact| <= 3*rsd*exact, ~unfailable for a working
+    HLL++ at rsd=0.02) and ``tdigest_ok`` (the approximate median
+    lies inside the exact p45..p55 band; percentile_approx at
+    accuracy 10000 has rank error <= n/10000, far tighter). The
+    oracle computes the exact values and TRUE literals, so a sketch
+    drifting out of bound flips a boolean and fails the hash — the
+    sketch check is driver-visible without hashing the unstable
+    estimate. Exact countDistinct/percentile here exist only to
+    judge the sketches; at 100 TB you would ship the sketch columns
+    alone."""
     ev = load_table(spark, "events", sf_dir)
-    return (ev.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id", rsd=0.02)
-                 .alias("approx_users"),
-                 F.round(F.percentile_approx("value", 0.5, 10000), 4)
-                 .alias("approx_p50"),
-                 F.count(F.lit(1)).alias("n"))
-            .orderBy("event_type"))
+    agg = (ev.groupBy("event_type")
+           .agg(F.approx_count_distinct("user_id", rsd=HLL_RSD)
+                .alias("approx_users"),
+                F.countDistinct("user_id").alias("exact_users"),
+                F.percentile_approx("value", 0.5, 10000)
+                .alias("approx_p50"),
+                F.expr("percentile(value, 0.5)").alias("p50_raw"),
+                F.expr("percentile(value, 0.45)").alias("p45"),
+                F.expr("percentile(value, 0.55)").alias("p55"),
+                F.count(F.lit(1)).alias("n")))
+    return (agg.select(
+        "event_type", "n", "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users"))
+         <= F.col("exact_users") * (3 * HLL_RSD)).alias("hll_ok"),
+        F.round("p50_raw", 4).alias("exact_p50"),
+        ((F.col("approx_p50") >= F.col("p45"))
+         & (F.col("approx_p50") <= F.col("p55"))).alias("tdigest_ok"))
+        .orderBy("event_type"))
+
+
+APPROX_SKETCHES_ORACLE = """
+SELECT event_type, count(*) AS n,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_ok,
+       round(quantile_cont(value, 0.5), 4) AS exact_p50,
+       TRUE AS tdigest_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 QUERIES = {
@@ -82,5 +118,5 @@ QUERIES = {
 ORACLES = {
     "skew_salted_agg": SKEW_AGG_ORACLE,
     "skew_salted_join": SKEW_JOIN_ORACLE,
-    # approx_sketches: approximate by design — rows-only check
+    "approx_sketches": APPROX_SKETCHES_ORACLE,
 }

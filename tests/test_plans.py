@@ -241,6 +241,34 @@ def test_registry_consistency():
     o = set(entrymod.oracle_sql())
     assert set(bench.HEADLINE) <= q, sorted(set(bench.HEADLINE) - q)
     assert o <= q, sorted(o - q)
-    # rows-only (approximate-by-design) entries — keep this list in
-    # sync with SURVEY.md when adding one
-    assert q - o == {"ann_lsh", "ann_ivf", "approx_sketches"}
+    # every entry is oracle-backed since round 5 (the former
+    # rows-only trio gained mirrored/deterministic oracles)
+    assert q == o, sorted(q ^ o)
+
+
+def test_bm25_topk_uses_take_ordered_not_global_window(spark):
+    """The top-k is orderBy().limit(k) -> TakeOrderedAndProject
+    (per-partition top-k, driver merges k*P rows); the only Window
+    runs over the k surviving rows, never over every scored doc."""
+    plan = formatted_plan(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ntile_deciles_has_no_global_window(spark):
+    """Exact ntile via distributed rank: every window in the plan is
+    partitioned by the range-partition id — no windowspec that
+    funnels the whole orders table through one partition."""
+    plan = formatted_plan(spark, "ntile_deciles")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the per-partition row_number window"
+    for spec in specs:
+        assert spec.startswith("pid#"), spec
+
+
+def test_front_keys_lead_queries():
+    """The driver's correctness sampler reads from the front of
+    queries(); FRONT_KEYS pins the round-5 sample to the entries
+    still missing a green driver row."""
+    q = list(entrymod.queries())
+    assert q[:len(entrymod.FRONT_KEYS)] == entrymod.FRONT_KEYS
+    assert len(entrymod.FRONT_KEYS) == 50

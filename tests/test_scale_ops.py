@@ -61,6 +61,9 @@ def test_sketches_within_error_bounds(spark):
     approx = approx_sketches(spark, SF_DIR).collect()
     for r in approx:
         u_exact, m_exact = exact[r["event_type"]]
-        assert abs(r["approx_users"] - u_exact) <= max(2, 0.05 * u_exact)
-        # t-digest with accuracy 10000 on small groups is near-exact
-        assert abs(r["approx_p50"] - m_exact) <= max(0.05 * abs(m_exact), 1e-6)
+        # the query now embeds the bound checks as booleans (so the
+        # driver hash sees them); cross-check the exact columns
+        # against an independently computed exact answer too
+        assert r["hll_ok"] and r["tdigest_ok"]
+        assert r["exact_users"] == u_exact
+        assert abs(r["exact_p50"] - m_exact) <= 1e-4
