@@ -19,6 +19,8 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from parquet_generator_spark.operators.util import broadcast_scalars
+
 _TOKEN = "[a-z0-9]+"
 _SEP = "[^a-z0-9]+"
 _B_L = "(^|[^a-z0-9])"   # left token boundary
@@ -590,18 +592,17 @@ def search(df: DataFrame, body: dict) -> DataFrame:
         # aggregate; score is the rate lift fg_rate / bg_rate.
         # (ES uses JLH by default — same ranking intent, simpler and
         # oracle-checkable.)
-        from pyspark.sql import Window
-
         size = abody.get("size", 10)
         cond = translate_query(body.get("query"))
         key = F.col(abody["field"]).alias("key")
         per_key = (df.groupBy(key)
                    .agg(F.count(F.when(cond, 1)).alias("doc_count"),
                         F.count(F.lit(1)).alias("bg_count")))
-        tot = Window.partitionBy()
-        scored = (per_key
-                  .withColumn("fg_total", F.sum("doc_count").over(tot))
-                  .withColumn("bg_total", F.sum("bg_count").over(tot))
+        # corpus totals: one-row aggregate of the (key-cardinality)
+        # per_key frame, broadcast back — no single-partition window
+        totals = per_key.agg(F.sum("doc_count").alias("fg_total"),
+                             F.sum("bg_count").alias("bg_total"))
+        scored = (broadcast_scalars(per_key, totals)
                   .filter(F.col("doc_count") > 0)
                   .select("key", "doc_count", "bg_count",
                           F.round((F.col("doc_count") / F.col("fg_total"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_generator_spark.operators.util import broadcast_scalars
 from parquet_generator_spark.sources.catalog import load_table
 
 def _rev():
@@ -109,9 +110,10 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01'
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 flavor: the supplier(s) with maximum 1996Q1 shipped
-    revenue. The scalar max is an empty-frame window over the
-    already-aggregated (supplier-cardinality) rows — one extra
-    single-partition pass over small data, not a re-scan of facts."""
+    revenue. The scalar max is a one-row aggregate of the already-
+    collapsed (supplier-cardinality) rows, broadcast back via
+    crossJoin — no single-partition window anywhere; both sides of
+    the crossJoin grow from the same pushed-down selective scan."""
     li = load_table(spark, "lineitem", sf_dir)
     supp = load_table(spark, "supplier", sf_dir)
     rev = (li.filter(
@@ -119,8 +121,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
         .groupBy("l_suppkey")
         .agg(F.round(F.sum(_rev()), 2).alias("total_revenue")))
-    mx = Window.partitionBy()
-    return (rev.withColumn("mx", F.max("total_revenue").over(mx))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (broadcast_scalars(rev, mx)
             .filter(F.col("total_revenue") == F.col("mx"))
             .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name", "total_revenue")

@@ -21,30 +21,34 @@ from parquet_generator_spark.operators.text import (
     toks_duck,
     toks_spark,
 )
+from parquet_generator_spark.operators.util import broadcast_scalars
 from parquet_generator_spark.sources.catalog import load_table
 
 VOCAB_TOP = 50
 
 
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-N corpus vocabulary with cumulative token coverage: after
-    the word-count aggregation the data is vocab-sized, so the global
-    ordering window is cheap; the corpus itself is one scan + one
-    shuffle on word."""
+    """Top-N corpus vocabulary with cumulative token coverage. The
+    corpus is one scan + one shuffle on word; the top-N comes from
+    ``orderBy().limit()`` (TakeOrderedAndProject — per-partition
+    top-N, no vocab-wide window), the corpus token total is a one-row
+    aggregate broadcast via crossJoin, and the rank/cumsum windows
+    run over the N surviving rows only (cum over the top-N prefix
+    equals cum over the full vocabulary for those ranks)."""
     docs = load_table(spark, "documents", sf_dir)
     words = docs.select(
         F.explode(F.expr(toks_spark("text"))).alias("word"))
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(VOCAB_TOP)
     order = Window.orderBy(F.desc("cnt"), F.asc("word"))
-    total = Window.partitionBy()
-    return (counts
+    return (broadcast_scalars(top, total)
             .withColumn("rank", F.row_number().over(order))
             .withColumn("cum", F.sum("cnt").over(
                 order.rowsBetween(Window.unboundedPreceding,
                                   Window.currentRow)))
             .withColumn("coverage",
-                        F.round(F.col("cum") / F.sum("cnt").over(total), 4))
-            .filter(F.col("rank") <= VOCAB_TOP)
+                        F.round(F.col("cum") / F.col("total"), 4))
             .select("rank", "word", "cnt", "coverage")
             .orderBy("rank"))
 

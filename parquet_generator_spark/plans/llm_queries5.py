@@ -29,7 +29,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators.text import toks_duck, toks_spark
-from parquet_generator_spark.operators.util import widen_if_narrow
+from parquet_generator_spark.operators.util import (
+    broadcast_scalars,
+    widen_if_narrow,
+)
 from parquet_generator_spark.sources.catalog import load_table
 
 # ------------------------------------------------------- span_dedup
@@ -194,9 +197,9 @@ def source_temperature_sample(spark: SparkSession,
     docs = load_table(spark, "documents", sf_dir)
     sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     w = F.pow(F.col("n_docs").cast("double"), F.lit(TEMP_ALPHA))
-    weights = sizes.select(
-        "source", "n_docs", w.alias("w"),
-        F.sum(w).over(Window.partitionBy()).alias("w_sum"))
+    w_sum = sizes.agg(F.sum(w).alias("w_sum"))  # one row, broadcast
+    weights = broadcast_scalars(sizes, w_sum).select(
+        "source", "n_docs", w.alias("w"), "w_sum")
     targets = weights.select(
         "source", "n_docs",
         F.floor(F.lit(TEMP_TARGET) * F.col("w") / F.col("w_sum"))

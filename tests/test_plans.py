@@ -272,3 +272,18 @@ def test_front_keys_lead_queries():
     q = list(entrymod.queries())
     assert q[:len(entrymod.FRONT_KEYS)] == entrymod.FRONT_KEYS
     assert len(entrymod.FRONT_KEYS) == 50
+
+
+def test_no_empty_partition_windows_in_source():
+    """Tripwire for the scalar-aggregate-as-global-window
+    anti-pattern: ``Window.partitionBy()`` (empty spec) funnels its
+    whole input through one partition. All former uses were converted
+    to eager one-row scalar attachment (broadcast_scalars)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    offenders = [
+        str(p) for p in (root / "parquet_generator_spark").rglob("*.py")
+        if "Window.partitionBy()" in p.read_text()
+    ]
+    assert not offenders, offenders
