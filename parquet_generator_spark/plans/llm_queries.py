@@ -51,10 +51,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates, exact-verified. With 64 bands x 2 rows
     the candidate recall at j>=0.5 is 1-(1-j^2)^64 > 1-1e-8, so the
     verified output equals the exact all-pairs result — the oracle is
-    the exact-Jaccard SQL (equality also asserted in tests)."""
+    the exact-Jaccard SQL (equality also asserted in tests). That
+    equivalence requires EVERY bucket to expand, so the hot-bucket
+    cap is explicitly off here (bucket_cap=None); the capped variant
+    is the documented opt-in for corpus-scale runs, where dropped
+    mega-buckets are a logged recall trade, not an oracle."""
     docs = load_table(spark, "documents", sf_dir)
     return (dedup.minhash_lsh_pairs(docs, "doc_id", "text",
-                                    JACCARD_THRESHOLD)
+                                    JACCARD_THRESHOLD, bucket_cap=None)
             .orderBy("id_a", "id_b"))
 
 

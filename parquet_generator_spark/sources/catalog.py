@@ -26,13 +26,22 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     The generated data has shipped two encodings over time:
     TIMESTAMP(NANOS) (which the vectorized reader only accepts as a
     raw long via ``spark.sql.legacy.parquet.nanosAsLong``) and plain
-    ``timestamp[us]``.  Read optimistically; only fall back to the
-    legacy nanos-as-long mode when schema inference rejects the file.
+    ``timestamp[us]``.  Read optimistically; fall back to the legacy
+    nanos-as-long mode ONLY for the TIMESTAMP(NANOS) schema-inference
+    AnalysisException — any other failure (missing file, corrupt
+    footer) propagates untouched instead of hiding behind a retry.
+    The conf deliberately STAYS set after a fallback: the parquet
+    reader consults it again at job execution, so reverting it after
+    analysis would fail the very scan the fallback enabled; and once
+    one legacy file exists in the session's data, reading its
+    siblings the same way is what the caller wants.
     The caller normalizes whatever dtype comes back.
     """
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except Exception as e:
+        if not ("TIMESTAMP(NANOS" in str(e) or "nanosAsLong" in str(e)):
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
 
