@@ -29,11 +29,22 @@ def infer_json_schema(
     json_docs: DataFrame | list[str],
     column: str = "value",
     sample_ratio: float = 1.0,
+    mode: str = "merge",
 ) -> T.StructType:
-    """Infer a merged StructType from a column of JSON documents.
+    """Infer a StructType from a column of JSON documents.
 
-    Distributed, merge-across-docs inference (superset of the
-    reference's widest-doc-wins heuristic).
+    ``mode="merge"`` (default): distributed, merge-across-docs
+    inference — a field present in ANY sampled doc lands in the
+    schema. Strictly better than the reference for real data.
+
+    ``mode="widest"``: exact parity with Bootstrap.java:296-303 —
+    each doc is inferred ALONE and the single schema with the most
+    top-level fields wins; on a tie the LATER doc wins (the
+    reference keeps ``another`` when sizes are equal). Fields that
+    only appear in a narrower doc are LOST, exactly as kitesdk
+    widest-wins loses them. Only sensible for a bounded sample (the
+    reference samples one doc per index), so the doc list is
+    collected; use merge mode for anything data-scale.
     """
     if isinstance(json_docs, list):
         docs_df = spark.createDataFrame(
@@ -42,6 +53,24 @@ def infer_json_schema(
     else:
         docs_df = json_docs
     sampled = docs_df if sample_ratio >= 1.0 else docs_df.sample(sample_ratio, seed=42)
+    if mode == "widest":
+        docs = [r[0] for r in
+                sampled.select(F.col(column).cast("string")).collect()]
+        widest: T.StructType | None = None
+        for doc in docs:
+            one = spark.read.json(
+                spark.sparkContext.parallelize([doc], 1))
+            schema = T.StructType(
+                [f for f in one.schema.fields
+                 if not f.name.startswith("_corrupt")])
+            # reference tie-break: keep the OLD schema only when it
+            # is strictly wider (Bootstrap.java:302 uses '>')
+            if widest is None or not (
+                    len(widest.fields) > len(schema.fields)):
+                widest = schema
+        return promote_nullable(widest or T.StructType([]))
+    if mode != "merge":
+        raise ValueError(f"unknown inference mode {mode!r}")
     inferred = spark.read.json(
         sampled.select(F.col(column).cast("string")).rdd.map(lambda r: r[0]))
     schema = T.StructType(

@@ -179,3 +179,31 @@ def test_lenient_decode_nested_depth_defaults(spark):
     assert out[2] == {"id": 3, "meta": None, "tags": [{"k": None, "v": None}]}
     assert out[3] == {"id": 4,
                       "meta": {"host": None, "geo": None}, "tags": None}
+
+
+def test_widest_mode_reference_parity(spark):
+    """mode='widest' reproduces Bootstrap.java:296-303 exactly: each
+    sampled doc is inferred alone, most-top-level-fields wins, ties
+    go to the LATER doc, and fields seen only in narrower docs are
+    LOST (the kitesdk behavior merge mode exists to improve on).
+    Docs are built from the reference's own schema.asvc field names
+    so the parity claim is anchored to the fixture."""
+    fields = [f["name"] for f in
+              json.loads(open(f"{REF_DIR}/schema.asvc").read())["fields"]]
+    assert len(fields) >= 6
+    narrow = json.dumps({fields[0]: "a", "only_in_narrow": "x"})
+    wide = json.dumps({n: "v" for n in fields[:5]})
+    tie = json.dumps({n: "v" for n in fields[1:6]})  # also 5 fields
+
+    widest = infer_json_schema(spark, [narrow, wide, tie],
+                               mode="widest")
+    # the tie-breaker keeps the LATER five-field doc
+    assert [f.name for f in widest.fields] == sorted(fields[1:6])
+    # widest-wins loses the narrow doc's exclusive field...
+    assert "only_in_narrow" not in widest.fieldNames()
+    # ...which merge mode preserves alongside every other field
+    merged = infer_json_schema(spark, [narrow, wide, tie])
+    assert set(merged.fieldNames()) == (
+        set(fields[:6]) | {"only_in_narrow"})
+    # both modes promote every field to nullable (enableDefaultValue)
+    assert all(f.nullable for f in widest.fields)
