@@ -237,6 +237,61 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
             .filter(F.col("jaccard") >= threshold))
 
 
+def minhash_lsh_pairs_duck_sql(table: str, id_col: str,
+                               content_col: str, threshold: float,
+                               k: int = 3,
+                               bucket_cap: int | None =
+                               DEFAULT_BUCKET_CAP) -> str:
+    """DuckDB mirror of minhash_lsh_pairs, INCLUDING the hot-bucket
+    cap: same shingle base hashes (md5 first 8 hex chars mod the
+    Mersenne prime), same 128 (a*h+b) mod p permutation literals,
+    same 64 two-row band keys, buckets over bucket_cap excluded on
+    both engines, exact-Jaccard verify on the candidates. Equality
+    with the Spark side holds by construction on ANY dataset — even
+    where the cap fires — instead of only where recall is 1."""
+    p = _MERSENNE
+    sh = shingles_duck(content_col, k)
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform(bh, x -> "
+        f"(x * {int(a)} + {int(b)}) % {p})), {p})"
+        for a, b in zip(_PERM_A, _PERM_B))
+    cap_pred = "" if bucket_cap is None else f" AND count(*) <= {bucket_cap}"
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {sh} AS sh FROM {table}),
+h AS (SELECT id, sh, list_transform(sh, s ->
+        CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % {p}) AS bh
+      FROM d),
+sig AS (SELECT id, [{mins}] AS sig FROM h),
+bands AS (
+  SELECT id, b.band,
+         concat(sig[2 * b.band + 1], ',', sig[2 * b.band + 2]) AS band_key
+  FROM sig, (SELECT unnest(range({_N_BANDS})) AS band) b),
+ok AS (
+  SELECT band, band_key FROM bands
+  GROUP BY band, band_key HAVING count(*) > 1{cap_pred}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a
+  JOIN ok USING (band, band_key)
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.id < b.id),
+j AS (
+  SELECT c.id_a, c.id_b,
+         round(CASE WHEN len(da.sh) + len(db.sh)
+                         - len(list_intersect(da.sh, db.sh)) > 0
+               THEN CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                    / (len(da.sh) + len(db.sh)
+                       - len(list_intersect(da.sh, db.sh)))
+               ELSE 0.0 END, 3) AS jaccard
+  FROM cand c
+  JOIN d da ON da.id = c.id_a
+  JOIN d db ON db.id = c.id_b)
+SELECT id_a, id_b, jaccard FROM j
+WHERE jaccard >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 # ------------------------------------------------------------------
 # connected components (near-dup cluster assignment)
 # ------------------------------------------------------------------

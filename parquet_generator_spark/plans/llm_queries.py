@@ -48,17 +48,18 @@ DEDUP_NGRAM_ORACLE = dedup.jaccard_pairs_duck_sql(
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates, exact-verified. With 64 bands x 2 rows
-    the candidate recall at j>=0.5 is 1-(1-j^2)^64 > 1-1e-8, so the
-    verified output equals the exact all-pairs result — the oracle is
-    the exact-Jaccard SQL (equality also asserted in tests). That
-    equivalence requires EVERY bucket to expand, so the hot-bucket
-    cap is explicitly off here (bucket_cap=None); the capped variant
-    is the documented opt-in for corpus-scale runs, where dropped
-    mega-buckets are a logged recall trade, not an oracle."""
+    """MinHash+LSH candidates, exact-verified, hot-bucket-capped.
+    The DuckDB oracle mirrors the WHOLE pipeline — the md5 base
+    hashes, the 128 permutation literals, the 64 band keys, and the
+    bucket cap — so hash equality holds by construction on any
+    dataset, including degenerate ones where the cap drops
+    mega-buckets on both engines alike. (With 64 bands x 2 rows the
+    un-capped candidate recall at j>=0.5 is 1-(1-j^2)^64 > 1-1e-8;
+    equality with the exact all-pairs result below the cap is also
+    asserted in tests.)"""
     docs = load_table(spark, "documents", sf_dir)
     return (dedup.minhash_lsh_pairs(docs, "doc_id", "text",
-                                    JACCARD_THRESHOLD, bucket_cap=None)
+                                    JACCARD_THRESHOLD)
             .orderBy("id_a", "id_b"))
 
 
@@ -277,7 +278,8 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
-    "dedup_minhash": DEDUP_NGRAM_ORACLE,  # see dedup_minhash docstring
+    "dedup_minhash": dedup.minhash_lsh_pairs_duck_sql(
+        "documents", "doc_id", "text", JACCARD_THRESHOLD),
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "dedup_embedding": DEDUP_EMBEDDING_ORACLE,
     "dedup_embedding_lsh": DEDUP_EMBEDDING_LSH_ORACLE,

@@ -85,17 +85,17 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.countDistinct("user_id").alias("exact_users"),
                 F.percentile_approx("value", 0.5, 10000)
                 .alias("approx_p50"),
-                F.expr("percentile(value, 0.5)").alias("p50_raw"),
-                F.expr("percentile(value, 0.45)").alias("p45"),
-                F.expr("percentile(value, 0.55)").alias("p55"),
+                # one exact-percentile buffer per group, not three
+                F.expr("percentile(value, array(0.45, 0.5, 0.55))")
+                .alias("pct"),
                 F.count(F.lit(1)).alias("n")))
     return (agg.select(
         "event_type", "n", "exact_users",
         (F.abs(F.col("approx_users") - F.col("exact_users"))
          <= F.col("exact_users") * (3 * HLL_RSD)).alias("hll_ok"),
-        F.round("p50_raw", 4).alias("exact_p50"),
-        ((F.col("approx_p50") >= F.col("p45"))
-         & (F.col("approx_p50") <= F.col("p55"))).alias("tdigest_ok"))
+        F.round(F.col("pct")[1], 4).alias("exact_p50"),
+        ((F.col("approx_p50") >= F.col("pct")[0])
+         & (F.col("approx_p50") <= F.col("pct")[2])).alias("tdigest_ok"))
         .orderBy("event_type"))
 
 
