@@ -22,6 +22,7 @@ from parquet_generator_spark.plans import llm_queries2 as L2
 from parquet_generator_spark.plans import llm_queries3 as L3
 from parquet_generator_spark.plans import llm_queries4 as L4
 from parquet_generator_spark.plans import llm_queries5 as L5
+from parquet_generator_spark.plans import llm_queries6 as L6
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -61,6 +62,8 @@ FRONT_KEYS = [
     # reworked this round
     "ann_lsh", "ann_ivf", "approx_sketches", "bm25_topk",
     "ntile_deciles",
+    # new this round (never sampled yet)
+    "embedding_quantize", "source_overlap", "zipf_slope",
 ]
 
 
@@ -82,6 +85,7 @@ def queries() -> dict[str, QueryFn]:
         **L3.QUERIES,
         **L4.QUERIES,
         **L5.QUERIES,
+        **L6.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -107,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         **L3.ORACLES,
         **L4.ORACLES,
         **L5.ORACLES,
+        **L6.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

@@ -116,6 +116,9 @@ HEADLINE = [
     "cooccurrence_pmi",
     "audio_header_parse",
     "rolling_window_features",
+    "embedding_quantize",
+    "source_overlap",
+    "zipf_slope",
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
