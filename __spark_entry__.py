@@ -64,6 +64,7 @@ FRONT_KEYS = [
     "ntile_deciles",
     # new this round (never sampled yet)
     "embedding_quantize", "source_overlap", "zipf_slope",
+    "dup_ngram_fraction", "embedding_norm_outliers",
 ]
 
 

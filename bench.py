@@ -119,6 +119,8 @@ HEADLINE = [
     "embedding_quantize",
     "source_overlap",
     "zipf_slope",
+    "dup_ngram_fraction",
+    "embedding_norm_outliers",
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",

@@ -144,14 +144,115 @@ FROM t
 """
 
 
+# ------------------------------------------------------ dup_ngram_fraction
+
+DUP_NGRAM_K = 3
+DUP_NGRAM_MAX = 0.3
+
+
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText duplicate-n-gram rule as its own filter:
+    the fraction of a document's 3-grams that are repeats of an
+    earlier 3-gram in the SAME document (1 - distinct/total).
+    Template spam scores high; clean prose stays near 0. One narrow
+    map per doc — the raw (non-deduped) shingle list and both sizes
+    are computed inside a single struct binding so the tokenizer
+    runs once per row."""
+    docs = load_table(spark, "documents", sf_dir)
+    k = DUP_NGRAM_K
+    raw_ng = (f"CASE WHEN size(s.t) >= {k} THEN "
+              f"transform(sequence(0, size(s.t) - {k}), "
+              f"i -> array_join(slice(s.t, i + 1, {k}), ' ')) "
+              f"ELSE array() END")
+    stats = (f"transform(array(struct({toks_spark('text')} AS t)), s -> "
+             f"transform(array(struct({raw_ng} AS g)), v -> "
+             f"struct(size(v.g) AS n, size(array_distinct(v.g)) AS nd)"
+             f")[0])[0]")
+    return (docs
+            .select("doc_id", F.expr(stats).alias("st"))
+            .select("doc_id",
+                    F.col("st.n").alias("n_ngrams"),
+                    F.when(F.col("st.n") > 0,
+                           F.round(1.0 - F.col("st.nd").cast("double")
+                                   / F.col("st.n"), 4))
+                    .otherwise(0.0).alias("dup_frac"))
+            .withColumn("keep", F.col("dup_frac") <= DUP_NGRAM_MAX)
+            .orderBy("doc_id"))
+
+
+DUP_NGRAM_FRACTION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {toks_duck('text')} AS tk FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= {DUP_NGRAM_K} THEN
+           list_transform(generate_series(1, len(tk) - {DUP_NGRAM_K - 1}),
+             i -> array_to_string(tk[i:i + {DUP_NGRAM_K - 1}], ' '))
+         ELSE [] END AS ng
+  FROM t)
+SELECT doc_id,
+       len(ng) AS n_ngrams,
+       CASE WHEN len(ng) > 0
+            THEN round(1.0 - CAST(len(list_distinct(ng)) AS DOUBLE)
+                       / len(ng), 4)
+            ELSE 0.0 END AS dup_frac,
+       (CASE WHEN len(ng) > 0
+             THEN round(1.0 - CAST(len(list_distinct(ng)) AS DOUBLE)
+                        / len(ng), 4)
+             ELSE 0.0 END) <= {DUP_NGRAM_MAX} AS keep
+FROM g ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------ embedding_norm_outliers
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: flag vectors whose L2 norm sits more than 3
+    sample standard deviations from the corpus mean (broken encoder
+    output, zero vectors, scale drift). The mean/stddev are a
+    one-row aggregate attached as plan literals (broadcast_scalars)
+    — the same scalar-decorrelation pattern the analytics surface
+    uses; the norm itself is the sequential JVM fold, bit-identical
+    to DuckDB's list_dot_product."""
+    from parquet_generator_spark.operators.similarity import norm
+    from parquet_generator_spark.operators.util import broadcast_scalars
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    norms = emb.select("vec_id", norm("embedding").alias("nrm"))
+    stats = norms.agg(F.avg("nrm").alias("mu"),
+                      F.stddev_samp("nrm").alias("sd"))
+    return (broadcast_scalars(norms, stats)
+            .select("vec_id",
+                    F.round("nrm", 4).alias("nrm"),
+                    (F.abs(F.col("nrm") - F.col("mu"))
+                     > 3 * F.col("sd")).alias("is_outlier"))
+            .orderBy("vec_id"))
+
+
+EMBEDDING_NORM_OUTLIERS_ORACLE = """
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+s AS (SELECT avg(nrm) AS mu, stddev_samp(nrm) AS sd FROM n)
+SELECT vec_id, round(nrm, 4) AS nrm,
+       (abs(nrm - mu) > 3 * sd) AS is_outlier
+FROM n, s ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "embedding_quantize": embedding_quantize,
     "source_overlap": source_overlap,
     "zipf_slope": zipf_slope,
+    "dup_ngram_fraction": dup_ngram_fraction,
+    "embedding_norm_outliers": embedding_norm_outliers,
 }
 
 ORACLES = {
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
     "source_overlap": SOURCE_OVERLAP_ORACLE,
     "zipf_slope": ZIPF_SLOPE_ORACLE,
+    "dup_ngram_fraction": DUP_NGRAM_FRACTION_ORACLE,
+    "embedding_norm_outliers": EMBEDDING_NORM_OUTLIERS_ORACLE,
 }
