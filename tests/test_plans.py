@@ -289,3 +289,15 @@ def test_no_empty_partition_windows_in_source():
         if "Window.partitionBy()" in p.read_text()
     ]
     assert not offenders, offenders
+
+
+@pytest.mark.parametrize("name", ["q15_top_supplier", "vocab_coverage",
+                                  "dsl_significant_terms",
+                                  "embedding_norm_outliers"])
+def test_scalar_literal_queries_have_no_nested_loop(spark, name):
+    """Queries whose corpus-wide scalars are attached as plan
+    literals (broadcast_scalars) must stay free of the nested-loop
+    join a crossJoin(broadcast(one_row)) would reintroduce."""
+    plan = formatted_plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
