@@ -17,6 +17,7 @@ from parquet_generator_spark.plans import analytics as A
 from parquet_generator_spark.plans import analytics2 as A2
 from parquet_generator_spark.plans import analytics3 as A3
 from parquet_generator_spark.plans import analytics4 as A4
+from parquet_generator_spark.plans import analytics5 as A5
 from parquet_generator_spark.plans import llm_queries as L
 from parquet_generator_spark.plans import llm_queries2 as L2
 from parquet_generator_spark.plans import llm_queries3 as L3
@@ -65,6 +66,7 @@ FRONT_KEYS = [
     # new this round (never sampled yet)
     "embedding_quantize", "source_overlap", "zipf_slope",
     "dup_ngram_fraction", "embedding_norm_outliers",
+    "event_transitions", "first_touch_attribution",
 ]
 
 
@@ -102,6 +104,7 @@ def queries() -> dict[str, QueryFn]:
         **A2.QUERIES,
         **A3.QUERIES,
         **A4.QUERIES,
+        **A5.QUERIES,
     })
 
 
@@ -128,4 +131,5 @@ def oracle_sql() -> dict[str, str]:
         **A2.ORACLES,
         **A3.ORACLES,
         **A4.ORACLES,
+        **A5.ORACLES,
     }

@@ -121,6 +121,8 @@ HEADLINE = [
     "zipf_slope",
     "dup_ngram_fraction",
     "embedding_norm_outliers",
+    "event_transitions",
+    "first_touch_attribution",
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",

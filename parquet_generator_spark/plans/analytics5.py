@@ -1,0 +1,97 @@
+"""Fifth wave of analytics queries: event-sequence analytics over the
+events table — Markov transition counts and first-touch attribution.
+Both shuffle once on user_id (keyed windows, never a global sort) and
+carry exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.sources.catalog import load_table
+
+TRANSITIONS_TOP = 20
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type transition counts (the first-order Markov
+    matrix of user behavior): per user, order events by time and
+    count (event_type -> next event_type) pairs. One shuffle on
+    user_id for the lead() window — per-user partitions, bounded by
+    a user's event history, never a global sort — then a keyed count
+    and a TakeOrderedAndProject top-k."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev
+             .withColumn("next_type", F.lead("event_type").over(w))
+             .filter(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"),
+                      F.col("next_type").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    return (pairs.orderBy(F.desc("n"), F.asc("from_type"),
+                          F.asc("to_type"))
+            .limit(TRANSITIONS_TOP))
+
+
+EVENT_TRANSITIONS_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       count(*) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY n DESC, from_type ASC, to_type ASC
+LIMIT {TRANSITIONS_TOP}
+"""
+
+
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's lifetime value rolls up
+    to the event type of their FIRST event (ts, event_id order).
+    Two keyed aggregations on user_id — the first-event pick via a
+    per-user window, the value total via groupBy — joined at user
+    cardinality, then a tiny per-type rollup."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (ev.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("user_id", F.col("event_type").alias("first_type")))
+    totals = (ev.groupBy("user_id")
+              .agg(F.sum("value").alias("ltv")))
+    return (first.join(totals, "user_id")
+            .groupBy("first_type")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.sum("ltv"), 2).alias("total_value"))
+            .orderBy("first_type"))
+
+
+FIRST_TOUCH_ORACLE = """
+WITH first AS (
+  SELECT user_id, event_type AS first_type
+  FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events)
+  WHERE rn = 1),
+totals AS (
+  SELECT user_id, sum(value) AS ltv FROM events GROUP BY user_id)
+SELECT first_type, count(*) AS n_users,
+       round(sum(ltv), 2) AS total_value
+FROM first JOIN totals USING (user_id)
+GROUP BY first_type ORDER BY first_type
+"""
+
+
+QUERIES = {
+    "event_transitions": event_transitions,
+    "first_touch_attribution": first_touch_attribution,
+}
+
+ORACLES = {
+    "event_transitions": EVENT_TRANSITIONS_ORACLE,
+    "first_touch_attribution": FIRST_TOUCH_ORACLE,
+}

@@ -4,6 +4,7 @@ documented error bounds of the exact answers."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators.skew import salted_agg, salted_join
@@ -67,3 +68,41 @@ def test_sketches_within_error_bounds(spark):
         assert r["hll_ok"] and r["tdigest_ok"]
         assert r["exact_users"] == u_exact
         assert abs(r["exact_p50"] - m_exact) <= 1e-4
+
+
+@pytest.mark.parametrize("n_rows,seed", [(7, 0), (10, 1), (11, 2),
+                                         (137, 3), (1000, 4)])
+def test_distributed_ntile_equals_window_ntile(spark, tmp_path,
+                                               n_rows, seed):
+    """The range-partition + prefix-sum rank reformulation of
+    ntile_deciles must be row-identical to a plain ntile(10) window
+    on arbitrary data — including n < 10, exact-multiple n, and
+    heavy price ties."""
+    import random
+
+    from pyspark.sql import Window
+
+    from parquet_generator_spark.plans.analytics3 import ntile_deciles
+
+    rng = random.Random(seed)
+    rows = [(i, float(rng.choice([10.0, 20.0, 30.0,
+                                  round(rng.uniform(0, 1000), 2)])))
+            for i in range(n_rows)]
+    d = tmp_path / f"nt{n_rows}"
+    d.mkdir()
+    (spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+     .write.parquet(str(d / "orders.parquet")))
+
+    got = {tuple(r) for r in ntile_deciles(spark, str(d)).collect()}
+
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    want = {tuple(r) for r in
+            (spark.read.parquet(str(d / "orders.parquet"))
+             .withColumn("decile", F.ntile(10).over(w))
+             .groupBy("decile")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.min("o_totalprice"), 2).alias("lo"),
+                  F.round(F.max("o_totalprice"), 2).alias("hi"),
+                  F.round(F.sum("o_totalprice"), 2).alias("volume"))
+             .collect())}
+    assert got == want
