@@ -487,7 +487,7 @@ def search(df: DataFrame, body: dict) -> DataFrame:
                      for c in _metric_cols(f"{n}_{m}", ms)]
             gdf = df.agg(F.count(F.lit(1)).alias(f"{n}_doc_count"),
                          *gcols)
-            out = gdf if out is None else out.crossJoin(F.broadcast(gdf))
+            out = gdf if out is None else broadcast_scalars(out, gdf)
         return out
 
     if all(_is_metric(s) for s in aggs.values()):

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_generator_spark.operators.util import broadcast_scalars
 from parquet_generator_spark.sources.catalog import load_table
 
 
@@ -102,7 +103,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
           # doesn't re-run the whole lineitem scan + aggregate
           .localCheckpoint())
     thresh = pv.agg((Q11_FACTOR * F.avg("raw_value")).alias("thresh"))
-    return (pv.crossJoin(F.broadcast(thresh))
+    return (broadcast_scalars(pv, thresh)
             .filter(F.col("raw_value") > F.col("thresh"))
             .select("partkey", F.round("raw_value", 2).alias("value"))
             .orderBy(F.desc("value"), "partkey"))

@@ -339,16 +339,17 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("c_xy") >= PMI_MIN_COUNT))
     uni = (docs.select(F.explode(F.expr(toks)).alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
-    totals = (uni.agg(F.sum("c_w").alias("t_w"))
-              .crossJoin(pairs.agg(F.count(F.lit(1)).alias("t_p"))))
+    totals = broadcast_scalars(
+        uni.agg(F.sum("c_w").alias("t_w")),
+        pairs.agg(F.count(F.lit(1)).alias("t_p")))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y"))
     pmi = (F.log2((F.col("c_xy").cast("double") / F.col("t_p"))
                   / ((F.col("c_x").cast("double") / F.col("t_w"))
                      * (F.col("c_y").cast("double") / F.col("t_w")))))
-    return (pair_cnt.join(F.broadcast(u1), "w1")
-            .join(F.broadcast(u2), "w2")
-            .crossJoin(F.broadcast(totals))
+    return (broadcast_scalars(
+        pair_cnt.join(F.broadcast(u1), "w1")
+                .join(F.broadcast(u2), "w2"), totals)
             .select("w1", "w2", "c_xy",
                     F.round(pmi, 3).alias("pmi"))
             .orderBy("w1", "w2"))

@@ -301,3 +301,30 @@ def test_scalar_literal_queries_have_no_nested_loop(spark, name):
     plan = formatted_plan(spark, name)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# the only queries allowed a BroadcastNestedLoopJoin: deliberately
+# pairwise kernels whose build side is a bounded broadcast (the O(n^2)
+# exact-Jaccard baseline; brute-force ANN / k-NN where the query/label
+# set broadcasts against one corpus pass)
+PAIRWISE_KERNELS = {"dedup_ngram_jaccard", "ann_bruteforce",
+                    "knn_classify"}
+
+
+def test_no_unexpected_nested_loop_in_any_plan(spark):
+    """Global tripwire over EVERY registered query: no
+    CartesianProduct anywhere, and BroadcastNestedLoopJoin only in
+    the named deliberately-pairwise kernels."""
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif ("BroadcastNestedLoopJoin" in plan
+              and name not in PAIRWISE_KERNELS):
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
