@@ -67,6 +67,7 @@ FRONT_KEYS = [
     "embedding_quantize", "source_overlap", "zipf_slope",
     "dup_ngram_fraction", "embedding_norm_outliers",
     "event_transitions", "first_touch_attribution",
+    "dsl_function_score", "dsl_collapse", "bpe_merge_candidates",
 ]
 
 

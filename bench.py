@@ -123,6 +123,9 @@ HEADLINE = [
     "embedding_norm_outliers",
     "event_transitions",
     "first_touch_attribution",
+    "dsl_function_score",
+    "dsl_collapse",
+    "bpe_merge_candidates",
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",

@@ -723,3 +723,58 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             grouped = _apply_pipelines(grouped, sub_pipes, serial_ok=True)
         return grouped.orderBy(F.asc("key"))
     raise ValueError(f"unsupported bucket agg {atype!r}")
+
+
+def function_score_search(df: DataFrame, body: dict,
+                          id_col: str = "doc_id") -> DataFrame:
+    """ES ``function_score`` with ``field_value_factor``: docs
+    matching the inner query are ranked by factor * modifier(field).
+    Modifiers follow ES semantics (log1p/log2p are COMMON logarithms
+    in ES; ln1p is the natural one; none/sqrt pass through). The
+    score is rounded so engines agree bit-for-bit, and the top-k is
+    orderBy().limit() -> TakeOrderedAndProject with rank derived over
+    the k survivors — never a global ranking window."""
+    fvf = body["field_value_factor"]
+    field, factor = fvf["field"], float(fvf.get("factor", 1.0))
+    modifier = fvf.get("modifier", "none")
+    x = F.col(field).cast("double")
+    mod = {
+        "none": x,
+        "log1p": F.log10(x + 1.0),
+        "ln1p": F.log(x + 1.0),
+        "sqrt": F.sqrt(x),
+    }[modifier]
+    size = body.get("size", 10)
+    scored = (df.filter(translate_query(body.get("query")))
+              .select(id_col, F.round(F.lit(factor) * mod, 4)
+                      .alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(size)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", id_col, "score").orderBy("rank"))
+
+
+def collapse_search(df: DataFrame, body: dict,
+                    id_col: str = "doc_id") -> DataFrame:
+    """ES field ``collapse``: one top hit per distinct value of the
+    collapse field, ordered by the search sort. The per-group top-1
+    is a window PARTITIONED by the collapse field (keyed shuffle,
+    never global); the final ordering runs over group-cardinality
+    rows."""
+    from pyspark.sql import Window
+
+    coll = body["collapse"]["field"]
+    (sort_field, sort_dir), = body["sort"][0].items()
+    sort_col = F.col(sort_field)
+    order = [sort_col.desc() if sort_dir == "desc" else sort_col.asc(),
+             F.asc(id_col)]
+    size = body.get("size")
+    w = Window.partitionBy(coll).orderBy(*order)
+    out = (df.filter(translate_query(body.get("query")))
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select(coll, id_col, sort_field)
+           .orderBy(*order))
+    return out.limit(size) if size is not None else out

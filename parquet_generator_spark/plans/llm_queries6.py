@@ -241,7 +241,53 @@ FROM n, s ORDER BY vec_id
 """
 
 
+# ------------------------------------------------------ bpe_merge_candidates
+
+BPE_TOP = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE vocabulary induction: corpus-frequency
+    counts of adjacent character pairs within words (with word
+    multiplicity — exactly what the first merge rule is chosen
+    from). Two explodes (word, then its character bigrams generated
+    array-side), one keyed count shuffle, top-k via
+    TakeOrderedAndProject."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        F.explode(F.expr(toks_spark("text"))).alias("w"))
+    pairs = words.select(F.explode(F.expr(
+        "CASE WHEN length(w) >= 2 THEN "
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) "
+        "ELSE array() END")).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("pair")).limit(BPE_TOP)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "pair", "n").orderBy("rank"))
+
+
+BPE_MERGE_ORACLE = f"""
+WITH words AS (
+  SELECT unnest({toks_duck('text')}) AS w FROM documents),
+pairs AS (
+  SELECT unnest(CASE WHEN length(w) >= 2 THEN
+           list_transform(generate_series(1, length(w) - 1),
+                          i -> substr(w, i, 2))
+         ELSE [] END) AS pair
+  FROM words),
+c AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair),
+ranked AS (
+  SELECT pair, n,
+         row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+  FROM c)
+SELECT rank, pair, n FROM ranked WHERE rank <= {BPE_TOP}
+ORDER BY rank
+"""
+
+
 QUERIES = {
+    "bpe_merge_candidates": bpe_merge_candidates,
     "embedding_quantize": embedding_quantize,
     "source_overlap": source_overlap,
     "zipf_slope": zipf_slope,
@@ -250,6 +296,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bpe_merge_candidates": BPE_MERGE_ORACLE,
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
     "source_overlap": SOURCE_OVERLAP_ORACLE,
     "zipf_slope": ZIPF_SLOPE_ORACLE,

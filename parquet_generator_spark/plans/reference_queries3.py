@@ -538,7 +538,67 @@ WHERE event_type = 'purchase' AND value <= {HIGH_VALUE}
 """
 
 
+def dsl_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`function_score` + `field_value_factor`: rank long documents
+    matching a range query by 1.5 * log1p(n_chars) — log1p is ES's
+    COMMON logarithm modifier. Top-k via TakeOrderedAndProject (see
+    function_score_search)."""
+    from parquet_generator_spark.operators.esdsl import (
+        function_score_search,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return function_score_search(docs, {
+        "query": {"range": {"n_chars": {"gte": 200}}},
+        "field_value_factor": {"field": "n_chars",
+                               "modifier": "log1p", "factor": 1.5},
+        "size": 15,
+    })
+
+
+DSL_FUNCTION_SCORE_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, round(1.5 * log10(n_chars + 1.0), 4) AS score
+  FROM documents WHERE n_chars >= 200),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 15
+ORDER BY rank
+"""
+
+
+def dsl_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field `collapse`: the single longest English document per
+    source (top hit per collapse-field group, ordered by the search
+    sort), overall top-10 sources by that length."""
+    from parquet_generator_spark.operators.esdsl import collapse_search
+
+    docs = load_table(spark, "documents", sf_dir)
+    return collapse_search(docs, {
+        "query": {"term": {"lang": "en"}},
+        "collapse": {"field": "source"},
+        "sort": [{"n_chars": "desc"}],
+        "size": 10,
+    })
+
+
+DSL_COLLAPSE_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents WHERE lang = 'en')
+SELECT source, doc_id, n_chars FROM ranked WHERE rn = 1
+ORDER BY n_chars DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
+    "dsl_function_score": dsl_function_score,
+    "dsl_collapse": dsl_collapse,
     "dsl_missing_agg": dsl_missing_agg,
     "dsl_extended_stats": dsl_extended_stats,
     "dsl_percentile_ranks": dsl_percentile_ranks,
@@ -559,6 +619,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dsl_function_score": DSL_FUNCTION_SCORE_ORACLE,
+    "dsl_collapse": DSL_COLLAPSE_ORACLE,
     "dsl_missing_agg": DSL_MISSING_ORACLE,
     "dsl_extended_stats": DSL_EXTENDED_STATS_ORACLE,
     "dsl_percentile_ranks": DSL_PERCENTILE_RANKS_ORACLE,
