@@ -267,6 +267,24 @@ def _metric_cols(agg_name: str, spec: dict) -> list[Column]:
                                   .cast("double")), 4)
             .alias(f"{agg_name}_{_pct_label(float(v))}")
             for v in mbody["values"]]
+    if mtype == "weighted_avg":
+        # ES weighted_avg: sum(value*weight)/sum(weight) — two partial
+        # sums in the same grouped pass, no extra scan
+        v, w = mbody["value"]["field"], mbody["weight"]["field"]
+        c = F.round(F.sum(F.col(v) * F.col(w)) / F.sum(F.col(w)), 4)
+        return [c.alias(agg_name)]
+    if mtype == "top_metrics":
+        # ES top_metrics: the metric field's value in the row that
+        # sorts first — one max_by/min_by aggregate, no window. ES
+        # breaks ties arbitrarily; we require a unique ``tie_break``
+        # column appended to the sort key so both engines pick the
+        # same row (max_by over a struct compares lexicographically).
+        m = mbody["metrics"]["field"]
+        (sf, sdir), = mbody["sort"].items()
+        tb = mbody.get("tie_break")
+        key_sql = f"struct({sf}, {tb})" if tb else sf
+        fn = "max_by" if sdir == "desc" else "min_by"
+        return [F.expr(f"{fn}({m}, {key_sql})").alias(agg_name)]
     field = mbody["field"]
     if mtype in _METRICS:
         c = _METRICS[mtype](field)
@@ -287,7 +305,8 @@ def _metric_cols(agg_name: str, spec: dict) -> list[Column]:
 def _is_metric(spec: dict) -> bool:
     (mtype, _), = ((k, v) for k, v in spec.items() if k != "aggs")
     return mtype in _METRICS or mtype in (
-        "cardinality", "percentiles", "percentile_ranks")
+        "cardinality", "percentiles", "percentile_ranks",
+        "weighted_avg", "top_metrics")
 
 
 # --- pipeline aggregations -------------------------------------------
@@ -299,13 +318,15 @@ def _is_metric(spec: dict) -> bool:
 # expression over the bucket columns (``"expr"``) instead of a
 # painless script with params.* paths.
 
-_PARENT_PIPES = ("derivative", "cumulative_sum", "moving_fn",
-                 "moving_avg", "bucket_script", "bucket_selector",
-                 "bucket_sort")
-_SERIAL_PIPES = ("derivative", "cumulative_sum", "moving_fn",
-                 "moving_avg")
+_PARENT_PIPES = ("derivative", "serial_diff", "cumulative_sum",
+                 "moving_fn", "moving_avg", "bucket_script",
+                 "bucket_selector", "bucket_sort")
+_SERIAL_PIPES = ("derivative", "serial_diff", "cumulative_sum",
+                 "moving_fn", "moving_avg")
 _SIBLING_PIPES = {"avg_bucket": F.avg, "sum_bucket": F.sum,
                   "max_bucket": F.max, "min_bucket": F.min}
+# stats_bucket expands to five columns, handled inline in search()
+_SIBLING_TYPES = frozenset(_SIBLING_PIPES) | {"stats_bucket"}
 
 
 def _pipe_type(spec: dict) -> str | None:
@@ -335,6 +356,13 @@ def _apply_pipelines(grouped: DataFrame, pipes: list[tuple[str, dict]],
             path = pbody["buckets_path"]
             df = df.withColumn(
                 name, F.round(F.col(path) - F.lag(path, 1).over(w), 4))
+        elif ptype == "serial_diff":
+            # ES serial_diff: value minus the value `lag` buckets back
+            # (lag=7 on a daily histogram = week-over-week delta)
+            path = pbody["buckets_path"]
+            lag = int(pbody.get("lag", 1))
+            df = df.withColumn(
+                name, F.round(F.col(path) - F.lag(path, lag).over(w), 4))
         elif ptype == "cumulative_sum":
             path = pbody["buckets_path"]
             df = df.withColumn(
@@ -498,7 +526,7 @@ def search(df: DataFrame, body: dict) -> DataFrame:
     # metric column to one row — buckets first, then a scalar agg of
     # the (small) bucket frame
     siblings = {n: s for n, s in aggs.items()
-                if next(iter(s)) in _SIBLING_PIPES}
+                if next(iter(s)) in _SIBLING_TYPES}
     if siblings:
         buckets = {n: s for n, s in aggs.items() if n not in siblings}
         if len(buckets) != 1:
@@ -509,6 +537,18 @@ def search(df: DataFrame, body: dict) -> DataFrame:
         for n, s in siblings.items():
             (ptype, pbody), = s.items()
             path = pbody["buckets_path"].split(">")[-1]
+            if ptype == "stats_bucket":
+                # ES stats_bucket: full stats over the metric across
+                # buckets — five columns from one scalar agg of the
+                # (small) bucket frame
+                cols += [
+                    F.count(path).alias(f"{n}_count"),
+                    F.round(F.min(path), 4).alias(f"{n}_min"),
+                    F.round(F.max(path), 4).alias(f"{n}_max"),
+                    F.round(F.avg(path), 4).alias(f"{n}_avg"),
+                    F.round(F.sum(path), 4).alias(f"{n}_sum"),
+                ]
+                continue
             c = _SIBLING_PIPES[ptype](path)
             if ptype in ("avg_bucket", "sum_bucket"):
                 c = F.round(c, 4)
@@ -523,8 +563,11 @@ def search(df: DataFrame, body: dict) -> DataFrame:
     (atype, abody), = ((k, v) for k, v in spec.items() if k != "aggs")
     sub = spec.get("aggs", {})
     sub_pipes = [(n, s) for n, s in sub.items() if _pipe_type(s)]
+    sub_ccs = [(n, s["cumulative_cardinality"]["field"])
+               for n, s in sub.items() if "cumulative_cardinality" in s]
     sub_metrics = {n: s for n, s in sub.items()
                    if "top_hits" not in s and "terms" not in s
+                   and "cumulative_cardinality" not in s
                    and not _pipe_type(s)}
     metric_cols = [c for n, s in sub_metrics.items()
                    for c in _metric_cols(n, s)]
@@ -571,6 +614,34 @@ def search(df: DataFrame, body: dict) -> DataFrame:
         named = abody["filters"]
         conds = [(name, translate_query(q)) for name, q in named.items()]
         return _exploded_buckets(filtered, conds, metric_cols)
+
+    if atype == "adjacency_matrix":
+        # ES adjacency_matrix: one bucket per named filter plus one
+        # per pairwise intersection ("a&b"). Same map-side explode as
+        # `filters` — each row emits at most n + n(n-1)/2 structs
+        # (filter count is a handful, so the fan-out is a constant),
+        # then ONE shuffle groups all buckets. Empty intersections are
+        # omitted (ES drops zero-doc buckets here too).
+        named = abody["filters"]
+        singles = [(name, translate_query(q))
+                   for name, q in sorted(named.items())]
+        pairs = [(f"{n1}&{n2}", c1 & c2)
+                 for i, (n1, c1) in enumerate(singles)
+                 for (n2, c2) in singles[i + 1:]]
+        return _exploded_buckets(filtered, singles + pairs, metric_cols)
+
+    if atype == "rare_terms":
+        # ES rare_terms: the LONG TAIL — buckets with doc_count <=
+        # max_doc_count, ascending count order. Same single groupBy as
+        # terms; the rarity filter runs post-agg on key-cardinality
+        # rows. (ES uses a CuckooFilter approximation; exact here.)
+        max_dc = int(abody.get("max_doc_count", 1))
+        key = F.col(abody["field"]).alias("key")
+        grouped = (filtered.groupBy(key)
+                   .agg(F.count(F.lit(1)).alias("doc_count"),
+                        *metric_cols)
+                   .filter(F.col("doc_count") <= max_dc))
+        return grouped.orderBy(F.asc("doc_count"), F.asc("key"))
 
     if atype in ("range", "date_range"):
         col = F.col(abody["field"])
@@ -710,6 +781,28 @@ def search(df: DataFrame, body: dict) -> DataFrame:
                        .withColumn("doc_count",
                                    F.coalesce(F.col("doc_count"),
                                               F.lit(0).cast("long"))))
+        for n, fld in sub_ccs:
+            # ES cumulative_cardinality (distinct values seen up to
+            # each bucket), EXACTLY, without per-bucket HLL state:
+            # each distinct value contributes only at its FIRST bucket
+            # (one groupBy on the value), per-bucket first-timer
+            # counts are bucket-cardinality, and the running sum is a
+            # window over that small frame. Corpus-scale work is the
+            # one value-keyed shuffle.
+            from pyspark.sql import Window
+            firsts = (filtered.select(F.col(fld).alias("_v"), key)
+                      .groupBy("_v").agg(F.min("key").alias("key")))
+            news = (firsts.groupBy("key")
+                    .agg(F.count(F.lit(1)).alias("_new")))
+            cum = Window.orderBy(F.asc("key")).rowsBetween(
+                Window.unboundedPreceding, 0)
+            grouped = (grouped.join(news, "key", "left")
+                       .withColumn(
+                           n,
+                           F.sum(F.coalesce(F.col("_new"),
+                                            F.lit(0).cast("long")))
+                           .over(cum))
+                       .drop("_new"))
         if sub_pipes:
             grouped = _apply_pipelines(grouped, sub_pipes, serial_ok=True)
         return grouped.orderBy(F.asc("key"))  # date_histogram: key order

@@ -1,0 +1,84 @@
+"""Driver-sim parity check for a subset of queries: pass keys as argv
+(default sf0.01; override with VERIFY_SF env). Same canonicalization
+as scripts/verify_driver_sim.py."""
+import math
+import os
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+SF = os.environ.get("VERIFY_SF", "/root/testdata/sf0.01")
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as em  # noqa: E402
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+
+Q, O = em.queries(), em.oracle_sql()
+fails = []
+for name in sys.argv[1:]:
+    t0 = time.time()
+    try:
+        sdf = Q[name](spark, SF)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in O:
+            print(f"{name}: rows-only OK ({len(srows)} rows, "
+                  f"{time.time() - t0:.1f}s)")
+            continue
+        cur = con.execute(O[name])
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_n = len(srows) == len(drows)
+        ok_v = (ok_cols and ok_n
+                and canon(srows, scols) == canon(drows, dcols))
+        if ok_v:
+            print(f"{name}: MATCH ({len(srows)} rows, "
+                  f"{time.time() - t0:.1f}s)")
+        else:
+            fails.append(name)
+            print(f"{name}: MISMATCH cols_ok={ok_cols} "
+                  f"n spark={len(srows)} duck={len(drows)}")
+            if not ok_cols:
+                print(f"  spark cols={sorted(scols)}\n"
+                      f"  duck cols={sorted(dcols)}")
+            elif ok_n:
+                a, b = canon(srows, scols), canon(drows, dcols)
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+                for x, y in diffs:
+                    print(f"  spark={x}\n  duck ={y}")
+    except Exception as e:
+        fails.append(name)
+        print(f"{name}: ERROR {type(e).__name__}: {e}")
+print("FAILS:", fails if fails else "none")
+sys.exit(1 if fails else 0)
