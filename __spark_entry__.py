@@ -24,6 +24,7 @@ from parquet_generator_spark.plans import llm_queries3 as L3
 from parquet_generator_spark.plans import llm_queries4 as L4
 from parquet_generator_spark.plans import llm_queries5 as L5
 from parquet_generator_spark.plans import llm_queries6 as L6
+from parquet_generator_spark.plans import llm_queries7 as L7
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -91,6 +92,7 @@ def queries() -> dict[str, QueryFn]:
         **L4.QUERIES,
         **L5.QUERIES,
         **L6.QUERIES,
+        **L7.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -119,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         **L4.ORACLES,
         **L5.ORACLES,
         **L6.ORACLES,
+        **L7.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

@@ -595,3 +595,127 @@ SELECT id_a, id_b, cos FROM (
 WHERE cos >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+# ------------------------------------------------------------------
+# Distributed Lloyd's k-means (reproducible, oracle-mirrorable)
+# ------------------------------------------------------------------
+
+def _sqdist_lit_sql(vec_col: str, center: list) -> str:
+    """Spark-SQL squared euclidean distance from ``vec_col`` to a
+    centroid LITERAL — a sequential float64 fold, same shape as
+    `_plane_dot_sql`, so cross-engine differences stay at ulp level
+    (absorbed by the per-round centroid quantization)."""
+    arr = "array(" + ", ".join(f"cast({float(x)!r} AS DOUBLE)"
+                               for x in center) + ")"
+    return (f"aggregate(zip_with({vec_col}, {arr}, "
+            f"(x, y) -> (cast(x AS DOUBLE) - y) * "
+            f"(cast(x AS DOUBLE) - y)), "
+            f"cast(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _kmeans_assign(vec_col: str, cents: list[list]) -> Column:
+    """cid = argmin over centroid distances, smallest index on ties
+    (array_min over (distance, index) structs compares
+    lexicographically)."""
+    structs = [F.struct(F.expr(_sqdist_lit_sql(vec_col, c)).alias("d"),
+                        F.lit(i).alias("i"))
+               for i, c in enumerate(cents)]
+    return F.array_min(F.array(*structs)).getField("i")
+
+
+def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 quant: int = 6) -> DataFrame:
+    """Distributed Lloyd's k-means, the MLlib posture: centroids are
+    broadcast as PLAN LITERALS each round (k x dim floats — bounded
+    at any corpus size), assignment is an in-row argmin expression
+    (no join, no shuffle), and the update is ONE groupBy(cid) with
+    dim avg aggregates (map-side partial). Driver traffic per round
+    is the k x dim centroid matrix — the same bounded-collect class
+    as the IVF centroid sample (similarity.py ivf notes).
+
+    Reproducibility: init = the k lowest-id vectors; every centroid
+    coordinate is quantized to ``quant`` decimals after each update,
+    which absorbs fold-order ulp differences and makes the whole
+    iteration bit-reproducible across engines (the DuckDB oracle
+    from `kmeans_lloyd_duck_sql` mirrors the same quantization).
+    Empty clusters keep their previous centroid.
+
+    Returns one row per cluster: cid, n, c_norm (final centroid L2
+    norm, rounded).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
+    init_rows = base.orderBy("id").limit(k).collect()  # bounded: k rows
+    cents = [[round(float(x), quant) for x in r["e"]] for r in init_rows]
+    dim = len(cents[0])
+
+    def mean_cols():
+        return [F.round(F.avg(F.col("e")[d].cast("double")), quant)
+                .alias(f"m{d}") for d in range(dim)]
+
+    for _ in range(iters):
+        stats = (base.withColumn("cid", _kmeans_assign("e", cents))
+                 .groupBy("cid").agg(*mean_cols()))
+        got = {int(r["cid"]): [float(r[f"m{d}"]) for d in range(dim)]
+               for r in stats.collect()}  # bounded: k rows
+        cents = [got.get(i, cents[i]) for i in range(k)]
+
+    per = (base.withColumn("cid", _kmeans_assign("e", cents))
+           .groupBy("cid")
+           .agg(F.count(F.lit(1)).alias("n"), *mean_cols()))
+    norm_sq = None
+    for d in range(dim):
+        term = F.col(f"m{d}") * F.col(f"m{d}")
+        norm_sq = term if norm_sq is None else norm_sq + term
+    return (per.select("cid", "n",
+                       F.round(F.sqrt(norm_sq), 4).alias("c_norm"))
+            .orderBy("cid"))
+
+
+def kmeans_lloyd_duck_sql(table: str = "embeddings", k: int = 8,
+                          iters: int = 2, dim: int = 64,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          quant: int = 6) -> str:
+    """DuckDB mirror of `kmeans_lloyd`: same init (k lowest ids),
+    same per-round centroid quantization, same smallest-index
+    tie-break — assignment is relational (points x k centroids,
+    row_number argmin) instead of a literal expression, but the
+    arithmetic agrees to within the quantization grid."""
+    def mean_list(src: str) -> str:
+        return "[" + ", ".join(f"round(avg({src}[{d + 1}]), {quant})"
+                               for d in range(dim)) + "]"
+
+    sqd = ("list_sum(list_transform(list_zip(p.e, c.ce), "
+           "s -> (s[1] - s[2]) * (s[1] - s[2])))")
+    sql = [f"WITH pts AS (SELECT {id_col} AS id, "
+           f"CAST({vec_col} AS DOUBLE[]) AS e FROM {table}),"]
+    sql.append(
+        f"c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, "
+        f"list_transform(e, x -> round(x, {quant})) AS ce "
+        f"FROM (SELECT * FROM pts ORDER BY id LIMIT {k})),")
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql.append(
+            f"d{it} AS (SELECT p.id, p.e, c.cid, {sqd} AS d "
+            f"FROM pts p CROSS JOIN {prev} c),\n"
+            f"a{it} AS (SELECT id, e, cid FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY id "
+            f"ORDER BY d, cid) AS rn FROM d{it}) WHERE rn = 1),\n"
+            f"c{it} AS (SELECT cid, {mean_list('e')} AS ce "
+            f"FROM a{it} GROUP BY cid),")
+        prev = f"c{it}"
+    sql.append(
+        f"df AS (SELECT p.id, p.e, c.cid, {sqd} AS d "
+        f"FROM pts p CROSS JOIN {prev} c),\n"
+        f"af AS (SELECT id, e, cid FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY id "
+        f"ORDER BY d, cid) AS rn FROM df) WHERE rn = 1),\n"
+        f"cf AS (SELECT cid, count(*) AS n, {mean_list('e')} AS ce "
+        f"FROM af GROUP BY cid)")
+    sql.append(
+        "SELECT cid, CAST(n AS BIGINT) AS n, "
+        "round(sqrt(list_sum(list_transform(ce, x -> x * x))), 4) "
+        "AS c_norm FROM cf ORDER BY cid")
+    return "\n".join(sql)

@@ -1,0 +1,86 @@
+"""Semantics tests for the seventh LLM-pipeline wave: bigram LM
+scoring, k-means determinism, and the hierarchical peak-concurrency
+sweep vs a brute-force flat sweep."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.operators.similarity import kmeans_lloyd
+from parquet_generator_spark.plans.llm_queries7 import (
+    CONCURRENCY_TTL_MIN,
+    bigram_logprob_frame,
+    peak_concurrency_frame,
+)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, "
+                                                   "text string")
+    out = bigram_logprob_frame(docs).collect()
+    # bigrams: (a,b) x2, (b,a) x1; c1: a->2, b->1; V=2
+    # lp = [log2(3/4), log2(2/3), log2(3/4)]
+    exp = round((2 * math.log2(3 / 4) + math.log2(2 / 3)) / 3, 4)
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_lp"] == exp
+
+
+def test_kmeans_two_clear_clusters(spark):
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]),
+            (2, [0.2, 0.0]), (3, [9.8, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_lloyd(df, k=2, iters=1).collect()
+    got = {r["cid"]: (r["n"], r["c_norm"]) for r in out}
+    # init c0=(0,0), c1=(10,10); one round -> means (0.1,0), (9.9,10)
+    assert got[0] == (2, 0.1)
+    assert got[1] == (2, round(math.sqrt(9.9 ** 2 + 100.0), 4))
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # duplicate init points: round 1 ties everything to index 0, so
+    # cluster 1 goes empty and must keep its old (0,0) centroid — in
+    # round 2 that kept centroid wins back the two origin points
+    # (a dropped or NaN centroid could not)
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.1, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_lloyd(df, k=2, iters=2).collect()
+    assert [(r["cid"], r["n"]) for r in out] == [(0, 1), (1, 2)]
+    assert all(r["c_norm"] is not None for r in out)
+
+
+def test_peak_concurrency_matches_flat_sweep(spark):
+    rng = random.Random(11)
+    base = datetime.datetime(2024, 3, 1)
+    events = [(i, base + datetime.timedelta(
+        seconds=rng.randrange(0, 3 * 86400)))
+        for i in range(400)]
+    df = spark.createDataFrame(events, "event_id long, ts timestamp")
+    got = {r["day"]: r["peak"]
+           for r in peak_concurrency_frame(df).collect()}
+
+    # brute-force flat sweep: sort all +1/-1 deltas, track the
+    # running count, take per-day maxima
+    ttl = datetime.timedelta(minutes=CONCURRENCY_TTL_MIN)
+    deltas = sorted([(ts, 1) for _, ts in events]
+                    + [(ts + ttl, -1) for _, ts in events])
+    cur, exp = 0, {}
+    for t, d in deltas:
+        cur += d
+        day = t.strftime("%Y-%m-%d")
+        exp[day] = max(exp.get(day, -10**9), cur)
+    assert got == exp
+
+
+def test_peak_concurrency_end_before_start_at_same_instant(spark):
+    # second event starts exactly when the first expires: never
+    # concurrent, peak stays 1
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    t1 = t0 + datetime.timedelta(minutes=CONCURRENCY_TTL_MIN)
+    df = spark.createDataFrame([(1, t0), (2, t1)],
+                               "event_id long, ts timestamp")
+    out = peak_concurrency_frame(df).collect()
+    assert [r["peak"] for r in out] == [1]
