@@ -159,6 +159,22 @@ HEADLINE = [
     "corr_stats",
     "forward_fill",
     "dsl_histogram",
+    # round-5 additions: DSL fourth tranche + seventh pipeline wave
+    "dsl_weighted_avg",
+    "dsl_top_metrics",
+    "dsl_rare_terms",
+    "dsl_serial_diff",
+    "dsl_stats_bucket",
+    "dsl_cumulative_cardinality",
+    "dsl_adjacency_matrix",
+    "dsl_multi_terms",
+    "dsl_auto_date_histogram",
+    "bigram_logprob",
+    "lexical_diversity",
+    "robust_length_outliers",
+    "embedding_dim_stats",
+    "kmeans_clusters",
+    "peak_concurrency",
     "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",

@@ -630,6 +630,72 @@ def search(df: DataFrame, body: dict) -> DataFrame:
                  for (n2, c2) in singles[i + 1:]]
         return _exploded_buckets(filtered, singles + pairs, metric_cols)
 
+    if atype == "auto_date_histogram":
+        # ES auto_date_histogram: the FINEST calendar interval that
+        # keeps the bucket count <= `buckets` (Kibana's default
+        # histogram). Simplification vs ES: calendar units only
+        # (minute/hour/day/week/month/year), no 5m/30m/3h subdivides.
+        # The choice needs the data's time bounds — a one-row scalar
+        # aggregate (eager, the repo's blessed scalar pattern); the
+        # span arithmetic below is mirrored verbatim in oracle SQL so
+        # both engines pick the same unit.
+        target = int(abody.get("buckets", 10))
+        field = abody["field"]
+        lo, hi = filtered.agg(F.min(field), F.max(field)).first()
+        if lo is None:
+            return (filtered
+                    .select(F.lit("").alias("key"),
+                            F.lit(0).cast("long").alias("doc_count"),
+                            F.lit("").alias("interval_unit"))
+                    .limit(0))
+
+        def tmin(t):
+            return t.replace(second=0, microsecond=0)
+
+        def n_fixed(unit_s, trunc):
+            a, b = trunc(lo), trunc(hi)
+            return int((b - a).total_seconds()) // unit_s + 1
+
+        import datetime as _dt
+
+        def tweek(t):
+            d = _dt.datetime(t.year, t.month, t.day)
+            return d - _dt.timedelta(days=d.weekday())
+
+        n_by_unit = {
+            "minute": n_fixed(60, tmin),
+            "hour": n_fixed(3600, lambda t: tmin(t).replace(minute=0)),
+            "day": n_fixed(86400, lambda t: _dt.datetime(
+                t.year, t.month, t.day)),
+            "week": n_fixed(604800, tweek),
+            "month": ((hi.year * 12 + hi.month)
+                      - (lo.year * 12 + lo.month) + 1),
+            "year": hi.year - lo.year + 1,
+        }
+        unit = next((u for u in ("minute", "hour", "day", "week",
+                                 "month", "year")
+                     if n_by_unit[u] <= target), "year")
+        key = F.date_format(F.date_trunc(unit, F.col(field)),
+                            "yyyy-MM-dd HH:mm:ss").alias("key")
+        return (filtered.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols)
+                .withColumn("interval_unit", F.lit(unit))
+                .orderBy(F.asc("key")))
+
+    if atype == "multi_terms":
+        # ES multi_terms (7.12+): buckets over value COMBINATIONS of
+        # several fields; key = '|'-joined key_as_string. Exactly a
+        # multi-column groupBy — one shuffle, default _count desc
+        # order with key tie-break, like terms.
+        fields = [t["field"] for t in abody["terms"]]
+        size = abody.get("size", 10)
+        key = F.concat_ws(
+            "|", *[F.col(f).cast("string") for f in fields]).alias("key")
+        return (filtered.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols)
+                .orderBy(F.desc("doc_count"), F.asc("key"))
+                .limit(size))
+
     if atype == "rare_terms":
         # ES rare_terms: the LONG TAIL — buckets with doc_count <=
         # max_doc_count, ascending count order. Same single groupBy as

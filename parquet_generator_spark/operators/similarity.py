@@ -624,9 +624,37 @@ def _kmeans_assign(vec_col: str, cents: list[list]) -> Column:
     return F.array_min(F.array(*structs)).getField("i")
 
 
+def _kmeans_assign_arrow(base: DataFrame, cents: list[list]) -> DataFrame:
+    """Vectorized assignment: one numpy (batch x dim) @ (dim x k)
+    matmul per Arrow batch inside mapInPandas — the same narrow-map
+    shape as `ivf_assign_cells`, ~10x the interpreted higher-order-
+    function fold. np.argmin returns the FIRST minimal index, so the
+    smallest-index tie-break matches `_kmeans_assign` exactly (exact
+    float ties only occur for duplicate centroids, where both
+    formulas agree bit-for-bit)."""
+    import pandas as pd
+
+    cm = np.asarray(cents, dtype=np.float64)
+    bc = base.sparkSession.sparkContext.broadcast(cm)
+
+    def assign(batches):
+        c = bc.value
+        c_sq = (c * c).sum(axis=1)
+        for pdf in batches:
+            v = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            d = ((v * v).sum(axis=1)[:, None]
+                 - 2.0 * (v @ c.T) + c_sq[None, :])
+            yield pd.DataFrame({"id": pdf["id"], "e": pdf["e"],
+                                "cid": np.argmin(d, axis=1)})
+
+    out_schema = T.StructType(list(base.select("id", "e").schema)
+                              + [T.StructField("cid", T.LongType())])
+    return base.mapInPandas(assign, schema=out_schema)
+
+
 def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 quant: int = 6) -> DataFrame:
+                 quant: int = 6, assign: str = "arrow") -> DataFrame:
     """Distributed Lloyd's k-means, the MLlib posture: centroids are
     broadcast as PLAN LITERALS each round (k x dim floats — bounded
     at any corpus size), assignment is an in-row argmin expression
@@ -642,10 +670,23 @@ def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 2,
     from `kmeans_lloyd_duck_sql` mirrors the same quantization).
     Empty clusters keep their previous centroid.
 
+    ``iters`` counts assignment rounds; the output reports the LAST
+    round's cluster sizes together with the centroids updated from
+    it (so the data is scanned exactly ``iters`` times — no separate
+    final re-assignment pass).
+
     Returns one row per cluster: cid, n, c_norm (final centroid L2
     norm, rounded).
     """
+    from pyspark import StorageLevel
+
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
+    # cache the projected (id, vec) frame across rounds — every Lloyd
+    # round re-reads it, and at real scale re-scanning the source per
+    # round multiplies the IO (the same dataset caching MLlib's
+    # KMeans does; lazy persist, populated by the first round's pass)
+    if iters > 1:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     init_rows = base.orderBy("id").limit(k).collect()  # bounded: k rows
     cents = [[round(float(x), quant) for x in r["e"]] for r in init_rows]
     dim = len(cents[0])
@@ -654,14 +695,18 @@ def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 2,
         return [F.round(F.avg(F.col("e")[d].cast("double")), quant)
                 .alias(f"m{d}") for d in range(dim)]
 
-    for _ in range(iters):
-        stats = (base.withColumn("cid", _kmeans_assign("e", cents))
-                 .groupBy("cid").agg(*mean_cols()))
+    def assigned(cs: list[list]) -> DataFrame:
+        if assign == "arrow":
+            return _kmeans_assign_arrow(base, cs)
+        return base.withColumn("cid", _kmeans_assign("e", cs))
+
+    for _ in range(iters - 1):
+        stats = assigned(cents).groupBy("cid").agg(*mean_cols())
         got = {int(r["cid"]): [float(r[f"m{d}"]) for d in range(dim)]
                for r in stats.collect()}  # bounded: k rows
         cents = [got.get(i, cents[i]) for i in range(k)]
 
-    per = (base.withColumn("cid", _kmeans_assign("e", cents))
+    per = (assigned(cents)
            .groupBy("cid")
            .agg(F.count(F.lit(1)).alias("n"), *mean_cols()))
     norm_sq = None
@@ -696,7 +741,7 @@ def kmeans_lloyd_duck_sql(table: str = "embeddings", k: int = 8,
         f"list_transform(e, x -> round(x, {quant})) AS ce "
         f"FROM (SELECT * FROM pts ORDER BY id LIMIT {k})),")
     prev = "c0"
-    for it in range(1, iters + 1):
+    for it in range(1, iters):
         sql.append(
             f"d{it} AS (SELECT p.id, p.e, c.cid, {sqd} AS d "
             f"FROM pts p CROSS JOIN {prev} c),\n"

@@ -248,6 +248,88 @@ WHERE doc_count > 0 ORDER BY key
 """
 
 
+def dsl_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`multi_terms` bucket agg (ES 7.12+): buckets over (lang,
+    source) value combinations with an avg metric — one multi-column
+    groupBy shuffle, '|'-joined key_as_string, _count-desc order."""
+    docs = load_table(spark, "documents", sf_dir)
+    return search(docs, {
+        "aggs": {"by_lang_src": {
+            "multi_terms": {"terms": [{"field": "lang"},
+                                      {"field": "source"}],
+                            "size": 15},
+            "aggs": {"avg_len": {"avg": {"field": "n_chars"}}},
+        }},
+    })
+
+
+DSL_MULTI_TERMS_ORACLE = """
+SELECT concat(lang, '|', source) AS key,
+       count(*) AS doc_count,
+       round(avg(n_chars), 4) AS avg_len
+FROM documents GROUP BY lang, source
+ORDER BY doc_count DESC, key ASC LIMIT 15
+"""
+
+
+AUTO_HIST_TARGET = 10
+
+
+def dsl_auto_date_histogram(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """`auto_date_histogram`: the finest calendar interval keeping
+    the bucket count <= 10 (the events table spans ~a month, so the
+    choice lands on 'week' — non-trivially between day and month).
+    The span arithmetic that picks the unit runs on a one-row scalar
+    aggregate and is mirrored verbatim in the oracle SQL."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"auto": {
+            "auto_date_histogram": {"field": "ts",
+                                    "buckets": AUTO_HIST_TARGET},
+            "aggs": {"revenue": {"sum": {"field": "value"}}},
+        }},
+    })
+
+
+def _auto_hist_oracle(target: int) -> str:
+    units = [("minute", 60), ("hour", 3600), ("day", 86400),
+             ("week", 604800)]
+    n_cols = ", ".join(
+        f"CAST(epoch(date_trunc('{u}', hi)) - "
+        f"epoch(date_trunc('{u}', lo)) AS BIGINT) // {s} + 1 AS n_{u}"
+        for u, s in units)
+    hist = "\n  UNION ALL ".join(
+        f"SELECT '{u}' AS u, "
+        f"strftime(date_trunc('{u}', ts), '%Y-%m-%d %H:%M:%S') AS key, "
+        f"count(*) AS doc_count, round(sum(value), 4) AS revenue "
+        f"FROM f GROUP BY 2"
+        for u in ("minute", "hour", "day", "week", "month", "year"))
+    return f"""
+WITH f AS (SELECT * FROM events WHERE event_type = 'purchase'),
+b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM f),
+n AS (SELECT {n_cols},
+  (year(hi) * 12 + month(hi)) - (year(lo) * 12 + month(lo)) + 1
+    AS n_month,
+  year(hi) - year(lo) + 1 AS n_year FROM b),
+sel AS (SELECT CASE
+  WHEN n_minute <= {target} THEN 'minute'
+  WHEN n_hour <= {target} THEN 'hour'
+  WHEN n_day <= {target} THEN 'day'
+  WHEN n_week <= {target} THEN 'week'
+  WHEN n_month <= {target} THEN 'month'
+  ELSE 'year' END AS unit FROM n),
+h AS (
+  {hist})
+SELECT key, doc_count, revenue, u AS interval_unit
+FROM h JOIN sel ON h.u = sel.unit ORDER BY key
+"""
+
+
+DSL_AUTO_DATE_HISTOGRAM_ORACLE = _auto_hist_oracle(AUTO_HIST_TARGET)
+
+
 QUERIES = {
     "dsl_weighted_avg": dsl_weighted_avg,
     "dsl_top_metrics": dsl_top_metrics,
@@ -256,6 +338,8 @@ QUERIES = {
     "dsl_stats_bucket": dsl_stats_bucket,
     "dsl_cumulative_cardinality": dsl_cumulative_cardinality,
     "dsl_adjacency_matrix": dsl_adjacency_matrix,
+    "dsl_multi_terms": dsl_multi_terms,
+    "dsl_auto_date_histogram": dsl_auto_date_histogram,
 }
 
 ORACLES = {
@@ -266,4 +350,6 @@ ORACLES = {
     "dsl_stats_bucket": DSL_STATS_BUCKET_ORACLE,
     "dsl_cumulative_cardinality": DSL_CUMULATIVE_CARDINALITY_ORACLE,
     "dsl_adjacency_matrix": DSL_ADJACENCY_ORACLE,
+    "dsl_multi_terms": DSL_MULTI_TERMS_ORACLE,
+    "dsl_auto_date_histogram": DSL_AUTO_DATE_HISTOGRAM_ORACLE,
 }

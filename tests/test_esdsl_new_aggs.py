@@ -123,3 +123,40 @@ def test_cumulative_cardinality_counts_first_occurrences(spark):
     }).collect()
     assert [r["seen"] for r in out] == [1, 2, 3]
     assert [r["doc_count"] for r in out] == [1, 2, 1]
+
+
+def test_multi_terms_combination_buckets(spark):
+    out = search(_frame(spark), {
+        "aggs": {"mt": {
+            "multi_terms": {"terms": [{"field": "kind"},
+                                      {"field": "w"}], "size": 10},
+        }},
+    }).collect()
+    got = {r["key"]: r["doc_count"] for r in out}
+    assert got == {"a|1.0": 2, "a|3.0": 1, "b|2.0": 2, "c|1.0": 1}
+
+
+def test_auto_date_histogram_picks_finest_fitting_unit(spark):
+    # 3 distinct days within one week; target 5 -> day fits (3 <= 5)
+    out = search(_frame(spark), {
+        "aggs": {"auto": {"auto_date_histogram": {"field": "ts",
+                                                  "buckets": 5}}},
+    }).collect()
+    assert {r["interval_unit"] for r in out} == {"day"}
+    assert [r["doc_count"] for r in out] == [2, 3, 1]
+    # target 2 -> day (3 buckets) no longer fits, week (1) does
+    out2 = search(_frame(spark), {
+        "aggs": {"auto": {"auto_date_histogram": {"field": "ts",
+                                                  "buckets": 2}}},
+    }).collect()
+    assert [(r["interval_unit"], r["doc_count"]) for r in out2] == \
+        [("week", 6)]
+
+
+def test_auto_date_histogram_empty_input(spark):
+    out = search(_frame(spark), {
+        "query": {"term": {"kind": "zzz"}},
+        "aggs": {"auto": {"auto_date_histogram": {"field": "ts",
+                                                  "buckets": 5}}},
+    }).collect()
+    assert out == []
