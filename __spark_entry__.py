@@ -25,6 +25,7 @@ from parquet_generator_spark.plans import llm_queries4 as L4
 from parquet_generator_spark.plans import llm_queries5 as L5
 from parquet_generator_spark.plans import llm_queries6 as L6
 from parquet_generator_spark.plans import llm_queries7 as L7
+from parquet_generator_spark.plans import llm_queries8 as L8
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -93,6 +94,7 @@ def queries() -> dict[str, QueryFn]:
         **L5.QUERIES,
         **L6.QUERIES,
         **L7.QUERIES,
+        **L8.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -122,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         **L5.ORACLES,
         **L6.ORACLES,
         **L7.ORACLES,
+        **L8.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

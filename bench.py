@@ -175,6 +175,8 @@ HEADLINE = [
     "embedding_dim_stats",
     "kmeans_clusters",
     "peak_concurrency",
+    "incremental_dedup",
+    "dedup_keep_best",
     "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",

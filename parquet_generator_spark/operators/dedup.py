@@ -550,3 +550,127 @@ SELECT id_a, id_b, hamming FROM cand
 WHERE hamming <= {max_hamming}
 ORDER BY id_a, id_b
 """
+
+
+# ------------------------------------------------------------------
+# incremental (new-batch-vs-corpus) near-dup detection
+# ------------------------------------------------------------------
+
+def minhash_lsh_pairs_cross(df: DataFrame, id_col: str,
+                            content_col: str, side_col: str,
+                            threshold: float, k: int = 3,
+                            bucket_cap: int | None = DEFAULT_BUCKET_CAP
+                            ) -> DataFrame:
+    """MinHash near-dup pairs BETWEEN two sides of one frame — the
+    incremental-ingest shape: ``side_col`` = 0 marks the existing
+    corpus, 1 the incoming batch, and only (incoming, corpus) pairs
+    are emitted (within-side duplicates are the batch pipeline's
+    job, handled by `minhash_lsh_pairs`).
+
+    Same plan skeleton as `minhash_lsh_pairs` (signature once, 64
+    band keys, ONE bucket shuffle, bounded pair expansion, exact
+    Jaccard verify on a candidate-semi-joined re-scan); the bucket
+    aggregation just splits each bucket's ids into per-side sorted
+    lists so the expansion is the cross product of the two lists —
+    never corpus x corpus.
+    """
+    sh = widen_if_narrow(df).select(
+        F.col(id_col).alias("id"), F.col(side_col).alias("side"),
+        F.expr(shingles_spark_inline(content_col, k)).alias("sh"))
+    sig = (sh.withColumn("bh", F.expr(shingle_hashes_spark("sh")))
+           .withColumn("sig", minhash_signature("bh"))
+           .select("id", "side", "sig"))
+    if bucket_cap is not None:
+        sig = sig.localCheckpoint()
+    bands = sig.select(
+        "id", "side",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {_N_BANDS - 1}), "
+                   f"b -> concat_ws(',', sig[2*b], sig[2*b+1]))")
+        ).alias("band", "band_key"))
+    bands = _drop_hot_buckets(bands, ["band", "band_key"], bucket_cap,
+                              "minhash_lsh_pairs_cross")
+    buckets = (bands.groupBy("band", "band_key")
+               .agg(F.array_sort(F.collect_list(
+                        F.when(F.col("side") == 0, F.col("id"))))
+                    .alias("corp"),
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("side") == 1, F.col("id"))))
+                    .alias("inc"))
+               .filter((F.size("corp") > 0) & (F.size("inc") > 0)))
+    cand = (buckets.select(F.explode(F.expr(
+        "flatten(transform(inc, a -> transform(corp, "
+        "b -> struct(a AS id_in, b AS id_corp))))")).alias("p"))
+        .select("p.id_in", "p.id_corp")
+        .distinct()
+        .localCheckpoint())
+    cand_ids = (cand.select(F.col("id_in").alias("id"))
+                .union(cand.select(F.col("id_corp").alias("id")))
+                .distinct())
+    shc = (sh.select("id", "sh")
+           .join(cand_ids, "id", "left_semi").localCheckpoint())
+    a = shc.select(F.col("id").alias("id_in"), F.col("sh").alias("sh_a"))
+    b = shc.select(F.col("id").alias("id_corp"),
+                   F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    return (cand.join(a, "id_in").join(b, "id_corp")
+            .select("id_in", "id_corp",
+                    F.round(jac, 3).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_cross_duck_sql(table: str, id_col: str, content_col: str,
+                           side_sql: str, threshold: float, k: int = 3,
+                           bucket_cap: int | None = DEFAULT_BUCKET_CAP
+                           ) -> str:
+    """DuckDB mirror of `minhash_lsh_pairs_cross` (same hashes, same
+    bands, same cap on TOTAL bucket size, cross-side candidates
+    only). ``side_sql`` is a SQL expression over the table's columns
+    yielding 0 (corpus) or 1 (incoming)."""
+    p = _MERSENNE
+    sh = shingles_duck(content_col, k)
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform(bh, x -> "
+        f"(x * {int(a)} + {int(b)}) % {p})), {p})"
+        for a, b in zip(_PERM_A, _PERM_B))
+    cap_pred = ("" if bucket_cap is None
+                else f" AND count(*) <= {bucket_cap}")
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {side_sql} AS side, {sh} AS sh
+           FROM {table}),
+h AS (SELECT id, side, sh, list_transform(sh, s ->
+        CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % {p}) AS bh
+      FROM d),
+sig AS (SELECT id, side, [{mins}] AS sig FROM h),
+bands AS (
+  SELECT id, side, b.band,
+         concat(sig[2 * b.band + 1], ',', sig[2 * b.band + 2])
+           AS band_key
+  FROM sig, (SELECT unnest(range({_N_BANDS})) AS band) b),
+ok AS (
+  SELECT band, band_key FROM bands
+  GROUP BY band, band_key
+  HAVING count(*) FILTER (side = 1) > 0
+     AND count(*) FILTER (side = 0) > 0{cap_pred}),
+cand AS (
+  SELECT DISTINCT a.id AS id_in, b.id AS id_corp
+  FROM bands a
+  JOIN ok USING (band, band_key)
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.side = 1 AND b.side = 0),
+j AS (
+  SELECT c.id_in, c.id_corp,
+         round(CASE WHEN len(da.sh) + len(db.sh)
+                         - len(list_intersect(da.sh, db.sh)) > 0
+               THEN CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                    / (len(da.sh) + len(db.sh)
+                       - len(list_intersect(da.sh, db.sh)))
+               ELSE 0.0 END, 3) AS jaccard
+  FROM cand c
+  JOIN d da ON da.id = c.id_in
+  JOIN d db ON db.id = c.id_corp)
+SELECT id_in, id_corp, jaccard FROM j
+WHERE jaccard >= {threshold}
+"""

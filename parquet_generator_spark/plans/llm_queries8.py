@@ -1,0 +1,103 @@
+"""Eighth pipeline wave: incremental (new-batch-vs-corpus) dedup and
+canonical-document selection — the two halves of a production ingest
+loop: "which incoming docs are already in the index?" and "which copy
+survives?".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.operators import dedup
+from parquet_generator_spark.sources.catalog import load_table
+
+INC_TAU = 0.5
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify an INCOMING batch (odd doc_ids) against the existing
+    CORPUS (even doc_ids): exact_dup (content hash already indexed,
+    one semi-join on md5), near_dup (MinHash banding between the two
+    sides only — `dedup.minhash_lsh_pairs_cross`, never corpus x
+    corpus), else new. Exact wins over near. The incremental shape is
+    what a streaming/batch ingest runs every cycle: the corpus side's
+    signatures would be precomputed and persisted; here both sides
+    run through the one signature pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    sided = docs.withColumn("side", (F.col("doc_id") % 2).cast("int"))
+    incoming = sided.filter(F.col("side") == 1)
+    corpus_h = (sided.filter(F.col("side") == 0)
+                .select(F.md5("text").alias("h")).distinct())
+    exact_ids = (incoming.select("doc_id", F.md5("text").alias("h"))
+                 .join(corpus_h, "h", "left_semi")
+                 .select("doc_id").withColumn("e", F.lit(1)))
+    near_ids = (dedup.minhash_lsh_pairs_cross(
+        sided, "doc_id", "text", "side", INC_TAU)
+        .select(F.col("id_in").alias("doc_id")).distinct()
+        .withColumn("nr", F.lit(1)))
+    return (incoming.select("doc_id")
+            .join(exact_ids, "doc_id", "left")
+            .join(near_ids, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("e") == 1, "exact_dup")
+                    .when(F.col("nr") == 1, "near_dup")
+                    .otherwise("new").alias("status"))
+            .orderBy("doc_id"))
+
+
+_CROSS_SQL = dedup.minhash_cross_duck_sql(
+    "documents", "doc_id", "text", "CAST(doc_id % 2 AS INT)", INC_TAU)
+
+INCREMENTAL_DEDUP_ORACLE = f"""
+WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+ex AS (SELECT DISTINCT i.doc_id
+       FROM inc i JOIN corp c ON md5(i.text) = md5(c.text)),
+near AS (SELECT DISTINCT id_in AS doc_id FROM ({_CROSS_SQL}) p)
+SELECT i.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS status
+FROM inc i
+LEFT JOIN ex e ON i.doc_id = e.doc_id
+LEFT JOIN near n ON i.doc_id = n.doc_id
+ORDER BY i.doc_id
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection for exact-duplicate groups: one
+    groupBy on the content hash with a max_by((n_chars, -doc_id))
+    aggregate — keep the longest copy, smallest doc_id on ties. No
+    window, no second scan; output is one row per distinct content."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (docs.groupBy(F.md5("text").alias("h"))
+            .agg(F.expr("max_by(doc_id, struct(n_chars, -doc_id))")
+                 .alias("doc_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .select("doc_id", "n_copies")
+            .orderBy("doc_id"))
+
+
+DEDUP_KEEP_BEST_ORACLE = """
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM documents)
+SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "incremental_dedup": incremental_dedup,
+    "dedup_keep_best": dedup_keep_best,
+}
+
+ORACLES = {
+    "incremental_dedup": INCREMENTAL_DEDUP_ORACLE,
+    "dedup_keep_best": DEDUP_KEEP_BEST_ORACLE,
+}

@@ -1,0 +1,49 @@
+"""Incremental (new-batch-vs-corpus) dedup semantics: planted exact,
+near, and novel incoming docs classify correctly, and the cross-set
+operator never emits within-side pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.operators.dedup import (
+    minhash_lsh_pairs_cross,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the "
+        "cat sleeps near the warm stove in the kitchen corner")
+NEAR = ("the quick brown fox jumps over the lazy dog while the "
+        "cat sleeps near the warm stove in the kitchen today")
+OTHER = ("completely different words about spark shuffles and "
+         "parquet footers and adaptive query execution plans")
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE, 0),       # corpus
+        (2, OTHER, 0),      # corpus
+        (1, BASE, 1),       # incoming: exact copy of 0
+        (3, NEAR, 1),       # incoming: near-dup of 0
+        (5, "unrelated novel content nothing matches here at all "
+            "with enough words to shingle properly", 1),
+        (7, NEAR, 1),       # second incoming near-dup
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, side int")
+
+
+def test_cross_pairs_only_cross_side(spark):
+    pairs = minhash_lsh_pairs_cross(
+        _docs(spark), "doc_id", "text", "side", 0.5).collect()
+    got = {(r["id_in"], r["id_corp"]) for r in pairs}
+    # incoming 1 (exact) and 3/7 (near) all pair with corpus doc 0;
+    # nothing pairs with 2, and no (1,3)/(3,7) within-side pairs
+    assert got == {(1, 0), (3, 0), (7, 0)}
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_cross_pairs_exact_copy_scores_one(spark):
+    pairs = {(r["id_in"], r["id_corp"]): r["jaccard"]
+             for r in minhash_lsh_pairs_cross(
+                 _docs(spark), "doc_id", "text", "side", 0.5).collect()}
+    assert pairs[(1, 0)] == 1.0
