@@ -183,6 +183,7 @@ HEADLINE = [
     "stream_session_window",
     "stream_dedup",
     "stream_near_dedup",
+    "stream_sliding_agg",
 ]
 
 

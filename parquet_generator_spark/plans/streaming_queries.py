@@ -21,7 +21,9 @@ from parquet_generator_spark.streaming.stream_join import (
     view_click_pairs,
 )
 from parquet_generator_spark.streaming.windowed import (
+    SLIDING_ORACLE,
     WINDOWED_ORACLE,
+    sliding_event_counts,
     windowed_event_counts,
 )
 
@@ -123,7 +125,19 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the sliding-window plan the stream uses (6h
+    window, 3h slide — each event in exactly 2 windows); the oracle
+    re-derives both window starts per event with slide-aligned epoch
+    arithmetic."""
+    ev = load_table(spark, "events", sf_dir)
+    return (sliding_event_counts(ev)
+            .orderBy("win_start", "event_type"))
+
+
 QUERIES = {
+    "stream_sliding_agg": stream_sliding_agg,
     "stream_stream_join": stream_stream_join,
     "stream_windowed_agg": stream_windowed_agg,
     "stream_session_window": stream_session_window,
@@ -132,6 +146,7 @@ QUERIES = {
     "stream_static_enrich": stream_static_enrich,
 }
 ORACLES = {
+    "stream_sliding_agg": SLIDING_ORACLE,
     "stream_stream_join": PAIRS_ORACLE,
     "stream_windowed_agg": WINDOWED_ORACLE,
     "stream_session_window": SESSION_WINDOW_ORACLE,

@@ -38,3 +38,39 @@ FROM events
 GROUP BY win_start, event_type
 ORDER BY win_start, event_type
 """
+
+
+SLIDE_SECONDS = 3 * 3600  # window 6h sliding every 3h: 2 windows/event
+
+
+def sliding_event_counts(df: DataFrame, watermark: str | None = None,
+                         ts_col: str = "ts",
+                         key_col: str = "event_type") -> DataFrame:
+    """SLIDING-window counts per key (6h window every 3h): each event
+    lands in window/slide = 2 overlapping windows. Same plan on batch
+    and stream; on a stream the state is (windows-open x keys), and
+    the watermark closes windows so the overlap factor — not the
+    stream length — bounds state size."""
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return (src.groupBy(F.window(ts_col, WINDOW, "3 hours").alias("win"),
+                        key_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("win_start"),
+                    F.col(key_col), "n", "sum_value"))
+
+
+# every event belongs to exactly window/slide = 2 windows whose starts
+# are the two slide-aligned ticks at or before ts and within 6h of it
+SLIDING_ORACLE = f"""
+SELECT strftime(make_timestamp(
+         CAST((floor(epoch(ts) / {SLIDE_SECONDS}) - i.i)
+              * {SLIDE_SECONDS} * 1000000 AS BIGINT)),
+       '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events, (SELECT unnest(range(2)) AS i) i
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""

@@ -378,3 +378,26 @@ def test_stream_near_dedup_collapses_reformatted_payloads(spark, tmp_path):
     # the three reformattings share one signature: 2 survivors total
     assert len(rows) == 2
     assert len({r["sig"] for r in rows}) == 2
+
+
+def test_sliding_agg_stream_matches_batch(spark, tmp_path):
+    from parquet_generator_spark.streaming.windowed import (
+        sliding_event_counts,
+    )
+
+    ev = load_table(spark, "events", SF)
+    batch = sliding_event_counts(ev).collect()
+
+    ev.write.parquet(str(tmp_path / "events"))
+    stream = (spark.readStream.schema(ev.schema)
+              .parquet(str(tmp_path / "events")))
+    agg = sliding_event_counts(stream, watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("slideagg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    streamed = spark.sql("select * from slideagg").collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    # overlap invariant: total windowed rows = 2x the event count
+    total = sum(r["n"] for r in streamed)
+    assert total == 2 * ev.count()
