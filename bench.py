@@ -177,6 +177,8 @@ HEADLINE = [
     "peak_concurrency",
     "incremental_dedup",
     "dedup_keep_best",
+    "embedding_top_component",
+    "data_mixture_report",
     "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",

@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -763,4 +765,114 @@ def kmeans_lloyd_duck_sql(table: str = "embeddings", k: int = 8,
         "SELECT cid, CAST(n AS BIGINT) AS n, "
         "round(sqrt(list_sum(list_transform(ce, x -> x * x))), 4) "
         "AS c_norm FROM cf ORDER BY cid")
+    return "\n".join(sql)
+
+
+# ------------------------------------------------------------------
+# Top principal component via distributed power iteration
+# ------------------------------------------------------------------
+
+def _center_dot_sql(mu: list, v: list, vec_col: str = "e") -> str:
+    """Codegen expression for dot(x - mu, v) with mu/v literals —
+    an expanded 64-term sum (stays in whole-stage codegen, unlike an
+    interpreted higher-order-function fold)."""
+    return " + ".join(
+        f"((cast({vec_col}[{d}] AS DOUBLE) - {float(mu[d])!r}) "
+        f"* {float(v[d])!r})"
+        for d in range(len(mu)))
+
+
+def _sign_fix(v: list) -> list:
+    """Deterministic sign convention: the first non-zero loading is
+    positive (mirrored by the oracle's list_filter CASE)."""
+    first = next((x for x in v if x != 0.0), 1.0)
+    return [-x for x in v] if first < 0 else list(v)
+
+
+def pca_top_component(df: DataFrame, iters: int = 3,
+                      vec_col: str = "embedding",
+                      label_col: str = "label",
+                      quant: int = 6) -> DataFrame:
+    """Top principal component by POWER ITERATION, distributed the
+    only way that scales: each round is ONE aggregate pass computing
+    w = X̃ᵀ(X̃v) via dim sum-aggregates (map-side partial, no
+    shuffle of vectors), with the current direction v shipped as
+    plan literals — the same bounded driver traffic as k-means'
+    centroids. Normalization + quantization + a first-nonzero-
+    positive sign convention run on the collected dim-length vector
+    each round, making the whole iteration bit-reproducible (DuckDB
+    oracle from `pca_top_duck_sql` replays it exactly).
+
+    Output: the component summarized through the data — per-label
+    projection statistics of x̃·v (does the top direction separate
+    the labels?).
+    """
+    base = df.select(F.col(label_col).alias("label"),
+                     F.col(vec_col).alias("e"))
+    dim = len(base.select("e").first()[0])
+    mu_row = base.agg(*[F.round(F.avg(F.col("e")[d].cast("double")),
+                                quant).alias(f"m{d}")
+                        for d in range(dim)]).first()
+    mu = [float(mu_row[f"m{d}"]) for d in range(dim)]
+    v = [0.125] * dim  # exact in binary; |v| = 1 for dim = 64
+
+    for _ in range(iters):
+        s = F.expr(_center_dot_sql(mu, v))
+        w_row = base.agg(*[
+            F.sum((F.col("e")[d].cast("double") - F.lit(mu[d])) * s)
+            .alias(f"w{d}") for d in range(dim)]).first()
+        w = [float(w_row[f"w{d}"]) for d in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in w)) or 1.0
+        v = _sign_fix([round(x / nrm, quant) for x in w])
+
+    proj = F.expr(_center_dot_sql(mu, v))
+    return (base.select("label", proj.alias("p"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("p"), 4).alias("mean_proj"),
+                 F.round(F.stddev_pop("p"), 4).alias("std_proj"))
+            .orderBy("label"))
+
+
+def pca_top_duck_sql(table: str = "embeddings", iters: int = 3,
+                     dim: int = 64, vec_col: str = "embedding",
+                     label_col: str = "label",
+                     quant: int = 6) -> str:
+    """DuckDB replay of `pca_top_component`: same mu quantization,
+    same unit init, same per-round normalize/quantize/sign steps.
+    The matvec is relational (sum per dimension) instead of literal
+    expressions; quantization absorbs the fold-order ulps."""
+    mu_list = "[" + ", ".join(
+        f"round(avg(e[{d + 1}]), {quant})" for d in range(dim)) + "]"
+    w_list = "[" + ", ".join(
+        f"sum(x[{d + 1}] * s)" for d in range(dim)) + "]"
+    v0 = "[" + ", ".join(["0.125"] * dim) + "]"
+    sql = [
+        f"WITH pts AS (SELECT {label_col} AS label, "
+        f"CAST({vec_col} AS DOUBLE[]) AS e FROM {table}),",
+        f"mu AS (SELECT {mu_list} AS m FROM pts),",
+        "c AS (SELECT label, list_transform(list_zip(e, m), "
+        "s -> s[1] - s[2]) AS x FROM pts, mu),",
+        f"v0 AS (SELECT {v0} AS v),",
+    ]
+    prev = "v0"
+    for it in range(1, iters + 1):
+        sql.append(
+            f"w{it} AS (SELECT {w_list} AS w FROM ("
+            f"SELECT x, list_dot_product(x, v) AS s "
+            f"FROM c, {prev})),\n"
+            f"u{it} AS (SELECT list_transform(w, y -> round(y / "
+            f"sqrt(list_dot_product(w, w)), {quant})) AS v FROM w{it}),\n"
+            f"v{it} AS (SELECT CASE WHEN coalesce("
+            f"list_filter(v, z -> z <> 0)[1], 1) < 0 "
+            f"THEN list_transform(v, z -> -z) ELSE v END AS v "
+            f"FROM u{it}),")
+        prev = f"v{it}"
+    sql.append(
+        f"pr AS (SELECT label, list_dot_product(x, v) AS p "
+        f"FROM c, {prev})")
+    sql.append(
+        "SELECT label, count(*) AS n, round(avg(p), 4) AS mean_proj, "
+        "round(stddev_pop(p), 4) AS std_proj "
+        "FROM pr GROUP BY label ORDER BY label")
     return "\n".join(sql)

@@ -101,3 +101,83 @@ ORACLES = {
     "incremental_dedup": INCREMENTAL_DEDUP_ORACLE,
     "dedup_keep_best": DEDUP_KEEP_BEST_ORACLE,
 }
+
+
+def embedding_top_component(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via
+    distributed power iteration (3 rounds, unit init, per-round
+    quantization — see similarity.pca_top_component for the scale
+    argument), summarized as per-label projection statistics: the
+    PCA-whitening prep step, and a quick read on whether the top
+    direction separates the labels."""
+    from parquet_generator_spark.operators.similarity import (
+        pca_top_component,
+    )
+    from parquet_generator_spark.operators.util import widen_if_narrow
+    emb = widen_if_narrow(load_table(spark, "embeddings", sf_dir))
+    return pca_top_component(emb)
+
+
+def _pca_oracle() -> str:
+    from parquet_generator_spark.operators.similarity import (
+        pca_top_duck_sql,
+    )
+    return pca_top_duck_sql("embeddings")
+
+
+EMBEDDING_TOP_COMPONENT_ORACLE = _pca_oracle()
+
+
+def data_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus 'data card': per-source document / token / byte
+    counts with mixture shares — the report every training-data
+    readme publishes. One grouped pass; the totals for the share
+    columns are a one-row scalar aggregate attached as plan
+    literals."""
+    from parquet_generator_spark.operators.text import toks_spark
+    from parquet_generator_spark.operators.util import broadcast_scalars
+    docs = load_table(spark, "documents", sf_dir)
+    per = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.expr(f"size({toks_spark('text')})"))
+                .alias("n_tokens"),
+                F.sum(F.octet_length("text")).alias("n_bytes")))
+    totals = per.agg(F.sum("n_docs").alias("t_docs"),
+                     F.sum("n_tokens").alias("t_tokens"))
+    return (broadcast_scalars(per, totals)
+            .select("source", "n_docs", "n_tokens", "n_bytes",
+                    F.round(F.col("n_docs") / F.col("t_docs"), 4)
+                    .alias("doc_share"),
+                    F.round(F.col("n_tokens") / F.col("t_tokens"), 4)
+                    .alias("token_share"))
+            .orderBy("source"))
+
+
+def _mixture_oracle() -> str:
+    from parquet_generator_spark.operators.text import toks_duck
+    return f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({toks_duck('text')})) AS BIGINT) AS n_tokens,
+         CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+  FROM documents GROUP BY source),
+t AS (SELECT sum(n_docs) AS t_docs, sum(n_tokens) AS t_tokens FROM per)
+SELECT source, n_docs, n_tokens, n_bytes,
+       round(n_docs / CAST(t_docs AS DOUBLE), 4) AS doc_share,
+       round(n_tokens / CAST(t_tokens AS DOUBLE), 4) AS token_share
+FROM per, t ORDER BY source
+"""
+
+
+DATA_MIXTURE_REPORT_ORACLE = _mixture_oracle()
+
+QUERIES.update({
+    "embedding_top_component": embedding_top_component,
+    "data_mixture_report": data_mixture_report,
+})
+
+ORACLES.update({
+    "embedding_top_component": EMBEDDING_TOP_COMPONENT_ORACLE,
+    "data_mixture_report": DATA_MIXTURE_REPORT_ORACLE,
+})

@@ -84,3 +84,24 @@ def test_peak_concurrency_end_before_start_at_same_instant(spark):
                                "event_id long, ts timestamp")
     out = peak_concurrency_frame(df).collect()
     assert [r["peak"] for r in out] == [1]
+
+
+def test_pca_top_component_finds_dominant_axis(spark):
+    from parquet_generator_spark.operators.similarity import (
+        pca_top_component,
+    )
+    # variance concentrated on axis 1 (second dim); labels split by
+    # sign along it, so their projection means must land on opposite
+    # sides with a wide gap (the sign itself follows the
+    # first-nonzero-positive convention, not the dominant axis)
+    rows = []
+    for i in range(40):
+        a = (i % 7) - 3 or 1  # -3..3, never 0
+        rows.append((i, [0.01 * (i % 3), float(a), 0.02, -0.01],
+                     1 if a > 0 else 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r["mean_proj"]
+           for r in pca_top_component(df, iters=3).collect()}
+    assert out[0] * out[1] < 0          # opposite sides
+    assert abs(out[0] - out[1]) > 2.0   # wide separation
