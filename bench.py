@@ -179,6 +179,7 @@ HEADLINE = [
     "dedup_keep_best",
     "embedding_top_component",
     "data_mixture_report",
+    "feature_hash_retrieval",
     "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",

@@ -876,3 +876,80 @@ def pca_top_duck_sql(table: str = "embeddings", iters: int = 3,
         "round(stddev_pop(p), 4) AS std_proj "
         "FROM pr GROUP BY label ORDER BY label")
     return "\n".join(sql)
+
+
+# ------------------------------------------------------------------
+# Feature-hash text vectors (model-free retrieval embeddings)
+# ------------------------------------------------------------------
+
+def feature_hash_vectors(docs: DataFrame, toks_expr: str,
+                         id_col: str = "doc_id",
+                         dim: int = 16) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): each token lands
+    in bucket md5(token) % dim with a +-1 sign from the next hash
+    bit; a document's vector is the signed term-frequency sum per
+    bucket. No vocabulary, no model, fully deterministic — and the
+    md5-based hash is the same one the MinHash pipeline already
+    proves identical across Spark and DuckDB.
+
+    One explode + ONE groupBy(id) with ``dim`` conditional sums (no
+    pivot, no second shuffle). Zero vectors (all signs cancelled)
+    are dropped — they have no direction to compare.
+    """
+    tok = (docs.select(F.col(id_col).alias("id"),
+                       F.explode(F.expr(toks_expr)).alias("w"))
+           .withColumn("h", F.expr(
+               "cast(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"))
+           .select("id", (F.col("h") % dim).alias("d"),
+                   F.when((F.expr(f"h div {dim}") % 2) == 0, 1)
+                   .otherwise(-1).alias("s")))
+    sums = [F.sum(F.when(F.col("d") == d, F.col("s")).otherwise(0))
+            .cast("double").alias(f"v{d}") for d in range(dim)]
+    vec = (tok.groupBy("id").agg(*sums)
+           .select("id", F.array(*[F.col(f"v{d}")
+                                   for d in range(dim)]).alias("e")))
+    return vec.filter(F.expr(
+        "aggregate(e, cast(0.0 AS DOUBLE), (a, x) -> a + x * x)") > 0)
+
+
+def feature_hash_topk_duck_sql(table: str, toks_duck_expr: str,
+                               k: int, query_pred: str,
+                               id_col: str = "doc_id",
+                               dim: int = 16) -> str:
+    """DuckDB mirror: same md5 bucket + sign-bit construction, same
+    zero-fill to a dense dim-vector, same cosine/rank/tie-break as
+    the brute-force ANN oracle."""
+    return f"""
+WITH tok AS (SELECT {id_col} AS id, unnest({toks_duck_expr}) AS w
+             FROM {table}),
+hh AS (SELECT id,
+              CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS hv
+       FROM tok),
+cell AS (SELECT id, hv % {dim} AS d,
+                CASE WHEN (hv // {dim}) % 2 = 0 THEN 1 ELSE -1 END AS s
+         FROM hh),
+sums AS (SELECT id, d, sum(s) AS v FROM cell GROUP BY id, d),
+grid AS (SELECT DISTINCT id FROM sums),
+dense AS (
+  SELECT g.id, r.d, coalesce(s.v, 0) AS v
+  FROM grid g
+  CROSS JOIN (SELECT unnest(range({dim})) AS d) r
+  LEFT JOIN sums s ON s.id = g.id AND s.d = r.d),
+vec AS (SELECT id, list(CAST(v AS DOUBLE) ORDER BY d) AS e
+        FROM dense GROUP BY id),
+vv AS (SELECT id, e FROM vec WHERE list_dot_product(e, e) > 0),
+scored AS (
+  SELECT q.id AS qid, c.id AS nid,
+         round(list_dot_product(q.e, c.e) /
+               (sqrt(list_dot_product(q.e, q.e)) *
+                sqrt(list_dot_product(c.e, c.e))), 4) AS cos
+  FROM vv q JOIN vv c ON ({query_pred.format(id='q.id')})
+                      AND q.id <> c.id),
+ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored)
+SELECT qid, nid, cos, rank FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""

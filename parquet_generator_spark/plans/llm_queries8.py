@@ -181,3 +181,47 @@ ORACLES.update({
     "embedding_top_component": EMBEDDING_TOP_COMPONENT_ORACLE,
     "data_mixture_report": DATA_MIXTURE_REPORT_ORACLE,
 })
+
+
+FH_DIM = 16
+FH_K = 5
+FH_NQ = 5
+
+
+def feature_hash_retrieval(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """End-to-end model-free retrieval: hash-trick document vectors
+    (signed term-frequency buckets — similarity.feature_hash_vectors)
+    then exact cosine top-k for the first 5 docs as queries, through
+    the same broadcast brute-force kernel as ann_bruteforce. The
+    whole index build is one explode + one groupBy; the md5 bucket
+    hash is the MinHash pipeline's cross-engine-proven hash."""
+    from parquet_generator_spark.operators.similarity import (
+        brute_force_topk,
+        feature_hash_vectors,
+    )
+    from parquet_generator_spark.operators.text import toks_spark
+    from parquet_generator_spark.operators.util import widen_if_narrow
+    docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
+    vec = feature_hash_vectors(docs, toks_spark("text"), dim=FH_DIM)
+    queries = vec.filter(F.col("id") < FH_NQ)
+    return brute_force_topk(vec, queries, FH_K,
+                            id_col="id", vec_col="e")
+
+
+def _fh_oracle() -> str:
+    from parquet_generator_spark.operators.similarity import (
+        feature_hash_topk_duck_sql,
+    )
+    from parquet_generator_spark.operators.text import toks_duck
+    return feature_hash_topk_duck_sql(
+        "documents", toks_duck("text"), FH_K, f"{{id}} < {FH_NQ}",
+        dim=FH_DIM)
+
+
+FEATURE_HASH_RETRIEVAL_ORACLE = _fh_oracle()
+
+QUERIES.update({"feature_hash_retrieval": feature_hash_retrieval})
+ORACLES.update({
+    "feature_hash_retrieval": FEATURE_HASH_RETRIEVAL_ORACLE,
+})

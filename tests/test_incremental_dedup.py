@@ -47,3 +47,43 @@ def test_cross_pairs_exact_copy_scores_one(spark):
              for r in minhash_lsh_pairs_cross(
                  _docs(spark), "doc_id", "text", "side", 0.5).collect()}
     assert pairs[(1, 0)] == 1.0
+
+
+def test_cross_pairs_equal_full_pairs_restricted(spark):
+    """Equivalence oracle: the cross-side operator must produce
+    exactly the full-corpus pair set restricted to pairs whose sides
+    differ (orientation normalized), on a randomized word-soup
+    corpus with planted near-dups."""
+    import random
+
+    from parquet_generator_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    rng = random.Random(29)
+    vocab = ("spark shuffle parquet footer column row batch stream "
+             "join filter agg sort window hash scan merge").split()
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(30)]
+        rows.append((i, " ".join(words), i % 2))
+        if rng.random() < 0.3:  # planted near-dup of doc i
+            mutated = list(words)
+            mutated[rng.randrange(30)] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(mutated), (i + 1) % 2))
+    df = spark.createDataFrame(rows, "doc_id long, text string, side int")
+
+    cross = {(r["id_in"], r["id_corp"])
+             for r in minhash_lsh_pairs_cross(
+                 df, "doc_id", "text", "side", 0.6).collect()}
+
+    sides = {doc_id: side for doc_id, _, side in rows}
+    full = minhash_lsh_pairs(df, "doc_id", "text", 0.6).collect()
+    expected = set()
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if sides[a] == sides[b]:
+            continue
+        inc, corp = (a, b) if sides[a] == 1 else (b, a)
+        expected.add((inc, corp))
+    assert cross == expected and len(expected) > 0

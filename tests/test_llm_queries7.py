@@ -105,3 +105,27 @@ def test_pca_top_component_finds_dominant_axis(spark):
            for r in pca_top_component(df, iters=3).collect()}
     assert out[0] * out[1] < 0          # opposite sides
     assert abs(out[0] - out[1]) > 2.0   # wide separation
+
+
+def test_feature_hash_retrieval_finds_planted_neighbor(spark):
+    from parquet_generator_spark.operators.similarity import (
+        brute_force_topk,
+        feature_hash_vectors,
+    )
+    from parquet_generator_spark.operators.text import toks_spark
+    base = ("spark shuffle parquet footer column row batch stream "
+            "join filter agg sort window hash scan merge")
+    rows = [
+        (0, base),
+        (1, base + " extra"),       # near copy of 0
+        (2, "totally different words about cats dogs birds fish "
+            "mice horses cows sheep goats llamas"),
+        (3, "yet another unrelated set of terms planes trains "
+            "boats cars bikes scooters rockets"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vec = feature_hash_vectors(docs, toks_spark("text"))
+    out = brute_force_topk(vec, vec.filter(F.col("id") == 0), 1,
+                           id_col="id", vec_col="e").collect()
+    assert [(r["qid"], r["nid"]) for r in out] == [(0, 1)]
+    assert out[0]["cos"] > 0.9
