@@ -31,6 +31,7 @@ from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
 from parquet_generator_spark.plans import reference_queries3 as R3
 from parquet_generator_spark.plans import reference_queries4 as R4
+from parquet_generator_spark.plans import reference_queries5 as R5
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -102,6 +103,7 @@ def queries() -> dict[str, QueryFn]:
         **R2.QUERIES,
         **R3.QUERIES,
         **R4.QUERIES,
+        **R5.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -132,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         **R2.ORACLES,
         **R3.ORACLES,
         **R4.ORACLES,
+        **R5.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

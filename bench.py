@@ -169,6 +169,8 @@ HEADLINE = [
     "dsl_adjacency_matrix",
     "dsl_multi_terms",
     "dsl_auto_date_histogram",
+    "dsl_runtime_field",
+    "dsl_search_after",
     "bigram_logprob",
     "lexical_diversity",
     "robust_length_outliers",

@@ -490,10 +490,46 @@ def search(df: DataFrame, body: dict) -> DataFrame:
     ``top_hits`` sub-agg of terms returns the per-bucket top documents
     instead of metrics.
     """
+    # ES runtime_mappings (7.11+): fields computed at search time —
+    # a withColumn per field, declared BEFORE the query translates so
+    # queries and aggs can reference them. Deviation from ES: the
+    # definition is a SQL expression over the doc's columns, not a
+    # painless script (same policy as bucket_script).
+    for fname, fspec in (body.get("runtime_mappings") or {}).items():
+        df = df.withColumn(fname, F.expr(fspec["expr"]))
+
     filtered = df.filter(translate_query(body.get("query")))
     aggs = body.get("aggs") or body.get("aggregations")
     if not aggs:
         size = body.get("size")
+        sort = body.get("sort")
+        if sort:
+            # sorted-hits pagination: ES requires the sort to end in a
+            # unique tie-breaker for search_after; the keyset cursor
+            # becomes a lexicographic predicate (same shape as the
+            # composite agg's `after`), and sort+limit compiles to
+            # TakeOrderedAndProject — per-partition top-k, never a
+            # global sort
+            fields, dirs = [], []
+            for s in sort:
+                (fld, spec), = s.items()
+                d = spec if isinstance(spec, str) else spec["order"]
+                fields.append(fld)
+                dirs.append(d)
+            after = body.get("search_after")
+            if after:
+                pred, eq = F.lit(False), F.lit(True)
+                for fld, d, val in zip(fields, dirs, after):
+                    c = F.col(fld)
+                    nxt = (c < F.lit(val)) if d == "desc" \
+                        else (c > F.lit(val))
+                    pred = pred | (eq & nxt)
+                    eq = eq & (c == F.lit(val))
+                filtered = filtered.filter(pred)
+            order = [F.col(f).desc() if d == "desc" else F.col(f).asc()
+                     for f, d in zip(fields, dirs)]
+            filtered = filtered.orderBy(*order)
+            return filtered.limit(size) if size is not None else filtered
         return filtered.limit(size) if size is not None else filtered
 
     # global bucket agg: metrics over ALL docs, ignoring the query —

@@ -1,0 +1,83 @@
+"""ES-DSL search-surface features beyond aggregations: runtime
+fields (search-time computed columns, ES 7.11+) and sorted-hits
+keyset pagination (`sort` + `search_after`).
+
+Scale posture: runtime fields are plain projections (no
+materialization, pushdown unaffected for on-disk columns);
+search_after pagination filters with a lexicographic keyset
+predicate and sorts via TakeOrderedAndProject — per-partition top-k
+with a k x P driver merge, never a global sort, which is exactly why
+ES recommends search_after over from/size deep paging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_generator_spark.operators.esdsl import search
+from parquet_generator_spark.sources.catalog import load_table
+
+
+def dsl_runtime_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`runtime_mappings`: an am/pm bucket computed at search time,
+    then used as a terms-agg field — the Kibana "runtime field"
+    workflow. The definition is a SQL expression (documented
+    deviation from painless)."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "runtime_mappings": {"half_day": {
+            "expr": "CASE WHEN hour(ts) < 12 THEN 'am' ELSE 'pm' END"}},
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"by_half": {
+            "terms": {"field": "half_day", "size": 10},
+            "aggs": {"revenue": {"sum": {"field": "value"}}},
+        }},
+    })
+
+
+DSL_RUNTIME_FIELD_ORACLE = """
+SELECT CASE WHEN hour(ts) < 12 THEN 'am' ELSE 'pm' END AS key,
+       count(*) AS doc_count,
+       round(sum(value), 4) AS revenue
+FROM events WHERE event_type = 'purchase'
+GROUP BY key ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+
+
+SA_VALUE = 400.0
+SA_ID = 5000
+
+
+def dsl_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted hits with a `search_after` keyset cursor: page 2 of
+    purchases ordered by (value desc, event_id asc) after the cursor
+    (400.0, 5000). The cursor becomes a lexicographic predicate and
+    the sort+size a TakeOrderedAndProject."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "purchase"}},
+        "sort": [{"value": "desc"}, {"event_id": "asc"}],
+        "search_after": [SA_VALUE, SA_ID],
+        "size": 10,
+    })
+
+
+DSL_SEARCH_AFTER_ORACLE = f"""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+WHERE event_type = 'purchase'
+  AND (value < {SA_VALUE}
+       OR (value = {SA_VALUE} AND event_id > {SA_ID}))
+ORDER BY value DESC, event_id ASC LIMIT 10
+"""
+
+
+QUERIES = {
+    "dsl_runtime_field": dsl_runtime_field,
+    "dsl_search_after": dsl_search_after,
+}
+
+ORACLES = {
+    "dsl_runtime_field": DSL_RUNTIME_FIELD_ORACLE,
+    "dsl_search_after": DSL_SEARCH_AFTER_ORACLE,
+}

@@ -160,3 +160,34 @@ def test_auto_date_histogram_empty_input(spark):
                                                   "buckets": 5}}},
     }).collect()
     assert out == []
+
+
+def test_runtime_mapping_usable_in_query_and_agg(spark):
+    out = search(_frame(spark), {
+        "runtime_mappings": {"vw": {"expr": "v * w"}},
+        "query": {"range": {"vw": {"gte": 60}}},
+        "aggs": {"total": {"sum": {"field": "vw"}}},
+    }).collect()
+    # vw: 10,60,30,80,100,60 -> >=60: 60+80+100+60 = 300
+    assert out[0]["total"] == 300.0
+
+
+def test_search_after_keyset_pagination(spark):
+    body = {"sort": [{"v": "desc"}, {"id": "asc"}], "size": 2}
+    page1 = search(_frame(spark), body).collect()
+    assert [(r["v"], r["id"]) for r in page1] == [(60.0, 6), (50.0, 5)]
+    body2 = dict(body, search_after=[page1[-1]["v"], page1[-1]["id"]])
+    page2 = search(_frame(spark), body2).collect()
+    assert [(r["v"], r["id"]) for r in page2] == [(40.0, 4), (30.0, 3)]
+
+
+def test_search_after_sort_is_take_ordered(spark):
+    import contextlib
+    import io
+
+    df = search(_frame(spark), {
+        "sort": [{"v": "desc"}, {"id": "asc"}], "size": 2})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
