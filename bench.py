@@ -182,6 +182,8 @@ HEADLINE = [
     "embedding_top_component",
     "data_mixture_report",
     "feature_hash_retrieval",
+    "table_profile",
+    "quantile_normalize",
     "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",

@@ -1,12 +1,13 @@
-"""Eighth pipeline wave: incremental (new-batch-vs-corpus) dedup and
-canonical-document selection — the two halves of a production ingest
-loop: "which incoming docs are already in the index?" and "which copy
-survives?".
+"""Eighth pipeline wave: the production-ingest loop and its
+reporting — incremental new-batch-vs-corpus dedup, canonical-copy
+selection, power-iteration PCA, the data-mixture card, hashing-trick
+retrieval, an ingest-time table profiler, and per-source quantile
+score normalization.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators import dedup
@@ -224,4 +225,98 @@ FEATURE_HASH_RETRIEVAL_ORACLE = _fh_oracle()
 QUERIES.update({"feature_hash_retrieval": feature_hash_retrieval})
 ORACLES.update({
     "feature_hash_retrieval": FEATURE_HASH_RETRIEVAL_ORACLE,
+})
+
+
+PROFILE_COLS = ("l_orderkey", "l_quantity", "l_extendedprice",
+                "l_returnflag", "l_shipdate", "l_linestatus")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time data profiler: one row per column with row/null/
+    distinct counts and min/max (stringified) — the report a data
+    catalog shows on registration. ONE aggregate pass computes every
+    per-column statistic (count_distinct included, one Expand across
+    the profiled columns), then a map-side unpivot reshapes to long
+    form; nothing rescans per column."""
+    li = load_table(spark, "lineitem", sf_dir)
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    structs = ", ".join(
+        f"struct('{c}' AS column_name, {c}__rows AS n_rows, "
+        f"{c}__nulls AS n_nulls, {c}__distinct AS n_distinct, "
+        f"{c}__min AS vmin, {c}__max AS vmax)"
+        for c in PROFILE_COLS)
+    return (one.select(F.explode(F.expr(f"array({structs})"))
+                       .alias("p"))
+            .select("p.*").orderBy("column_name"))
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(
+            f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS vmin, "
+            f"CAST(max({c}) AS VARCHAR) AS vmax FROM lineitem")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+TABLE_PROFILE_ORACLE = _profile_oracle()
+
+
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile (rank) normalization of document length —
+    the score-calibration step before mixing quality signals across
+    sources with different scales: qn = percent_rank within source,
+    uniform on [0,1] per source by construction. One partitioned
+    window (source-keyed — parallel across sources); output sampled
+    to the deciles of one source plus global calibration stats would
+    be data-scale, so the query returns the per-source uniformity
+    check: mean and variance of the normalized score (~0.5 and
+    ~1/12)."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.asc("n_chars"), F.asc("doc_id"))
+    qn = (docs.select("source",
+                      F.percent_rank().over(w).alias("qn")))
+    return (qn.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("qn"), 4).alias("mean_qn"),
+                 F.round(F.var_pop("qn"), 4).alias("var_qn"))
+            .orderBy("source"))
+
+
+QUANTILE_NORMALIZE_ORACLE = """
+WITH qn AS (
+  SELECT source,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY n_chars ASC, doc_id ASC) AS qn
+  FROM documents)
+SELECT source, count(*) AS n,
+       round(avg(qn), 4) AS mean_qn,
+       round(var_pop(qn), 4) AS var_qn
+FROM qn GROUP BY source ORDER BY source
+"""
+
+QUERIES.update({
+    "table_profile": table_profile,
+    "quantile_normalize": quantile_normalize,
+})
+
+ORACLES.update({
+    "table_profile": TABLE_PROFILE_ORACLE,
+    "quantile_normalize": QUANTILE_NORMALIZE_ORACLE,
 })
