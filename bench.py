@@ -184,6 +184,8 @@ HEADLINE = [
     "feature_hash_retrieval",
     "table_profile",
     "quantile_normalize",
+    "weighted_median",
+    "dsl_terms_include",
     "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",

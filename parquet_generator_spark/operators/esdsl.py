@@ -829,6 +829,14 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             return _nested_terms(filtered, abody, inner[1])
         grouped = (filtered.groupBy(key)
                    .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
+        # ES terms include/exclude: whole-key-anchored regex filters
+        # on the BUCKET key — post-agg on key-cardinality rows
+        if "include" in abody:
+            grouped = grouped.filter(
+                F.col("key").rlike(f"^(?:{abody['include']})$"))
+        if "exclude" in abody:
+            grouped = grouped.filter(
+                ~F.col("key").rlike(f"^(?:{abody['exclude']})$"))
         # ES bucket order: default doc_count desc; "order" overrides
         # with _count / _key / a sub-metric name — all of which are
         # columns of the (small, post-agg) bucket frame

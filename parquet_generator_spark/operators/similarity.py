@@ -789,6 +789,67 @@ def _sign_fix(v: list) -> list:
     return [-x for x in v] if first < 0 else list(v)
 
 
+def _pca_matvec_arrow(base: DataFrame, mu: list, v: list) -> list:
+    """One power-iteration round w = X̃ᵀ(X̃v) as an Arrow-batched
+    partial-sum map (one numpy matmul per batch, ONE dim-length
+    partial row per batch) plus a tiny final sum — the map-side-
+    combine shape, without the 64x64-term codegen expression a
+    literal-expanded aggregate would need (measured 4-6x slower).
+    Fold-order ulps vs other engines are absorbed by the caller's
+    per-round quantization (same contract as the kmeans Arrow
+    path)."""
+    import pandas as pd
+
+    dim = len(mu)
+    bc = base.sparkSession.sparkContext.broadcast(
+        (np.asarray(mu, dtype=np.float64),
+         np.asarray(v, dtype=np.float64)))
+
+    def part(batches):
+        m, vv = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["e"].to_numpy()).astype(np.float64) - m
+            w = (x @ vv) @ x
+            yield pd.DataFrame([{f"w{d}": w[d] for d in range(dim)}])
+
+    schema = T.StructType([T.StructField(f"w{d}", T.DoubleType())
+                           for d in range(dim)])
+    parts = base.select("e").mapInPandas(part, schema=schema)
+    row = parts.agg(*[F.sum(f"w{d}").alias(f"w{d}")
+                      for d in range(dim)]).first()
+    return [float(row[f"w{d}"] or 0.0) for d in range(dim)]
+
+
+def _pca_mean_arrow(base: DataFrame, dim: int, quant: int) -> list:
+    """Per-dimension corpus mean via the same Arrow partial-sum
+    shape as `_pca_matvec_arrow` (batch column-sums + counts, tiny
+    final agg), quantized like every PCA intermediate."""
+    import pandas as pd
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            s = x.sum(axis=0)
+            out = {f"s{d}": s[d] for d in range(dim)}
+            out["n"] = float(len(pdf))
+            yield pd.DataFrame([out])
+
+    schema = T.StructType([T.StructField(f"s{d}", T.DoubleType())
+                           for d in range(dim)]
+                          + [T.StructField("n", T.DoubleType())])
+    parts = base.select("e").mapInPandas(part, schema=schema)
+    row = parts.agg(*[F.sum(f"s{d}").alias(f"s{d}")
+                      for d in range(dim)],
+                    F.sum("n").alias("n")).first()
+    n = float(row["n"] or 1.0)
+    return [round(float(row[f"s{d}"] or 0.0) / n, quant)
+            for d in range(dim)]
+
+
 def pca_top_component(df: DataFrame, iters: int = 3,
                       vec_col: str = "embedding",
                       label_col: str = "label",
@@ -810,18 +871,11 @@ def pca_top_component(df: DataFrame, iters: int = 3,
     base = df.select(F.col(label_col).alias("label"),
                      F.col(vec_col).alias("e"))
     dim = len(base.select("e").first()[0])
-    mu_row = base.agg(*[F.round(F.avg(F.col("e")[d].cast("double")),
-                                quant).alias(f"m{d}")
-                        for d in range(dim)]).first()
-    mu = [float(mu_row[f"m{d}"]) for d in range(dim)]
+    mu = _pca_mean_arrow(base, dim, quant)
     v = [0.125] * dim  # exact in binary; |v| = 1 for dim = 64
 
     for _ in range(iters):
-        s = F.expr(_center_dot_sql(mu, v))
-        w_row = base.agg(*[
-            F.sum((F.col("e")[d].cast("double") - F.lit(mu[d])) * s)
-            .alias(f"w{d}") for d in range(dim)]).first()
-        w = [float(w_row[f"w{d}"]) for d in range(dim)]
+        w = _pca_matvec_arrow(base, mu, v)
         nrm = math.sqrt(sum(x * x for x in w)) or 1.0
         v = _sign_fix([round(x / nrm, quant) for x in w])
 

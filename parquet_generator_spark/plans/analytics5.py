@@ -95,3 +95,55 @@ ORACLES = {
     "event_transitions": EVENT_TRANSITIONS_ORACLE,
     "first_touch_attribution": FIRST_TOUCH_ORACLE,
 }
+
+
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag — the
+    weighted quantile neither engine has built in: sort within each
+    (bounded-cardinality) group, running weight vs half the group
+    total, first row crossing the half-line wins. The windows are
+    group-partitioned (parallel across groups) and the group totals
+    ride the same window — no second scan, no global sort."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.asc("l_extendedprice"), F.asc("l_orderkey"),
+        F.asc("l_linenumber"))
+    wall = Window.partitionBy("l_returnflag")
+    x = (li.select("l_returnflag", "l_extendedprice", "l_quantity",
+                   "l_orderkey", "l_linenumber")
+         .withColumn("cw", F.sum("l_quantity").over(
+             w.rowsBetween(Window.unboundedPreceding, 0)))
+         .withColumn("tw", F.sum("l_quantity").over(wall)))
+    return (x.filter(F.col("cw") >= F.col("tw") / 2)
+            .groupBy("l_returnflag")
+            .agg(F.round(F.min("l_extendedprice"), 2)
+                 .alias("weighted_median_price"),
+                 F.round(F.min_by(
+                     F.col("cw") / F.col("tw"),
+                     F.struct("l_extendedprice", "l_orderkey",
+                              "l_linenumber")), 4)
+                 .alias("crossing_frac"))
+            .orderBy("l_returnflag"))
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH x AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+  FROM x WHERE cw >= tw / 2)
+SELECT l_returnflag,
+       round(l_extendedprice, 2) AS weighted_median_price,
+       round(cw / tw, 4) AS crossing_frac
+FROM r WHERE rn = 1 ORDER BY l_returnflag
+"""
+
+QUERIES["weighted_median"] = weighted_median
+ORACLES["weighted_median"] = WEIGHTED_MEDIAN_ORACLE

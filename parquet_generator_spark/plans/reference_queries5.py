@@ -81,3 +81,28 @@ ORACLES = {
     "dsl_runtime_field": DSL_RUNTIME_FIELD_ORACLE,
     "dsl_search_after": DSL_SEARCH_AFTER_ORACLE,
 }
+
+
+def dsl_terms_include(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms agg with `include`/`exclude` whole-key regexes (the ES
+    partition-of-keys workflow): sources matching src1x but not
+    src12 — both filters run post-agg on key-cardinality rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    return search(docs, {
+        "aggs": {"srcs": {"terms": {
+            "field": "source", "size": 20,
+            "include": "src1[0-9]", "exclude": "src12",
+        }}},
+    })
+
+
+DSL_TERMS_INCLUDE_ORACLE = """
+SELECT source AS key, count(*) AS doc_count
+FROM documents
+WHERE regexp_full_match(source, 'src1[0-9]')
+  AND NOT regexp_full_match(source, 'src12')
+GROUP BY source ORDER BY doc_count DESC, key ASC LIMIT 20
+"""
+
+QUERIES["dsl_terms_include"] = dsl_terms_include
+ORACLES["dsl_terms_include"] = DSL_TERMS_INCLUDE_ORACLE

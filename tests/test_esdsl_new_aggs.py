@@ -191,3 +191,11 @@ def test_search_after_sort_is_take_ordered(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_terms_include_exclude_regex(spark):
+    out = search(_frame(spark), {
+        "aggs": {"ks": {"terms": {"field": "kind", "size": 10,
+                                  "include": "a|b", "exclude": "b"}}},
+    }).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [("a", 3)]

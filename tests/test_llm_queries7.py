@@ -129,3 +129,20 @@ def test_feature_hash_retrieval_finds_planted_neighbor(spark):
                            id_col="id", vec_col="e").collect()
     assert [(r["qid"], r["nid"]) for r in out] == [(0, 1)]
     assert out[0]["cos"] > 0.9
+
+
+def test_weighted_median_hand_computed(spark):
+    from parquet_generator_spark.plans.analytics5 import weighted_median
+    # weights: price 10 w=1, price 20 w=1, price 30 w=6 -> total 8,
+    # half 4; cumulative crosses 4 at price 30
+    rows = [(1, 1, "A", 10.0, 1.0), (2, 1, "A", 20.0, 1.0),
+            (3, 1, "A", 30.0, 6.0)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber int, l_returnflag string, "
+              "l_extendedprice double, l_quantity double")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/lineitem.parquet")
+        out = weighted_median(spark, d).collect()
+    assert [(r["l_returnflag"], r["weighted_median_price"])
+            for r in out] == [("A", 30.0)]
