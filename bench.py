@@ -186,6 +186,7 @@ HEADLINE = [
     "quantile_normalize",
     "weighted_median",
     "dsl_terms_include",
+    "dsl_significant_text",
     "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",

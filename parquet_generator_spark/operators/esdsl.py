@@ -790,6 +790,37 @@ def search(df: DataFrame, body: dict) -> DataFrame:
                                   4).alias("score")))
         return scored.orderBy(F.desc("score"), F.asc("key")).limit(size)
 
+    if atype == "significant_text":
+        # significant_terms over a FREE-TEXT field's analyzed tokens:
+        # explode each doc's DISTINCT tokens (ES counts document
+        # frequency, not occurrences) tagged with the foreground
+        # condition, then the identical conditional-count lift
+        # scoring. One explode + one shuffle on the token.
+        from parquet_generator_spark.operators.text import toks_spark
+
+        size = abody.get("size", 10)
+        cond = translate_query(body.get("query"))
+        tok = df.select(
+            cond.alias("fg"),
+            F.explode(F.expr(
+                f"array_distinct({toks_spark(abody['field'])})"))
+            .alias("key"))
+        per_key = (tok.groupBy("key")
+                   .agg(F.count(F.when(F.col("fg"), 1))
+                        .alias("doc_count"),
+                        F.count(F.lit(1)).alias("bg_count")))
+        totals = per_key.agg(F.sum("doc_count").alias("fg_total"),
+                             F.sum("bg_count").alias("bg_total"))
+        scored = (broadcast_scalars(per_key, totals)
+                  .filter(F.col("doc_count") > 0)
+                  .select("key", "doc_count", "bg_count",
+                          F.round((F.col("doc_count")
+                                   / F.col("fg_total"))
+                                  / (F.col("bg_count")
+                                     / F.col("bg_total")),
+                                  4).alias("score")))
+        return scored.orderBy(F.desc("score"), F.asc("key")).limit(size)
+
     if atype == "composite":
         # ES's scale-path agg: buckets streamed in key order with
         # keyset pagination — exactly a groupBy ordered by its keys;

@@ -106,3 +106,42 @@ GROUP BY source ORDER BY doc_count DESC, key ASC LIMIT 20
 
 QUERIES["dsl_terms_include"] = dsl_terms_include
 ORACLES["dsl_terms_include"] = DSL_TERMS_INCLUDE_ORACLE
+
+
+def dsl_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`significant_text`: tokens over-represented in English docs vs
+    the whole corpus — document-frequency lift over the text field's
+    distinct analyzed tokens (one explode + one token shuffle)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return search(docs, {
+        "query": {"term": {"lang": "en"}},
+        "aggs": {"sig": {"significant_text": {"field": "text",
+                                              "size": 10}}},
+    })
+
+
+def _sig_text_oracle() -> str:
+    from parquet_generator_spark.operators.text import toks_duck
+    return f"""
+WITH tok AS (
+  SELECT lang = 'en' AS fg,
+         unnest(list_distinct({toks_duck('text')})) AS key
+  FROM documents),
+per_key AS (
+  SELECT key, count(*) FILTER (fg) AS doc_count,
+         count(*) AS bg_count
+  FROM tok GROUP BY key),
+t AS (SELECT sum(doc_count) AS fg_total, sum(bg_count) AS bg_total
+      FROM per_key)
+SELECT key, doc_count, bg_count,
+       round((doc_count / CAST(fg_total AS DOUBLE))
+             / (bg_count / CAST(bg_total AS DOUBLE)), 4) AS score
+FROM per_key, t WHERE doc_count > 0
+ORDER BY score DESC, key ASC LIMIT 10
+"""
+
+
+DSL_SIGNIFICANT_TEXT_ORACLE = _sig_text_oracle()
+
+QUERIES["dsl_significant_text"] = dsl_significant_text
+ORACLES["dsl_significant_text"] = DSL_SIGNIFICANT_TEXT_ORACLE
