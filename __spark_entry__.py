@@ -38,12 +38,13 @@ from parquet_generator_spark.plans import streaming_queries as S
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness sampler reads 50 entries from the front of queries().
-# Rounds 1-4 hash-verified 100 of the 130 entries; the keys below are
-# the ones still missing a green driver row — the 14 round-3 loader
-# casualties, the 30 never-sampled DSL/streaming entries, and the five
-# reworked this round (multimodal_meta oracle cast, ann_lsh /
+# The keys below lead, oldest evidence-debt first: the 14 round-3
+# loader casualties, the 30 never-sampled DSL/streaming entries, the
+# five reworked in round 5 (multimodal_meta oracle cast, ann_lsh /
 # approx_sketches new oracles, bm25_topk / ntile_deciles scale-safe
-# plans) — exactly 50, so round 5's sample covers all of them.
+# plans) — the first 50, covered by round 5's sample window — then the
+# round-5 additions, which queue up for the following rounds' windows
+# (queries not in this list follow in registration order).
 FRONT_KEYS = [
     "multimodal_meta",
     # round-3 loader casualties (fixed in round 4, never re-sampled)
