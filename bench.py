@@ -187,6 +187,7 @@ HEADLINE = [
     "weighted_median",
     "dsl_terms_include",
     "dsl_significant_text",
+    "scd2_customer_merge",
     "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",

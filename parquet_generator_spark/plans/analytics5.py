@@ -147,3 +147,51 @@ FROM r WHERE rn = 1 ORDER BY l_returnflag
 
 QUERIES["weighted_median"] = weighted_median
 ORACLES["weighted_median"] = WEIGHTED_MEDIAN_ORACLE
+
+
+def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension merge exercised on customers: a snapshot
+    where every 10th customer's balance moved by +100 merges against
+    the day-one dimension; output = the DELTA timeline (closed rows +
+    their replacement current rows). See streaming.scd2.scd2_merge —
+    the join is current-rows x batch on the key, history rows never
+    enter it."""
+    from parquet_generator_spark.streaming.scd2 import scd2_merge
+    cust = load_table(spark, "customer", sf_dir)
+    t1 = "2024-01-01 00:00:00"
+    t2 = "2024-02-01 00:00:00"
+    existing = cust.select(
+        "c_custkey", "c_acctbal",
+        F.lit(t1).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"))
+    batch = cust.select(
+        "c_custkey",
+        (F.col("c_acctbal")
+         + F.when(F.col("c_custkey") % 10 == 0, 100.0)
+         .otherwise(0.0)).alias("c_acctbal"),
+        F.lit(t2).cast("timestamp").alias("ts"))
+    merged = scd2_merge(existing, batch, ["c_custkey"],
+                        ["c_acctbal"], "ts")
+    delta = merged.filter(
+        F.col("valid_to").isNotNull()
+        | (F.col("valid_from") == F.lit(t2).cast("timestamp")))
+    return (delta.select("c_custkey",
+                         F.round("c_acctbal", 2).alias("bal"),
+                         "valid_from", "valid_to")
+            .orderBy("c_custkey", "valid_from"))
+
+
+SCD2_CUSTOMER_ORACLE = """
+SELECT c_custkey, round(c_acctbal, 2) AS bal,
+       TIMESTAMP '2024-01-01' AS valid_from,
+       TIMESTAMP '2024-02-01' AS valid_to
+FROM customer WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey, round(c_acctbal + 100, 2),
+       TIMESTAMP '2024-02-01', NULL
+FROM customer WHERE c_custkey % 10 = 0
+ORDER BY c_custkey, valid_from
+"""
+
+QUERIES["scd2_customer_merge"] = scd2_customer_merge
+ORACLES["scd2_customer_merge"] = SCD2_CUSTOMER_ORACLE
