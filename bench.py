@@ -188,6 +188,7 @@ HEADLINE = [
     "dsl_terms_include",
     "dsl_significant_text",
     "scd2_customer_merge",
+    "dedup_pagerank",
     "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",

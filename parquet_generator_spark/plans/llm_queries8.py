@@ -327,3 +327,42 @@ ORACLES.update({
     "table_profile": TABLE_PROFILE_ORACLE,
     "quantile_normalize": QUANTILE_NORMALIZE_ORACLE,
 })
+
+
+PAGERANK_TOP = 20
+
+
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash near-dup graph: which
+    documents sit at the center of duplication clusters (the ones a
+    curation pass should inspect first). Edge generation is the
+    bucketed MinHash pipeline; the rank iteration is 3 rounds of
+    equi-join + keyed aggregation with node-cardinality state — see
+    operators.graph.pagerank."""
+    from parquet_generator_spark.operators import graph
+    from parquet_generator_spark.plans.llm_queries import (
+        JACCARD_THRESHOLD,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", JACCARD_THRESHOLD).select("id_a", "id_b")
+    pr = graph.pagerank(pairs)
+    return (pr.select("id", F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("id"))
+            .limit(PAGERANK_TOP))
+
+
+def _pagerank_oracle() -> str:
+    from parquet_generator_spark.operators.graph import pagerank_duck_sql
+    from parquet_generator_spark.plans.llm_queries import (
+        JACCARD_THRESHOLD,
+    )
+    edges = dedup.minhash_lsh_pairs_duck_sql(
+        "documents", "doc_id", "text", JACCARD_THRESHOLD)
+    return pagerank_duck_sql(edges, top=PAGERANK_TOP)
+
+
+DEDUP_PAGERANK_ORACLE = _pagerank_oracle()
+
+QUERIES.update({"dedup_pagerank": dedup_pagerank})
+ORACLES.update({"dedup_pagerank": DEDUP_PAGERANK_ORACLE})
