@@ -189,6 +189,8 @@ HEADLINE = [
     "dsl_significant_text",
     "scd2_customer_merge",
     "dedup_pagerank",
+    "top_paths",
+    "drift_psi",
     "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",

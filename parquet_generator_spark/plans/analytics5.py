@@ -195,3 +195,92 @@ ORDER BY c_custkey, valid_from
 
 QUERIES["scd2_customer_merge"] = scd2_customer_merge
 ORACLES["scd2_customer_merge"] = SCD2_CUSTOMER_ORACLE
+
+
+TOP_PATHS = 15
+PATH_LEN = 5
+
+
+def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the first 5 event types of each (user, day)
+    session joined into a path string, counted corpus-wide. The
+    per-session ordering happens ARRAY-SIDE (array_sort of
+    (ts, event_id, type) structs inside one groupBy — bounded by a
+    session's length, no window), then one keyed count and a
+    TakeOrderedAndProject top-k."""
+    ev = load_table(spark, "events", sf_dir)
+    sess = (ev.groupBy("user_id", F.to_date("ts").alias("day"))
+            .agg(F.expr(
+                "array_join(transform(slice(array_sort("
+                "collect_list(struct(ts, event_id, event_type))), "
+                f"1, {PATH_LEN}), s -> s.event_type), '>')")
+                .alias("path")))
+    return (sess.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("path"))
+            .limit(TOP_PATHS))
+
+
+TOP_PATHS_ORACLE = f"""
+WITH sess AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:{PATH_LEN}],
+           '>') AS path
+  FROM events GROUP BY user_id, day)
+SELECT path, count(*) AS n FROM sess
+GROUP BY path ORDER BY n DESC, path ASC LIMIT {TOP_PATHS}
+"""
+
+
+PSI_BIN = 50.0
+PSI_NBINS = 10
+PSI_SPLIT = "2024-01-08 00:00:00"
+
+
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: the event-value
+    distribution of week 1 vs the rest of the month over fixed-width
+    bins, Laplace-smoothed so empty bins stay finite. Two conditional
+    counts in ONE grouped pass (no second scan); totals attach as
+    plan literals. psi_i = (p_i - q_i) * ln(p_i / q_i); sum > 0.2 is
+    the conventional 'drifted' alarm."""
+    from parquet_generator_spark.operators.util import broadcast_scalars
+    ev = load_table(spark, "events", sf_dir)
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    b = (ev.withColumn(
+        "bucket",
+        F.least(F.floor(F.col("value") / PSI_BIN),
+                F.lit(PSI_NBINS - 1)).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.when(F.col("ts") < split, 1)).alias("n_a"),
+             F.count(F.when(F.col("ts") >= split, 1)).alias("n_b")))
+    totals = b.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    p = (F.col("n_a") + 1) / (F.col("t_a") + PSI_NBINS)
+    q = (F.col("n_b") + 1) / (F.col("t_b") + PSI_NBINS)
+    return (broadcast_scalars(b, totals)
+            .select("bucket", "n_a", "n_b",
+                    F.round((p - q) * F.log(p / q), 6).alias("psi"))
+            .orderBy("bucket"))
+
+
+DRIFT_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT least(CAST(floor(value / {PSI_BIN}) AS INT),
+               {PSI_NBINS - 1}) AS bucket,
+         count(*) FILTER (ts < TIMESTAMP '{PSI_SPLIT}') AS n_a,
+         count(*) FILTER (ts >= TIMESTAMP '{PSI_SPLIT}') AS n_b
+  FROM events GROUP BY 1),
+t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM b)
+SELECT bucket, n_a, n_b,
+       round(((n_a + 1) / CAST(t_a + {PSI_NBINS} AS DOUBLE)
+              - (n_b + 1) / CAST(t_b + {PSI_NBINS} AS DOUBLE))
+             * ln(((n_a + 1) / CAST(t_a + {PSI_NBINS} AS DOUBLE))
+                  / ((n_b + 1) / CAST(t_b + {PSI_NBINS} AS DOUBLE))),
+             6) AS psi
+FROM b, t ORDER BY bucket
+"""
+
+QUERIES["top_paths"] = top_paths
+QUERIES["drift_psi"] = drift_psi
+ORACLES["top_paths"] = TOP_PATHS_ORACLE
+ORACLES["drift_psi"] = DRIFT_PSI_ORACLE
