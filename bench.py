@@ -187,6 +187,7 @@ HEADLINE = [
     "weighted_median",
     "dsl_terms_include",
     "dsl_significant_text",
+    "dsl_more_like_this",
     "scd2_customer_merge",
     "dedup_pagerank",
     "top_paths",

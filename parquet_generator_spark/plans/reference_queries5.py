@@ -13,6 +13,7 @@ ES recommends search_after over from/size deep paging.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators.esdsl import search
 from parquet_generator_spark.sources.catalog import load_table
@@ -145,3 +146,80 @@ DSL_SIGNIFICANT_TEXT_ORACLE = _sig_text_oracle()
 
 QUERIES["dsl_significant_text"] = dsl_significant_text
 ORACLES["dsl_significant_text"] = DSL_SIGNIFICANT_TEXT_ORACLE
+
+
+MLT_QUERY_DOC = 0
+MLT_MAX_TERMS = 25
+MLT_MIN_DOC_FREQ = 2
+MLT_K = 10
+
+
+def dsl_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`more_like_this`: documents most similar to doc 0. Follows
+    ES's two-phase shape — pick the query doc's representative terms
+    (top max_query_terms by idf, min_doc_freq floor), then score all
+    docs by the summed idf of shared DISTINCT terms. Deviation from
+    ES: idf-sum scoring instead of full BM25 (deterministic,
+    oracle-exact; tfidf/bm25 live in their own queries). The term
+    set is bounded (25) so the scoring join broadcasts; everything
+    else is two keyed shuffles (doc tokens, term df)."""
+    from parquet_generator_spark.operators.text import toks_spark
+    from parquet_generator_spark.operators.util import (
+        broadcast_scalars,
+        widen_if_narrow,
+    )
+    docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
+    tok = (docs.select("doc_id",
+                       F.explode(F.expr(
+                           f"array_distinct({toks_spark('text')})"))
+                       .alias("w")))
+    df_ = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    widf = broadcast_scalars(df_, n_docs).select(
+        "w", "df",
+        F.round(F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6)
+        .alias("idf"))
+    qterms = (tok.filter(F.col("doc_id") == MLT_QUERY_DOC)
+              .join(widf, "w")
+              .filter(F.col("df") >= MLT_MIN_DOC_FREQ)
+              .orderBy(F.desc("idf"), F.asc("w"))
+              .limit(MLT_MAX_TERMS)
+              .select("w", "idf"))
+    return (tok.filter(F.col("doc_id") != MLT_QUERY_DOC)
+            .join(F.broadcast(qterms), "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"),
+                 F.round(F.sum("idf"), 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(MLT_K))
+
+
+def _mlt_oracle() -> str:
+    from parquet_generator_spark.operators.text import toks_duck
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({toks_duck('text')})) AS w
+  FROM documents),
+df AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+n AS (SELECT count(*) AS n FROM documents),
+widf AS (
+  SELECT w, df, round(ln((n + 1.0) / (df + 1.0)), 6) AS idf
+  FROM df, n),
+qterms AS (
+  SELECT t.w, widf.idf
+  FROM tok t JOIN widf ON widf.w = t.w
+  WHERE t.doc_id = {MLT_QUERY_DOC} AND widf.df >= {MLT_MIN_DOC_FREQ}
+  ORDER BY widf.idf DESC, t.w ASC LIMIT {MLT_MAX_TERMS})
+SELECT t.doc_id, count(*) AS n_shared,
+       round(sum(q.idf), 4) AS score
+FROM tok t JOIN qterms q ON q.w = t.w
+WHERE t.doc_id != {MLT_QUERY_DOC}
+GROUP BY t.doc_id
+ORDER BY score DESC, t.doc_id ASC LIMIT {MLT_K}
+"""
+
+
+DSL_MORE_LIKE_THIS_ORACLE = _mlt_oracle()
+
+QUERIES["dsl_more_like_this"] = dsl_more_like_this
+ORACLES["dsl_more_like_this"] = DSL_MORE_LIKE_THIS_ORACLE
