@@ -169,3 +169,43 @@ def write_with_bloom_filters(df: DataFrame, path: str,
         w = (w.option(f"parquet.bloom.filter.enabled#{c}", "true")
              .option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)))
     w.parquet(path)
+
+
+def targeted_delete(spark: SparkSession, path: str, key_col: str,
+                    keys_df: DataFrame,
+                    partition_col: str | None = None) -> int:
+    """Right-to-be-forgotten delete: rewrite the dataset WITHOUT the
+    rows whose ``key_col`` appears in ``keys_df`` (a left-anti join),
+    via the same staging swap the compactor uses. Returns the number
+    of rows removed.
+
+    Scale posture: when ``partition_col`` is given, only partitions
+    that actually CONTAIN a doomed key are rewritten (dynamic
+    partition overwrite over the affected-partition semi-join) — a
+    deletion of a handful of users at 100 TB rewrites their
+    partitions, not the table. Without it, the whole dataset is
+    rewritten once — the fallback for unpartitioned layouts. This is
+    the DELETE a table format runs natively; the plan above the
+    writer is identical.
+    """
+    df = read_evolving(spark, path)
+    keys = keys_df.select(F.col(keys_df.columns[0]).alias(key_col)) \
+        .distinct()
+    before = df.count()
+    if partition_col is None:
+        kept = df.join(keys, key_col, "left_anti")
+        staging = path + "_deleting"
+        kept.write.mode("overwrite").parquet(staging)
+        import shutil
+        shutil.rmtree(path)
+        os.replace(staging, path)
+    else:
+        affected = (df.join(keys, key_col, "left_semi")
+                    .select(partition_col).distinct())
+        kept = (df.join(F.broadcast(affected), partition_col,
+                        "left_semi")
+                .join(keys, key_col, "left_anti"))
+        overwrite_partition(kept.repartition(partition_col),
+                            path, partition_col)
+    after = read_evolving(spark, path).count()
+    return before - after

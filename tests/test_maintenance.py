@@ -163,3 +163,51 @@ def test_bloom_filter_written_to_parquet_file(spark, tmp_path):
     # and the data still reads back identically
     assert (spark.read.parquet(bloomed).orderBy("k").collect()
             == spark.read.parquet(plain).orderBy("k").collect())
+
+
+def test_targeted_delete_unpartitioned(spark, tmp_path):
+    from parquet_generator_spark.sinks.maintenance import (
+        targeted_delete,
+    )
+    p = str(tmp_path / "t")
+    spark.range(100).withColumnRenamed("id", "user_id") \
+        .withColumn("v", F.col("user_id") * 2).write.parquet(p)
+    doomed = spark.createDataFrame([(3,), (7,), (999,)], "k long")
+    removed = targeted_delete(spark, p, "user_id", doomed)
+    assert removed == 2
+    left = spark.read.parquet(p)
+    assert left.count() == 98
+    assert left.filter(F.col("user_id").isin(3, 7)).count() == 0
+
+
+def test_targeted_delete_partitioned_rewrites_only_affected(
+        spark, tmp_path):
+    from parquet_generator_spark.sinks.maintenance import (
+        targeted_delete,
+    )
+    p = str(tmp_path / "t")
+    df = (spark.range(100).withColumnRenamed("id", "user_id")
+          .withColumn("day", (F.col("user_id") % 4).cast("string")))
+    df.write.partitionBy("day").parquet(p)
+    import os
+    import time
+    # record mtimes of untouched partitions (day=1, day=3)
+    untouched = {}
+    for d in ("day=1", "day=3"):
+        dirp = os.path.join(p, d)
+        untouched[d] = max(os.path.getmtime(os.path.join(dirp, f))
+                           for f in os.listdir(dirp))
+    time.sleep(1.1)
+    doomed = spark.createDataFrame([(0,), (4,), (2,)], "k long")
+    removed = targeted_delete(spark, p, "user_id", doomed,
+                              partition_col="day")
+    assert removed == 3
+    left = spark.read.parquet(p)
+    assert left.count() == 97
+    assert left.filter(F.col("user_id").isin(0, 2, 4)).count() == 0
+    # keys 0,4 live in day=0; key 2 in day=2 — days 1 and 3 untouched
+    for d, mt in untouched.items():
+        dirp = os.path.join(p, d)
+        now = max(os.path.getmtime(os.path.join(dirp, f))
+                  for f in os.listdir(dirp))
+        assert now == mt, f"{d} was rewritten"
