@@ -210,3 +210,66 @@ def timeout_sessions(stream: DataFrame,
                 stateStructType=_SESSION_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+ANOMALY_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("zscore", T.DoubleType()),
+])
+
+_WELFORD_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("mean", T.DoubleType()),
+    T.StructField("m2", T.DoubleType()),
+])
+
+ANOMALY_Z = 3.0
+ANOMALY_MIN_N = 5
+
+
+def _anomaly_fn(key, pdfs, state):
+    """Per-key Welford running mean/variance; each arriving value is
+    scored against the statistics of everything BEFORE it (in
+    (ts, event_id) order within the batch), so an outlier cannot
+    mask itself by inflating the variance it is judged with."""
+    import pandas as pd
+
+    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    out = {"user_id": [], "event_id": [], "value": [], "zscore": []}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            v = float(v)
+            if n >= ANOMALY_MIN_N:
+                var = m2 / n  # population variance of what came before
+                if var > 0:
+                    z = (v - mean) / (var ** 0.5)
+                    if abs(z) > ANOMALY_Z:
+                        out["user_id"].append(key[0])
+                        out["event_id"].append(int(eid))
+                        out["value"].append(v)
+                        out["zscore"].append(round(z, 3))
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+    state.update((n, mean, m2))
+    yield pd.DataFrame(out)
+
+
+def rate_anomalies(df: DataFrame) -> DataFrame:
+    """Custom stateful anomaly detector: per-user Welford running
+    mean/variance with each event z-scored against its own history
+    (state = 3 floats per key, NoTimeout; add an event-time timeout
+    to age out idle users at scale). Identical verdicts on batch and
+    stream because the state update order is pinned to
+    (ts, event_id)."""
+    return (df.groupBy("user_id")
+            .applyInPandasWithState(
+                _anomaly_fn,
+                outputStructType=ANOMALY_OUTPUT_SCHEMA,
+                stateStructType=_WELFORD_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

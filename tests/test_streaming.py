@@ -452,3 +452,68 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
     assert got == batch
     assert got == {1: "exact_dup", 3: "near_dup", 5: "new",
                    7: "near_dup", 9: "new"}
+
+
+def test_rate_anomalies_stream_matches_batch_and_flags_spike(
+        spark, tmp_path):
+    import datetime
+
+    from parquet_generator_spark.streaming.stateful import (
+        rate_anomalies,
+    )
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    # user 1: steady values 100 +- 2, then a 500 spike at event 20
+    for i in range(25):
+        v = 500.0 if i == 20 else 100.0 + (i % 5) - 2.0
+        rows.append((i, 1, base + datetime.timedelta(minutes=i), v))
+    # user 2: wildly varying from the start — the spike-sized value
+    # is NOT anomalous for this user
+    for i in range(25):
+        rows.append((100 + i, 2, base + datetime.timedelta(minutes=i),
+                     float((i * 997) % 700)))
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    df = spark.createDataFrame(rows, schema)
+
+    # python Welford replica = the expected verdicts
+    # (applyInPandasWithState itself only runs on streams)
+    from parquet_generator_spark.streaming.stateful import (
+        ANOMALY_MIN_N,
+        ANOMALY_Z,
+    )
+    expected = set()
+    by_user = {}
+    for eid, uid, ts, v in sorted(rows, key=lambda r: (r[2], r[0])):
+        n, mean, m2 = by_user.get(uid, (0, 0.0, 0.0))
+        if n >= ANOMALY_MIN_N:
+            var = m2 / n
+            if var > 0 and abs((v - mean) / var ** 0.5) > ANOMALY_Z:
+                expected.add((uid, eid))
+        n += 1
+        d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+        by_user[uid] = (n, mean, m2)
+    assert (1, 20) in expected
+    assert all(u != 1 or e == 20 for u, e in expected)
+
+    # stream the events in two batches; verdicts must match
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = tmp_path / "in"
+    src.mkdir()
+    half = sorted(rows, key=lambda r: (r[2], r[0]))
+    for name, part in (("b0", half[:25]), ("b1", half[25:])):
+        pq.write_table(pa.table({
+            "event_id": [r[0] for r in part],
+            "user_id": [r[1] for r in part],
+            "ts": [r[2] for r in part],
+            "value": [r[3] for r in part]}), str(src / f"{name}.parquet"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (rate_anomalies(stream)
+         .writeStream.format("memory").queryName("anom")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = spark.sql("select * from anom").collect()
+    assert {(r["user_id"], r["event_id"]) for r in streamed} == expected
