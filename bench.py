@@ -192,6 +192,8 @@ HEADLINE = [
     "dedup_pagerank",
     "top_paths",
     "drift_psi",
+    "time_weighted_avg",
+    "ohlc_daily",
     "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",

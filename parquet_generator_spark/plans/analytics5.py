@@ -284,3 +284,81 @@ QUERIES["top_paths"] = top_paths
 QUERIES["drift_psi"] = drift_psi
 ORACLES["top_paths"] = TOP_PATHS_ORACLE
 ORACLES["drift_psi"] = DRIFT_PSI_ORACLE
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): each observation
+    holds from its timestamp until the user's next event, so the
+    mean weights by holding duration instead of sample count — the
+    standard for irregularly-sampled series. One keyed lead window
+    (partitioned by user, never global); microsecond-exact
+    durations on both engines; single-event users have no holding
+    interval and drop out."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = (ev.withColumn("next_us", F.unix_micros(F.lead("ts").over(w)))
+         .withColumn("dt", F.col("next_us") - F.unix_micros("ts"))
+         .filter(F.col("dt").isNotNull()))
+    return (x.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.round(F.sum(F.col("value") * F.col("dt"))
+                         / F.sum("dt"), 4).alias("twap"))
+            .orderBy("user_id"))
+
+
+TIME_WEIGHTED_AVG_ORACLE = """
+WITH x AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt
+  FROM events)
+SELECT user_id, count(*) AS n_intervals,
+       round(sum(value * dt) / sum(dt), 4) AS twap
+FROM x WHERE dt IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars of purchase values: open/close via
+    min_by/max_by over the (ts, event_id) order — one grouped pass,
+    no window, no second scan (the classic candlestick rollup)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.filter(F.col("event_type") == "purchase")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.expr("min_by(value, struct(ts, event_id))")
+                 .alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.expr("max_by(value, struct(ts, event_id))")
+                 .alias("close"),
+                 F.count(F.lit(1)).alias("n_trades"))
+            .orderBy("day"))
+
+
+OHLC_DAILY_ORACLE = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT CAST(ts AS DATE) AS day, value,
+         row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM p),
+agg AS (
+  SELECT CAST(ts AS DATE) AS day, max(value) AS high,
+         min(value) AS low, count(*) AS n_trades
+  FROM p GROUP BY 1)
+SELECT a.day,
+       o.value AS open, a.high, a.low, c.value AS close, a.n_trades
+FROM agg a
+JOIN r o ON o.day = a.day AND o.rn_a = 1
+JOIN r c ON c.day = a.day AND c.rn_d = 1
+ORDER BY a.day
+"""
+
+QUERIES["time_weighted_avg"] = time_weighted_avg
+QUERIES["ohlc_daily"] = ohlc_daily
+ORACLES["time_weighted_avg"] = TIME_WEIGHTED_AVG_ORACLE
+ORACLES["ohlc_daily"] = OHLC_DAILY_ORACLE
