@@ -194,6 +194,8 @@ HEADLINE = [
     "drift_psi",
     "time_weighted_avg",
     "ohlc_daily",
+    "linear_interpolate",
+    "rfm_segmentation",
     "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",

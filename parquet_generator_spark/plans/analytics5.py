@@ -362,3 +362,142 @@ QUERIES["time_weighted_avg"] = time_weighted_avg
 QUERIES["ohlc_daily"] = ohlc_daily
 ORACLES["time_weighted_avg"] = TIME_WEIGHTED_AVG_ORACLE
 ORACLES["ohlc_daily"] = OHLC_DAILY_ORACLE
+
+
+def linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of an irregular series: purchase values
+    are the knowns; every other event gets the time-proportional
+    blend of its surrounding knowns (forward_fill's two-sided twin —
+    the standard gap-fill for sensor/price series). Two keyed
+    ignore-nulls windows per direction, both partitioned by user;
+    boundary rows fall back to the single available side."""
+    ev = load_table(spark, "events", sf_dir)
+    is_known = F.col("event_type") == "purchase"
+    x = (ev.withColumn("kv", F.when(is_known, F.col("value")))
+         .withColumn("kt", F.when(is_known, F.unix_micros("ts"))))
+    wb = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(0, Window.unboundedFollowing))
+    x = (x.withColumn("pv", F.last("kv", ignorenulls=True).over(wb))
+         .withColumn("pt", F.last("kt", ignorenulls=True).over(wb))
+         .withColumn("nv", F.first("kv", ignorenulls=True).over(wf))
+         .withColumn("nt", F.first("kt", ignorenulls=True).over(wf)))
+    t = F.unix_micros("ts")
+    interp = (F.when(F.col("pv").isNotNull() & F.col("nv").isNotNull()
+                     & (F.col("nt") > F.col("pt")),
+                     F.col("pv") + (F.col("nv") - F.col("pv"))
+                     * (t - F.col("pt"))
+                     / (F.col("nt") - F.col("pt")))
+              .when(F.col("pv").isNotNull(), F.col("pv"))
+              .otherwise(F.col("nv")))
+    return (x.filter(~is_known)
+            .select("event_id", "user_id",
+                    F.round(interp, 4).alias("interp"))
+            .filter(F.col("interp").isNotNull())
+            .orderBy("event_id"))
+
+
+LINEAR_INTERPOLATE_ORACLE = """
+WITH x AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'purchase' THEN value END AS kv,
+         CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS kt
+  FROM events),
+w AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(kv IGNORE NULLS) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(kt IGNORE NULLS) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(kv IGNORE NULLS) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(kt IGNORE NULLS) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM x)
+SELECT event_id, user_id,
+       round(CASE
+         WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+           THEN pv + (nv - pv) * (epoch_us(ts) - pt) / (nt - pt)
+         WHEN pv IS NOT NULL THEN pv
+         ELSE nv END, 4) AS interp
+FROM w WHERE event_type != 'purchase'
+  AND (pv IS NOT NULL OR nv IS NOT NULL)
+ORDER BY event_id
+"""
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency (days since last
+    event vs the corpus max date), frequency, and monetary total,
+    each scored 1-5 against quintile boundaries computed over the
+    user frame and attached as plan literals. Monetary sums are
+    rounded BEFORE the boundary comparison so engine fold-order ulps
+    cannot flip a user across a quintile edge. Output: segment-cell
+    counts."""
+    from parquet_generator_spark.operators.util import broadcast_scalars
+    ev = load_table(spark, "events", sf_dir)
+    per = (ev.groupBy("user_id")
+           .agg(F.max(F.to_date("ts")).alias("last_day"),
+                F.count(F.lit(1)).alias("freq"),
+                F.round(F.sum("value"), 2).alias("money")))
+    per = broadcast_scalars(per, per.agg(F.max("last_day").alias("d0")))
+    per = per.withColumn("rec", F.datediff(F.col("d0"), F.col("last_day")))
+    bounds = per.agg(*[
+        F.expr(f"percentile({c}, array(0.2D, 0.4D, 0.6D, 0.8D))")
+        .alias(f"b_{c}") for c in ("rec", "freq", "money")])
+    per = broadcast_scalars(per, bounds)
+
+    def score(c, invert):
+        s = F.lit(1)
+        for i in range(4):
+            hit = (F.col(c) < F.col(f"b_{c}")[i]) if invert \
+                else (F.col(c) > F.col(f"b_{c}")[i])
+            s = s + hit.cast("int")
+        return s
+
+    scored = per.select(
+        score("rec", invert=True).alias("r_score"),   # lower = better
+        score("freq", invert=False).alias("f_score"),
+        score("money", invert=False).alias("m_score"))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("r_score", "f_score", "m_score"))
+
+
+RFM_SEGMENTATION_ORACLE = """
+WITH per AS (
+  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+         count(*) AS freq, round(sum(value), 2) AS money
+  FROM events GROUP BY user_id),
+d0 AS (SELECT max(last_day) AS d0 FROM per),
+r AS (SELECT user_id, date_diff('day', last_day, d0) AS rec,
+             freq, money FROM per, d0),
+b AS (SELECT
+  quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS b_rec,
+  quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS b_freq,
+  quantile_cont(money, [0.2, 0.4, 0.6, 0.8]) AS b_money FROM r),
+s AS (
+  SELECT 1 + CAST(rec < b_rec[1] AS INT) + CAST(rec < b_rec[2] AS INT)
+           + CAST(rec < b_rec[3] AS INT) + CAST(rec < b_rec[4] AS INT)
+           AS r_score,
+         1 + CAST(freq > b_freq[1] AS INT) + CAST(freq > b_freq[2] AS INT)
+           + CAST(freq > b_freq[3] AS INT) + CAST(freq > b_freq[4] AS INT)
+           AS f_score,
+         1 + CAST(money > b_money[1] AS INT)
+           + CAST(money > b_money[2] AS INT)
+           + CAST(money > b_money[3] AS INT)
+           + CAST(money > b_money[4] AS INT) AS m_score
+  FROM r, b)
+SELECT r_score, f_score, m_score, count(*) AS n_users
+FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+QUERIES["linear_interpolate"] = linear_interpolate
+QUERIES["rfm_segmentation"] = rfm_segmentation
+ORACLES["linear_interpolate"] = LINEAR_INTERPOLATE_ORACLE
+ORACLES["rfm_segmentation"] = RFM_SEGMENTATION_ORACLE
