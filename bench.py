@@ -196,6 +196,8 @@ HEADLINE = [
     "ohlc_daily",
     "linear_interpolate",
     "rfm_segmentation",
+    "dsl_histogram_zerofill",
+    "time_to_convert",
     "stream_stream_join",
     # streaming (batch-equivalent forms)
     "stream_windowed_agg",

@@ -953,6 +953,23 @@ def search(df: DataFrame, body: dict) -> DataFrame:
                ).alias("key")
         grouped = (filtered.groupBy(key)
                    .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
+        if abody.get("min_doc_count", 1) == 0:
+            # zero-filled numeric buckets, like the date_histogram
+            # path: build the bin axis from the data bounds (one
+            # scalar aggregate — bin-cardinality, bounded by the
+            # value range / interval, not by data volume) and
+            # left-join the real buckets onto it
+            bounds = filtered.agg(
+                F.min(abody["field"]).alias("lo"),
+                F.max(abody["field"]).alias("hi"))
+            axis = (bounds.select(F.explode(F.expr(
+                f"transform(sequence(cast(floor(lo / {interval}) "
+                f"AS BIGINT), cast(floor(hi / {interval}) AS BIGINT)), "
+                f"b -> b * cast({interval!r} AS DOUBLE))")).alias("key")))
+            grouped = (axis.join(grouped, "key", "left")
+                       .withColumn("doc_count",
+                                   F.coalesce(F.col("doc_count"),
+                                              F.lit(0).cast("long"))))
         if sub_pipes:
             grouped = _apply_pipelines(grouped, sub_pipes, serial_ok=True)
         return grouped.orderBy(F.asc("key"))

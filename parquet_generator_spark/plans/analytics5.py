@@ -501,3 +501,49 @@ QUERIES["linear_interpolate"] = linear_interpolate
 QUERIES["rfm_segmentation"] = rfm_segmentation
 ORACLES["linear_interpolate"] = LINEAR_INTERPOLATE_ORACLE
 ORACLES["rfm_segmentation"] = RFM_SEGMENTATION_ORACLE
+
+
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase conversion latency: per user, minutes from
+    their FIRST view to the first purchase at-or-after it, reduced
+    to corpus percentiles — two user-keyed aggregates and a
+    user-cardinality join, never a global sort."""
+    ev = load_table(spark, "events", sf_dir)
+    v0 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("v0")))
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .join(v0, "user_id")
+            .filter(F.col("ts") >= F.col("v0"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("p0"), F.min("v0").alias("v0")))
+    delta = ((F.unix_micros("p0") - F.unix_micros("v0"))
+             / F.lit(60_000_000.0))
+    return (conv.select(delta.alias("mins"))
+            .agg(F.count(F.lit(1)).alias("n_converted"),
+                 F.round(F.expr("percentile(mins, 0.5D)"), 2)
+                 .alias("p50_minutes"),
+                 F.round(F.expr("percentile(mins, 0.9D)"), 2)
+                 .alias("p90_minutes"),
+                 F.round(F.avg("mins"), 2).alias("mean_minutes")))
+
+
+TIME_TO_CONVERT_ORACLE = """
+WITH v0 AS (
+  SELECT user_id, min(ts) AS v0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+conv AS (
+  SELECT e.user_id, min(e.ts) AS p0, min(v0.v0) AS v0
+  FROM events e JOIN v0 ON v0.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v0.v0
+  GROUP BY e.user_id),
+d AS (SELECT (epoch_us(p0) - epoch_us(v0)) / 60000000.0 AS mins
+      FROM conv)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(mins, 0.5), 2) AS p50_minutes,
+       round(quantile_cont(mins, 0.9), 2) AS p90_minutes,
+       round(avg(mins), 2) AS mean_minutes
+FROM d
+"""
+
+QUERIES["time_to_convert"] = time_to_convert
+ORACLES["time_to_convert"] = TIME_TO_CONVERT_ORACLE

@@ -223,3 +223,38 @@ DSL_MORE_LIKE_THIS_ORACLE = _mlt_oracle()
 
 QUERIES["dsl_more_like_this"] = dsl_more_like_this
 ORACLES["dsl_more_like_this"] = DSL_MORE_LIKE_THIS_ORACLE
+
+
+def dsl_histogram_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric `histogram` with `min_doc_count: 0`: one user's sparse
+    purchase values over 50-wide bins, empty bins included — the bin
+    axis comes from a one-row bounds aggregate (bin-cardinality,
+    bounded by the value range, not data volume)."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"bool": {"must": [
+            {"term": {"user_id": 7}},
+            {"term": {"event_type": "purchase"}},
+        ]}},
+        "aggs": {"bins": {"histogram": {"field": "value",
+                                        "interval": 50,
+                                        "min_doc_count": 0}}},
+    })
+
+
+DSL_HISTOGRAM_ZEROFILL_ORACLE = """
+WITH f AS (SELECT * FROM events
+           WHERE user_id = 7 AND event_type = 'purchase'),
+b AS (SELECT floor(value / 50) * 50 AS key, count(*) AS doc_count
+      FROM f GROUP BY 1),
+bounds AS (SELECT CAST(floor(min(value) / 50) AS BIGINT) AS lo,
+                  CAST(floor(max(value) / 50) AS BIGINT) AS hi FROM f),
+axis AS (SELECT i * CAST(50.0 AS DOUBLE) AS key
+         FROM bounds, unnest(range(lo, hi + 1)) AS t(i))
+SELECT axis.key, coalesce(b.doc_count, 0) AS doc_count
+FROM axis LEFT JOIN b ON b.key = axis.key
+ORDER BY axis.key
+"""
+
+QUERIES["dsl_histogram_zerofill"] = dsl_histogram_zerofill
+ORACLES["dsl_histogram_zerofill"] = DSL_HISTOGRAM_ZEROFILL_ORACLE

@@ -199,3 +199,23 @@ def test_terms_include_exclude_regex(spark):
                                   "include": "a|b", "exclude": "b"}}},
     }).collect()
     assert [(r["key"], r["doc_count"]) for r in out] == [("a", 3)]
+
+
+def test_histogram_zerofill_includes_empty_bins(spark):
+    out = search(_frame(spark), {
+        "aggs": {"bins": {"histogram": {"field": "v", "interval": 20,
+                                        "min_doc_count": 0}}},
+    }).collect()
+    # v: 10..60 -> bins 0,20,40,60; bin 0 has v=10, bin 20 has 20/30,
+    # bin 40 has 40/50, bin 60 has 60 — no empties here, so check a
+    # filtered sparse case too
+    assert [(r["key"], r["doc_count"]) for r in out] == \
+        [(0.0, 1), (20.0, 2), (40.0, 2), (60.0, 1)]
+    out2 = search(_frame(spark), {
+        "query": {"terms": {"v": [10.0, 60.0]}},
+        "aggs": {"bins": {"histogram": {"field": "v", "interval": 20,
+                                        "min_doc_count": 0}}},
+    }).collect()
+    # only 10 and 60 survive: bins 20 and 40 must appear with 0
+    assert [(r["key"], r["doc_count"]) for r in out2] == \
+        [(0.0, 1), (20.0, 0), (40.0, 0), (60.0, 1)]
