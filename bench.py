@@ -179,6 +179,7 @@ HEADLINE = [
     "peak_concurrency",
     "incremental_dedup",
     "dedup_keep_best",
+    "dedup_containment",
     "embedding_top_component",
     "data_mixture_report",
     "feature_hash_retrieval",

@@ -674,3 +674,95 @@ j AS (
 SELECT id_in, id_corp, jaccard FROM j
 WHERE jaccard >= {threshold}
 """
+
+
+# ------------------------------------------------------------------
+# asymmetric containment (sub-document duplication)
+# ------------------------------------------------------------------
+
+DEFAULT_SHINGLE_DF_CAP = 1000
+
+
+def containment_pairs(df: DataFrame, id_col: str, content_col: str,
+                      threshold: float, k: int = 3,
+                      shingle_df_cap: int | None = DEFAULT_SHINGLE_DF_CAP
+                      ) -> DataFrame:
+    """Asymmetric containment |A∩B| / |smaller| — the measure that
+    catches a short document EMBEDDED in a longer one, where Jaccard
+    stays low and MinHash banding under-recalls (minhash estimates
+    Jaccard, not containment).
+
+    Plan: distinct k-shingles per doc, an INVERTED-INDEX self-join
+    on the shingle (the candidate generator), pair-shared counts in
+    one keyed aggregation, then the containment test against the
+    smaller side's shingle count. Shingles with document frequency
+    above ``shingle_df_cap`` are dropped BEFORE the join on both
+    engines (a stopword-shingle joins everything with everything —
+    the inverted-index twin of the LSH hot-bucket cap; the skip is
+    part of the oracle contract, not a silent approximation).
+    Emitted as (id_small, id_big) with smaller-shingle-set ids first
+    and id order breaking size ties.
+    """
+    sh = (widen_if_narrow(df).select(
+        F.col(id_col).alias("id"),
+        F.expr(shingles_spark_inline(content_col, k)).alias("sh"))
+        .select("id", F.col("sh"), F.size("sh").alias("nsh"))
+        .filter(F.col("nsh") > 0))
+    inv = sh.select("id", "nsh", F.explode("sh").alias("s"))
+    if shingle_df_cap is not None:
+        dfreq = (inv.groupBy("s")
+                 .agg(F.count(F.lit(1)).alias("df"))
+                 .filter(F.col("df") <= shingle_df_cap))
+        inv = inv.join(dfreq.select("s"), "s", "left_semi")
+    a = inv.select(F.col("id").alias("id_a"),
+                   F.col("nsh").alias("na"), "s")
+    b = inv.select(F.col("id").alias("id_b"),
+                   F.col("nsh").alias("nb"), "s")
+    shared = (a.join(b, "s")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b", "na", "nb")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    small_first = (F.col("na") < F.col("nb")) \
+        | ((F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b")))
+    cont = (F.col("n_shared")
+            / F.least(F.col("na"), F.col("nb")).cast("double"))
+    return (shared
+            .select(F.when(small_first, F.col("id_a"))
+                    .otherwise(F.col("id_b")).alias("id_small"),
+                    F.when(small_first, F.col("id_b"))
+                    .otherwise(F.col("id_a")).alias("id_big"),
+                    F.round(cont, 3).alias("containment"))
+            .filter(F.col("containment") >= threshold))
+
+
+def containment_pairs_duck_sql(table: str, id_col: str,
+                               content_col: str, threshold: float,
+                               k: int = 3,
+                               shingle_df_cap: int | None =
+                               DEFAULT_SHINGLE_DF_CAP) -> str:
+    """DuckDB mirror of `containment_pairs` (same shingles, same
+    df cap, same smaller-side orientation and tie-break)."""
+    sh = shingles_duck(content_col, k)
+    cap = ("" if shingle_df_cap is None
+           else f"HAVING count(*) <= {shingle_df_cap}")
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {sh} AS sh FROM {table}),
+sz AS (SELECT id, len(sh) AS nsh, sh FROM d WHERE len(sh) > 0),
+inv AS (SELECT id, nsh, unnest(sh) AS s FROM sz),
+keep AS (SELECT s FROM inv GROUP BY s {cap}),
+iv AS (SELECT inv.* FROM inv JOIN keep USING (s)),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.nsh AS na, b.nsh AS nb,
+         count(*) AS n_shared
+  FROM iv a JOIN iv b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4)
+SELECT CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+            THEN id_a ELSE id_b END AS id_small,
+       CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+            THEN id_b ELSE id_a END AS id_big,
+       round(n_shared / CAST(least(na, nb) AS DOUBLE), 3)
+         AS containment
+FROM shared
+WHERE n_shared / CAST(least(na, nb) AS DOUBLE) >= {threshold}
+ORDER BY id_small, id_big
+"""

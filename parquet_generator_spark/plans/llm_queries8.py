@@ -366,3 +366,25 @@ DEDUP_PAGERANK_ORACLE = _pagerank_oracle()
 
 QUERIES.update({"dedup_pagerank": dedup_pagerank})
 ORACLES.update({"dedup_pagerank": DEDUP_PAGERANK_ORACLE})
+
+
+CONTAIN_TAU = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication: pairs where the smaller document's
+    shingles are >= 90% contained in the larger's — the quote/
+    inclusion case Jaccard-based near-dup misses. See
+    dedup.containment_pairs for the inverted-index plan and the
+    stopword-shingle df cap."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (dedup.containment_pairs(docs, "doc_id", "text",
+                                    CONTAIN_TAU)
+            .orderBy("id_small", "id_big"))
+
+
+DEDUP_CONTAINMENT_ORACLE = dedup.containment_pairs_duck_sql(
+    "documents", "doc_id", "text", CONTAIN_TAU)
+
+QUERIES.update({"dedup_containment": dedup_containment})
+ORACLES.update({"dedup_containment": DEDUP_CONTAINMENT_ORACLE})

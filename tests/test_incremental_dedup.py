@@ -87,3 +87,28 @@ def test_cross_pairs_equal_full_pairs_restricted(spark):
         inc, corp = (a, b) if sides[a] == 1 else (b, a)
         expected.add((inc, corp))
     assert cross == expected and len(expected) > 0
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: Jaccard is low (the
+    MinHash path correctly does not pair them) but containment is
+    1.0 — the case this operator exists for."""
+    from parquet_generator_spark.operators.dedup import (
+        containment_pairs,
+        minhash_lsh_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} filler{i} token{i}" for i in range(40))
+    big = small + " " + filler
+    other = " ".join(f"noise{i} unrelated{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id long, text string")
+
+    cont = {(r["id_small"], r["id_big"]): r["containment"]
+            for r in containment_pairs(df, "doc_id", "text",
+                                       0.9).collect()}
+    assert cont == {(1, 2): 1.0}
+
+    jac = minhash_lsh_pairs(df, "doc_id", "text", 0.5).collect()
+    assert all({r["id_a"], r["id_b"]} != {1, 2} for r in jac)
