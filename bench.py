@@ -129,6 +129,7 @@ HEADLINE = [
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
+    "retrieval_eval",
     "dedup_clusters",
     "ngram_topk",
     "text_scrub",

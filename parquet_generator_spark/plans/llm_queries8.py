@@ -388,3 +388,62 @@ DEDUP_CONTAINMENT_ORACLE = dedup.containment_pairs_duck_sql(
 
 QUERIES.update({"dedup_containment": dedup_containment})
 ORACLES.update({"dedup_containment": DEDUP_CONTAINMENT_ORACLE})
+
+
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a first-class query: per-query
+    recall@k of the LSH ANN path against brute-force ground truth
+    (left join of the two deterministic result sets — the metric a
+    retrieval deployment monitors before dialing index parameters).
+    Both sides are existing oracle-backed plans, so even the METRIC
+    is hash-gated."""
+    from parquet_generator_spark.plans.llm_queries import (
+        ann_bruteforce,
+        ann_lsh,
+    )
+    truth = ann_bruteforce(spark, sf_dir).select("qid", "nid")
+    approx = (ann_lsh(spark, sf_dir)
+              .select("qid", F.col("nid").alias("anid"))
+              .withColumn("hit", F.lit(1)))
+    k = truth.groupBy("qid").count().select(
+        "qid", F.col("count").alias("k"))
+    hits = (truth.join(approx,
+                       (truth.qid == approx.qid)
+                       & (truth.nid == approx.anid), "left")
+            .groupBy(truth.qid.alias("qid"))
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                 .alias("n_hit")))
+    return (hits.join(k, "qid")
+            .select("qid", "n_hit", "k",
+                    F.round(F.col("n_hit") / F.col("k"), 3)
+                    .alias("recall_at_k"))
+            .orderBy("qid"))
+
+
+def _retrieval_eval_oracle() -> str:
+    from parquet_generator_spark.plans.llm_queries import (
+        ANN_BRUTEFORCE_ORACLE,
+        ANN_LSH_ORACLE,
+    )
+    return f"""
+WITH truth AS ({ANN_BRUTEFORCE_ORACLE}),
+approx AS ({ANN_LSH_ORACLE}),
+k AS (SELECT qid, count(*) AS k FROM truth GROUP BY qid),
+hits AS (
+  SELECT t.qid,
+         CAST(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM truth t
+  LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
+  GROUP BY t.qid)
+SELECT h.qid, h.n_hit, k.k,
+       round(h.n_hit / CAST(k.k AS DOUBLE), 3) AS recall_at_k
+FROM hits h JOIN k ON k.qid = h.qid
+ORDER BY h.qid
+"""
+
+
+RETRIEVAL_EVAL_ORACLE = _retrieval_eval_oracle()
+
+QUERIES.update({"retrieval_eval": retrieval_eval})
+ORACLES.update({"retrieval_eval": RETRIEVAL_EVAL_ORACLE})
