@@ -308,7 +308,8 @@ def test_scalar_literal_queries_have_no_nested_loop(spark, name):
 # exact-Jaccard baseline; brute-force ANN / k-NN where the query/label
 # set broadcasts against one corpus pass)
 PAIRWISE_KERNELS = {"dedup_ngram_jaccard", "ann_bruteforce",
-                    "knn_classify", "feature_hash_retrieval"}
+                    "knn_classify", "feature_hash_retrieval",
+                    "retrieval_eval"}
 
 
 def test_no_unexpected_nested_loop_in_any_plan(spark):
