@@ -38,41 +38,38 @@ from parquet_generator_spark.plans import streaming_queries as S
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness sampler reads 50 entries from the front of queries().
-# The keys below lead, oldest evidence-debt first: the 14 round-3
-# loader casualties, the 30 never-sampled DSL/streaming entries, the
-# five reworked in round 5 (multimodal_meta oracle cast, ann_lsh /
-# approx_sketches new oracles, bm25_topk / ntile_deciles scale-safe
-# plans) — the first 50, covered by round 5's sample window — then the
-# round-5 additions, which queue up for the following rounds' windows
-# (queries not in this list follow in registration order).
+# Rounds 3-5 greened 130 of the 181 entries with hard driver rows; the
+# 51 round-5 additions below are the remaining evidence debt (green in
+# driver-sim + pytest parity, never driver-sampled). They lead, with
+# stream_sliding_agg LAST — it overflows the 50-wide window into the
+# next round, and it carries the strongest independent evidence
+# (stream-vs-batch test) so it can wait. Round-6 additions queue after
+# it; queries not listed follow in registration order.
 FRONT_KEYS = [
-    "multimodal_meta",
-    # round-3 loader casualties (fixed in round 4, never re-sampled)
-    "terms_agg", "date_range_scan", "json_decode", "dsl_term",
-    "dsl_bool", "dsl_date_histogram", "dsl_stats", "dsl_composite",
-    "sessionize", "percentiles_exact", "window_running", "asof_join",
-    "range_join_bucketed", "forward_fill",
-    # never driver-sampled DSL surface
-    "dsl_nested_bool", "dsl_multi_metric", "dsl_filter_agg",
-    "dsl_filters_buckets", "dsl_range_agg", "dsl_percentiles",
-    "dsl_top_hits", "dsl_terms_nested", "dsl_composite_paged",
-    "dsl_significant_terms", "dsl_derivative", "dsl_moving_avg",
-    "dsl_bucket_script_selector", "dsl_bucket_sort", "dsl_avg_bucket",
-    "dsl_date_histogram_zerofill", "dsl_histogram", "dsl_match_msm",
-    "dsl_terms_order_metric", "dsl_multi_match", "dsl_fuzzy",
-    "dsl_global_agg", "json_props_agg", "dsl_date_range_agg",
-    "dsl_extended_stats", "dsl_percentile_ranks", "dsl_missing_agg",
-    # never driver-sampled non-DSL
-    "rolling_window_features", "stream_near_dedup",
-    "stream_static_enrich",
-    # reworked this round
-    "ann_lsh", "ann_ivf", "approx_sketches", "bm25_topk",
-    "ntile_deciles",
-    # new this round (never sampled yet)
+    # round-5 DSL additions (17)
+    "dsl_function_score", "dsl_collapse", "dsl_weighted_avg",
+    "dsl_top_metrics", "dsl_rare_terms", "dsl_serial_diff",
+    "dsl_stats_bucket", "dsl_cumulative_cardinality",
+    "dsl_adjacency_matrix", "dsl_multi_terms",
+    "dsl_auto_date_histogram", "dsl_runtime_field",
+    "dsl_search_after", "dsl_terms_include", "dsl_significant_text",
+    "dsl_more_like_this", "dsl_histogram_zerofill",
+    # round-5 analytics additions (2)
+    "event_transitions", "first_touch_attribution",
+    # round-5 pipeline/LLM additions (31)
     "embedding_quantize", "source_overlap", "zipf_slope",
     "dup_ngram_fraction", "embedding_norm_outliers",
-    "event_transitions", "first_touch_attribution",
-    "dsl_function_score", "dsl_collapse", "bpe_merge_candidates",
+    "bpe_merge_candidates", "bigram_logprob", "lexical_diversity",
+    "robust_length_outliers", "embedding_dim_stats",
+    "kmeans_clusters", "peak_concurrency", "incremental_dedup",
+    "dedup_keep_best", "embedding_top_component",
+    "data_mixture_report", "feature_hash_retrieval", "table_profile",
+    "quantile_normalize", "dedup_pagerank", "retrieval_eval",
+    "dedup_containment", "weighted_median", "scd2_customer_merge",
+    "top_paths", "drift_psi", "time_weighted_avg", "ohlc_daily",
+    "linear_interpolate", "rfm_segmentation", "time_to_convert",
+    # 51st — waits for round 7's window (strong independent evidence)
+    "stream_sliding_agg",
 ]
 
 

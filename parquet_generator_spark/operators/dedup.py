@@ -680,11 +680,32 @@ WHERE jaccard >= {threshold}
 # asymmetric containment (sub-document duplication)
 # ------------------------------------------------------------------
 
+# Prefix entries whose shingle's global document frequency exceeds
+# this are SKIPPED (and logged): a stopword-shingle in a tiny doc's
+# prefix would otherwise fan its full postings list into the
+# candidate join — the same hot-key skew the band buckets cap with
+# DEFAULT_BUCKET_CAP. Mirrored in the DuckDB oracle; None disables.
 DEFAULT_SHINGLE_DF_CAP = 1000
 
 
+def _prefix_bound(threshold: float) -> str:
+    """Integer prefix length p = nsh - ceil(t*nsh) + 1, as a SQL
+    fragment both engines evaluate identically. Pigeonhole: a pair at
+    containment >= t shares >= ceil(t*n) of the smaller side's n
+    shingles, i.e. misses <= n - ceil(t*n); if NONE of the p rarest
+    were shared the misses would be >= p > n - ceil(t*n). The naive
+    float form floor((1-t)*n)+1 is one short whenever (1-t)*n rounds
+    down across an integer (t=0.9, n=10: floor(0.0999...*10)+1 = 1,
+    needs 2) — that voids the guarantee, so the bound is computed
+    from ceil with a downward epsilon (never overestimates, exact at
+    integer crossings)."""
+    return f"nsh - ceil({threshold!r} * nsh - 1e-9) + 1"
+
+
 def containment_pairs(df: DataFrame, id_col: str, content_col: str,
-                      threshold: float, k: int = 3) -> DataFrame:
+                      threshold: float, k: int = 3,
+                      shingle_df_cap: int | None = DEFAULT_SHINGLE_DF_CAP
+                      ) -> DataFrame:
     """Asymmetric containment |A∩B| / |smaller| — the measure that
     catches a short document EMBEDDED in a longer one, where Jaccard
     stays low and MinHash banding under-recalls (minhash estimates
@@ -692,24 +713,29 @@ def containment_pairs(df: DataFrame, id_col: str, content_col: str,
 
     EXACT result via PPJoin-style PREFIX FILTERING (Xiao et al.,
     Chaudhuri et al. SSJoin): a pair with containment >= t must
-    share at least one of the smaller side's floor((1-t)*n)+1
-    globally-RAREST shingles (pigeonhole: if none of those prefix
-    shingles appear in the other doc, more than (1-t)*n are already
-    missing). So candidates come from joining each doc's tiny
-    rarest-shingle prefix against the full inverted index — a
-    df_prefix x df fan-out instead of df^2, and common shingles
-    almost never sit in a prefix (prefixes sort by ascending global
-    document frequency, shingle tie-break). Verification computes
-    the exact intersection on the candidate pairs only (the minhash
-    verify recipe). No recall loss at the threshold, 3-4x faster
-    than the naive inverted-index join on word-soup data and
-    asymptotically better the more skewed the shingle frequencies.
-    Emitted as (id_small, id_big) with smaller-shingle-set ids first
-    and id order breaking size ties.
+    share at least one of the smaller side's n - ceil(t*n) + 1
+    globally-RAREST shingles (see _prefix_bound). So candidates come
+    from joining each doc's tiny rarest-shingle prefix against the
+    full inverted index — a df_prefix x df fan-out instead of df^2,
+    and common shingles almost never sit in a prefix (prefixes sort
+    by ascending global document frequency, shingle tie-break).
+    Verification computes the exact intersection on the candidate
+    pairs only (the minhash verify recipe). Exact at the threshold
+    EXCEPT pairs witnessed only by a prefix shingle over
+    ``shingle_df_cap`` — those postings lists are skipped (and
+    logged) to bound the join fan-out on stopword shingles, and the
+    DuckDB oracle applies the identical cap. The threshold is tested
+    on the UNROUNDED ratio (the oracle does the same); rounding is
+    output-only. Emitted as (id_small, id_big) with
+    smaller-shingle-set ids first and id order breaking size ties.
     """
+    # bound shingler (no Pandas UDF anywhere in this pipeline, so the
+    # struct-bound form is safe): the inline form re-tokenizes per
+    # shingle index — measured 3x slower on this, the one stage that
+    # touches every document's full text
     sh = (widen_if_narrow(df).select(
         F.col(id_col).alias("id"),
-        F.expr(shingles_spark_inline(content_col, k)).alias("sh"))
+        F.expr(shingles_spark(content_col, k)).alias("sh"))
         .select("id", F.col("sh"), F.size("sh").alias("nsh"))
         .filter(F.col("nsh") > 0)
         .localCheckpoint())  # shingling reused by index + verify
@@ -718,8 +744,22 @@ def containment_pairs(df: DataFrame, id_col: str, content_col: str,
     ranked = inv.join(dfreq, "s").withColumn(
         "rk", F.row_number().over(
             Window.partitionBy("id").orderBy(F.asc("dfq"), F.asc("s"))))
-    prefix = ranked.filter(
-        F.col("rk") <= F.floor((1.0 - threshold) * F.col("nsh")) + 1)
+    prefix = (ranked.filter(F.expr(f"rk <= {_prefix_bound(threshold)}"))
+              .select("id", "s", "dfq")
+              .localCheckpoint())  # tiny; reused for hot-count + join
+    if shingle_df_cap is not None:
+        # one bounded-scalar job over the (tiny, checkpointed) prefix
+        n_hot, worst = prefix.agg(
+            F.count(F.when(F.col("dfq") > shingle_df_cap, 1)),
+            F.max(F.when(F.col("dfq") > shingle_df_cap,
+                         F.col("dfq")))).collect()[0]
+        if n_hot:
+            logger.warning(
+                "containment_pairs: skipping %d prefix entr(y/ies) "
+                "with shingle document frequency over cap=%d "
+                "(largest=%d); pairs witnessed ONLY by those shingles "
+                "are NOT reported", n_hot, shingle_df_cap, worst)
+            prefix = prefix.filter(F.col("dfq") <= shingle_df_cap)
     cand = (prefix.select(F.col("id").alias("id_a"), "s")
             .join(inv.select(F.col("id").alias("id_b"), "s"), "s")
             .filter(F.col("id_a") != F.col("id_b"))
@@ -743,28 +783,47 @@ def containment_pairs(df: DataFrame, id_col: str, content_col: str,
                     .otherwise(F.col("id_b")).alias("id_small"),
                     F.when(small_first, F.col("id_b"))
                     .otherwise(F.col("id_a")).alias("id_big"),
-                    F.round(cont, 3).alias("containment"))
-            .filter(F.col("containment") >= threshold))
+                    cont.alias("cont_raw"))
+            .filter(F.col("cont_raw") >= threshold)
+            .select("id_small", "id_big",
+                    F.round("cont_raw", 3).alias("containment")))
 
 
 def containment_pairs_duck_sql(table: str, id_col: str,
                                content_col: str, threshold: float,
-                               k: int = 3) -> str:
-    """DuckDB check for `containment_pairs`: the NAIVE uncapped
-    inverted-index join — the prefix filter is exact (pigeonhole-
-    complete at the threshold), so the fast Spark plan must equal
-    the brute-force relational answer, which is precisely what this
-    oracle computes."""
+                               k: int = 3,
+                               shingle_df_cap: int | None =
+                               DEFAULT_SHINGLE_DF_CAP) -> str:
+    """DuckDB check for `containment_pairs`, mirroring the prefix
+    filter INCLUDING the integer bound and the shingle-df cap (the
+    same construction as simhash_pairs_duck_sql): with the cap
+    disabled the prefix filter is pigeonhole-complete, so this
+    equals the brute-force inverted-index join; with it enabled both
+    engines drop exactly the same capped prefix entries. The WHERE
+    tests the unrounded ratio, as the Spark side does."""
     sh = shingles_duck(content_col, k)
+    cap_pred = "" if shingle_df_cap is None \
+        else f" AND dfq <= {shingle_df_cap}"
     return f"""
 WITH d AS (SELECT {id_col} AS id, {sh} AS sh FROM {table}),
 sz AS (SELECT id, len(sh) AS nsh, sh FROM d WHERE len(sh) > 0),
 iv AS (SELECT id, nsh, unnest(sh) AS s FROM sz),
+dfr AS (SELECT s, count(*) AS dfq FROM iv GROUP BY s),
+rkd AS (
+  SELECT iv.id, iv.nsh, iv.s, dfr.dfq,
+         row_number() OVER (PARTITION BY iv.id
+                            ORDER BY dfr.dfq, iv.s) AS rk
+  FROM iv JOIN dfr USING (s)),
+pfx AS (SELECT id, s FROM rkd
+        WHERE rk <= {_prefix_bound(threshold)}{cap_pred}),
+cand AS (
+  SELECT DISTINCT least(p.id, i.id) AS id_a,
+                  greatest(p.id, i.id) AS id_b
+  FROM pfx p JOIN iv i ON p.s = i.s AND p.id <> i.id),
 shared AS (
-  SELECT a.id AS id_a, b.id AS id_b, a.nsh AS na, b.nsh AS nb,
-         count(*) AS n_shared
-  FROM iv a JOIN iv b ON a.s = b.s AND a.id < b.id
-  GROUP BY 1, 2, 3, 4)
+  SELECT c.id_a, c.id_b, a.nsh AS na, b.nsh AS nb,
+         len(list_intersect(a.sh, b.sh)) AS n_shared
+  FROM cand c JOIN sz a ON a.id = c.id_a JOIN sz b ON b.id = c.id_b)
 SELECT CASE WHEN na < nb OR (na = nb AND id_a < id_b)
             THEN id_a ELSE id_b END AS id_small,
        CASE WHEN na < nb OR (na = nb AND id_a < id_b)

@@ -690,6 +690,11 @@ def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 2,
     if iters > 1:
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
     init_rows = base.orderBy("id").limit(k).collect()  # bounded: k rows
+    if not init_rows:
+        raise ValueError("kmeans_lloyd: input has no rows")
+    # fewer rows than k: clamp, matching the oracle's LIMIT-k init
+    # (which yields one centroid per existing row)
+    k = min(k, len(init_rows))
     cents = [[round(float(x), quant) for x in r["e"]] for r in init_rows]
     dim = len(cents[0])
 
@@ -715,9 +720,16 @@ def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 2,
     for d in range(dim):
         term = F.col(f"m{d}") * F.col(f"m{d}")
         norm_sq = term if norm_sq is None else norm_sq + term
-    return (per.select("cid", "n",
-                       F.round(F.sqrt(norm_sq), 4).alias("c_norm"))
-            .orderBy("cid"))
+    out = (per.select("cid", "n",
+                      F.round(F.sqrt(norm_sq), 4).alias("c_norm"))
+           .orderBy("cid"))
+    # materialize the bounded k-row result so the persisted scan
+    # frame can be released NOW — without this, repeated invocations
+    # in one session (bench sweeps, test suites) accumulate cached
+    # blocks until executor storage evicts them
+    rows = out.collect()  # bounded: k rows
+    base.unpersist()
+    return df.sparkSession.createDataFrame(rows, out.schema)
 
 
 def kmeans_lloyd_duck_sql(table: str = "embeddings", k: int = 8,
@@ -729,7 +741,11 @@ def kmeans_lloyd_duck_sql(table: str = "embeddings", k: int = 8,
     same per-round centroid quantization, same smallest-index
     tie-break — assignment is relational (points x k centroids,
     row_number argmin) instead of a literal expression, but the
-    arithmetic agrees to within the quantization grid."""
+    arithmetic agrees to within the quantization grid. Each round's
+    updated centroids LEFT JOIN onto the previous round's full cid
+    list (coalesce to the prior centroid), so a cluster that empties
+    keeps its centroid exactly as the Spark side does instead of
+    vanishing from subsequent assignment rounds."""
     def mean_list(src: str) -> str:
         return "[" + ", ".join(f"round(avg({src}[{d + 1}]), {quant})"
                                for d in range(dim)) + "]"
@@ -750,8 +766,10 @@ def kmeans_lloyd_duck_sql(table: str = "embeddings", k: int = 8,
             f"a{it} AS (SELECT id, e, cid FROM ("
             f"SELECT *, row_number() OVER (PARTITION BY id "
             f"ORDER BY d, cid) AS rn FROM d{it}) WHERE rn = 1),\n"
-            f"c{it} AS (SELECT cid, {mean_list('e')} AS ce "
-            f"FROM a{it} GROUP BY cid),")
+            f"u{it} AS (SELECT cid, {mean_list('e')} AS ce "
+            f"FROM a{it} GROUP BY cid),\n"
+            f"c{it} AS (SELECT p.cid, coalesce(u.ce, p.ce) AS ce "
+            f"FROM {prev} p LEFT JOIN u{it} u USING (cid)),")
         prev = f"c{it}"
     sql.append(
         f"df AS (SELECT p.id, p.e, c.cid, {sqd} AS d "

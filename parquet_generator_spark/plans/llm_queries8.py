@@ -375,8 +375,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document duplication: pairs where the smaller document's
     shingles are >= 90% contained in the larger's — the quote/
     inclusion case Jaccard-based near-dup misses. See
-    dedup.containment_pairs for the inverted-index plan and the
-    stopword-shingle df cap."""
+    dedup.containment_pairs for the prefix-filtered inverted-index
+    plan and the stopword-shingle df cap (skip-and-log, mirrored in
+    the DuckDB oracle)."""
     docs = load_table(spark, "documents", sf_dir)
     return (dedup.containment_pairs(docs, "doc_id", "text",
                                     CONTAIN_TAU)

@@ -171,6 +171,18 @@ def write_with_bloom_filters(df: DataFrame, path: str,
     w.parquet(path)
 
 
+def _escape_partition_value(v) -> str:
+    """Partition value -> directory-name fragment, matching Spark's
+    ExternalCatalogUtils.escapePathName (percent-encode the reserved
+    char set + control chars; null -> the Hive default partition)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    reserved = set('"#%\'*/:=?\\\x7f{[]^')
+    return "".join(
+        f"%{ord(ch):02X}" if ch in reserved or ord(ch) < 32 else ch
+        for ch in str(v))
+
+
 def targeted_delete(spark: SparkSession, path: str, key_col: str,
                     keys_df: DataFrame,
                     partition_col: str | None = None) -> int:
@@ -183,11 +195,17 @@ def targeted_delete(spark: SparkSession, path: str, key_col: str,
     that actually CONTAIN a doomed key are rewritten (dynamic
     partition overwrite over the affected-partition semi-join) — a
     deletion of a handful of users at 100 TB rewrites their
-    partitions, not the table. Without it, the whole dataset is
-    rewritten once — the fallback for unpartitioned layouts. This is
-    the DELETE a table format runs natively; the plan above the
-    writer is identical.
+    partitions, not the table. A partition whose EVERY row matches a
+    doomed key contributes nothing to the rewrite frame, so dynamic
+    overwrite alone would leave its files — the worst failure mode
+    for this operation — hence the explicit affected-minus-surviving
+    directory removal below. Without ``partition_col`` the whole
+    dataset is rewritten once — the fallback for unpartitioned
+    layouts. This is the DELETE a table format runs natively; the
+    plan above the writer is identical.
     """
+    import shutil
+
     df = read_evolving(spark, path)
     keys = keys_df.select(F.col(keys_df.columns[0]).alias(key_col)) \
         .distinct()
@@ -196,16 +214,29 @@ def targeted_delete(spark: SparkSession, path: str, key_col: str,
         kept = df.join(keys, key_col, "left_anti")
         staging = path + "_deleting"
         kept.write.mode("overwrite").parquet(staging)
-        import shutil
         shutil.rmtree(path)
         os.replace(staging, path)
     else:
         affected = (df.join(keys, key_col, "left_semi")
                     .select(partition_col).distinct())
+        # partition-cardinality metadata, bounded like a SHOW
+        # PARTITIONS result — not data rows
+        affected_vals = [r[0] for r in affected.collect()]
         kept = (df.join(F.broadcast(affected), partition_col,
                         "left_semi")
                 .join(keys, key_col, "left_anti"))
-        overwrite_partition(kept.repartition(partition_col),
-                            path, partition_col)
-    after = read_evolving(spark, path).count()
+        surviving = {r[0] for r in
+                     kept.select(partition_col).distinct().collect()}
+        if surviving:
+            overwrite_partition(kept.repartition(partition_col),
+                                path, partition_col)
+        for v in affected_vals:
+            if v in surviving:
+                continue  # rewritten (smaller) by the overwrite above
+            d = os.path.join(
+                path, f"{partition_col}={_escape_partition_value(v)}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    n_files, _ = dataset_file_stats(spark, path)
+    after = read_evolving(spark, path).count() if n_files else 0
     return before - after

@@ -112,3 +112,68 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
 
     jac = minhash_lsh_pairs(df, "doc_id", "text", 0.5).collect()
     assert all({r["id_a"], r["id_b"]} != {1, 2} for r in jac)
+
+def test_containment_prefix_bound_exact_at_threshold(spark):
+    """ADVICE r5 regression: the float prefix bound floor((1-t)*n)+1
+    was one short for every nsh divisible by 10 at t=0.9. A small doc
+    with exactly 10 shingles, 9 of them contained in a big doc, whose
+    ONE missing shingle is also its globally-rarest: the old bound's
+    1-shingle prefix was exactly that missing shingle, so the
+    containment=0.9 pair was never generated. The integer bound
+    nsh - ceil(t*nsh) + 1 = 2 reaches the first shared shingle."""
+    from parquet_generator_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_duck_sql,
+    )
+    import duckdb
+    import pandas as pd
+
+    small = " ".join(f"aa{i:02d}" for i in range(1, 13))  # 10 shingles
+    big = (" ".join(f"aa{i:02d}" for i in range(2, 13)) + " "
+           + " ".join(f"bb{i:02d}" for i in range(1, 10)))
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [small, big]})
+    df = spark.createDataFrame(pdf)
+
+    got = {(r["id_small"], r["id_big"]): r["containment"]
+           for r in containment_pairs(df, "doc_id", "text",
+                                      0.9).collect()}
+    assert got == {(1, 2): 0.9}
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    drows = con.execute(containment_pairs_duck_sql(
+        "docs", "doc_id", "text", 0.9)).fetchall()
+    assert {(r[0], r[1]): r[2] for r in drows} == got
+
+
+def test_containment_shingle_df_cap_mirrored(spark):
+    """Hot-postings skew guard: a tiny doc whose every prefix shingle
+    is a stopword-shingle (document frequency over the cap) loses its
+    pairs on BOTH engines — skip-and-log, never a silent one-sided
+    truncation — while the uncapped run still finds them."""
+    from parquet_generator_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_duck_sql,
+    )
+    import duckdb
+    import pandas as pd
+
+    tiny = "c1 c2 c3 c4"  # 2 shingles, both corpus-wide stopwords
+    hosts = [f"c1 c2 c3 c4 f{i}a f{i}b f{i}c" for i in range(5)]
+    pdf = pd.DataFrame({"doc_id": list(range(6)),
+                        "text": [tiny] + hosts})
+    df = spark.createDataFrame(pdf)
+
+    uncapped = {(r["id_small"], r["id_big"])
+                for r in containment_pairs(
+                    df, "doc_id", "text", 0.9,
+                    shingle_df_cap=None).collect()}
+    assert uncapped == {(0, i) for i in range(1, 6)}
+
+    capped = containment_pairs(df, "doc_id", "text", 0.9,
+                               shingle_df_cap=3).collect()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    drows = con.execute(containment_pairs_duck_sql(
+        "docs", "doc_id", "text", 0.9, shingle_df_cap=3)).fetchall()
+    assert len(capped) == len(drows) == 0

@@ -146,3 +146,41 @@ def test_weighted_median_hand_computed(spark):
         out = weighted_median(spark, d).collect()
     assert [(r["l_returnflag"], r["weighted_median_price"])
             for r in out] == [("A", 30.0)]
+
+
+def test_kmeans_empty_cluster_oracle_parity(spark):
+    """ADVICE r5 regression: the DuckDB mirror dropped an emptied
+    cluster from its per-round centroid CTE (Spark keeps the previous
+    centroid), so later assignment rounds diverged. On this dataset
+    cluster 1 empties in round 1 and wins back two points in round 2
+    — the buggy oracle reported a single 3-point cluster."""
+    import duckdb
+    import pandas as pd
+
+    from parquet_generator_spark.operators.similarity import (
+        kmeans_lloyd_duck_sql,
+    )
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.1, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r["cid"], r["n"], r["c_norm"])
+           for r in kmeans_lloyd(df, k=2, iters=2).collect()]
+
+    con = duckdb.connect()
+    con.register("pts_t", pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [r[1] for r in rows]}))
+    drows = con.execute(kmeans_lloyd_duck_sql(
+        "pts_t", k=2, iters=2, dim=2)).fetchall()
+    assert [(r[0], r[1], r[2]) for r in drows] == got
+    assert len(got) == 2  # the emptied-then-refilled cluster is back
+
+
+def test_kmeans_k_larger_than_input_clamps(spark):
+    """ADVICE r5 regression: k > row count raised IndexError; now it
+    clamps to the row count, matching the oracle's LIMIT-k init."""
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [10.2, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_lloyd(df, k=5, iters=2).collect()
+    assert sum(r["n"] for r in out) == 3
+    assert len(out) <= 3

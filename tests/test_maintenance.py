@@ -211,3 +211,50 @@ def test_targeted_delete_partitioned_rewrites_only_affected(
         now = max(os.path.getmtime(os.path.join(dirp, f))
                   for f in os.listdir(dirp))
         assert now == mt, f"{d} was rewritten"
+
+
+def test_targeted_delete_fully_deleted_partition_is_removed(
+        spark, tmp_path):
+    """ADVICE r5 regression: a partition whose EVERY row matches a
+    doomed key contributes zero rows to the rewrite frame, so dynamic
+    partition overwrite alone never touched it and the data silently
+    survived on disk. The fix removes such directories explicitly."""
+    import os
+
+    from parquet_generator_spark.sinks.maintenance import (
+        targeted_delete,
+    )
+    p = str(tmp_path / "t")
+    df = (spark.range(12).withColumnRenamed("id", "user_id")
+          .withColumn("day", (F.col("user_id") % 3).cast("string")))
+    df.write.partitionBy("day").parquet(p)
+    # every key of day=0 (0,3,6,9) doomed + one key of day=1 (4)
+    doomed = spark.createDataFrame(
+        [(0,), (3,), (6,), (9,), (4,)], "k long")
+    removed = targeted_delete(spark, p, "user_id", doomed,
+                              partition_col="day")
+    assert removed == 5
+    assert not os.path.isdir(os.path.join(p, "day=0")), \
+        "fully-deleted partition's files survived on disk"
+    left = spark.read.parquet(p)
+    assert left.count() == 7
+    assert left.filter(F.col("user_id").isin(0, 3, 6, 9, 4)).count() == 0
+
+
+def test_targeted_delete_all_partitions_fully_deleted(spark, tmp_path):
+    """Edge: every row of every partition doomed — the dataset ends
+    empty, the count still balances, and no directory survives."""
+    import os
+
+    from parquet_generator_spark.sinks.maintenance import (
+        targeted_delete,
+    )
+    p = str(tmp_path / "t")
+    df = (spark.range(6).withColumnRenamed("id", "user_id")
+          .withColumn("day", (F.col("user_id") % 2).cast("string")))
+    df.write.partitionBy("day").parquet(p)
+    doomed = spark.createDataFrame([(i,) for i in range(6)], "k long")
+    removed = targeted_delete(spark, p, "user_id", doomed,
+                              partition_col="day")
+    assert removed == 6
+    assert not any(d.startswith("day=") for d in os.listdir(p))

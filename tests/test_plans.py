@@ -267,13 +267,14 @@ def test_ntile_deciles_has_no_global_window(spark):
 
 def test_front_keys_lead_queries():
     """The driver's correctness sampler reads 50 entries from the
-    front of queries(); the first 50 FRONT_KEYS pin the round-5
-    sample to the entries still missing a green driver row, and the
-    tail (new operators) queues up for the next round's window."""
+    front of queries(); the first 50 FRONT_KEYS pin the round-6
+    sample to the 51 round-5 additions still missing a green driver
+    row, with stream_sliding_agg (strongest independent evidence)
+    51st so it is the one that waits for round 7."""
     q = list(entrymod.queries())
     assert q[:len(entrymod.FRONT_KEYS)] == entrymod.FRONT_KEYS
     assert len(entrymod.FRONT_KEYS) >= 50
-    assert entrymod.FRONT_KEYS[49] == "ntile_deciles"
+    assert entrymod.FRONT_KEYS[50] == "stream_sliding_agg"
 
 
 def test_no_empty_partition_windows_in_source():
