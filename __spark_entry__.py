@@ -26,12 +26,14 @@ from parquet_generator_spark.plans import llm_queries5 as L5
 from parquet_generator_spark.plans import llm_queries6 as L6
 from parquet_generator_spark.plans import llm_queries7 as L7
 from parquet_generator_spark.plans import llm_queries8 as L8
+from parquet_generator_spark.plans import llm_queries9 as L9
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
 from parquet_generator_spark.plans import reference_queries3 as R3
 from parquet_generator_spark.plans import reference_queries4 as R4
 from parquet_generator_spark.plans import reference_queries5 as R5
+from parquet_generator_spark.plans import reference_queries6 as R6
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -70,6 +72,9 @@ FRONT_KEYS = [
     "linear_interpolate", "rfm_segmentation", "time_to_convert",
     # 51st — waits for round 7's window (strong independent evidence)
     "stream_sliding_agg",
+    # round-6 additions (queue behind the round-5 debt)
+    "dsl_nested", "dsl_nested_agg", "table_profile_approx",
+    "image_decode_stats",
 ]
 
 
@@ -94,6 +99,7 @@ def queries() -> dict[str, QueryFn]:
         **L6.QUERIES,
         **L7.QUERIES,
         **L8.QUERIES,
+        **L9.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -102,6 +108,7 @@ def queries() -> dict[str, QueryFn]:
         **R3.QUERIES,
         **R4.QUERIES,
         **R5.QUERIES,
+        **R6.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -125,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         **L6.ORACLES,
         **L7.ORACLES,
         **L8.ORACLES,
+        **L9.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,
@@ -133,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         **R3.ORACLES,
         **R4.ORACLES,
         **R5.ORACLES,
+        **R6.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -163,20 +164,26 @@ def translate_query(q: dict | None) -> Column:
     if kind == "fuzzy":
         # term-level edit-distance match; "AUTO" uses ES's
         # length-banded distances (0 for <3 chars, 1 for 3-5, 2 past).
-        # Known ES divergence: ES defaults fuzzy_transpositions=true
-        # (Damerau-Levenshtein), so a transposition like 'paln'->
-        # 'plan' is distance 1 there but 2 here — Spark has only
-        # classic levenshtein() and DuckDB's damerau_levenshtein has
-        # no Spark twin, so transposition parity would need a Python
-        # UDF in a filter hot path. Internal oracle parity holds
-        # (both engines use classic Levenshtein).
+        # DEFAULT DIVERGENCE from ES (documented in README): ES
+        # defaults fuzzy_transpositions=true (Damerau-Levenshtein),
+        # Spark's built-in levenshtein() is classic, so 'paln'->
+        # 'plan' is distance 1 there but 2 here. Passing
+        # "fuzzy_transpositions": true opts into exact ES semantics
+        # via an Arrow-batched Pandas UDF (OSA distance, parity-
+        # tested vs DuckDB's damerau_levenshtein) — off by default
+        # because the built-in keeps the filter UDF-free/codegen.
         field, val = _field_value(body, "value")
         spec = body[field]
         fz = spec.get("fuzziness", "AUTO") if isinstance(spec, dict) \
             else "AUTO"
+        transpositions = (spec.get("fuzzy_transpositions", False)
+                          if isinstance(spec, dict) else False)
         if fz == "AUTO":
             n = len(val)
             fz = 0 if n < 3 else (1 if n <= 5 else 2)
+        if transpositions:
+            return (F.col(field).isNotNull()
+                    & _damerau_within(field, val, int(fz)))
         return (F.col(field).isNotNull()
                 & (F.levenshtein(F.col(field), F.lit(val)) <= int(fz)))
     if kind == "multi_match":
@@ -189,6 +196,18 @@ def translate_query(q: dict | None) -> Column:
         return acc
     if kind == "ids":
         return F.col("_id").isNotNull() & F.col("_id").isin(list(body["values"]))
+    if kind == "nested":
+        # ES nested query: the parent matches when ANY element of the
+        # array-of-structs at `path` satisfies the inner query, with
+        # the inner query evaluated per element (never across
+        # elements). Spark-first: exists(path, x -> pred) — an
+        # array-side lambda, no explode, no shuffle; the parent row
+        # count never changes. Inner field names are written
+        # `path.field` as in ES.
+        path = body["path"]
+        pred = _element_pred_sql(body["query"], path)
+        return (F.col(path).isNotNull()
+                & F.expr(f"exists({path}, _x -> {pred})"))
     if kind == "bool":
         out = F.lit(True)
         for clause in body.get("must", []):
@@ -228,6 +247,108 @@ def _field_value(body: dict, value_key: str):
     if isinstance(spec, dict):
         return field, spec[value_key]
     return field, spec
+
+
+def osa_distance(a: str, b: str) -> int:
+    """Optimal-string-alignment distance — Levenshtein plus adjacent
+    transposition as ONE edit (Lucene's fuzzy_transpositions=true
+    model; also what DuckDB's damerau_levenshtein computes, which the
+    parity test pins)."""
+    la, lb = len(a), len(b)
+    prev2: list[int] = []
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + cost)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _damerau_within(field: str, val: str, maxd: int) -> Column:
+    """Arrow-batched boolean predicate dist_osa(field, val) <= maxd —
+    the opt-in fuzzy_transpositions path (per-row DP over short
+    terms; linear scan, no shuffle)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def ok(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: x is not None
+                     and osa_distance(x, val) <= maxd)
+
+    return ok(F.col(field))
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _elem_field(field: str, path: str, var: str) -> str:
+    """ES writes nested fields as `path.field`; inside the lambda the
+    element struct is bound to `var`."""
+    inner = field[len(path) + 1:] if field.startswith(path + ".") \
+        else field
+    return f"{var}.{inner}"
+
+
+def _element_pred_sql(q: dict | None, path: str, var: str = "_x") -> str:
+    """Inner-query subset of translate_query as SQL TEXT over one
+    array element (the lambda variable), for use inside
+    exists()/filter() higher-order functions — Columns can't cross a
+    lambda boundary, so the nested branch builds its predicate as a
+    SQL fragment with the same null-safe TRUE/FALSE leaf contract as
+    the Column translator."""
+    if not q:
+        return "TRUE"
+    kind, body = next(iter(q.items()))
+    if kind == "match_all":
+        return "TRUE"
+    if kind == "term":
+        field, val = _field_value(body, "value")
+        f = _elem_field(field, path, var)
+        return f"({f} IS NOT NULL AND {f} = {_sql_lit(val)})"
+    if kind == "terms":
+        field, vals = next(iter(body.items()))
+        f = _elem_field(field, path, var)
+        in_list = ", ".join(_sql_lit(v) for v in vals)
+        return f"({f} IS NOT NULL AND {f} IN ({in_list}))"
+    if kind == "range":
+        field, conds = next(iter(body.items()))
+        f = _elem_field(field, path, var)
+        ops = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+        parts = [f"{f} IS NOT NULL"]
+        for op, v in conds.items():
+            if op not in ops:
+                raise ValueError(f"unsupported range op {op!r}")
+            parts.append(f"{f} {ops[op]} {_sql_lit(v)}")
+        return "(" + " AND ".join(parts) + ")"
+    if kind == "exists":
+        return f"({_elem_field(body['field'], path, var)} IS NOT NULL)"
+    if kind == "prefix":
+        field, val = _field_value(body, "value")
+        f = _elem_field(field, path, var)
+        return (f"({f} IS NOT NULL AND "
+                f"startswith({f}, {_sql_lit(val)}))")
+    if kind == "bool":
+        parts = []
+        for clause in body.get("must", []) + body.get("filter", []):
+            parts.append(_element_pred_sql(clause, path, var))
+        for clause in body.get("must_not", []):
+            parts.append(f"(NOT {_element_pred_sql(clause, path, var)})")
+        should = body.get("should", [])
+        if should:
+            parts.append("(" + " OR ".join(
+                _element_pred_sql(c, path, var) for c in should) + ")")
+        return "(" + " AND ".join(parts) + ")" if parts else "TRUE"
+    raise ValueError(f"unsupported nested inner query kind {kind!r}")
 
 
 _METRICS = {

@@ -5,16 +5,20 @@ Arrow-batched ``mapInPandas`` stages.
 The Spark-side contract is fully real — schemas, partitioning, UDF
 signatures, batch shapes are what a production pipeline would use at
 100 TB (binary columns stream through Arrow in bounded batches;
-decode is a narrow map, no shuffle). The actual pixel/sample decode
-is STUBBED: the image/audio libraries are not in this container, so
-``decode_*`` raise NotImplementedError unless the lib imports, and
-``fake_features`` provides a deterministic stand-in used by tests.
+decode is a narrow map, no shuffle). Pixel decode is REAL for two
+formats via pure stdlib + numpy — 24-bit BI_RGB BMP and 8-bit
+non-interlaced PNG (zlib-inflated IDAT, all five scanline filters) —
+with a BMP encoder for round-trips; other formats fall back to PIL
+when present, else raise NotImplementedError (the honest lib gate).
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -98,24 +102,176 @@ def fake_features(payload: bytes | None, dim: int = 8) -> list[float]:
     return [digest[i] / 255.0 for i in range(dim)]
 
 
-def decode_image(payload: bytes):
-    """Decode an image payload. STUB: PIL is not available here."""
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array -> 24-bit BI_RGB BMP bytes
+    (bottom-up rows, BGR byte order, 4-byte row padding)."""
+    h, w, _ = arr.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                      2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):
+        row = arr[y][:, ::-1].astype(np.uint8).tobytes()
+        rows.append(row + b"\x00" * (row_size - len(row)))
+    return header + dib + b"".join(rows)
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", b, 10)[0]
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), np.uint8)
+    for i in range(h):
+        y = h - 1 - i if bottom_up else i
+        row = np.frombuffer(b, np.uint8, w * 3,
+                            off + i * row_size).reshape(w, 3)
+        out[y] = row[:, ::-1]  # BGR -> RGB
+    return out
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) on the inflated IDAT stream."""
+    stride = w * ch
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride,
+                             pos + 1).astype(np.int64)
+        pos += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prev) % 256
+        else:  # Sub / Average / Paeth carry a left dependency
+            cur = np.zeros(stride, np.int64)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0  # left
+                bb = prev[i]                       # up
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + bb) // 2
+                elif f == 4:
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc \
+                        else (bb if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                cur[i] = (line[i] + pred) % 256
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = depth = color = None
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced gray/RGB/RGBA PNG "
+                    f"supported (depth={depth}, color={color})")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    arr = _png_unfilter(zlib.decompress(idat), w, h, ch)
+    return arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to a numpy array — REAL (pure
+    stdlib + numpy) for 24-bit BMP and 8-bit PNG; other formats use
+    PIL when importable, else the honest NotImplementedError gate."""
+    b = bytes(payload)
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(b)
     if not HAVE_PIL:
         raise NotImplementedError(
-            "image decode requires PIL; not present in this container")
+            "decode beyond BMP/PNG requires PIL; not present here")
     import io
-    return Image.open(io.BytesIO(payload))
+    return np.asarray(Image.open(io.BytesIO(b)))
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Distributed image resize via mapInPandas. STUB decode."""
+IMAGE_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("mean_px", T.DoubleType()),
+])
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """Real decoded-pixel statistics via mapInPandas: dimensions +
+    mean pixel value from the ACTUAL decoded array (header lies or
+    parser bugs change the numbers). Narrow Arrow-batched map, no
+    shuffle — the 100 TB shape for any per-image featurizer."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not HAVE_PIL:
-                raise NotImplementedError(
-                    "resize requires PIL; not present in this container")
-            yield pdf  # pragma: no cover — real impl decodes+resizes
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(payload)
+                ch = arr.shape[2] if arr.ndim == 3 else 1
+                recs.append((mid, arr.shape[1], arr.shape[0], ch,
+                             round(float(arr.mean()), 4)))
+            yield pd.DataFrame(recs, columns=[
+                "media_id", "width", "height", "channels", "mean_px"])
+
+    return media.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Distributed image resize via mapInPandas: real decode
+    (BMP/PNG), nearest-neighbor index-map resample, re-encode as BMP.
+    Output schema == input schema (payload replaced)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                arr = decode_image(p)
+                if arr.ndim == 2:
+                    arr = np.stack([arr] * 3, axis=-1)
+                if arr.shape[2] == 4:
+                    arr = arr[:, :, :3]
+                yi = np.arange(height) * arr.shape[0] // height
+                xi = np.arange(width) * arr.shape[1] // width
+                payloads.append(encode_bmp(arr[yi][:, xi]))
+            out = pdf.copy()
+            out["payload"] = payloads
+            if "meta" in out.columns:
+                out["meta"] = [
+                    {**m, "width": width, "height": height}
+                    if isinstance(m, dict) else m
+                    for m in out["meta"]]
+            yield out
 
     return media.mapInPandas(run, schema=media.schema)
 

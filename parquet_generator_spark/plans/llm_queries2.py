@@ -15,7 +15,10 @@ from parquet_generator_spark.operators import text as tx
 from parquet_generator_spark.operators.util import widen_if_narrow
 from parquet_generator_spark.sources.catalog import load_table
 
-from parquet_generator_spark.plans.llm_queries import JACCARD_THRESHOLD
+from parquet_generator_spark.plans.llm_queries import (
+    JACCARD_THRESHOLD,
+    near_dup_edges,
+)
 
 
 # --- near-dup cluster assignment ------------------------------------
@@ -29,8 +32,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation. The corpus only pays one left join at the end.
     """
     docs = load_table(spark, "documents", sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text",
-                                    JACCARD_THRESHOLD)
+    pairs = near_dup_edges(spark, sf_dir)
     cc = dedup.connected_components(pairs)
     return (docs.join(cc, docs["doc_id"] == cc["id"], "left")
             .select("doc_id",

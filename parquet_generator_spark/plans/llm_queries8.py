@@ -340,12 +340,8 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join + keyed aggregation with node-cardinality state — see
     operators.graph.pagerank."""
     from parquet_generator_spark.operators import graph
-    from parquet_generator_spark.plans.llm_queries import (
-        JACCARD_THRESHOLD,
-    )
-    docs = load_table(spark, "documents", sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", JACCARD_THRESHOLD).select("id_a", "id_b")
+    from parquet_generator_spark.plans.llm_queries import near_dup_edges
+    pairs = near_dup_edges(spark, sf_dir).select("id_a", "id_b")
     pr = graph.pagerank(pairs)
     return (pr.select("id", F.round("rank", 6).alias("rank"))
             .orderBy(F.desc("rank"), F.asc("id"))

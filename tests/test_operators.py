@@ -101,8 +101,9 @@ def test_multimodal_plumbing(spark):
     assert frames.select("media_id").distinct().count() == vids
 
     if not HAVE_PIL:
+        # decode is REAL for BMP/PNG; anything else stays lib-gated
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG")
+            decode_image(b"\xff\xd8\xff\xe0jpeg-magic-no-decoder")
 
 
 def test_esdsl_minimum_should_match_semantics(spark):
@@ -279,3 +280,121 @@ def test_star_cc_handles_multiple_components(spark):
            for r in dedup.connected_components_star(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_bmp_roundtrip_and_png_decode():
+    """The stdlib decoders are real: BMP encode->decode is identity
+    (incl. non-multiple-of-4 widths exercising row padding), and a
+    hand-built PNG using every scanline filter decodes to the source
+    pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from parquet_generator_spark.operators.multimodal import (
+        _decode_png,
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(arr)), arr)
+
+    # PNG: 5 rows RGB, one per filter type 0..4
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    raw = bytearray()
+    prev = np.zeros(12, np.int64)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        line = px[y].reshape(-1).astype(np.int64)
+        enc = np.zeros(12, np.int64)
+        for i in range(12):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[i] = (line[i] - pred) % 256
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(_decode_png(png), px)
+    assert np.array_equal(decode_image(png), px)
+
+
+def test_resize_images_real(spark):
+    """Nearest-neighbor resize decodes real BMPs, resamples, and
+    re-encodes — the corner pixels of the source survive."""
+    import numpy as np
+
+    from parquet_generator_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        resize_images,
+    )
+
+    arr = np.zeros((4, 6, 3), np.uint8)
+    arr[0, 0] = (10, 20, 30)
+    arr[3, 5] = (200, 150, 100)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(arr)))],
+        "media_id long, payload binary")
+    out = resize_images(df, width=2, height=2).collect()
+    got = decode_image(bytes(out[0]["payload"]))
+    assert got.shape == (2, 2, 3)
+    assert tuple(got[0, 0]) == (10, 20, 30)        # top-left survives
+    assert tuple(got[1, 1]) == tuple(arr[2, 3])     # nn index map
+
+
+def test_fuzzy_transpositions_parity_and_semantics(spark):
+    """Opt-in ES fuzzy_transpositions: the OSA distance matches
+    DuckDB's damerau_levenshtein on random word pairs, and the
+    canonical transposition case ('paln' vs 'plan') matches at
+    fuzziness 1 with the option on and not with it off."""
+    import random
+    import string
+
+    import duckdb
+
+    from parquet_generator_spark.operators.esdsl import osa_distance
+
+    rng = random.Random(13)
+    con = duckdb.connect()
+    for _ in range(200):
+        a = "".join(rng.choices(string.ascii_lowercase[:6],
+                                k=rng.randint(0, 8)))
+        b = "".join(rng.choices(string.ascii_lowercase[:6],
+                                k=rng.randint(0, 8)))
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert osa_distance(a, b) == want, (a, b)
+
+    df = spark.createDataFrame(
+        [(1, "paln"), (2, "plan"), (3, "plant")], "id long, w string")
+    on = esdsl.search(df, {"query": {"fuzzy": {"w": {
+        "value": "plan", "fuzziness": 1,
+        "fuzzy_transpositions": True}}}})
+    assert sorted(r["id"] for r in on.collect()) == [1, 2, 3]
+    off = esdsl.search(df, {"query": {"fuzzy": {"w": {
+        "value": "plan", "fuzziness": 1}}}})
+    assert sorted(r["id"] for r in off.collect()) == [2, 3]

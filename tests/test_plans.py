@@ -330,3 +330,50 @@ def test_no_unexpected_nested_loop_in_any_plan(spark):
               and name not in PAIRWISE_KERNELS):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_table_profile_approx_plan_is_expand_free(spark):
+    """The production profiler path (HLL++ sketches beside plain
+    stats, one aggregate pass) must not contain the Expand node that
+    exact multi-distinct forces — that Expand is exactly what makes
+    the exact profiler scale-weak."""
+    from parquet_generator_spark.plans.llm_queries9 import (
+        profile_frame_approx,
+    )
+    from parquet_generator_spark.sources.catalog import load_table
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        profile_frame_approx(li).explain("formatted")
+    plan = buf.getvalue()
+    assert "Expand" not in plan, plan
+    # HLL sketch buffers route to SortAggregate; either way it is
+    # one partial-then-final aggregate pair, no Expand in between
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_nested_query_requires_same_element(spark):
+    """The defining nested-vs-flat distinction: a parent whose array
+    has a cheap purchase and an expensive click must NOT match a
+    nested (purchase AND value>=90) query — both conditions must hold
+    on ONE element. A flat bool over exploded fields would wrongly
+    match it."""
+    from parquet_generator_spark.operators.esdsl import search
+
+    df = spark.createDataFrame(
+        [(1, [("purchase", 10.0), ("click", 95.0)]),
+         (2, [("purchase", 95.0)]),
+         (3, [("click", 95.0)]),
+         (4, None)],
+        "id long, items array<struct<event_type string, value double>>")
+    q = {"nested": {"path": "items", "query": {"bool": {
+        "must": [{"term": {"items.event_type": "purchase"}},
+                 {"range": {"items.value": {"gte": 90.0}}}]}}}}
+    got = sorted(r["id"] for r in search(df, {"query": q}).collect())
+    assert got == [2]
+    # must_not over a nested leaf: null-safe, the null-array parent
+    # and the no-match parents come back
+    got = sorted(r["id"] for r in search(df, {"query": {"bool": {
+        "must_not": [q]}}}).collect())
+    assert got == [1, 3, 4]
