@@ -27,6 +27,7 @@ from parquet_generator_spark.plans import llm_queries6 as L6
 from parquet_generator_spark.plans import llm_queries7 as L7
 from parquet_generator_spark.plans import llm_queries8 as L8
 from parquet_generator_spark.plans import llm_queries9 as L9
+from parquet_generator_spark.plans import llm_queries10 as L10
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -34,6 +35,7 @@ from parquet_generator_spark.plans import reference_queries3 as R3
 from parquet_generator_spark.plans import reference_queries4 as R4
 from parquet_generator_spark.plans import reference_queries5 as R5
 from parquet_generator_spark.plans import reference_queries6 as R6
+from parquet_generator_spark.plans import reference_queries7 as R7
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -74,7 +76,10 @@ FRONT_KEYS = [
     "stream_sliding_agg",
     # round-6 additions (queue behind the round-5 debt)
     "dsl_nested", "dsl_nested_agg", "table_profile_approx",
-    "image_decode_stats",
+    "image_decode_stats", "dsl_boxplot", "dsl_mad",
+    "dsl_string_stats", "dsl_t_test", "dsl_matrix_stats",
+    "ngram_novelty", "tokenizer_fertility", "gini_source_balance",
+    "simhash_bit_balance",
 ]
 
 
@@ -100,6 +105,7 @@ def queries() -> dict[str, QueryFn]:
         **L7.QUERIES,
         **L8.QUERIES,
         **L9.QUERIES,
+        **L10.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -109,6 +115,7 @@ def queries() -> dict[str, QueryFn]:
         **R4.QUERIES,
         **R5.QUERIES,
         **R6.QUERIES,
+        **R7.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -133,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         **L7.ORACLES,
         **L8.ORACLES,
         **L9.ORACLES,
+        **L10.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,
@@ -142,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         **R4.ORACLES,
         **R5.ORACLES,
         **R6.ORACLES,
+        **R7.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

@@ -212,6 +212,15 @@ HEADLINE = [
     "dsl_nested_agg",
     "table_profile_approx",
     "image_decode_stats",
+    "dsl_boxplot",
+    "dsl_mad",
+    "dsl_string_stats",
+    "dsl_t_test",
+    "dsl_matrix_stats",
+    "ngram_novelty",
+    "tokenizer_fertility",
+    "gini_source_balance",
+    "simhash_bit_balance",
 ]
 
 
