@@ -28,6 +28,8 @@ from parquet_generator_spark.plans import llm_queries7 as L7
 from parquet_generator_spark.plans import llm_queries8 as L8
 from parquet_generator_spark.plans import llm_queries9 as L9
 from parquet_generator_spark.plans import llm_queries10 as L10
+from parquet_generator_spark.plans import llm_queries11 as L11
+from parquet_generator_spark.plans import llm_queries12 as L12
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -36,6 +38,8 @@ from parquet_generator_spark.plans import reference_queries4 as R4
 from parquet_generator_spark.plans import reference_queries5 as R5
 from parquet_generator_spark.plans import reference_queries6 as R6
 from parquet_generator_spark.plans import reference_queries7 as R7
+from parquet_generator_spark.plans import reference_queries8 as R8
+from parquet_generator_spark.plans import reference_queries9 as R9
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -79,7 +83,13 @@ FRONT_KEYS = [
     "image_decode_stats", "dsl_boxplot", "dsl_mad",
     "dsl_string_stats", "dsl_t_test", "dsl_matrix_stats",
     "ngram_novelty", "tokenizer_fertility", "gini_source_balance",
-    "simhash_bit_balance",
+    "simhash_bit_balance", "knn_eval_confusion",
+    "minhash_estimate_error", "winsorize_lengths", "charset_profile",
+    "js_divergence_sources", "dsl_percentiles_bucket",
+    "dsl_normalize", "dsl_sampler", "dsl_filters_other_bucket",
+    "dsl_date_histogram_offset", "dsl_geo_distance",
+    "dsl_geo_bounding_box", "dedup_threshold_sweep",
+    "ivf_recall_curve", "stream_window_distinct",
 ]
 
 
@@ -106,6 +116,8 @@ def queries() -> dict[str, QueryFn]:
         **L8.QUERIES,
         **L9.QUERIES,
         **L10.QUERIES,
+        **L11.QUERIES,
+        **L12.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -116,6 +128,8 @@ def queries() -> dict[str, QueryFn]:
         **R5.QUERIES,
         **R6.QUERIES,
         **R7.QUERIES,
+        **R8.QUERIES,
+        **R9.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -141,6 +155,8 @@ def oracle_sql() -> dict[str, str]:
         **L8.ORACLES,
         **L9.ORACLES,
         **L10.ORACLES,
+        **L11.ORACLES,
+        **L12.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,
@@ -151,6 +167,8 @@ def oracle_sql() -> dict[str, str]:
         **R5.ORACLES,
         **R6.ORACLES,
         **R7.ORACLES,
+        **R8.ORACLES,
+        **R9.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

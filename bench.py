@@ -221,6 +221,21 @@ HEADLINE = [
     "tokenizer_fertility",
     "gini_source_balance",
     "simhash_bit_balance",
+    "knn_eval_confusion",
+    "minhash_estimate_error",
+    "winsorize_lengths",
+    "charset_profile",
+    "js_divergence_sources",
+    "dsl_percentiles_bucket",
+    "dsl_normalize",
+    "dsl_sampler",
+    "dsl_filters_other_bucket",
+    "dsl_date_histogram_offset",
+    "dsl_geo_distance",
+    "dsl_geo_bounding_box",
+    "dedup_threshold_sweep",
+    "ivf_recall_curve",
+    "stream_window_distinct",
 ]
 
 

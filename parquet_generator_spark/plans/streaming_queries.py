@@ -154,3 +154,42 @@ ORACLES = {
     "stream_near_dedup": STREAM_NEAR_DEDUP_ORACLE,
     "stream_static_enrich": ENRICH_ORACLE,
 }
+
+
+def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming windowed approx-distinct monitor:
+    the gate hashes the exact per-window cardinality plus an
+    in-bound boolean for the HLL estimate (the approx_sketches
+    recipe — the engine-specific estimate stays out of the hash);
+    the streaming-equals-batch property of the sketch itself is
+    asserted in tests/test_streaming.py."""
+    from parquet_generator_spark.streaming.windowed import (
+        HLL_RSD,
+        WINDOW,
+        windowed_distinct_users,
+    )
+    ev = load_table(spark, "events", sf_dir)
+    approx = windowed_distinct_users(ev)
+    exact = (ev.groupBy(F.window("ts", WINDOW).alias("win"),
+                        "event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users"))
+             .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
+                     .alias("win_start"), "event_type",
+                     "exact_users"))
+    # bound: 3*rsd relative OR +-3 absolute — per-window
+    # cardinalities here are tiny (tens), where HLL++'s register
+    # estimate can be off by 1-2 even though the relative rsd bound
+    # would demand exactness
+    slack = F.greatest(F.col("exact_users") * (3 * HLL_RSD), F.lit(3.0))
+    return (approx.join(exact, ["win_start", "event_type"])
+            .select("win_start", "event_type", "n", "exact_users",
+                    (F.abs(F.col("approx_users") - F.col("exact_users"))
+                     <= slack).alias("hll_ok"))
+            .orderBy("win_start", "event_type"))
+
+
+QUERIES.update({"stream_window_distinct": stream_window_distinct})
+from parquet_generator_spark.streaming.windowed import (  # noqa: E402
+    WINDOW_DISTINCT_ORACLE,
+)
+ORACLES.update({"stream_window_distinct": WINDOW_DISTINCT_ORACLE})

@@ -240,3 +240,26 @@ def targeted_delete(spark: SparkSession, path: str, key_col: str,
     n_files, _ = dataset_file_stats(spark, path)
     after = read_evolving(spark, path).count() if n_files else 0
     return before - after
+
+
+def retention_expire(spark: SparkSession, path: str,
+                     partition_col: str, keep_from: str) -> int:
+    """Retention enforcement: DROP every partition whose key is
+    strictly below ``keep_from`` (ISO date / lexicographic cutoff) —
+    the TTL a log/corpus table runs nightly. Pure partition-metadata
+    operation: directories below the cutoff are removed; no file in
+    a surviving partition is read or rewritten, which is what makes
+    retention O(expired partitions), not O(table), at 100 TB.
+    Returns the number of partitions dropped."""
+    import shutil
+
+    prefix = partition_col + "="
+    dropped = 0
+    for d in sorted(os.listdir(path)):
+        if not d.startswith(prefix):
+            continue
+        value = d[len(prefix):]
+        if value != "__HIVE_DEFAULT_PARTITION__" and value < keep_from:
+            shutil.rmtree(os.path.join(path, d))
+            dropped += 1
+    return dropped

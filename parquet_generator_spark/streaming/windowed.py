@@ -74,3 +74,38 @@ FROM events, (SELECT unnest(range(2)) AS i) i
 GROUP BY win_start, event_type
 ORDER BY win_start, event_type
 """
+
+
+HLL_RSD = 0.02
+
+
+def windowed_distinct_users(df: DataFrame, watermark: str | None = None,
+                            ts_col: str = "ts") -> DataFrame:
+    """Tumbling-window APPROX distinct users per event_type — the
+    constant-memory streaming cardinality monitor. HLL++ buffers
+    merge associatively and deterministically, so the streaming
+    incremental merge equals the batch aggregate bit-for-bit
+    (asserted in tests); on a stream the watermark bounds state to
+    open windows x keys x one sketch."""
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return (src.groupBy(F.window(ts_col, WINDOW).alias("win"),
+                        "event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=HLL_RSD)
+                 .alias("approx_users"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("win_start"),
+                    "event_type", "n", "approx_users"))
+
+
+WINDOW_DISTINCT_ORACLE = f"""
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / {WINDOW_SECONDS})
+                                    * {WINDOW_SECONDS} * 1000000 AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_ok
+FROM events
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""

@@ -258,3 +258,34 @@ def test_targeted_delete_all_partitions_fully_deleted(spark, tmp_path):
                               partition_col="day")
     assert removed == 6
     assert not any(d.startswith("day=") for d in os.listdir(p))
+
+
+def test_retention_expire_drops_only_old_partitions(spark, tmp_path):
+    import os
+    import time
+
+    from parquet_generator_spark.sinks.maintenance import (
+        retention_expire,
+    )
+    p = str(tmp_path / "t")
+    df = (spark.range(40).withColumnRenamed("id", "k")
+          .withColumn("day", F.concat(F.lit("2024-01-0"),
+                                      (F.col("k") % 4 + 1))))
+    df.write.partitionBy("day").parquet(p)
+    survivors = {}
+    for d in ("day=2024-01-03", "day=2024-01-04"):
+        dirp = os.path.join(p, d)
+        survivors[d] = max(os.path.getmtime(os.path.join(dirp, f))
+                           for f in os.listdir(dirp))
+    time.sleep(1.1)
+    dropped = retention_expire(spark, p, "day", "2024-01-03")
+    assert dropped == 2
+    left = spark.read.parquet(p)
+    assert left.select("day").distinct().count() == 2
+    assert left.filter(F.col("day") < "2024-01-03").count() == 0
+    # surviving partitions untouched (no rewrite, not even a re-stat)
+    for d, mt in survivors.items():
+        dirp = os.path.join(p, d)
+        now = max(os.path.getmtime(os.path.join(dirp, f))
+                  for f in os.listdir(dirp))
+        assert now == mt, f"{d} was rewritten"

@@ -310,7 +310,11 @@ def test_scalar_literal_queries_have_no_nested_loop(spark, name):
 # set broadcasts against one corpus pass)
 PAIRWISE_KERNELS = {"dedup_ngram_jaccard", "ann_bruteforce",
                     "knn_classify", "feature_hash_retrieval",
-                    "retrieval_eval"}
+                    "retrieval_eval",
+                    # round 6: evaluation queries embedding the same
+                    # bounded broadcast kernels (knn predictions /
+                    # brute-force ANN truth)
+                    "knn_eval_confusion", "ivf_recall_curve"}
 
 
 def test_no_unexpected_nested_loop_in_any_plan(spark):

@@ -517,3 +517,27 @@ def test_rate_anomalies_stream_matches_batch_and_flags_spike(
     q.awaitTermination(120)
     streamed = spark.sql("select * from anom").collect()
     assert {(r["user_id"], r["event_id"]) for r in streamed} == expected
+
+
+def test_window_distinct_stream_matches_batch(spark, tmp_path):
+    """HLL++ buffers merge associatively and deterministically, so
+    the streaming incremental approx-distinct equals the batch
+    aggregate EXACTLY (same estimates, not just in-bound)."""
+    from parquet_generator_spark.streaming.windowed import (
+        windowed_distinct_users,
+    )
+
+    ev = load_table(spark, "events", SF)
+    batch = windowed_distinct_users(ev).collect()
+
+    ev.write.parquet(str(tmp_path / "events_wd"))
+    stream = (spark.readStream.schema(ev.schema)
+              .parquet(str(tmp_path / "events_wd")))
+    agg = windowed_distinct_users(stream, watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("windist")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    streamed = spark.sql("select * from windist").collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(batch) > 0
