@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators import dedup
-from parquet_generator_spark.operators.text import toks_duck, toks_spark
+from parquet_generator_spark.operators.text import (
+    shingles_spark,
+    toks_duck,
+    toks_spark,
+)
 from parquet_generator_spark.operators.util import broadcast_scalars
 from parquet_generator_spark.sources.catalog import load_table
 
@@ -32,13 +36,13 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick (the cumulative_cardinality recipe): min(batch) per
     shingle, one shingle-keyed shuffle, no batch-over-batch scan."""
     docs = load_table(spark, "documents", sf_dir)
+    # bound shingler (no Pandas UDF in this pipeline): the token
+    # array binds once per row instead of re-tokenizing per shingle
+    # index — the same 3x win measured on containment_pairs
     sh = (docs.select(
         (F.col("doc_id") / NOVELTY_BATCH).cast("long").alias("batch"),
-        F.explode(F.expr(
-            f"array_distinct(transform(sequence(0, "
-            f"greatest(size({toks_spark('text')}) - {NOVELTY_K}, -1)), "
-            f"i -> array_join(slice({toks_spark('text')}, i + 1, "
-            f"{NOVELTY_K}), ' ')))")).alias("s"))
+        F.explode(F.expr(shingles_spark("text", NOVELTY_K)))
+        .alias("s"))
         .distinct())
     first = sh.groupBy("s").agg(F.min("batch").alias("first_batch"))
     per = (sh.join(first, "s")
