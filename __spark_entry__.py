@@ -30,6 +30,7 @@ from parquet_generator_spark.plans import llm_queries9 as L9
 from parquet_generator_spark.plans import llm_queries10 as L10
 from parquet_generator_spark.plans import llm_queries11 as L11
 from parquet_generator_spark.plans import llm_queries12 as L12
+from parquet_generator_spark.plans import llm_queries13 as L13
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -40,6 +41,7 @@ from parquet_generator_spark.plans import reference_queries6 as R6
 from parquet_generator_spark.plans import reference_queries7 as R7
 from parquet_generator_spark.plans import reference_queries8 as R8
 from parquet_generator_spark.plans import reference_queries9 as R9
+from parquet_generator_spark.plans import reference_queries10 as R10
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -90,6 +92,8 @@ FRONT_KEYS = [
     "dsl_date_histogram_offset", "dsl_geo_distance",
     "dsl_geo_bounding_box", "dedup_threshold_sweep",
     "ivf_recall_curve", "stream_window_distinct",
+    "cluster_purity", "dedup_cluster_size_dist", "dsl_has_child",
+    "dsl_has_parent", "dsl_geotile_grid",
 ]
 
 
@@ -118,6 +122,7 @@ def queries() -> dict[str, QueryFn]:
         **L10.QUERIES,
         **L11.QUERIES,
         **L12.QUERIES,
+        **L13.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -130,6 +135,7 @@ def queries() -> dict[str, QueryFn]:
         **R7.QUERIES,
         **R8.QUERIES,
         **R9.QUERIES,
+        **R10.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -157,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         **L10.ORACLES,
         **L11.ORACLES,
         **L12.ORACLES,
+        **L13.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,
@@ -169,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         **R7.ORACLES,
         **R8.ORACLES,
         **R9.ORACLES,
+        **R10.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

@@ -236,6 +236,11 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "ivf_recall_curve",
     "stream_window_distinct",
+    "cluster_purity",
+    "dedup_cluster_size_dist",
+    "dsl_has_child",
+    "dsl_has_parent",
+    "dsl_geotile_grid",
 ]
 
 
