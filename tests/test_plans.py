@@ -381,3 +381,24 @@ def test_nested_query_requires_same_element(spark):
     got = sorted(r["id"] for r in search(df, {"query": {"bool": {
         "must_not": [q]}}}).collect())
     assert got == [1, 3, 4]
+
+
+def test_has_child_is_semi_join_no_row_multiplication(spark):
+    """has_child must reach the parents through a LEFT SEMI join (ES
+    parent-child never multiplies parent rows); the child-side count
+    aggregate partial-aggregates before the shuffle."""
+    plan = formatted_plan(spark, "dsl_has_child")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_geo_queries_scan_only_needed_columns(spark):
+    """The geo predicates are projections over user_id — the events
+    scan must prune to the columns the query touches, not read the
+    whole row (ReadSchema discipline for runtime fields)."""
+    plan = formatted_plan(spark, "dsl_geo_distance")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    assert "user_id" in cols
+    assert "props" not in cols and "event_type" not in cols, cols
