@@ -48,39 +48,14 @@ from parquet_generator_spark.plans import streaming_queries as S
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness sampler reads 50 entries from the front of queries().
-# Rounds 3-5 greened 130 of the 181 entries with hard driver rows; the
-# 51 round-5 additions below are the remaining evidence debt (green in
-# driver-sim + pytest parity, never driver-sampled). They lead, with
-# stream_sliding_agg LAST — it overflows the 50-wide window into the
-# next round, and it carries the strongest independent evidence
-# (stream-vs-batch test) so it can wait. Round-6 additions queue after
-# it; queries not listed follow in registration order.
+# Rounds 3-6 greened 180 of the 214 entries with hard driver rows; the
+# 34 below (33 round-6 additions + stream_sliding_agg, deliberately
+# queued 51st last round) are the remaining evidence debt — green in
+# driver-sim + pytest parity, never driver-sampled. They lead; round-7
+# additions fill the rest of the 50-wide window; queries not listed
+# follow in registration order (all already driver-green).
 FRONT_KEYS = [
-    # round-5 DSL additions (17)
-    "dsl_function_score", "dsl_collapse", "dsl_weighted_avg",
-    "dsl_top_metrics", "dsl_rare_terms", "dsl_serial_diff",
-    "dsl_stats_bucket", "dsl_cumulative_cardinality",
-    "dsl_adjacency_matrix", "dsl_multi_terms",
-    "dsl_auto_date_histogram", "dsl_runtime_field",
-    "dsl_search_after", "dsl_terms_include", "dsl_significant_text",
-    "dsl_more_like_this", "dsl_histogram_zerofill",
-    # round-5 analytics additions (2)
-    "event_transitions", "first_touch_attribution",
-    # round-5 pipeline/LLM additions (31)
-    "embedding_quantize", "source_overlap", "zipf_slope",
-    "dup_ngram_fraction", "embedding_norm_outliers",
-    "bpe_merge_candidates", "bigram_logprob", "lexical_diversity",
-    "robust_length_outliers", "embedding_dim_stats",
-    "kmeans_clusters", "peak_concurrency", "incremental_dedup",
-    "dedup_keep_best", "embedding_top_component",
-    "data_mixture_report", "feature_hash_retrieval", "table_profile",
-    "quantile_normalize", "dedup_pagerank", "retrieval_eval",
-    "dedup_containment", "weighted_median", "scd2_customer_merge",
-    "top_paths", "drift_psi", "time_weighted_avg", "ohlc_daily",
-    "linear_interpolate", "rfm_segmentation", "time_to_convert",
-    # 51st — waits for round 7's window (strong independent evidence)
-    "stream_sliding_agg",
-    # round-6 additions (queue behind the round-5 debt)
+    # round-6 additions never driver-sampled (33)
     "dsl_nested", "dsl_nested_agg", "table_profile_approx",
     "image_decode_stats", "dsl_boxplot", "dsl_mad",
     "dsl_string_stats", "dsl_t_test", "dsl_matrix_stats",
@@ -94,6 +69,9 @@ FRONT_KEYS = [
     "ivf_recall_curve", "stream_window_distinct",
     "cluster_purity", "dedup_cluster_size_dist", "dsl_has_child",
     "dsl_has_parent", "dsl_geotile_grid",
+    # queued 51st in round 6's window — samples this round
+    "stream_sliding_agg",
+    # round-7 additions append here as they land (window is 50 wide)
 ]
 
 

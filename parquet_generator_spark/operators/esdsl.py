@@ -288,7 +288,12 @@ def _sql_lit(v) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    # Spark SQL string literals treat backslash as an escape
+    # (escapedStringLiterals=false default), so backslashes must be
+    # doubled BEFORE quote-escaping or a trailing backslash swallows
+    # the closing quote.
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    return "'" + s + "'"
 
 
 def _elem_field(field: str, path: str, var: str) -> str:
@@ -344,9 +349,22 @@ def _element_pred_sql(q: dict | None, path: str, var: str = "_x") -> str:
         for clause in body.get("must_not", []):
             parts.append(f"(NOT {_element_pred_sql(clause, path, var)})")
         should = body.get("should", [])
-        if should:
+        # mirror translate_query: ES's default minimum_should_match is
+        # 1 only when should stands alone; with must/filter present it
+        # is 0 (scoring-only) and must NOT filter
+        msm = body.get("minimum_should_match")
+        if msm is None:
+            msm = 0 if (body.get("must") or body.get("filter")) else 1
+        if should and msm == 1:
             parts.append("(" + " OR ".join(
                 _element_pred_sql(c, path, var) for c in should) + ")")
+        elif should and int(msm) > 1:
+            if int(msm) > len(should):
+                return "FALSE"
+            hits = " + ".join(
+                f"CAST({_element_pred_sql(c, path, var)} AS INT)"
+                for c in should)
+            parts.append(f"(({hits}) >= {int(msm)})")
         return "(" + " AND ".join(parts) + ")" if parts else "TRUE"
     raise ValueError(f"unsupported nested inner query kind {kind!r}")
 

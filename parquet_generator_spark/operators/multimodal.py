@@ -237,6 +237,12 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             recs = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    # null payloads are in-contract (fake_features
+                    # handles them too) — emit null stats, don't crash
+                    # the whole Arrow batch
+                    recs.append((mid, None, None, None, None))
+                    continue
                 arr = decode_image(payload)
                 ch = arr.shape[2] if arr.ndim == 3 else 1
                 recs.append((mid, arr.shape[1], arr.shape[0], ch,
@@ -256,6 +262,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             payloads = []
             for p in pdf["payload"]:
+                if p is None:
+                    payloads.append(None)
+                    continue
                 arr = decode_image(p)
                 if arr.ndim == 2:
                     arr = np.stack([arr] * 3, axis=-1)

@@ -274,9 +274,23 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str
                          * F.log2(2.0 * F.col("pb")
                                   / (F.col("pa") + F.col("pb"))))
                    .alias("terms")))
+    # the matrix must include pairs sharing ZERO tokens (true JS = 1
+    # bit) — the inner join above drops them. Pair axis generated
+    # array-side from the bounded source list (source_overlap
+    # pattern: no cross join, no BNLJ), then left-join the shared
+    # terms, defaulting the overlap masses to 0.
+    pairs = (tot.agg(F.sort_array(F.collect_set("source")).alias("ss"))
+             .select(F.explode("ss").alias("s1"), "ss")
+             .select("s1", F.explode(
+                 F.expr("filter(ss, x -> x > s1)")).alias("s2")))
+    full = (pairs.join(shared, ["s1", "s2"], "left")
+            .select("s1", "s2",
+                    F.coalesce("terms", F.lit(0.0)).alias("terms"),
+                    F.coalesce("ma", F.lit(0.0)).alias("ma"),
+                    F.coalesce("mb", F.lit(0.0)).alias("mb")))
     js = (F.col("terms") + 0.5 * (1.0 - F.col("ma"))
           + 0.5 * (1.0 - F.col("mb")))
-    return (shared.select("s1", "s2", F.round(js, 4).alias("js_bits"))
+    return (full.select("s1", "s2", F.round(js, 4).alias("js_bits"))
             .orderBy("s1", "s2"))
 
 
@@ -295,11 +309,15 @@ shared AS (
          sum(0.5 * a.p * log2(2.0 * a.p / (a.p + b.p))
              + 0.5 * b.p * log2(2.0 * b.p / (a.p + b.p))) AS terms
   FROM prob a JOIN prob b ON a.t = b.t AND a.source < b.source
-  GROUP BY 1, 2)
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM tot a JOIN tot b ON a.source < b.source)
 SELECT s1, s2,
-       round(terms + 0.5 * (1.0 - ma) + 0.5 * (1.0 - mb), 4)
-         AS js_bits
-FROM shared ORDER BY s1, s2
+       round(coalesce(terms, 0) + 0.5 * (1.0 - coalesce(ma, 0))
+             + 0.5 * (1.0 - coalesce(mb, 0)), 4) AS js_bits
+FROM pairs LEFT JOIN shared USING (s1, s2)
+ORDER BY s1, s2
 """
 
 QUERIES.update({

@@ -108,9 +108,11 @@ def dsl_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DSL_STRING_STATS_ORACLE = """
 WITH chars AS (
-  SELECT substr(event_type, i.i + 1, 1) AS ch, count(*) AS n
-  FROM events, range(32) i(i)
-  WHERE i.i < length(event_type)
+  -- per-row generator (unnest of a list-range), so the distribution
+  -- is never truncated however long event_type grows
+  SELECT substr(event_type, CAST(i AS INT) + 1, 1) AS ch, count(*) AS n
+  FROM (SELECT event_type, unnest(range(length(event_type))) AS i
+        FROM events)
   GROUP BY 1),
 tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM chars)
 SELECT (SELECT count(*) FROM events) AS doc_count,

@@ -398,3 +398,71 @@ def test_fuzzy_transpositions_parity_and_semantics(spark):
     off = esdsl.search(df, {"query": {"fuzzy": {"w": {
         "value": "plan", "fuzziness": 1}}}})
     assert sorted(r["id"] for r in off.collect()) == [2, 3]
+
+
+def test_nested_bool_should_is_scoring_only_beside_must(spark):
+    """ES default minimum_should_match inside a NESTED bool mirrors
+    the top level: with must/filter present, should clauses score but
+    never filter — a parent whose matching element fails every should
+    clause still matches (round-6 advice regression)."""
+    df = spark.createDataFrame(
+        [(1, [("purchase", 10.0)]),
+         (2, [("purchase", 2000.0)]),
+         (3, [("click", 2000.0)])],
+        "id long, items array<struct<event_type string, value double>>")
+    q = {"nested": {"path": "items", "query": {"bool": {
+        "must": [{"term": {"items.event_type": "purchase"}}],
+        "should": [{"range": {"items.value": {"gte": 1000.0}}}]}}}}
+    got = sorted(r["id"] for r in esdsl.search(df, {"query": q}).collect())
+    assert got == [1, 2]
+    # should standing alone still filters (msm defaults to 1)
+    q2 = {"nested": {"path": "items", "query": {"bool": {
+        "should": [{"range": {"items.value": {"gte": 1000.0}}}]}}}}
+    got2 = sorted(r["id"] for r in esdsl.search(df, {"query": q2}).collect())
+    assert got2 == [2, 3]
+    # explicit minimum_should_match=2 (k-of-m) inside the element
+    q3 = {"nested": {"path": "items", "query": {"bool": {
+        "should": [{"range": {"items.value": {"gte": 1000.0}}},
+                   {"term": {"items.event_type": "purchase"}}],
+        "minimum_should_match": 2}}}}
+    got3 = sorted(r["id"] for r in esdsl.search(df, {"query": q3}).collect())
+    assert got3 == [2]
+
+
+def test_nested_term_backslash_value(spark):
+    """_sql_lit must double backslashes: a term value containing (or
+    ending in) a backslash must produce a valid, exact predicate
+    inside the exists() lambda (round-6 advice regression)."""
+    df = spark.createDataFrame(
+        [(1, [("a\\b",)]), (2, [("a\\\\b",)]), (3, [("c\\",)])],
+        "id long, items array<struct<tag string>>")
+    q = {"nested": {"path": "items",
+                    "query": {"term": {"items.tag": "a\\b"}}}}
+    assert [r["id"] for r in esdsl.search(df, {"query": q}).collect()] == [1]
+    q2 = {"nested": {"path": "items",
+                     "query": {"term": {"items.tag": "c\\"}}}}
+    assert [r["id"] for r in esdsl.search(df, {"query": q2}).collect()] == [3]
+
+
+def test_decode_stats_and_resize_null_payload(spark):
+    """Null payloads are in-contract: decode_image_stats emits a
+    null-stats row and resize_images passes the null through instead
+    of crashing the Arrow batch (round-6 advice regression)."""
+    import numpy as np
+
+    from parquet_generator_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_bmp,
+        resize_images,
+    )
+
+    arr = np.full((3, 3, 3), 7, np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(arr))), (2, None)],
+        "media_id long, payload binary")
+    stats = {r["media_id"]: r for r in decode_image_stats(df).collect()}
+    assert stats[1]["width"] == 3 and stats[1]["mean_px"] == 7.0
+    assert stats[2]["width"] is None and stats[2]["mean_px"] is None
+    out = {r["media_id"]: r["payload"]
+           for r in resize_images(df, 2, 2).collect()}
+    assert out[1] is not None and out[2] is None

@@ -267,14 +267,18 @@ def test_ntile_deciles_has_no_global_window(spark):
 
 def test_front_keys_lead_queries():
     """The driver's correctness sampler reads 50 entries from the
-    front of queries(); the first 50 FRONT_KEYS pin the round-6
-    sample to the 51 round-5 additions still missing a green driver
-    row, with stream_sliding_agg (strongest independent evidence)
-    51st so it is the one that waits for round 7."""
+    front of queries(); FRONT_KEYS pins the round-7 sample to the 34
+    entries still missing a green driver row (33 round-6 additions +
+    stream_sliding_agg) followed by the round-7 additions, closing
+    the hard ledger."""
     q = list(entrymod.queries())
-    assert q[:len(entrymod.FRONT_KEYS)] == entrymod.FRONT_KEYS
-    assert len(entrymod.FRONT_KEYS) >= 50
-    assert entrymod.FRONT_KEYS[50] == "stream_sliding_agg"
+    present = [k for k in entrymod.FRONT_KEYS if k in entrymod.queries()]
+    assert q[:len(present)] == present
+    assert len(present) >= 34
+    assert present[33] == "stream_sliding_agg"
+    # every FRONT key must exist once round-7 queries land
+    missing = [k for k in entrymod.FRONT_KEYS if k not in entrymod.queries()]
+    assert not missing, missing
 
 
 def test_no_empty_partition_windows_in_source():
