@@ -42,6 +42,7 @@ from parquet_generator_spark.plans import reference_queries7 as R7
 from parquet_generator_spark.plans import reference_queries8 as R8
 from parquet_generator_spark.plans import reference_queries9 as R9
 from parquet_generator_spark.plans import reference_queries10 as R10
+from parquet_generator_spark.plans import reference_queries11 as R11
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -72,6 +73,9 @@ FRONT_KEYS = [
     # queued 51st in round 6's window — samples this round
     "stream_sliding_agg",
     # round-7 additions append here as they land (window is 50 wide)
+    "dsl_query_string", "dsl_simple_query_string",
+    "dsl_match_phrase_prefix", "dsl_dis_max_boosting",
+    "dsl_geohash_grid",
 ]
 
 
@@ -114,6 +118,7 @@ def queries() -> dict[str, QueryFn]:
         **R8.QUERIES,
         **R9.QUERIES,
         **R10.QUERIES,
+        **R11.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -155,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         **R8.ORACLES,
         **R9.ORACLES,
         **R10.ORACLES,
+        **R11.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

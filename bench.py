@@ -241,6 +241,12 @@ HEADLINE = [
     "dsl_has_child",
     "dsl_has_parent",
     "dsl_geotile_grid",
+    # round 7
+    "dsl_query_string",
+    "dsl_simple_query_string",
+    "dsl_match_phrase_prefix",
+    "dsl_dis_max_boosting",
+    "dsl_geohash_grid",
 ]
 
 

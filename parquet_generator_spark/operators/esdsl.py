@@ -91,6 +91,186 @@ def _wildcard_regex(pattern: str) -> str:
     return "^" + "".join(out) + "$"
 
 
+def phrase_prefix_regex(phrase: str) -> str:
+    """ES ``match_phrase_prefix`` (search-as-you-type): the analyzed
+    token sequence appears consecutively, with the LAST token matched
+    as a prefix — so no right boundary after it (any completion of
+    the final token is allowed)."""
+    toks = [re.escape(t) for t in _tokens(phrase)]
+    if not toks:
+        return "^"
+    return _B_L + _SEP.join(toks)
+
+
+def _token_wildcard_regex(pattern: str) -> str:
+    """Token-level wildcard for query_string terms: `*`/`?` expand
+    WITHIN one analyzed token (ES wildcards never cross token
+    boundaries)."""
+    out = []
+    for ch in pattern.lower():
+        if ch == "*":
+            out.append("[a-z0-9]*")
+        elif ch == "?":
+            out.append("[a-z0-9]")
+        else:
+            out.append(re.escape(ch))
+    return _B_L + "".join(out) + _B_R
+
+
+def _qs_leaf(tok: str, fields: list[str]) -> Column:
+    """One query_string / simple_query_string leaf over the field
+    list: quoted -> phrase, wildcarded -> token-level wildcard,
+    multi-token text -> consecutive phrase, single token -> token
+    presence. ORed across fields (ES's cross-field leaf), each field
+    null-safe so NOT stays three-valued-logic-proof."""
+    field = None
+    if not tok.startswith('"') and ":" in tok:
+        field, tok = tok.split(":", 1)
+    if tok.startswith('"'):
+        body = tok.strip('"')
+        mk = lambda f: match_phrase(f, body)  # noqa: E731
+    elif "*" in tok or "?" in tok:
+        pat = _token_wildcard_regex(tok)
+        mk = lambda f: F.lower(F.col(f)).rlike(pat)  # noqa: E731
+    else:
+        toks = _tokens(tok)
+        if not toks:
+            return F.lit(True)
+        if len(toks) > 1:
+            # punctuation-joined term ("spark-sql") analyzes to a
+            # consecutive token sequence, ES's match on the term
+            mk = lambda f: match_phrase(f, tok)  # noqa: E731
+        else:
+            mk = lambda f: token_present(f, toks[0])  # noqa: E731
+    flds = [field] if field else fields
+    acc = F.lit(False)
+    for f in flds:
+        acc = acc | (F.col(f).isNotNull() & mk(f))
+    return acc
+
+
+# query_string tokenizer: [field:]"phrase" | ( | ) | && | || | ! |
+# bare term (may be field:term / wildcarded)
+_QS_TOKEN = re.compile(
+    r'(?:[\w.]+:)?"[^"]*"|\(|\)|&&|\|\||!|[^\s()]+')
+
+
+class _QueryStringParser:
+    """Recursive-descent parser for the Lucene query_string subset:
+    field:term, field:"phrase", quoted phrases, AND/OR/NOT (also
+    &&/||/!), parentheses, `*`/`?` token wildcards, and
+    default_operator for bare adjacency. Precedence NOT > AND > OR,
+    as in Lucene's classic parser. Produces one Catalyst boolean
+    Column — all leaves are JVM-side rlike/regex predicates."""
+
+    def __init__(self, query: str, fields: list[str], default_op: str):
+        self.toks = _QS_TOKEN.findall(query)
+        self.pos = 0
+        self.fields = fields
+        self.default_and = default_op.upper() == "AND"
+
+    def _peek(self) -> str | None:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def _next(self) -> str:
+        if self.pos >= len(self.toks):
+            raise ValueError("query_string: unexpected end of input")
+        tok = self.toks[self.pos]
+        self.pos += 1
+        return tok
+
+    def parse(self) -> Column:
+        out = self._or()
+        if self._peek() is not None:
+            raise ValueError(f"query_string: trailing {self._peek()!r}")
+        return out
+
+    def _or(self) -> Column:
+        left = self._and()
+        while self._peek() in ("OR", "||"):
+            self._next()
+            left = left | self._and()
+        return left
+
+    def _and(self) -> Column:
+        left = self._unary()
+        while True:
+            t = self._peek()
+            if t in ("AND", "&&"):
+                self._next()
+                left = left & self._unary()
+            elif t is not None and t not in ("OR", "||", ")"):
+                right = self._unary()  # bare adjacency
+                left = (left & right) if self.default_and \
+                    else (left | right)
+            else:
+                return left
+
+    def _unary(self) -> Column:
+        if self._peek() in ("NOT", "!"):
+            self._next()
+            return ~self._unary()
+        return self._primary()
+
+    def _primary(self) -> Column:
+        tok = self._next()
+        if tok == "(":
+            out = self._or()
+            if self._peek() != ")":
+                raise ValueError("query_string: unbalanced parenthesis")
+            self._next()
+            return out
+        return _qs_leaf(tok, self.fields)
+
+
+# simple_query_string tokens: quoted phrase | the | and + operators |
+# term (possibly -negated / *-suffixed)
+_SQS_TOKEN = re.compile(r'"[^"]*"|\||\+|[^\s|+]+')
+
+
+def simple_query_string_pred(query: str, fields: list[str],
+                             default_op: str = "OR") -> Column:
+    """Lucene SimpleQueryParser subset: terms, quoted phrases, `-`
+    prefix negation, `|` (OR) and `+` (AND) infix operators, trailing
+    `*` prefix match, bare adjacency = default_operator. Folded
+    LEFT-TO-RIGHT with no precedence — the simple parser's documented
+    behavior; invalid syntax never raises (leaves degrade to terms),
+    matching ES's lenient contract."""
+    acc: Column | None = None
+    pending: str | None = None
+    for tok in _SQS_TOKEN.findall(query):
+        if tok == "|":
+            pending = "OR"
+            continue
+        if tok == "+":
+            pending = "AND"
+            continue
+        neg = tok.startswith("-") and len(tok) > 1
+        if neg:
+            tok = tok[1:]
+        if not tok.startswith('"') and tok.endswith("*") \
+                and "*" not in tok[:-1] and "?" not in tok:
+            prefix = _tokens(tok[:-1])
+            pat = (_B_L + _SEP.join(re.escape(t) for t in prefix)) \
+                if prefix else "^"
+            leaf = F.lit(False)
+            for f in fields:
+                leaf = leaf | (F.col(f).isNotNull()
+                               & F.lower(F.col(f)).rlike(pat))
+        else:
+            leaf = _qs_leaf(tok, fields)
+        if neg:
+            leaf = ~leaf
+        if acc is None:
+            acc = leaf
+        elif (pending or default_op.upper()) == "AND":
+            acc = acc & leaf
+        else:
+            acc = acc | leaf
+        pending = None
+    return acc if acc is not None else F.lit(True)
+
+
 def translate_query(q: dict | None) -> Column:
     """DSL query dict -> boolean Column.
 
@@ -157,6 +337,39 @@ def translate_query(q: dict | None) -> Column:
     if kind == "match_phrase":
         field, val = _field_value(body, "query")
         return F.col(field).isNotNull() & match_phrase(field, val)
+    if kind == "match_phrase_prefix":
+        field, val = _field_value(body, "query")
+        return (F.col(field).isNotNull()
+                & F.lower(F.col(field)).rlike(phrase_prefix_regex(val)))
+    if kind == "query_string":
+        fields = body.get("fields") or (
+            [body["default_field"]] if "default_field" in body else None)
+        if not fields:
+            raise ValueError("query_string needs fields/default_field "
+                             "(no index mapping to infer them from)")
+        return _QueryStringParser(
+            body["query"], fields,
+            body.get("default_operator", "OR")).parse()
+    if kind == "simple_query_string":
+        fields = body.get("fields") or (
+            [body["default_field"]] if "default_field" in body else None)
+        if not fields:
+            raise ValueError("simple_query_string needs fields/"
+                             "default_field")
+        return simple_query_string_pred(
+            body["query"], fields, body.get("default_operator", "OR"))
+    if kind == "constant_score":
+        # matching is the wrapped filter's; the constant enters only
+        # through score_query
+        return translate_query(body["filter"])
+    if kind == "dis_max":
+        acc = F.lit(False)
+        for clause in body["queries"]:
+            acc = acc | translate_query(clause)
+        return acc
+    if kind == "boosting":
+        # the negative clause only demotes the score, never filters
+        return translate_query(body["positive"])
     if kind == "regexp":
         field, val = _field_value(body, "value")
         # ES regexp anchors the whole term; Java regex on our side
@@ -247,6 +460,67 @@ def _field_value(body: dict, value_key: str):
     if isinstance(spec, dict):
         return field, spec[value_key]
     return field, spec
+
+
+def score_query(q: dict | None, boost: float = 1.0) -> Column:
+    """Relevance score for the compound scoring queries, as a
+    deterministic Column (pure arithmetic over the match predicates,
+    oracle-reproducible — the TF/IDF-bearing scorer lives in
+    ``bm25_topk``):
+
+    - a leaf scores its ``boost`` (default 1.0) when it matches,
+      else 0 — Lucene's constant-score rewrite of filter-context
+      leaves;
+    - ``constant_score`` scores its ``boost`` when the wrapped filter
+      matches;
+    - ``dis_max`` scores ``max + tie_breaker * (sum - max)`` over its
+      subquery scores — the ES tie-breaker semantics: the best clause
+      wins outright, every OTHER matching clause contributes only its
+      tie_breaker fraction (tie_breaker=0 -> pure max,
+      1 -> plain sum);
+    - ``boosting`` multiplies the positive score by
+      ``negative_boost`` when the negative query matches (demotion,
+      never exclusion);
+    - ``bool`` sums the scores of its must + should clauses (filter /
+      must_not are scoreless filter context), gated on the bool
+      matching.
+    """
+    if not q:
+        return F.lit(float(boost))
+    kind, body = next(iter(q.items()))
+    if kind == "constant_score":
+        b = float(body.get("boost", 1.0)) * boost
+        return F.when(translate_query(body["filter"]),
+                      F.lit(b)).otherwise(F.lit(0.0))
+    if kind == "dis_max":
+        scores = [score_query(c) for c in body["queries"]]
+        tb = float(body.get("tie_breaker", 0.0))
+        best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+        total = scores[0]
+        for s in scores[1:]:
+            total = total + s
+        return F.lit(float(boost)) * (best + F.lit(tb) * (total - best))
+    if kind == "boosting":
+        pos = score_query(body["positive"])
+        demote = F.when(translate_query(body["negative"]),
+                        F.lit(float(body["negative_boost"]))) \
+            .otherwise(F.lit(1.0))
+        return F.lit(float(boost)) * pos * demote
+    if kind == "bool":
+        parts = [score_query(c) for c in
+                 body.get("must", []) + body.get("should", [])]
+        total = F.lit(0.0)
+        for p in parts:
+            total = total + p
+        return F.when(translate_query(q), total).otherwise(F.lit(0.0))
+    # leaf: honor a per-leaf "boost" in the field spec if present
+    leaf_boost = 1.0
+    if isinstance(body, dict):
+        spec = next(iter(body.values()))
+        if isinstance(spec, dict) and "boost" in spec:
+            leaf_boost = float(spec["boost"])
+    return F.when(translate_query(q),
+                  F.lit(float(boost) * leaf_boost)).otherwise(F.lit(0.0))
 
 
 def osa_distance(a: str, b: str) -> int:

@@ -1,0 +1,165 @@
+"""query_string / simple_query_string / match_phrase_prefix /
+compound-relevance translator semantics, pinned against hand-derived
+expectations on tiny frames, plus the geohash bit-arithmetic vs the
+classic bisection encoder."""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_generator_spark.operators import esdsl
+from parquet_generator_spark.operators.esdsl import score_query
+
+DOCS = [
+    (1, "spark window agg", "en"),
+    (2, "merge batch line", "de"),
+    (3, "slow spark window", "en"),
+    (4, "query plan", "fr"),
+    (5, "vector scan", "en"),
+    (6, "fast big table", "de"),
+    (7, "fast big slow", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "id long, text string, lang string")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def qs(docs, query, **kw):
+    body = {"query": query, "fields": ["text"], **kw}
+    return docs.filter(esdsl.translate_query({"query_string": body}))
+
+
+def test_query_string_parens_and_not(docs):
+    got = qs(docs, '(spark AND window) AND NOT slow')
+    assert _ids(got) == [1]
+
+
+def test_query_string_or_phrase_wildcard(docs):
+    got = qs(docs, '"merge batch" OR quer? OR vec*')
+    assert _ids(got) == [2, 4, 5]
+
+
+def test_query_string_default_operator(docs):
+    # bare adjacency: OR default matches either term, AND default both
+    assert _ids(qs(docs, "spark window")) == [1, 3]
+    assert _ids(qs(docs, "spark window",
+                   default_operator="AND")) == [1, 3]
+    assert _ids(qs(docs, "merge plan")) == [2, 4]
+    assert _ids(qs(docs, "merge plan", default_operator="AND")) == []
+
+
+def test_query_string_field_override(docs):
+    # field:term overrides the field list
+    got = qs(docs, "lang:en AND spark")
+    assert _ids(got) == [1, 3]
+
+
+def test_query_string_wildcard_is_token_level(docs):
+    # `s*w` must NOT span two tokens ("spark window")
+    assert _ids(qs(docs, "s*w")) == [3, 7]  # only the token "slow"
+
+
+def test_query_string_operator_symbols_and_errors(docs):
+    assert _ids(qs(docs, "spark && window")) == [1, 3]
+    assert _ids(qs(docs, "spark || merge")) == [1, 2, 3]
+    assert _ids(qs(docs, "!slow && spark")) == [1]
+    with pytest.raises(ValueError):
+        qs(docs, "(spark AND")
+    with pytest.raises(ValueError):
+        esdsl.translate_query(
+            {"query_string": {"query": "spark"}})  # no fields
+
+
+def test_simple_query_string_fold(docs):
+    body = {"query": 'fast + big -slow | "merge batch"',
+            "fields": ["text"], "default_operator": "AND"}
+    got = docs.filter(
+        esdsl.translate_query({"simple_query_string": body}))
+    # ((fast AND big) AND NOT slow) OR phrase
+    assert _ids(got) == [2, 6]
+
+
+def test_simple_query_string_prefix_and_or(docs):
+    body = {"query": "vec* | quer*", "fields": ["text"]}
+    got = docs.filter(
+        esdsl.translate_query({"simple_query_string": body}))
+    assert _ids(got) == [4, 5]
+
+
+def test_match_phrase_prefix(docs):
+    got = docs.filter(esdsl.translate_query(
+        {"match_phrase_prefix": {"text": "spark win"}}))
+    assert _ids(got) == [1, 3]
+    # the full last token also matches (prefix of itself)
+    got = docs.filter(esdsl.translate_query(
+        {"match_phrase_prefix": {"text": "spark window"}}))
+    assert _ids(got) == [1, 3]
+    # but not a phrase whose middle token is a prefix
+    got = docs.filter(esdsl.translate_query(
+        {"match_phrase_prefix": {"text": "spa window"}}))
+    assert _ids(got) == []
+
+
+def test_score_query_dis_max_tie_breaker(spark, docs):
+    q = {"dis_max": {"queries": [
+        {"constant_score": {"filter": {"match": {"text": "spark"}},
+                            "boost": 3.0}},
+        {"constant_score": {"filter": {"match": {"text": "window"}},
+                            "boost": 2.0}},
+    ], "tie_breaker": 0.5}}
+    rows = {r["id"]: r["s"] for r in docs.select(
+        "id", score_query(q).alias("s")).collect()}
+    assert rows[1] == pytest.approx(3.0 + 0.5 * 2.0)  # both match
+    assert rows[4] == pytest.approx(0.0)               # neither
+    assert rows[5] == pytest.approx(0.0)
+    # matching = any clause
+    got = docs.filter(esdsl.translate_query(q))
+    assert _ids(got) == [1, 3]
+
+
+def test_score_query_boosting_demotes_not_drops(spark, docs):
+    q = {"boosting": {
+        "positive": {"term": {"lang": {"value": "en", "boost": 2.0}}},
+        "negative": {"match": {"text": "slow"}},
+        "negative_boost": 0.25}}
+    rows = {r["id"]: r["s"] for r in docs.select(
+        "id", score_query(q).alias("s")).collect()}
+    assert rows[1] == pytest.approx(2.0)
+    assert rows[3] == pytest.approx(0.5)   # demoted, not excluded
+    assert _ids(docs.filter(esdsl.translate_query(q))) == [1, 3, 5, 7]
+
+
+def test_score_query_bool_sums_clauses(spark, docs):
+    q = {"bool": {"must": [{"match": {"text": "spark"}}],
+                  "should": [{"match": {"text": "agg"}}]}}
+    rows = {r["id"]: r["s"] for r in docs.select(
+        "id", score_query(q).alias("s")).collect()}
+    assert rows[1] == pytest.approx(2.0)  # must + should both hit
+    assert rows[3] == pytest.approx(1.0)  # must only
+    assert rows[2] == pytest.approx(0.0)  # gated: bool doesn't match
+
+
+def test_geohash_sql_matches_bisection_encoder(spark):
+    """The floor/div/mod SQL geohash must agree with the classic
+    bisection encoder on a grid of points covering all quadrants."""
+    from parquet_generator_spark.plans.reference_queries11 import (
+        geohash_cell_exprs,
+        geohash_encode,
+        geohash_expr,
+    )
+
+    pts = [(la + 0.05, lo + 0.05)
+           for la in range(-88, 89, 16) for lo in range(-178, 179, 31)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    ix, iy = geohash_cell_exprs("lat", "lon")
+    got = df.selectExpr("lat", "lon",
+                        f"{geohash_expr(ix, iy)} AS gh").collect()
+    for r in got:
+        assert r["gh"] == geohash_encode(r["lat"], r["lon"]), \
+            (r["lat"], r["lon"])
