@@ -31,6 +31,7 @@ from parquet_generator_spark.plans import llm_queries10 as L10
 from parquet_generator_spark.plans import llm_queries11 as L11
 from parquet_generator_spark.plans import llm_queries12 as L12
 from parquet_generator_spark.plans import llm_queries13 as L13
+from parquet_generator_spark.plans import llm_queries14 as L14
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -75,7 +76,7 @@ FRONT_KEYS = [
     # round-7 additions append here as they land (window is 50 wide)
     "dsl_query_string", "dsl_simple_query_string",
     "dsl_match_phrase_prefix", "dsl_dis_max_boosting",
-    "dsl_geohash_grid",
+    "dsl_geohash_grid", "span_dedup_maximal",
 ]
 
 
@@ -105,6 +106,7 @@ def queries() -> dict[str, QueryFn]:
         **L11.QUERIES,
         **L12.QUERIES,
         **L13.QUERIES,
+        **L14.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -147,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         **L11.ORACLES,
         **L12.ORACLES,
         **L13.ORACLES,
+        **L14.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

@@ -247,6 +247,7 @@ HEADLINE = [
     "dsl_match_phrase_prefix",
     "dsl_dis_max_boosting",
     "dsl_geohash_grid",
+    "span_dedup_maximal",
 ]
 
 

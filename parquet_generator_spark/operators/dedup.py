@@ -94,11 +94,30 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 # exact n-gram Jaccard (verifier / small-scale path)
 # ------------------------------------------------------------------
 
+JACCARD_PAIRS_MAX_ROWS = 20_000
+
+
 def jaccard_pairs(df: DataFrame, id_col: str, content_col: str,
-                  threshold: float, k: int = 3) -> DataFrame:
+                  threshold: float, k: int = 3,
+                  max_rows: int | None = JACCARD_PAIRS_MAX_ROWS
+                  ) -> DataFrame:
     """All-pairs exact k-shingle Jaccard >= threshold. O(n^2) — the
     correctness baseline and the verifier for LSH candidates; at
-    scale call minhash_lsh_pairs instead."""
+    scale call minhash_lsh_pairs instead.
+
+    Guarded: refuses inputs above ``max_rows`` (default 20k — already
+    2x10^8 pairs) so the deliberately-quadratic verifier can't be
+    pointed at a real corpus by accident; pass ``max_rows=None`` to
+    opt out knowingly. The count is one columnar metadata-ish scan —
+    negligible beside the quadratic join it protects against."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"jaccard_pairs is the O(n^2) verifier baseline: input "
+                f"has {n} rows > max_rows={max_rows}. Use "
+                f"minhash_lsh_pairs (banded LSH) at corpus scale, or "
+                f"pass max_rows=None to force.")
     sh = widen_if_narrow(df).select(
         F.col(id_col).alias("id"),
         F.expr(shingles_spark(content_col, k)).alias("sh"))

@@ -129,3 +129,26 @@ def test_seq_packing_invariants_property(spark, tmp_path):
         assert sum(r["n_docs"] for r in out) == len(tok_counts)
 
     check()
+
+
+def test_maximal_dup_spans_merges_adjacent_windows(spark):
+    """Planted maximal-span case (SPAN_K=8): two docs share a
+    12-token run -> the 5 consecutive duplicated 8-windows merge
+    into ONE maximal span of length 12; a doc with no 8-token
+    duplicate reports 0."""
+    from parquet_generator_spark.plans.llm_queries14 import (
+        maximal_dup_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, shared + " xx yy zz"),
+         (2, "aa bb " + shared),
+         (3, "cc dd ee ff gg hh ii jj kk")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in maximal_dup_spans(df).collect()}
+    assert got[1]["max_dup_span"] == 12
+    assert got[1]["n_spans"] == 1
+    assert got[1]["dup_tokens"] == 12
+    assert got[2]["max_dup_span"] == 12
+    assert got[3]["max_dup_span"] == 0 and got[3]["n_spans"] == 0

@@ -466,3 +466,20 @@ def test_decode_stats_and_resize_null_payload(spark):
     out = {r["media_id"]: r["payload"]
            for r in resize_images(df, 2, 2).collect()}
     assert out[1] is not None and out[2] is None
+
+
+def test_jaccard_pairs_quadratic_guard(spark):
+    """The deliberately-O(n^2) exact-Jaccard baseline refuses inputs
+    above its documented row bound (so it can't be pointed at a real
+    corpus by accident) and still works under it / with the opt-out."""
+    df = spark.range(12).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta "),
+                 F.col("id").cast("string")).alias("text"))
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        dedup.jaccard_pairs(df, "doc_id", "text", 0.5, max_rows=10)
+    under = dedup.jaccard_pairs(df.limit(5), "doc_id", "text", 0.5,
+                                max_rows=10)
+    forced = dedup.jaccard_pairs(df, "doc_id", "text", 0.5,
+                                 max_rows=None)
+    assert under.count() >= 0 and forced.count() >= 0
