@@ -44,6 +44,7 @@ from parquet_generator_spark.plans import reference_queries8 as R8
 from parquet_generator_spark.plans import reference_queries9 as R9
 from parquet_generator_spark.plans import reference_queries10 as R10
 from parquet_generator_spark.plans import reference_queries11 as R11
+from parquet_generator_spark.plans import reference_queries12 as R12
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -77,6 +78,8 @@ FRONT_KEYS = [
     "dsl_query_string", "dsl_simple_query_string",
     "dsl_match_phrase_prefix", "dsl_dis_max_boosting",
     "dsl_geohash_grid", "span_dedup_maximal",
+    "dsl_span_near", "dsl_terms_set", "dsl_random_score",
+    "dsl_pinned", "ccnet_quality_buckets",
 ]
 
 
@@ -121,6 +124,7 @@ def queries() -> dict[str, QueryFn]:
         **R9.QUERIES,
         **R10.QUERIES,
         **R11.QUERIES,
+        **R12.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -164,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         **R9.ORACLES,
         **R10.ORACLES,
         **R11.ORACLES,
+        **R12.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

@@ -248,6 +248,11 @@ HEADLINE = [
     "dsl_dis_max_boosting",
     "dsl_geohash_grid",
     "span_dedup_maximal",
+    "dsl_span_near",
+    "dsl_terms_set",
+    "dsl_random_score",
+    "dsl_pinned",
+    "ccnet_quality_buckets",
 ]
 
 
@@ -275,12 +280,17 @@ def main() -> None:
     # consecutive per query, so the median reports the warm steady
     # state; min/max land in BENCH_FULL.json for variance reading.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # optional subset, e.g. the expensive-query scale checkpoint:
+    # SPARK_GRAFT_BENCH_KEYS="dedup_containment,span_dedup" python bench.py
+    keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS", "")
+    headline = [k.strip() for k in keys_env.split(",") if k.strip()] \
+        if keys_env else HEADLINE
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     maxs: dict[str, float] = {}
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         per: list[float] = []
         t0 = time.perf_counter()
         try:
@@ -320,7 +330,8 @@ def main() -> None:
     # the printed line must fit well under that or the round's
     # BENCH_r{N}.json records parsed=null (round-2 lesson). The file
     # write must never take the stdout line down with it.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
         with open(full_path, "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)

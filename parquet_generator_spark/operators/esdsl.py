@@ -409,6 +409,52 @@ def translate_query(q: dict | None) -> Column:
         return acc
     if kind == "ids":
         return F.col("_id").isNotNull() & F.col("_id").isin(list(body["values"]))
+    if kind == "span_near":
+        # Lucene span_near over two span_term clauses: the two terms
+        # within `slop` intervening tokens, optionally order-free.
+        # Exact for two clauses (the regex counts the gap directly);
+        # >2 clauses would need per-gap vs total-slop budgeting and
+        # is refused rather than silently approximated.
+        clauses = body["clauses"]
+        if len(clauses) != 2:
+            raise ValueError("span_near: exactly 2 clauses supported "
+                             "(total-slop budgeting across more gaps "
+                             "is not expressible as one regex)")
+        slop = int(body.get("slop", 0))
+        in_order = body.get("in_order", True)
+        pairs = []
+        for c in clauses:
+            f, v = next(iter(c["span_term"].items()))
+            pairs.append((f, re.escape(str(v).lower())))
+        if pairs[0][0] != pairs[1][0]:
+            raise ValueError("span_near clauses must share one field")
+        field = pairs[0][0]
+        t1, t2 = pairs[0][1], pairs[1][1]
+
+        def _near(a: str, b: str) -> str:
+            return (f"{_B_L}{a}({_SEP}{_TOKEN}){{0,{slop}}}"
+                    f"{_SEP}{b}{_B_R}")
+
+        pat = _near(t1, t2)
+        col = F.lower(F.col(field))
+        out = col.rlike(pat)
+        if not in_order:
+            out = out | col.rlike(_near(t2, t1))
+        return F.col(field).isNotNull() & out
+    if kind == "terms_set":
+        # terms_set: at least m of the given terms present, with m
+        # from a constant script or a per-document field
+        field, spec = next(iter(body.items()))
+        terms = spec["terms"]
+        hits = None
+        for t in terms:
+            h = token_present(field, str(t).lower()).cast("int")
+            hits = h if hits is None else hits + h
+        if "minimum_should_match_field" in spec:
+            m = F.col(spec["minimum_should_match_field"]).cast("int")
+        else:
+            m = F.lit(int(spec["minimum_should_match_script"]["source"]))
+        return F.col(field).isNotNull() & (hits >= m)
     if kind == "nested":
         # ES nested query: the parent matches when ANY element of the
         # array-of-structs at `path` satisfies the inner query, with

@@ -117,5 +117,75 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 ORDER BY d.doc_id
 """
 
-QUERIES.update({"span_dedup_maximal": span_dedup_maximal})
-ORACLES.update({"span_dedup_maximal": SPAN_DEDUP_MAXIMAL_ORACLE})
+# ------------------------------------------------ ccnet_quality_buckets
+
+# CCNet-style perplexity cutoffs: computed once on a reference corpus
+# and applied as CONSTANTS (exactly how CCNet ships its per-language
+# cutoff files) — so the bucketing is a pure projection, no global
+# percentile pass at scoring time. Chosen from the sf0.1 avg_lp
+# distribution (roughly terciles).
+CCNET_HEAD_LP = -8.6    # avg bigram log2-prob above this = head
+CCNET_MIDDLE_LP = -9.2  # above this = middle, else tail
+
+
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """CCNet-style LM-quality bucketing: every document scored by
+    the add-one corpus bigram model (bigram_logprob's exact recipe),
+    then assigned head/middle/tail by fixed cutoffs; reported per
+    (source, bucket) with counts and mean score — the mixture table
+    a CCNet-style curation run feeds into sampling weights. Scoring
+    is the bigram pipeline's two keyed shuffles; the bucket label is
+    arithmetic on the ROUNDED score (both engines compare the same
+    4-decimal value, so the cut can't flip on an ulp)."""
+    from parquet_generator_spark.plans.llm_queries7 import (
+        bigram_logprob_frame,
+    )
+    docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
+    scored = bigram_logprob_frame(docs).select("doc_id", "avg_lp")
+    bucket = (F.when(F.col("avg_lp") >= CCNET_HEAD_LP, "head")
+              .when(F.col("avg_lp") >= CCNET_MIDDLE_LP, "middle")
+              .otherwise("tail"))
+    return (docs.select("doc_id", "source")
+            .join(scored, "doc_id")
+            .withColumn("bucket", bucket)
+            .groupBy("source", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("avg_lp"), 4).alias("mean_lp"))
+            .orderBy("source", "bucket"))
+
+
+CCNET_QUALITY_BUCKETS_ORACLE = f"""
+WITH t AS (SELECT doc_id, {toks_duck('text')} AS tk FROM documents),
+bg AS (
+  SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2
+  FROM t, unnest(range(0, len(tk) - 1)) AS a(i)
+  WHERE len(tk) >= 2),
+model AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+lft AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(tk) AS w FROM t)),
+scored AS (
+  SELECT b.doc_id,
+         round(avg(log2((c12 + 1.0) / (c1 + v))), 4) AS avg_lp
+  FROM bg b
+  JOIN model USING (w1, w2) JOIN lft USING (w1) CROSS JOIN vocab
+  GROUP BY b.doc_id)
+SELECT d.source,
+       CASE WHEN s.avg_lp >= {CCNET_HEAD_LP} THEN 'head'
+            WHEN s.avg_lp >= {CCNET_MIDDLE_LP} THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round(avg(s.avg_lp), 4) AS mean_lp
+FROM documents d JOIN scored s USING (doc_id)
+GROUP BY 1, 2 ORDER BY source, bucket
+"""
+
+QUERIES.update({
+    "span_dedup_maximal": span_dedup_maximal,
+    "ccnet_quality_buckets": ccnet_quality_buckets,
+})
+ORACLES.update({
+    "span_dedup_maximal": SPAN_DEDUP_MAXIMAL_ORACLE,
+    "ccnet_quality_buckets": CCNET_QUALITY_BUCKETS_ORACLE,
+})
