@@ -124,8 +124,8 @@ ORDER BY d.doc_id
 # cutoff files) — so the bucketing is a pure projection, no global
 # percentile pass at scoring time. Chosen from the sf0.1 avg_lp
 # distribution (roughly terciles).
-CCNET_HEAD_LP = -8.6    # avg bigram log2-prob above this = head
-CCNET_MIDDLE_LP = -9.2  # above this = middle, else tail
+CCNET_HEAD_LP = -4.88   # avg bigram log2-prob above this = head
+CCNET_MIDDLE_LP = -4.93  # above this = middle, else tail
 
 
 def ccnet_quality_buckets(spark: SparkSession, sf_dir: str

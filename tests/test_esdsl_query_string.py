@@ -163,3 +163,55 @@ def test_geohash_sql_matches_bisection_encoder(spark):
     for r in got:
         assert r["gh"] == geohash_encode(r["lat"], r["lon"]), \
             (r["lat"], r["lon"])
+
+
+def test_span_near_slop_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "spark window"),          # gap 0
+         (2, "spark a b window"),      # gap 2
+         (3, "spark a b c window"),    # gap 3 > slop
+         (4, "window x spark"),        # reversed, gap 1
+         (5, "sparkle window")],       # token boundary must hold
+        "id long, text string")
+
+    def q(slop, in_order):
+        return {"span_near": {
+            "clauses": [{"span_term": {"text": "spark"}},
+                        {"span_term": {"text": "window"}}],
+            "slop": slop, "in_order": in_order}}
+
+    ordered = df.filter(esdsl.translate_query(q(2, True)))
+    assert sorted(r["id"] for r in ordered.collect()) == [1, 2]
+    both = df.filter(esdsl.translate_query(q(2, False)))
+    assert sorted(r["id"] for r in both.collect()) == [1, 2, 4]
+    tight = df.filter(esdsl.translate_query(q(0, True)))
+    assert sorted(r["id"] for r in tight.collect()) == [1]
+    with pytest.raises(ValueError):
+        esdsl.translate_query({"span_near": {
+            "clauses": [{"span_term": {"text": "a"}},
+                        {"span_term": {"text": "b"}},
+                        {"span_term": {"text": "c"}}]}})
+
+
+def test_terms_set_field_minimum(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", 2),
+         (2, "alpha beta gamma", 3),
+         (3, "alpha delta x", 2),
+         (4, "alpha delta x", 1)],
+        "id long, text string, req int")
+    q = {"terms_set": {"text": {
+        "terms": ["alpha", "beta", "gamma"],
+        "minimum_should_match_field": "req"}}}
+    got = sorted(r["id"] for r in
+                 df.filter(esdsl.translate_query(q)).collect())
+    # doc 1: 3 hits >= 2; doc 2: 3 >= 3; doc 3: 1 < 2; doc 4: 1 >= 1
+    assert got == [1, 2, 4]
+
+
+def test_pinned_ranks_promoted_first(spark):
+    from parquet_generator_spark.plans.reference_queries12 import (
+        PINNED_IDS,
+    )
+    # promoted order must be the LIST order, not ascending id
+    assert PINNED_IDS == [42, 7, 101]
