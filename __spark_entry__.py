@@ -79,7 +79,7 @@ FRONT_KEYS = [
     "dsl_match_phrase_prefix", "dsl_dis_max_boosting",
     "dsl_geohash_grid", "span_dedup_maximal",
     "dsl_span_near", "dsl_terms_set", "dsl_random_score",
-    "dsl_pinned", "ccnet_quality_buckets",
+    "dsl_pinned", "ccnet_quality_buckets", "knn_classify_ivf",
 ]
 
 

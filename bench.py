@@ -253,6 +253,7 @@ HEADLINE = [
     "dsl_random_score",
     "dsl_pinned",
     "ccnet_quality_buckets",
+    "knn_classify_ivf",
 ]
 
 

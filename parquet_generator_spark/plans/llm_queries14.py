@@ -181,11 +181,94 @@ FROM documents d JOIN scored s USING (doc_id)
 GROUP BY 1, 2 ORDER BY source, bucket
 """
 
+# --------------------------------------------------- knn_classify_ivf
+
+def knn_classify_ivf(spark: SparkSession, sf_dir: str,
+                     n_probe: int | None = None) -> DataFrame:
+    """k-NN classification through the IVF index instead of the
+    brute-force kernel — the swap the sf1 checkpoint demanded:
+    knn_classify measured 109x for 10x data (BENCH_SF1, the quadratic
+    broadcast kernel), while the IVF path only scores each query
+    against its n_probe probed cells (~n_probe/n_cells of the corpus,
+    an equi-join on the cell id that shuffles instead of
+    broadcasting at scale). Same vote + tie-break as knn_classify;
+    predictions may differ from exact k-NN only where recall < 1 —
+    the oracle mirrors the IVF index exactly, so the gate stays a
+    hash check."""
+    from parquet_generator_spark.operators.similarity import (
+        ivf_topk,
+        make_centroids_from_corpus,
+    )
+    from parquet_generator_spark.plans.llm_queries import (
+        ANN_IVF_CELLS,
+        ANN_IVF_PROBE,
+    )
+    from parquet_generator_spark.plans.llm_queries4 import (
+        KNN_K,
+        KNN_QUERY_MOD,
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    cents = make_centroids_from_corpus(emb, ANN_IVF_CELLS)
+    topk = ivf_topk(emb, queries, KNN_K, cents,
+                    n_probe=n_probe or ANN_IVF_PROBE)
+    labels = emb.select(F.col("vec_id").alias("nid"),
+                        F.col("label").alias("n_label"))
+    votes = (topk.join(F.broadcast(labels), "nid")
+             .groupBy("qid", "n_label")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"),
+                                          F.asc("n_label"))
+    pred = (votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1))
+    truth = emb.select(F.col("vec_id").alias("qid"),
+                       F.col("label").alias("true_label"))
+    return (pred.join(F.broadcast(truth), "qid")
+            .select("qid", "true_label",
+                    F.col("n_label").alias("pred_label"), "votes")
+            .orderBy("qid"))
+
+
+def _knn_ivf_oracle() -> str:
+    from parquet_generator_spark.operators.similarity import (
+        ivf_topk_duck_sql,
+    )
+    from parquet_generator_spark.plans.llm_queries import (
+        ANN_IVF_CELLS,
+        ANN_IVF_PROBE,
+    )
+    from parquet_generator_spark.plans.llm_queries4 import (
+        KNN_K,
+        KNN_QUERY_MOD,
+    )
+    topk = ivf_topk_duck_sql(
+        "embeddings", KNN_K, f"vec_id % {KNN_QUERY_MOD} = 0",
+        ANN_IVF_CELLS, ANN_IVF_PROBE).strip()
+    return f"""
+WITH ranked AS ({topk}),
+votes AS (
+  SELECT r.qid, e.label AS n_label, count(*) AS votes
+  FROM ranked r JOIN embeddings e ON r.nid = e.vec_id
+  GROUP BY r.qid, e.label),
+pred AS (
+  SELECT qid, n_label, votes,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY votes DESC, n_label ASC) AS rk
+  FROM votes)
+SELECT p.qid, t.label AS true_label, p.n_label AS pred_label, p.votes
+FROM pred p JOIN embeddings t ON p.qid = t.vec_id
+WHERE p.rk = 1
+ORDER BY p.qid
+"""
+
+
 QUERIES.update({
     "span_dedup_maximal": span_dedup_maximal,
     "ccnet_quality_buckets": ccnet_quality_buckets,
+    "knn_classify_ivf": knn_classify_ivf,
 })
 ORACLES.update({
     "span_dedup_maximal": SPAN_DEDUP_MAXIMAL_ORACLE,
     "ccnet_quality_buckets": CCNET_QUALITY_BUCKETS_ORACLE,
+    "knn_classify_ivf": _knn_ivf_oracle(),
 })

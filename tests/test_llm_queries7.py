@@ -184,3 +184,30 @@ def test_kmeans_k_larger_than_input_clamps(spark):
     out = kmeans_lloyd(df, k=5, iters=2).collect()
     assert sum(r["n"] for r in out) == 3
     assert len(out) <= 3
+
+
+def test_knn_ivf_exact_at_full_probe(spark):
+    """The IVF-indexed classifier (the 100-TB path): with n_probe =
+    n_cells it must reproduce the brute-force classifier EXACTLY
+    (the ivf_topk exactness property carried through the vote); at
+    the tuned n_probe every query must still get classified.
+    (Prediction-agreement at partial probe is NOT asserted: the
+    synthetic labels are geometry-free noise — exact k-NN itself
+    scores 0.08 accuracy — so vote agreement would test noise, not
+    recall; neighbor-level recall is quantified in ivf_recall_curve
+    and the ann_ivf tests.)"""
+    from parquet_generator_spark.plans.llm_queries import ANN_IVF_CELLS
+    from parquet_generator_spark.plans.llm_queries4 import knn_classify
+    from parquet_generator_spark.plans.llm_queries14 import (
+        knn_classify_ivf,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {(r["qid"], r["pred_label"], r["votes"])
+             for r in knn_classify(spark, sf).collect()}
+    full = {(r["qid"], r["pred_label"], r["votes"])
+            for r in knn_classify_ivf(
+                spark, sf, n_probe=ANN_IVF_CELLS).collect()}
+    assert full == exact
+    tuned = knn_classify_ivf(spark, sf).collect()
+    assert {r["qid"] for r in tuned} == {q for q, _, _ in exact}
