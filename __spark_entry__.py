@@ -32,6 +32,7 @@ from parquet_generator_spark.plans import llm_queries11 as L11
 from parquet_generator_spark.plans import llm_queries12 as L12
 from parquet_generator_spark.plans import llm_queries13 as L13
 from parquet_generator_spark.plans import llm_queries14 as L14
+from parquet_generator_spark.plans import llm_queries15 as L15
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -80,6 +81,8 @@ FRONT_KEYS = [
     "dsl_geohash_grid", "span_dedup_maximal",
     "dsl_span_near", "dsl_terms_set", "dsl_random_score",
     "dsl_pinned", "ccnet_quality_buckets", "knn_classify_ivf",
+    "dsl_geo_centroid", "boilerplate_prefix_groups",
+    "length_log_histogram", "windowed_topk_types",
 ]
 
 
@@ -110,6 +113,7 @@ def queries() -> dict[str, QueryFn]:
         **L12.QUERIES,
         **L13.QUERIES,
         **L14.QUERIES,
+        **L15.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -154,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         **L12.ORACLES,
         **L13.ORACLES,
         **L14.ORACLES,
+        **L15.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

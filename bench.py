@@ -254,6 +254,10 @@ HEADLINE = [
     "dsl_pinned",
     "ccnet_quality_buckets",
     "knn_classify_ivf",
+    "dsl_geo_centroid",
+    "boilerplate_prefix_groups",
+    "length_log_histogram",
+    "windowed_topk_types",
 ]
 
 

@@ -180,15 +180,51 @@ LIMIT {PINNED_K}
 """
 
 
+def dsl_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone `geo_centroid` metric agg per terms bucket: the
+    centroid of each event_type's points (the ES bucket+metric
+    shape; geohash_grid carries the gridded variant). One grouped
+    pass over per-row runtime-field coordinates."""
+    from parquet_generator_spark.plans.reference_queries9 import (
+        LAT_S,
+        LON_S,
+    )
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.select(F.col("event_type").alias("key"),
+                      F.expr(LAT_S).cast("double").alias("lat"),
+                      F.expr(LON_S).cast("double").alias("lon"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 F.round(F.avg("lat"), 4).alias("centroid_lat"),
+                 F.round(F.avg("lon"), 4).alias("centroid_lon"))
+            .orderBy(F.desc("doc_count"), F.asc("key")))
+
+
+def _geo_centroid_oracle() -> str:
+    from parquet_generator_spark.plans.reference_queries9 import (
+        LAT_D,
+        LON_D,
+    )
+    return f"""
+SELECT event_type AS key, count(*) AS doc_count,
+       round(avg({LAT_D}), 4) AS centroid_lat,
+       round(avg({LON_D}), 4) AS centroid_lon
+FROM events
+GROUP BY key ORDER BY doc_count DESC, key ASC
+"""
+
+
 QUERIES.update({
     "dsl_span_near": dsl_span_near,
     "dsl_terms_set": dsl_terms_set,
     "dsl_random_score": dsl_random_score,
     "dsl_pinned": dsl_pinned,
+    "dsl_geo_centroid": dsl_geo_centroid,
 })
 ORACLES.update({
     "dsl_span_near": DSL_SPAN_NEAR_ORACLE,
     "dsl_terms_set": DSL_TERMS_SET_ORACLE,
     "dsl_random_score": DSL_RANDOM_SCORE_ORACLE,
     "dsl_pinned": DSL_PINNED_ORACLE,
+    "dsl_geo_centroid": _geo_centroid_oracle(),
 })
