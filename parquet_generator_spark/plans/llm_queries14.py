@@ -151,7 +151,15 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str
             .withColumn("bucket", bucket)
             .groupBy("source", "bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("avg_lp"), 4).alias("mean_lp"))
+                 # quantize-then-average: sum the exact scaled
+                 # integers so both engines divide the SAME integers
+                 # into the SAME double — and emit that double
+                 # UN-rounded (a final round(x, 4) can land exactly on
+                 # a decimal half, where Spark's HALF_UP and DuckDB
+                 # disagree; the bit-identical quotient needs no
+                 # rounding to hash equal)
+                 (F.sum(F.round(F.col("avg_lp") * 10000).cast("long"))
+                  / (F.count(F.lit(1)) * 10000.0)).alias("mean_lp"))
             .orderBy("source", "bucket"))
 
 
@@ -176,7 +184,8 @@ SELECT d.source,
             WHEN s.avg_lp >= {CCNET_MIDDLE_LP} THEN 'middle'
             ELSE 'tail' END AS bucket,
        count(*) AS n_docs,
-       round(avg(s.avg_lp), 4) AS mean_lp
+       sum(CAST(round(s.avg_lp * 10000) AS BIGINT))
+         / (count(*) * 10000.0) AS mean_lp
 FROM documents d JOIN scored s USING (doc_id)
 GROUP BY 1, 2 ORDER BY source, bucket
 """
