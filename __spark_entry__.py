@@ -46,6 +46,7 @@ from parquet_generator_spark.plans import reference_queries9 as R9
 from parquet_generator_spark.plans import reference_queries10 as R10
 from parquet_generator_spark.plans import reference_queries11 as R11
 from parquet_generator_spark.plans import reference_queries12 as R12
+from parquet_generator_spark.plans import reference_queries13 as R13
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -129,6 +130,7 @@ def queries() -> dict[str, QueryFn]:
         **R10.QUERIES,
         **R11.QUERIES,
         **R12.QUERIES,
+        **R13.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -174,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         **R10.ORACLES,
         **R11.ORACLES,
         **R12.ORACLES,
+        **R13.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

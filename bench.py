@@ -258,6 +258,9 @@ HEADLINE = [
     "boilerplate_prefix_groups",
     "length_log_histogram",
     "windowed_topk_types",
+    "dsl_rank_feature",
+    "dsl_script_score",
+    "dsl_distance_feature",
 ]
 
 
