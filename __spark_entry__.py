@@ -47,6 +47,7 @@ from parquet_generator_spark.plans import reference_queries10 as R10
 from parquet_generator_spark.plans import reference_queries11 as R11
 from parquet_generator_spark.plans import reference_queries12 as R12
 from parquet_generator_spark.plans import reference_queries13 as R13
+from parquet_generator_spark.plans import reference_queries14 as R14
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -131,6 +132,7 @@ def queries() -> dict[str, QueryFn]:
         **R11.QUERIES,
         **R12.QUERIES,
         **R13.QUERIES,
+        **R14.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -177,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         **R11.ORACLES,
         **R12.ORACLES,
         **R13.ORACLES,
+        **R14.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

@@ -261,6 +261,9 @@ HEADLINE = [
     "dsl_rank_feature",
     "dsl_script_score",
     "dsl_distance_feature",
+    "dsl_percolate",
+    "dsl_geo_shape",
+    "embedding_pq",
 ]
 
 

@@ -134,13 +134,128 @@ ORDER BY day, rk
 """
 
 
+# ------------------------------------------------------- embedding_pq
+
+PQ_M = 8          # subspaces (64-dim -> 8 x 8)
+PQ_K = 16         # codewords per subspace
+PQ_DIM = 64
+
+
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the FAISS IVF-PQ storage layout): each
+    vector splits into PQ_M subvectors; each subvector is encoded as
+    its nearest of PQ_K codewords, so a 64-float vector compresses to
+    8 bytes. Codebooks here are the smallest-id corpus rows'
+    subvectors (the reproducible-quantizer trick the IVF oracle uses
+    — a k-means codebook swaps in at scale without changing the
+    plan). Encoding is one Arrow-batched mapInPandas (numpy matmul
+    per batch, no shuffle); output per vector: the integer code
+    checksum (base-31 positional hash — exact) and the reconstruction
+    MSE. Distances use the decomposed |a|^2 - 2ab + |b|^2 form with
+    the same evaluation order as the SQL oracle, so the argmin (id
+    tie-break) is engine-identical."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = (emb.orderBy("vec_id").limit(PQ_K)
+            .select("embedding").collect())
+    books = np.array([r["embedding"] for r in base],
+                     dtype=np.float64)           # [K, DIM]
+    d = PQ_DIM // PQ_M
+    # books[m][k] = codeword k of subspace m
+    sub_books = books.reshape(PQ_K, PQ_M, d).transpose(1, 0, 2)
+    bc = spark.sparkContext.broadcast(sub_books)
+
+    def encode(batches):
+        sb = bc.value                              # [M, K, d]
+        for pdf in batches:
+            vecs = np.stack(pdf["embedding"].to_numpy()) \
+                .astype(np.float64).reshape(-1, PQ_M, d)
+            out_ck, out_mse = [], []
+            for row in vecs:
+                total = 0.0
+                ck = 0
+                for m in range(PQ_M):
+                    a = row[m]
+                    aa = float(a @ a)
+                    dists = [aa - 2.0 * float(a @ sb[m][k])
+                             + float(sb[m][k] @ sb[m][k])
+                             for k in range(PQ_K)]
+                    code = int(np.argmin(dists))   # first min = id tie
+                    total += dists[code]
+                    ck += (code + 1) * (31 ** m)
+                out_ck.append(ck)
+                out_mse.append(round(total / PQ_DIM, 4))
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "code_checksum": np.array(out_ck, dtype=np.int64),
+                "recon_mse": out_mse,
+            })
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("code_checksum", T.LongType()),
+        T.StructField("recon_mse", T.DoubleType()),
+    ])
+    return (emb.select("vec_id", "embedding")
+            .mapInPandas(encode, schema=schema)
+            .orderBy("vec_id"))
+
+
+def _pq_oracle() -> str:
+    d = PQ_DIM // PQ_M
+    subs = []
+    for m in range(PQ_M):
+        lo, hi = m * d + 1, (m + 1) * d
+        subs.append(f"e[{lo}:{hi}] AS s{m}")
+    sub_sel = ", ".join(subs)
+    per_sub = []
+    for m in range(PQ_M):
+        per_sub.append(f"""
+d{m} AS (
+  SELECT v.vec_id, c.k,
+         list_dot_product(v.s{m}, v.s{m})
+         - 2.0 * list_dot_product(v.s{m}, c.s{m})
+         + list_dot_product(c.s{m}, c.s{m}) AS dist
+  FROM v JOIN cents c ON TRUE),
+b{m} AS (
+  SELECT vec_id, k AS code, dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, k ASC) AS rn
+  FROM d{m})""")
+    joins = " ".join(
+        f"JOIN (SELECT vec_id, code, dist FROM b{m} WHERE rn = 1) "
+        f"w{m} USING (vec_id)" for m in range(PQ_M))
+    checksum = " + ".join(f"(w{m}.code + 1) * {31 ** m}"
+                          for m in range(PQ_M))
+    total = " + ".join(f"w{m}.dist" for m in range(PQ_M))
+    return f"""
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+v AS (SELECT vec_id, {sub_sel} FROM raw),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, {sub_sel}
+  FROM (SELECT * FROM raw ORDER BY vec_id LIMIT {PQ_K})),
+{",".join(per_sub)}
+SELECT r.vec_id,
+       CAST({checksum} AS BIGINT) AS code_checksum,
+       round(({total}) / {PQ_DIM}, 4) AS recon_mse
+FROM raw r {joins}
+ORDER BY r.vec_id
+"""
+
+
 QUERIES.update({
     "boilerplate_prefix_groups": boilerplate_prefix_groups,
     "length_log_histogram": length_log_histogram,
     "windowed_topk_types": windowed_topk_types,
+    "embedding_pq": embedding_pq,
 })
 ORACLES.update({
     "boilerplate_prefix_groups": BOILERPLATE_PREFIX_ORACLE,
     "length_log_histogram": LENGTH_LOG_HISTOGRAM_ORACLE,
     "windowed_topk_types": WINDOWED_TOPK_ORACLE,
+    "embedding_pq": _pq_oracle(),
 })

@@ -215,3 +215,53 @@ def test_pinned_ranks_promoted_first(spark):
     )
     # promoted order must be the LIST order, not ascending id
     assert PINNED_IDS == [42, 7, 101]
+
+
+def test_geo_shape_crossing_test_matches_reference(spark):
+    """The SQL ray-casting expression must agree with a plain-Python
+    point-in-polygon reference on a dense grid over the polygon's
+    bounding box (edges, notches, outside points)."""
+    from parquet_generator_spark.plans.reference_queries14 import (
+        POLYGON,
+        _crossing_terms,
+    )
+
+    def ref_inside(lat, lon):
+        inside = False
+        n = len(POLYGON)
+        for i in range(n):
+            y1, x1 = POLYGON[i]
+            y2, x2 = POLYGON[(i + 1) % n]
+            if (y1 > lat) != (y2 > lat) and \
+                    lon < x1 + (x2 - x1) * (lat - y1) / (y2 - y1):
+                inside = not inside
+        return inside
+
+    pts = [(45.0 + 0.37 * i, 5.0 + 0.53 * j)
+           for i in range(25) for j in range(30)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = df.selectExpr(
+        "lat", "lon", f"{_crossing_terms('lat', 'lon')} AS inside"
+    ).collect()
+    assert any(r["inside"] for r in got)      # polygon is non-empty
+    assert not all(r["inside"] for r in got)  # and not everything
+    for r in got:
+        assert r["inside"] == ref_inside(r["lat"], r["lon"]), \
+            (r["lat"], r["lon"])
+
+
+def test_embedding_pq_codebook_rows_reconstruct_exactly(spark):
+    """The PQ codebook rows are corpus rows — encoding them must
+    find themselves (distance 0 in every subspace): recon_mse == 0,
+    and everyone else's mse >= 0."""
+    from parquet_generator_spark.plans.llm_queries15 import (
+        PQ_K,
+        embedding_pq,
+    )
+
+    rows = embedding_pq(spark, "/root/testdata/sf0.001").collect()
+    base_ids = sorted(r["vec_id"] for r in rows)[:PQ_K]
+    for r in rows:
+        assert r["recon_mse"] >= 0.0
+        if r["vec_id"] in base_ids:
+            assert r["recon_mse"] == 0.0, r
