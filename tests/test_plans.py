@@ -406,3 +406,35 @@ def test_geo_queries_scan_only_needed_columns(spark):
     cols = m.group(1)
     assert "user_id" in cols
     assert "props" not in cols and "event_type" not in cols, cols
+
+
+def test_percolate_is_single_scan_no_join(spark):
+    """The whole stored-query registry must evaluate in ONE scan of
+    documents (Q codegen predicates in one projection + a
+    constant-factor explode) — a per-stored-query scan or join would
+    multiply the 100 TB read by the registry size."""
+    plan = formatted_plan(spark, "dsl_percolate")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_rank_function_queries_use_take_ordered(spark):
+    """Every round-7 ranking query reduces through
+    TakeOrderedAndProject (per-partition top-k then merge of k) —
+    never a global sort of all matches."""
+    for name in ("dsl_rank_feature", "dsl_script_score",
+                 "dsl_distance_feature", "dsl_random_score",
+                 "dsl_dis_max_boosting"):
+        plan = formatted_plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Join" not in plan, name
+
+
+def test_geo_shape_and_geohash_are_projection_only(spark):
+    """Polygon containment and geohash bucketing are pure per-row
+    arithmetic: one scan, no join, no window."""
+    for name in ("dsl_geo_shape", "dsl_geohash_grid"):
+        plan = formatted_plan(spark, name)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
