@@ -264,6 +264,7 @@ HEADLINE = [
     "dsl_percolate",
     "dsl_geo_shape",
     "embedding_pq",
+    "dsl_wrapper",
 ]
 
 

@@ -409,6 +409,14 @@ def translate_query(q: dict | None) -> Column:
         return acc
     if kind == "ids":
         return F.col("_id").isNotNull() & F.col("_id").isin(list(body["values"]))
+    if kind == "wrapper":
+        # base64-encoded JSON query, decoded on the driver at plan
+        # time (zero runtime cost; the inner query pushes down like
+        # any other)
+        import base64
+        import json
+        return translate_query(
+            json.loads(base64.b64decode(body["query"])))
     if kind == "span_near":
         # Lucene span_near over two span_term clauses: the two terms
         # within `slop` intervening tokens, optionally order-free.

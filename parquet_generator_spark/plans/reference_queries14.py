@@ -157,11 +157,46 @@ GROUP BY key ORDER BY doc_count DESC, key ASC
 """
 
 
+# ------------------------------------------------------- dsl_wrapper
+
+# the base64 payload a client would ship: {"term": {"event_type":
+# "purchase"}} — built at import so the test of record is the decode
+import base64 as _b64
+import json as _json
+
+WRAPPED = _b64.b64encode(_json.dumps(
+    {"term": {"event_type": "purchase"}}).encode()).decode()
+
+
+def dsl_wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `wrapper` query: a base64-encoded JSON query decoded and
+    translated at plan time (clients use it to smuggle queries
+    through tooling that mangles JSON). Decoding happens on the
+    driver before translation — zero runtime cost; the inner query
+    here pushes to the scan like any term filter."""
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.filter(translate_query({"wrapper": {"query": WRAPPED}}))
+            .groupBy(F.col("event_type").alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("key"))
+
+
+DSL_WRAPPER_ORACLE = """
+SELECT event_type AS key, count(*) AS doc_count,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY key ORDER BY key
+"""
+
+
 QUERIES.update({
     "dsl_percolate": dsl_percolate,
     "dsl_geo_shape": dsl_geo_shape,
+    "dsl_wrapper": dsl_wrapper,
 })
 ORACLES.update({
     "dsl_percolate": _percolate_oracle(),
     "dsl_geo_shape": _geo_shape_oracle(),
+    "dsl_wrapper": DSL_WRAPPER_ORACLE,
 })
