@@ -161,7 +161,17 @@ class _QueryStringParser:
     &&/||/!), parentheses, `*`/`?` token wildcards, and
     default_operator for bare adjacency. Precedence NOT > AND > OR,
     as in Lucene's classic parser. Produces one Catalyst boolean
-    Column — all leaves are JVM-side rlike/regex predicates."""
+    Column — all leaves are JVM-side rlike/regex predicates.
+
+    DOCUMENTED DIVERGENCE (the fuzzy_transpositions convention):
+    NOT here is a true boolean complement, so `a OR NOT b` matches
+    any doc not containing b regardless of a. Lucene's classic
+    parser instead lowers NOT/`-` to a PROHIBITED clause on the
+    enclosing boolean (`a OR NOT b` ~ `+a -b` in practice), a
+    behavior its own docs call surprising. Pure boolean semantics
+    are deterministic, composable, and what the oracle mirrors;
+    queries that avoid NOT directly under OR (the sane subset)
+    agree between the two models."""
 
     def __init__(self, query: str, fields: list[str], default_op: str):
         self.toks = _QS_TOKEN.findall(query)
@@ -223,9 +233,9 @@ class _QueryStringParser:
         return _qs_leaf(tok, self.fields)
 
 
-# simple_query_string tokens: quoted phrase | the | and + operators |
-# term (possibly -negated / *-suffixed)
-_SQS_TOKEN = re.compile(r'"[^"]*"|\||\+|[^\s|+]+')
+# simple_query_string tokens: [possibly -negated] quoted phrase |
+# the | and + operators | term (possibly -negated / *-suffixed)
+_SQS_TOKEN = re.compile(r'-?"[^"]*"|\||\+|[^\s|+]+')
 
 
 def simple_query_string_pred(query: str, fields: list[str],
@@ -247,7 +257,7 @@ def simple_query_string_pred(query: str, fields: list[str],
             continue
         neg = tok.startswith("-") and len(tok) > 1
         if neg:
-            tok = tok[1:]
+            tok = tok[1:]  # works for terms AND -"quoted phrases"
         if not tok.startswith('"') and tok.endswith("*") \
                 and "*" not in tok[:-1] and "?" not in tok:
             prefix = _tokens(tok[:-1])
@@ -454,14 +464,20 @@ def translate_query(q: dict | None) -> Column:
         # from a constant script or a per-document field
         field, spec = next(iter(body.items()))
         terms = spec["terms"]
+        if not terms:
+            raise ValueError("terms_set: empty terms list")
+        if "minimum_should_match_field" in spec:
+            m = F.col(spec["minimum_should_match_field"]).cast("int")
+        elif "minimum_should_match_script" in spec:
+            m = F.lit(int(spec["minimum_should_match_script"]["source"]))
+        else:
+            raise ValueError(
+                "terms_set needs minimum_should_match_field or "
+                "minimum_should_match_script")
         hits = None
         for t in terms:
             h = token_present(field, str(t).lower()).cast("int")
             hits = h if hits is None else hits + h
-        if "minimum_should_match_field" in spec:
-            m = F.col(spec["minimum_should_match_field"]).cast("int")
-        else:
-            m = F.lit(int(spec["minimum_should_match_script"]["source"]))
         return F.col(field).isNotNull() & (hits >= m)
     if kind == "nested":
         # ES nested query: the parent matches when ANY element of the
@@ -489,6 +505,7 @@ def translate_query(q: dict | None) -> Column:
         msm = body.get("minimum_should_match")
         if msm is None:
             msm = 0 if (body.get("must") or body.get("filter")) else 1
+        msm = int(msm)  # ES accepts string msm ("1")
         if should and msm == 1:
             # the common case stays a plain disjunction — Or(leaf...)
             # can still push to the scan, a count-of-casts cannot
@@ -568,8 +585,10 @@ def score_query(q: dict | None, boost: float = 1.0) -> Column:
             total = total + p
         return F.when(translate_query(q), total).otherwise(F.lit(0.0))
     # leaf: honor a per-leaf "boost" in the field spec if present
+    # (guard the probe — match_all's body is an empty dict, the
+    # canonical ES idiom under scoring compounds)
     leaf_boost = 1.0
-    if isinstance(body, dict):
+    if isinstance(body, dict) and body:
         spec = next(iter(body.values()))
         if isinstance(spec, dict) and "boost" in spec:
             leaf_boost = float(spec["boost"])
@@ -679,20 +698,22 @@ def _element_pred_sql(q: dict | None, path: str, var: str = "_x") -> str:
         should = body.get("should", [])
         # mirror translate_query: ES's default minimum_should_match is
         # 1 only when should stands alone; with must/filter present it
-        # is 0 (scoring-only) and must NOT filter
+        # is 0 (scoring-only) and must NOT filter. ES accepts string
+        # msm ("1") — normalize once before comparing.
         msm = body.get("minimum_should_match")
         if msm is None:
             msm = 0 if (body.get("must") or body.get("filter")) else 1
+        msm = int(msm)
         if should and msm == 1:
             parts.append("(" + " OR ".join(
                 _element_pred_sql(c, path, var) for c in should) + ")")
-        elif should and int(msm) > 1:
-            if int(msm) > len(should):
+        elif should and msm > 1:
+            if msm > len(should):
                 return "FALSE"
             hits = " + ".join(
                 f"CAST({_element_pred_sql(c, path, var)} AS INT)"
                 for c in should)
-            parts.append(f"(({hits}) >= {int(msm)})")
+            parts.append(f"(({hits}) >= {msm})")
         return "(" + " AND ".join(parts) + ")" if parts else "TRUE"
     raise ValueError(f"unsupported nested inner query kind {kind!r}")
 

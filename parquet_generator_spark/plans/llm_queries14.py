@@ -6,11 +6,13 @@ Better"): which K-token windows occur >= 2 times corpus-wide. The
 suffix-array formulation the dedup literature ships at corpus scale
 reports the LONGEST duplicated span instead. This query closes that
 gap at the span-merge level: every duplicated K-window is an interval
-[i, i+K) of token positions; consecutive duplicated window offsets
-merge into islands (classic gaps-and-islands via offset - keyed
-row_number), and an island of L consecutive offsets is a maximal
-duplicated span of L + K - 1 tokens — exactly the union of its
-windows. Equivalent to the suffix-array answer whenever the true
+[i, i+K) of token positions; duplicated windows whose intervals
+OVERLAP (offset gap < K) merge into islands (gaps-and-islands via a
+lagged new-island flag + running sum), and an island spanning
+offsets [first, last] is a maximal duplicated span of
+last - first + K tokens — exactly the union of its windows, and
+islands' intervals are disjoint by construction so the covered-token
+sum never double-counts. Equivalent to the suffix-array answer whenever the true
 longest duplicated substring is >= K tokens (shorter duplicates are
 below the K-token floor by design, as in Lee et al.'s minimum match
 length).
@@ -54,18 +56,27 @@ def maximal_dup_spans(docs: DataFrame) -> DataFrame:
     dup_off = (spans.join(totals, "span")
                .filter(F.col("total") >= 2)
                .select("doc_id", "off"))
+    # islands merge on WINDOW OVERLAP, not mere offset adjacency: two
+    # duplicated windows at offsets i < j cover overlapping token
+    # intervals whenever j - i < K, so they belong to one maximal
+    # span. A new island starts only when the gap reaches K — which
+    # also makes islands' [min, max + K) intervals disjoint, so the
+    # covered-token sum is a true union (never exceeds the doc).
     w = Window.partitionBy("doc_id").orderBy("off")
+    new_isl = F.when(
+        F.lag("off").over(w).isNull()
+        | (F.col("off") - F.lag("off").over(w) >= SPAN_K),
+        1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     islands = (dup_off
-               .withColumn("isl", F.col("off")
-                           - F.row_number().over(w))
+               .withColumn("isl", F.sum(new_isl).over(wrun))
                .groupBy("doc_id", "isl")
-               .agg(F.count(F.lit(1)).alias("run")))
+               .agg((F.max("off") - F.min("off") + F.lit(SPAN_K))
+                    .alias("span_len")))
     per_doc = (islands.groupBy("doc_id")
-               .agg(F.max(F.col("run") + F.lit(SPAN_K - 1))
-                    .alias("max_dup_span"),
+               .agg(F.max("span_len").alias("max_dup_span"),
                     F.count(F.lit(1)).alias("n_spans"),
-                    F.sum(F.col("run") + F.lit(SPAN_K - 1))
-                    .alias("dup_tokens")))
+                    F.sum("span_len").alias("dup_tokens")))
     return (docs.select("doc_id").join(per_doc, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("max_dup_span", F.lit(0))
@@ -95,19 +106,28 @@ tot AS (SELECT span, count(*) AS total FROM sp GROUP BY span),
 dup AS (
   SELECT s.doc_id, s.off FROM sp s JOIN tot USING (span)
   WHERE tot.total >= 2),
-isl AS (
-  SELECT doc_id,
-         off - row_number() OVER (PARTITION BY doc_id ORDER BY off)
-           AS grp
+flagged AS (
+  SELECT doc_id, off,
+         CASE WHEN lag(off) OVER (PARTITION BY doc_id ORDER BY off)
+                   IS NULL
+              OR off - lag(off) OVER (PARTITION BY doc_id
+                                      ORDER BY off) >= {SPAN_K}
+              THEN 1 ELSE 0 END AS new_isl
   FROM dup),
+isl AS (
+  SELECT doc_id, off,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY off
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged),
 runs AS (
-  SELECT doc_id, grp, count(*) AS run FROM isl
-  GROUP BY doc_id, grp),
+  SELECT doc_id, grp,
+         max(off) - min(off) + {SPAN_K} AS span_len
+  FROM isl GROUP BY doc_id, grp),
 agg AS (
   SELECT doc_id,
-         CAST(max(run + {SPAN_K - 1}) AS BIGINT) AS max_dup_span,
+         CAST(max(span_len) AS BIGINT) AS max_dup_span,
          CAST(count(*) AS BIGINT) AS n_spans,
-         CAST(sum(run + {SPAN_K - 1}) AS BIGINT) AS dup_tokens
+         CAST(sum(span_len) AS BIGINT) AS dup_tokens
   FROM runs GROUP BY doc_id)
 SELECT d.doc_id,
        COALESCE(a.max_dup_span, 0) AS max_dup_span,

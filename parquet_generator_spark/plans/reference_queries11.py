@@ -226,11 +226,17 @@ def _bit(x: str, i: int) -> str:
 
 
 def geohash_cell_exprs(lat: str, lon: str) -> tuple[str, str]:
-    """Integer cell indices along each axis at the target bit depth."""
-    ix = (f"CAST(floor((({lon}) + 180.0) / 360.0 "
-          f"* {1 << _GH_LON_BITS}) AS BIGINT)")
-    iy = (f"CAST(floor((({lat}) + 90.0) / 180.0 "
-          f"* {1 << _GH_LAT_BITS}) AS BIGINT)")
+    """Integer cell indices along each axis at the target bit depth.
+    Clamped to 2^bits - 1: lat=90 / lon=180 would otherwise index
+    2^bits, whose low bits are all zero — encoding the north pole as
+    the south pole (the bisection encoder keeps the boundary in the
+    last cell)."""
+    ix = (f"CAST(least(floor((({lon}) + 180.0) / 360.0 "
+          f"* {1 << _GH_LON_BITS}), {(1 << _GH_LON_BITS) - 1}) "
+          f"AS BIGINT)")
+    iy = (f"CAST(least(floor((({lat}) + 90.0) / 180.0 "
+          f"* {1 << _GH_LAT_BITS}), {(1 << _GH_LAT_BITS) - 1}) "
+          f"AS BIGINT)")
     return ix, iy
 
 

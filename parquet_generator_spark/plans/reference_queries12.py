@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators.esdsl import (
+    _B_L,
+    _B_R,
     search,
     translate_query,
 )
@@ -26,8 +28,7 @@ from parquet_generator_spark.sources.catalog import load_table
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-_B_L = "(^|[^a-z0-9])"
-_B_R = "([^a-z0-9]|$)"
+# token-boundary pieces imported from esdsl (single source of truth)
 _GAP = "([^a-z0-9]+[a-z0-9]+)"
 
 SPAN_SLOP = 2

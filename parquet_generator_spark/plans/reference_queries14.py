@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_generator_spark.operators.esdsl import translate_query
+from parquet_generator_spark.operators.esdsl import (
+    _B_L,
+    _B_R,
+    translate_query,
+)
 from parquet_generator_spark.plans.reference_queries9 import (
     LAT_D,
     LAT_S,
@@ -33,9 +37,8 @@ ORACLES: dict = {}
 
 # ------------------------------------------------------ dsl_percolate
 
-# the stored-query registry: (query_id, DSL dict, oracle SQL pred)
-_B_L = "(^|[^a-z0-9])"
-_B_R = "([^a-z0-9]|$)"
+# the stored-query registry: (query_id, DSL dict, oracle SQL pred);
+# token-boundary pieces imported from esdsl (single source of truth)
 
 
 def _tok(t: str) -> str:

@@ -210,11 +210,80 @@ def test_terms_set_field_minimum(spark):
 
 
 def test_pinned_ranks_promoted_first(spark):
+    """dsl_pinned executed for real: the promoted ids that exist in
+    the corpus lead the result IN LIST ORDER (not ascending id), then
+    organic matches in doc_id order."""
     from parquet_generator_spark.plans.reference_queries12 import (
         PINNED_IDS,
+        dsl_pinned,
     )
-    # promoted order must be the LIST order, not ascending id
-    assert PINNED_IDS == [42, 7, 101]
+
+    rows = dsl_pinned(spark, "/root/testdata/sf0.001").collect()
+    pinned_rows = [r for r in rows if r["pinned"]]
+    got_pin_ids = [r["doc_id"] for r in pinned_rows]
+    expect = [i for i in PINNED_IDS if i in {r["doc_id"] for r in rows}]
+    assert got_pin_ids == expect            # list order, 42 before 7
+    assert [r["rank"] for r in pinned_rows] == list(
+        range(1, len(pinned_rows) + 1))     # pinned lead the ranking
+    organic = [r["doc_id"] for r in rows if not r["pinned"]]
+    assert organic == sorted(organic)       # then doc_id order
+
+
+def test_simple_query_string_negated_phrase(spark):
+    """Round-7 review regression: -"quoted phrase" must negate the
+    WHOLE phrase, not split into a negated term + a stray term."""
+    df = spark.createDataFrame(
+        [(1, "merge batch line"), (2, "batch merge nope"),
+         (3, "clean text")],
+        "id long, text string")
+    body = {"query": 'text -"merge batch"', "fields": ["text"],
+            "default_operator": "AND"}
+    got = sorted(r["id"] for r in df.filter(
+        esdsl.translate_query({"simple_query_string": body})).collect())
+    # doc2 contains both words but NOT the phrase -> survives its
+    # negation but fails the 'text' term; doc3 has 'text'
+    assert got == [3]
+
+
+def test_score_query_match_all_and_string_msm(spark):
+    """Round-7 review regressions: match_all under a scoring compound
+    must not crash; nested-bool minimum_should_match accepts the ES
+    string form."""
+    df = spark.createDataFrame(
+        [(1, [("purchase", 10.0)]), (2, [("click", 2000.0)])],
+        "id long, items array<struct<event_type string, value double>>")
+    s = df.select(score_query(
+        {"dis_max": {"queries": [{"match_all": {}}],
+                     "tie_breaker": 0.5}}).alias("s")).collect()
+    assert all(r["s"] == 1.0 for r in s)
+    q = {"nested": {"path": "items", "query": {"bool": {
+        "should": [{"term": {"items.event_type": "purchase"}}],
+        "minimum_should_match": "1"}}}}
+    got = sorted(r["id"] for r in df.filter(
+        esdsl.translate_query(q)).collect())
+    assert got == [1]
+    with pytest.raises(ValueError):
+        esdsl.translate_query({"terms_set": {"text": {"terms": []}}})
+
+
+def test_geohash_boundary_coordinates(spark):
+    """lat=90 / lon=180 must stay in the last cell (the bisection
+    encoder's behavior), not wrap to the opposite hemisphere."""
+    from parquet_generator_spark.plans.reference_queries11 import (
+        geohash_cell_exprs,
+        geohash_encode,
+        geohash_expr,
+    )
+
+    pts = [(90.0, 0.0), (-90.0, 0.0), (0.0, 180.0), (0.0, -180.0),
+           (90.0, 180.0), (-90.0, -180.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    ix, iy = geohash_cell_exprs("lat", "lon")
+    got = df.selectExpr("lat", "lon",
+                        f"{geohash_expr(ix, iy)} AS gh").collect()
+    for r in got:
+        assert r["gh"] == geohash_encode(r["lat"], r["lon"]), \
+            (r["lat"], r["lon"])
 
 
 def test_geo_shape_crossing_test_matches_reference(spark):

@@ -152,3 +152,27 @@ def test_maximal_dup_spans_merges_adjacent_windows(spark):
     assert got[1]["dup_tokens"] == 12
     assert got[2]["max_dup_span"] == 12
     assert got[3]["max_dup_span"] == 0 and got[3]["n_spans"] == 0
+
+
+def test_maximal_dup_spans_merges_overlapping_windows(spark):
+    """Round-7 review regression: two duplicated windows whose
+    intervals overlap but whose offsets are NOT adjacent (gap 2 < K)
+    must merge into ONE maximal span covering their union — the old
+    adjacency-only merge double-counted 16 tokens in a 10-token
+    overlap."""
+    from parquet_generator_spark.plans.llm_queries14 import (
+        maximal_dup_spans,
+    )
+
+    w = [f"w{i}" for i in range(10)]
+    doc1 = " ".join(w)                      # windows at offsets 0,1,2
+    # doc2 repeats w0..w7 and w2..w9 but NOT w1..w8 contiguously
+    doc2 = " ".join(w[0:8] + ["zz"] + w[2:10])
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in maximal_dup_spans(df).collect()}
+    # doc1 dup offsets {0, 2} (offset 1's window only occurs once):
+    # one island, union w0..w9 = 10 tokens
+    assert got[1]["n_spans"] == 1
+    assert got[1]["max_dup_span"] == 10
+    assert got[1]["dup_tokens"] == 10       # never exceeds the doc
