@@ -541,3 +541,52 @@ def test_window_distinct_stream_matches_batch(spark, tmp_path):
     streamed = spark.sql("select * from windist").collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
     assert len(batch) > 0
+
+
+def test_stream_percolate_matches_batch(spark, tmp_path):
+    """Streaming percolation (the alerting engine) emits exactly the
+    batch percolator's (query_id, doc_id) pairs, across multiple
+    micro-batches, with no state."""
+    import json
+
+    from parquet_generator_spark.streaming.percolate import (
+        percolate_stream,
+    )
+
+    registry = [
+        ("hot", {"bool": {"must": [{"match": {"text": "spark"}},
+                                   {"range": {"n": {"gte": 5}}}]}}),
+        ("any_merge", {"match": {"text": "merge"}}),
+    ]
+    docs = [
+        {"doc_id": 1, "text": "spark row", "n": 9},
+        {"doc_id": 2, "text": "spark row", "n": 1},
+        {"doc_id": 3, "text": "merge batch", "n": 0},
+        {"doc_id": 4, "text": "spark merge", "n": 7},
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # two micro-batches
+    (in_dir / "b0.json").write_text("\n".join(
+        json.dumps(d) for d in docs[:2]))
+    (in_dir / "b1.json").write_text("\n".join(
+        json.dumps(d) for d in docs[2:]))
+
+    schema = "doc_id long, text string, n long"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    out = percolate_stream(stream, registry)
+    q = (out.writeStream.format("memory")
+         .queryName("percolated").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["query_id"], r["doc_id"])
+           for r in spark.sql("SELECT * FROM percolated").collect()}
+    batch = percolate_stream(
+        spark.createDataFrame([tuple(d.values()) for d in docs],
+                              schema), registry)
+    want = {(r["query_id"], r["doc_id"]) for r in batch.collect()}
+    assert got == want
+    assert got == {("hot", 1), ("hot", 4), ("any_merge", 3),
+                   ("any_merge", 4)}
