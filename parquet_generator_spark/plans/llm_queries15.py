@@ -188,7 +188,14 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes = dists.argmin(axis=2)           # first min = id tie
             best = np.take_along_axis(
                 dists, codes[:, :, None], axis=2)[:, :, 0]
-            mse = np.round(best.sum(axis=1) / PQ_DIM, 4)
+            # accumulate the 8 per-subspace distances SEQUENTIALLY
+            # (vectorized across rows) — numpy's pairwise .sum() order
+            # is not bitwise-equal to the oracle's left-to-right
+            # w0.dist + w1.dist + ... chain
+            total = best[:, 0].copy()
+            for m in range(1, PQ_M):
+                total += best[:, m]
+            mse = np.round(total / PQ_DIM, 4)
             ck = ((codes + 1) * place[None, :]).sum(axis=1)
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"],

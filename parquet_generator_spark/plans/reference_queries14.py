@@ -72,15 +72,12 @@ def dsl_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stored query compiles to one codegen boolean column — a
     single scan evaluates the whole registry, then a constant-factor
     array explode emits (query_id, doc) pairs."""
+    from parquet_generator_spark.streaming.percolate import (
+        percolate_stream,
+    )
     docs = load_table(spark, "documents", sf_dir)
-    structs = [
-        F.when(translate_query(q),
-               F.struct(F.lit(qid).alias("query_id"),
-                        F.col("doc_id").alias("doc_id")))
-        for qid, q, _ in PERCOLATORS]
-    pairs = (docs.select(F.explode(
-        F.array_compact(F.array(*structs))).alias("m"))
-        .select("m.query_id", "m.doc_id"))
+    pairs = percolate_stream(docs, [(qid, q)
+                                    for qid, q, _ in PERCOLATORS])
     return (pairs.groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n_matches"),
                  F.min("doc_id").alias("first_doc"),

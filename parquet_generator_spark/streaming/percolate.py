@@ -22,9 +22,18 @@ from parquet_generator_spark.operators.esdsl import translate_query
 def percolate_stream(stream: DataFrame,
                      registry: list[tuple[str, dict]],
                      id_col: str = "doc_id") -> DataFrame:
-    """Match a streaming docs frame against the stored-query
-    registry; emits one row per (query_id, matching doc). Stateless:
-    works in append mode with no watermark."""
+    """Match a (streaming or batch) docs frame against the
+    stored-query registry; emits one row per (query_id, matching
+    doc). Stateless: works in append mode with no watermark. The
+    batch percolator query (plans.reference_queries14.dsl_percolate)
+    builds its pairs through this same function — one match
+    semantics, two execution modes."""
+    if not registry:
+        # F.array() of zero columns is ARRAY<VOID>; return the
+        # natural zero-row frame instead of an analysis error
+        return (stream.select(
+            F.lit("").alias("query_id"),
+            F.col(id_col).alias(id_col)).limit(0))
     structs = [
         F.when(translate_query(q),
                F.struct(F.lit(qid).alias("query_id"),
