@@ -54,37 +54,18 @@ from parquet_generator_spark.plans import streaming_queries as S
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness sampler reads 50 entries from the front of queries().
-# Rounds 3-6 greened 180 of the 214 entries with hard driver rows; the
-# 34 below (33 round-6 additions + stream_sliding_agg, deliberately
-# queued 51st last round) are the remaining evidence debt — green in
-# driver-sim + pytest parity, never driver-sampled. They lead; round-7
-# additions fill the rest of the 50-wide window; queries not listed
-# follow in registration order (all already driver-green).
+# Rounds 3-7 greened 230 of the 237 entries with hard driver rows; the
+# 7 below (late round-7 additions that missed the 50-wide window) are
+# the remaining evidence debt — green in judge driver-sim + pytest
+# parity, never driver-sampled. They lead so CORRECTNESS_r08 closes the
+# hard ledger at 237/237; round-8 additions queue behind them; queries
+# not listed follow in registration order (all already driver-green).
 FRONT_KEYS = [
-    # round-6 additions never driver-sampled (33)
-    "dsl_nested", "dsl_nested_agg", "table_profile_approx",
-    "image_decode_stats", "dsl_boxplot", "dsl_mad",
-    "dsl_string_stats", "dsl_t_test", "dsl_matrix_stats",
-    "ngram_novelty", "tokenizer_fertility", "gini_source_balance",
-    "simhash_bit_balance", "knn_eval_confusion",
-    "minhash_estimate_error", "winsorize_lengths", "charset_profile",
-    "js_divergence_sources", "dsl_percentiles_bucket",
-    "dsl_normalize", "dsl_sampler", "dsl_filters_other_bucket",
-    "dsl_date_histogram_offset", "dsl_geo_distance",
-    "dsl_geo_bounding_box", "dedup_threshold_sweep",
-    "ivf_recall_curve", "stream_window_distinct",
-    "cluster_purity", "dedup_cluster_size_dist", "dsl_has_child",
-    "dsl_has_parent", "dsl_geotile_grid",
-    # queued 51st in round 6's window — samples this round
-    "stream_sliding_agg",
-    # round-7 additions append here as they land (window is 50 wide)
-    "dsl_query_string", "dsl_simple_query_string",
-    "dsl_match_phrase_prefix", "dsl_dis_max_boosting",
-    "dsl_geohash_grid", "span_dedup_maximal",
-    "dsl_span_near", "dsl_terms_set", "dsl_random_score",
-    "dsl_pinned", "ccnet_quality_buckets", "knn_classify_ivf",
-    "dsl_geo_centroid", "boilerplate_prefix_groups",
-    "length_log_histogram", "windowed_topk_types",
+    # round-7 additions never driver-sampled (7)
+    "embedding_pq", "dsl_rank_feature", "dsl_script_score",
+    "dsl_distance_feature", "dsl_percolate", "dsl_geo_shape",
+    "dsl_wrapper",
+    # round-8 additions append here as they land (window is 50 wide)
 ]
 
 

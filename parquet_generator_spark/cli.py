@@ -32,9 +32,14 @@ from datetime import date
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _load_source(spark: SparkSession, path: str) -> DataFrame:
+def _load_source(spark: SparkSession, path: str,
+                 doc_column: str = "doc") -> DataFrame:
+    # JSON-lines text lands under the caller's --doc-column name, so
+    # discover/export over .jsonl sources honor a non-default column
+    # the same way parquet sources do
     if path.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
-        return spark.read.text(path).withColumnRenamed("value", "doc")
+        return spark.read.text(path).withColumnRenamed(
+            "value", doc_column)
     return spark.read.parquet(path)
 
 
@@ -43,7 +48,7 @@ def _cmd_discover(spark: SparkSession,
     from parquet_generator_spark.etl import discover_rules
     from parquet_generator_spark.schema.infer import infer_json_schema
 
-    df = _load_source(spark, args.source)
+    df = _load_source(spark, args.source, args.doc_column)
     if args.doc_column in df.columns:
         schema = infer_json_schema(spark, df, column=args.doc_column,
                                    sample_ratio=args.sample_ratio)
@@ -61,7 +66,7 @@ def _cmd_discover(spark: SparkSession,
 def _cmd_export(spark: SparkSession, args: argparse.Namespace) -> int:
     from parquet_generator_spark.etl import json_docs_to_parquet
 
-    df = _load_source(spark, args.source)
+    df = _load_source(spark, args.source, args.doc_column)
     path = json_docs_to_parquet(
         spark, df, args.rule, args.out,
         doc_column=args.doc_column, rule_field=args.field,

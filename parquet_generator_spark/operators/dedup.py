@@ -108,16 +108,17 @@ def jaccard_pairs(df: DataFrame, id_col: str, content_col: str,
     Guarded: refuses inputs above ``max_rows`` (default 20k — already
     2x10^8 pairs) so the deliberately-quadratic verifier can't be
     pointed at a real corpus by accident; pass ``max_rows=None`` to
-    opt out knowingly. The count is one columnar metadata-ish scan —
-    negligible beside the quadratic join it protects against."""
+    opt out knowingly. The probe counts ``limit(max_rows + 1)`` — it
+    short-circuits after max_rows+1 rows instead of executing the
+    full upstream lineage (which, over a computed/filtered input, is
+    a complete Spark job just to read one number)."""
     if max_rows is not None:
-        n = df.count()
-        if n > max_rows:
+        if df.limit(max_rows + 1).count() > max_rows:
             raise ValueError(
                 f"jaccard_pairs is the O(n^2) verifier baseline: input "
-                f"has {n} rows > max_rows={max_rows}. Use "
-                f"minhash_lsh_pairs (banded LSH) at corpus scale, or "
-                f"pass max_rows=None to force.")
+                f"exceeds max_rows={max_rows}. Use minhash_lsh_pairs "
+                f"(banded LSH) at corpus scale, or pass max_rows=None "
+                f"to force.")
     sh = widen_if_narrow(df).select(
         F.col(id_col).alias("id"),
         F.expr(shingles_spark(content_col, k)).alias("sh"))

@@ -241,9 +241,13 @@ def knn_classify_ivf(spark: SparkSession, sf_dir: str,
     cents = make_centroids_from_corpus(emb, ANN_IVF_CELLS)
     topk = ivf_topk(emb, queries, KNN_K, cents,
                     n_probe=n_probe or ANN_IVF_PROBE)
+    # labels/truth are corpus-cardinality frames: NO broadcast hint —
+    # a forced broadcast of every vec_id dies at 100 TB. Plain equi
+    # joins on nid/qid let AQE pick shuffle-hash (or broadcast only
+    # when the runtime stats say the side is actually small).
     labels = emb.select(F.col("vec_id").alias("nid"),
                         F.col("label").alias("n_label"))
-    votes = (topk.join(F.broadcast(labels), "nid")
+    votes = (topk.join(labels, "nid")
              .groupBy("qid", "n_label")
              .agg(F.count(F.lit(1)).alias("votes")))
     w = Window.partitionBy("qid").orderBy(F.desc("votes"),
@@ -252,7 +256,7 @@ def knn_classify_ivf(spark: SparkSession, sf_dir: str,
             .filter(F.col("rk") == 1))
     truth = emb.select(F.col("vec_id").alias("qid"),
                        F.col("label").alias("true_label"))
-    return (pred.join(F.broadcast(truth), "qid")
+    return (pred.join(truth, "qid")
             .select("qid", "true_label",
                     F.col("n_label").alias("pred_label"), "votes")
             .orderBy("qid"))

@@ -182,14 +182,16 @@ RETENTION_MAX_WEEKS = 4
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention by first-seen cohort: each user's cohort is
     the day of their first event; activity weeks are day-offsets / 7
-    from that anchor. One user-cardinality aggregate (the anchor)
-    broadcasts back onto events; the distinct-user count shuffles on
-    the (cohort, week) pair."""
+    from that anchor. The first-seen anchor is USER-cardinality, so it
+    joins back onto events with a plain equi-join (both sides already
+    key on user_id; AQE broadcasts only if runtime stats allow —
+    billions of users at 100x must shuffle, not broadcast); the
+    distinct-user count shuffles on the (cohort, week) pair."""
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", F.to_date("ts").alias("d"))
     first = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
     week = F.floor(F.datediff(F.col("d"), F.col("first_d")) / 7)
-    return (ev.join(F.broadcast(first), "user_id")
+    return (ev.join(first, "user_id")
             .withColumn("week_offset", week.cast("int"))
             .filter(F.col("week_offset") < RETENTION_MAX_WEEKS)
             .groupBy(F.date_format("first_d", "yyyy-MM-dd")
@@ -224,7 +226,9 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest (cosine) neighbors among the rest. Reuses the brute-force
     top-k kernel (queries broadcast, corpus scanned once); the vote is
     a count per (query, label) + one window rank. At scale the
-    brute-force kernel swaps for the IVF/LSH path unchanged."""
+    brute-force kernel swaps for the IVF/LSH path unchanged; the
+    label/truth lookups are corpus-cardinality, so they join without
+    a broadcast hint (AQE decides)."""
     from parquet_generator_spark.operators.similarity import (
         brute_force_topk,
     )
@@ -234,7 +238,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = emb.select(F.col("vec_id").alias("nid"),
                         F.col("label").alias("n_label"))
     from pyspark.sql import Window
-    votes = (topk.join(F.broadcast(labels), "nid")
+    votes = (topk.join(labels, "nid")
              .groupBy("qid", "n_label")
              .agg(F.count(F.lit(1)).alias("votes")))
     w = Window.partitionBy("qid").orderBy(F.desc("votes"),
@@ -243,7 +247,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1))
     truth = emb.select(F.col("vec_id").alias("qid"),
                        F.col("label").alias("true_label"))
-    return (pred.join(F.broadcast(truth), "qid")
+    return (pred.join(truth, "qid")
             .select("qid", "true_label",
                     F.col("n_label").alias("pred_label"), "votes")
             .orderBy("qid"))

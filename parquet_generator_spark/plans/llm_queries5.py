@@ -347,9 +347,12 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmi = (F.log2((F.col("c_xy").cast("double") / F.col("t_p"))
                   / ((F.col("c_x").cast("double") / F.col("t_w"))
                      * (F.col("c_y").cast("double") / F.col("t_w")))))
+    # u1/u2 are VOCAB-cardinality unigram tables — no broadcast hint
+    # (billions of distinct tokens at web scale); the w1/w2 equi-joins
+    # shuffle on the word key, and AQE still broadcasts small vocabs.
     return (broadcast_scalars(
-        pair_cnt.join(F.broadcast(u1), "w1")
-                .join(F.broadcast(u2), "w2"), totals)
+        pair_cnt.join(u1, "w1")
+                .join(u2, "w2"), totals)
             .select("w1", "w2", "c_xy",
                     F.round(pmi, 3).alias("pmi"))
             .orderBy("w1", "w2"))
@@ -393,10 +396,14 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval/feature representation. tf = in-doc count, idf =
     ln((N+1)/(df+1)) + 1 (smoothed). Two keyed aggregations (term
     frequencies per doc; document frequencies per term — both
-    map-side partial), a broadcast of the term-cardinality idf
-    table, one per-doc window for the top-k. Ranking compares the
-    ROUNDED score with the term as tie-break, so float ulp
-    differences between engines cannot flip an ordering."""
+    map-side partial), then a term-keyed equi-join of tf against the
+    idf table. The idf frame is VOCAB-cardinality — web corpora reach
+    billions of distinct tokens (typos, URLs), so no broadcast hint:
+    tf is already (doc, term)-keyed and a term-keyed shuffle join is
+    the safe default (AQE still broadcasts when runtime stats say the
+    vocab is actually small). One per-doc window takes the top-k.
+    Ranking compares the ROUNDED score with the term as tie-break, so
+    float ulp differences between engines cannot flip an ordering."""
     docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
     toks = docs.select("doc_id",
                        F.explode(F.expr(toks_spark("text"))).alias("term"))
@@ -408,7 +415,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
         .alias("idf"))
-    scored = (tf.join(F.broadcast(idf), "term")
+    scored = (tf.join(idf, "term")
               .select("doc_id", "term",
                       F.round(F.col("tf") * F.col("idf"), 4)
                       .alias("tfidf")))
@@ -462,8 +469,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1=1.2, length normalization b=0.75 against the average doc
     length. Execution: one explode filtered to the query terms (the
     scan prunes everything else), per-doc tf agg, term df agg
-    (query-term cardinality — broadcast), per-doc length from the
-    same token pass corpus-wide aggs as literals. Ranking compares
+    (query-term cardinality, bounded by |query| — joined without a
+    forced hint; AQE broadcasts the 3-row frame at runtime), per-doc
+    length from the same token pass, corpus-wide aggs as literals.
+    Ranking compares
     the ROUNDED score with doc_id tie-break, so float ulp noise
     can't reorder engines.
 
@@ -488,7 +497,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5)
               / (F.col("df") + 0.5)).alias("idf"))
-    contrib = (tf.join(F.broadcast(idf), "term").join(dl, "doc_id")
+    contrib = (tf.join(idf, "term").join(dl, "doc_id")
                .select("doc_id",
                        (F.col("idf") * F.col("tf") * (BM25_K1 + 1.0)
                         / (F.col("tf") + BM25_K1

@@ -30,10 +30,13 @@ def percolate_stream(stream: DataFrame,
     semantics, two execution modes."""
     if not registry:
         # F.array() of zero columns is ARRAY<VOID>; return the
-        # natural zero-row frame instead of an analysis error
+        # natural zero-row frame instead of an analysis error.
+        # filter(lit(False)), not limit(0): limit is unsupported on
+        # streaming Datasets, so the guard must stay plan-valid in
+        # both execution modes.
         return (stream.select(
             F.lit("").alias("query_id"),
-            F.col(id_col).alias(id_col)).limit(0))
+            F.col(id_col).alias(id_col)).filter(F.lit(False)))
     structs = [
         F.when(translate_query(q),
                F.struct(F.lit(qid).alias("query_id"),

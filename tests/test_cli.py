@@ -39,6 +39,22 @@ def test_cli_discover_lists_rules(spark, tmp_path, capsys):
     assert "vpn-logs" in out
 
 
+def test_cli_discover_jsonl_honors_doc_column(spark, tmp_path,
+                                              capsys):
+    """A .jsonl source lands under the caller's --doc-column name,
+    so discover decodes it instead of silently skipping (the rename
+    used to hardcode 'doc')."""
+    src = tmp_path / "raw.jsonl"
+    src.write_text("\n".join(json.dumps(doc) for _, doc in DOCS))
+    rc = main(["discover", "--source", str(src),
+               "--doc-column", "payload", "--sample-ratio", "1.0"],
+              spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "office365-signin" in out and "3" in out
+    assert "vpn-logs" in out
+
+
 def test_cli_export_writes_parquet_and_sidecar(spark, tmp_path,
                                                capsys):
     src = _write_source(spark, tmp_path)

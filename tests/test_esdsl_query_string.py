@@ -54,6 +54,19 @@ def test_query_string_default_operator(docs):
     assert _ids(qs(docs, "merge plan", default_operator="AND")) == []
 
 
+def test_query_string_adjacency_binds_at_default_op_level(docs):
+    # Lucene classic parser: the implicit operator has the SAME
+    # precedence as its explicit spelling. With default OR,
+    # 'merge plan AND query' = merge OR (plan AND query) — doc 2
+    # (merge, no plan/query) must match; the old behavior
+    # ((merge OR plan) AND query) would drop it.
+    assert _ids(qs(docs, "merge plan AND query")) == [2, 4]
+    # with default AND, adjacency binds at AND precedence:
+    # 'spark window OR merge' = (spark AND window) OR merge
+    assert _ids(qs(docs, "spark window OR merge",
+                   default_operator="AND")) == [1, 2, 3]
+
+
 def test_query_string_field_override(docs):
     # field:term overrides the field list
     got = qs(docs, "lang:en AND spark")

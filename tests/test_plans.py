@@ -267,16 +267,20 @@ def test_ntile_deciles_has_no_global_window(spark):
 
 def test_front_keys_lead_queries():
     """The driver's correctness sampler reads 50 entries from the
-    front of queries(); FRONT_KEYS pins the round-7 sample to the 34
-    entries still missing a green driver row (33 round-6 additions +
-    stream_sliding_agg) followed by the round-7 additions, closing
-    the hard ledger."""
+    front of queries(); FRONT_KEYS pins the round-8 sample to the 7
+    entries still missing a green driver row (late round-7 additions
+    that missed the window) followed by the round-8 additions, closing
+    the hard ledger at 237/237."""
     q = list(entrymod.queries())
     present = [k for k in entrymod.FRONT_KEYS if k in entrymod.queries()]
     assert q[:len(present)] == present
-    assert len(present) >= 34
-    assert present[33] == "stream_sliding_agg"
-    # every FRONT key must exist once round-7 queries land
+    assert len(present) >= 7
+    assert present[:7] == [
+        "embedding_pq", "dsl_rank_feature", "dsl_script_score",
+        "dsl_distance_feature", "dsl_percolate", "dsl_geo_shape",
+        "dsl_wrapper",
+    ]
+    # every FRONT key must exist once round-8 queries land
     missing = [k for k in entrymod.FRONT_KEYS if k not in entrymod.queries()]
     assert not missing, missing
 
@@ -338,6 +342,32 @@ def test_no_unexpected_nested_loop_in_any_plan(spark):
               and name not in PAIRWISE_KERNELS):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_no_forced_broadcast_of_unbounded_frames():
+    """Round-8 tripwire: these operators once force-broadcast frames
+    whose cardinality grows with the data (corpus vec_ids, per-user
+    anchors, vocab idf/unigram tables). At 100 TB such a broadcast
+    exceeds any broadcast limit and kills the job, so the hints were
+    dropped — plain equi-joins let AQE pick shuffle-hash (or broadcast
+    only when runtime stats say the side is genuinely small). Any
+    reintroduced ``F.broadcast`` in these bodies is a scale
+    regression."""
+    import inspect
+
+    from parquet_generator_spark.plans.llm_queries4 import (
+        cohort_retention, knn_classify)
+    from parquet_generator_spark.plans.llm_queries5 import (
+        bm25_topk, cooccurrence_pmi, tfidf_topterms)
+    from parquet_generator_spark.plans.llm_queries14 import (
+        knn_classify_ivf)
+
+    for fn in (knn_classify_ivf, knn_classify, cohort_retention,
+               tfidf_topterms, bm25_topk, cooccurrence_pmi):
+        src = inspect.getsource(fn)
+        assert "F.broadcast(" not in src, (
+            f"{fn.__name__} reintroduced a forced broadcast of an "
+            f"unbounded frame")
 
 
 def test_table_profile_approx_plan_is_expand_free(spark):

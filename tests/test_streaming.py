@@ -590,3 +590,32 @@ def test_stream_percolate_matches_batch(spark, tmp_path):
     assert got == want
     assert got == {("hot", 1), ("hot", 4), ("any_merge", 3),
                    ("any_merge", 4)}
+
+
+def test_stream_percolate_empty_registry_streams(spark, tmp_path):
+    """The empty-registry guard must stay valid on the STREAMING
+    plan: limit(0) is unsupported on streaming Datasets, so the guard
+    uses filter(lit(False)) — zero rows, both execution modes."""
+    import json
+
+    from parquet_generator_spark.streaming.percolate import (
+        percolate_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "b0.json").write_text(
+        json.dumps({"doc_id": 1, "text": "spark", "n": 1}))
+    schema = "doc_id long, text string, n long"
+    stream = (spark.readStream.schema(schema).json(str(in_dir)))
+    out = percolate_stream(stream, [])
+    q = (out.writeStream.format("memory")
+         .queryName("percolated_empty").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.sql("SELECT * FROM percolated_empty").count() == 0
+    # batch twin: same zero-row typed frame
+    batch = percolate_stream(
+        spark.createDataFrame([(1, "spark", 1)], schema), [])
+    assert batch.count() == 0
+    assert batch.columns == ["query_id", "doc_id"]
