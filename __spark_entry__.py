@@ -48,6 +48,7 @@ from parquet_generator_spark.plans import reference_queries11 as R11
 from parquet_generator_spark.plans import reference_queries12 as R12
 from parquet_generator_spark.plans import reference_queries13 as R13
 from parquet_generator_spark.plans import reference_queries14 as R14
+from parquet_generator_spark.plans import reference_queries15 as R15
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -66,6 +67,9 @@ FRONT_KEYS = [
     "dsl_distance_feature", "dsl_percolate", "dsl_geo_shape",
     "dsl_wrapper",
     # round-8 additions append here as they land (window is 50 wide)
+    "dsl_ip_range",
+    "dsl_intervals",
+    "dsl_span_near_multi",
 ]
 
 
@@ -114,6 +118,7 @@ def queries() -> dict[str, QueryFn]:
         **R12.QUERIES,
         **R13.QUERIES,
         **R14.QUERIES,
+        **R15.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -161,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         **R12.ORACLES,
         **R13.ORACLES,
         **R14.ORACLES,
+        **R15.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

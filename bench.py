@@ -265,6 +265,9 @@ HEADLINE = [
     "dsl_geo_shape",
     "embedding_pq",
     "dsl_wrapper",
+    "dsl_ip_range",
+    "dsl_intervals",
+    "dsl_span_near_multi",
 ]
 
 

@@ -160,8 +160,11 @@ class _QueryStringParser:
     field:term, field:"phrase", quoted phrases, AND/OR/NOT (also
     &&/||/!), parentheses, `*`/`?` token wildcards, and
     default_operator for bare adjacency. Precedence NOT > AND > OR,
-    as in Lucene's classic parser. Produces one Catalyst boolean
-    Column — all leaves are JVM-side rlike/regex predicates.
+    as in Lucene's classic parser; bare adjacency binds at the
+    precedence of the operator it stands for (default OR: 'a b AND c'
+    = a OR (b AND c); default AND: 'a b OR c' = (a AND b) OR c).
+    Produces one Catalyst boolean Column — all leaves are JVM-side
+    rlike/regex predicates.
 
     DOCUMENTED DIVERGENCE (the fuzzy_transpositions convention):
     NOT here is a true boolean complement, so `a OR NOT b` matches
@@ -197,10 +200,20 @@ class _QueryStringParser:
 
     def _or(self) -> Column:
         left = self._and()
-        while self._peek() in ("OR", "||"):
-            self._next()
-            left = left | self._and()
-        return left
+        while True:
+            t = self._peek()
+            if t in ("OR", "||"):
+                self._next()
+                left = left | self._and()
+            elif (not self.default_and and t is not None and t != ")"):
+                # bare adjacency with default_operator OR binds at OR
+                # level (the weakest), so 'a b AND c' parses as
+                # a OR (b AND c) — matching Lucene's classic parser,
+                # where the implicit operator has the SAME precedence
+                # as its explicit spelling
+                left = left | self._and()
+            else:
+                return left
 
     def _and(self) -> Column:
         left = self._unary()
@@ -209,10 +222,11 @@ class _QueryStringParser:
             if t in ("AND", "&&"):
                 self._next()
                 left = left & self._unary()
-            elif t is not None and t not in ("OR", "||", ")"):
-                right = self._unary()  # bare adjacency
-                left = (left & right) if self.default_and \
-                    else (left | right)
+            elif (self.default_and and t is not None
+                  and t not in ("OR", "||", ")")):
+                # bare adjacency with default_operator AND binds here,
+                # at AND precedence
+                left = left & self._unary()
             else:
                 return left
 
@@ -281,6 +295,237 @@ def simple_query_string_pred(query: str, fields: list[str],
     return acc if acc is not None else F.lit(True)
 
 
+# ------------------------------------------------------------------
+# IP / CIDR support (ES `ip` field type semantics)
+#
+# The reference's own fixture schema is SIEM sign-in data with
+# client_ip / dev_address fields (office365_signin/schema.asvc), so
+# IP matching is the first query a real user of that data writes.
+# IPs live in plain string columns (dotted quad); every predicate
+# compares the PACKED 32-bit integer, computed JVM-side from the
+# string (split + arithmetic — whole-stage codegen, no UDF).
+
+_IP4_RE = re.compile(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
+_CIDR_RE = re.compile(
+    r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})/(\d{1,2})$")
+
+
+def is_ip_literal(v) -> bool:
+    return isinstance(v, str) and _IP4_RE.match(v) is not None
+
+
+def is_cidr_literal(v) -> bool:
+    return isinstance(v, str) and _CIDR_RE.match(v) is not None
+
+
+def ip_to_int(ip: str) -> int:
+    m = _IP4_RE.match(ip)
+    if not m:
+        raise ValueError(f"not an IPv4 address: {ip!r}")
+    octets = [int(g) for g in m.groups()]
+    if any(o > 255 for o in octets):
+        raise ValueError(f"octet out of range: {ip!r}")
+    return (octets[0] << 24 | octets[1] << 16
+            | octets[2] << 8 | octets[3])
+
+
+def cidr_bounds(cidr: str) -> tuple[int, int]:
+    """Inclusive [network, broadcast] packed-int bounds of a CIDR
+    mask — '10.0.0.0/8' -> (0x0A000000, 0x0AFFFFFF)."""
+    m = _CIDR_RE.match(cidr)
+    if not m:
+        raise ValueError(f"not a CIDR mask: {cidr!r}")
+    prefix = int(m.group(5))
+    if prefix > 32:
+        raise ValueError(f"prefix out of range: {cidr!r}")
+    base = ip_to_int(cidr.rsplit("/", 1)[0])
+    span = 1 << (32 - prefix)
+    lo = (base >> (32 - prefix) << (32 - prefix)) if prefix else 0
+    return lo, lo + span - 1
+
+
+def ip_num_col(field: str) -> Column:
+    """Dotted-quad string column -> packed 32-bit integer Column
+    (null for malformed strings, so predicates stay null-safe)."""
+    p = F.split(F.col(field), r"\.")
+    num = (p.getItem(0).cast("long") * 16777216
+           + p.getItem(1).cast("long") * 65536
+           + p.getItem(2).cast("long") * 256
+           + p.getItem(3).cast("long"))
+    return F.when(F.col(field).rlike(r"^\d{1,3}(\.\d{1,3}){3}$"), num)
+
+
+def ip_num_sql(field: str, engine: str) -> str:
+    """The same packed-int computation as engine SQL text (DuckDB
+    lists are 1-based; string_split vs split)."""
+    if engine == "duck":
+        part = "CAST(string_split({f}, '.')[{i}] AS BIGINT)"
+        idx = (1, 2, 3, 4)
+    else:
+        part = "CAST(split({f}, '\\\\.')[{i}] AS BIGINT)"
+        idx = (0, 1, 2, 3)
+    terms = [part.format(f=field, i=i) for i in idx]
+    return (f"({terms[0]} * 16777216 + {terms[1]} * 65536 + "
+            f"{terms[2]} * 256 + {terms[3]})")
+
+
+def _ip_term_pred(field: str, val: str) -> Column:
+    if is_cidr_literal(val):
+        lo, hi = cidr_bounds(val)
+        num = ip_num_col(field)
+        return (F.col(field).isNotNull()
+                & num.isNotNull() & (num >= lo) & (num <= hi))
+    return F.col(field).isNotNull() & (F.col(field) == F.lit(val))
+
+
+def ip_range_agg(df: DataFrame, field: str,
+                 ranges: list[dict]) -> DataFrame:
+    """ES `ip_range` bucket agg: one (key, doc_count) row per range.
+    Ranges follow ES semantics — `from` inclusive, `to` EXCLUSIVE,
+    either bound optional, or a CIDR `mask` (network..broadcast,
+    inclusive). Buckets may overlap (a doc can count in several), so
+    membership is an array of per-bucket labels compacted + exploded
+    — one pass, no join; empty buckets are zero-filled from the
+    (bounded, literal) bucket list, preserving ES's
+    every-bucket-reported contract."""
+    num = ip_num_col(field)
+    structs, keys = [], []
+    for r in ranges:
+        if "mask" in r:
+            lo, hi = cidr_bounds(r["mask"])
+            key = r.get("key", r["mask"])
+            cond = (num >= lo) & (num <= hi)
+        else:
+            key = r.get("key",
+                        f"{r.get('from', '*')}-{r.get('to', '*')}")
+            cond = F.lit(True)
+            if "from" in r:
+                cond = cond & (num >= ip_to_int(r["from"]))
+            if "to" in r:
+                cond = cond & (num < ip_to_int(r["to"]))
+        keys.append(key)
+        structs.append(F.when(F.col(field).isNotNull()
+                              & num.isNotNull() & cond, F.lit(key)))
+    hits = (df.select(F.explode(
+        F.array_compact(F.array(*structs))).alias("key"))
+        .groupBy("key").agg(F.count(F.lit(1)).alias("doc_count")))
+    spark = df.sparkSession
+    all_keys = spark.createDataFrame([(k,) for k in keys], "key string")
+    return (all_keys.join(hits, "key", "left")
+            .select("key", F.coalesce("doc_count", F.lit(0))
+                    .alias("doc_count")))
+
+
+# ------------------------------------------------------------------
+# Positional proximity (`intervals` query; `span_near` with >2
+# clauses)
+#
+# EXACT multi-clause proximity is not expressible as one regex: the
+# gap budget is SHARED across clauses, while a regex repeat bound is
+# per-gap (t1 (gap){0,g} t2 (gap){0,g} t3 admits 2g total). So these
+# compile to nested array higher-order functions over per-term
+# token-position lists: split the analyzed text once, collect each
+# term's positions, and existentially search for a chain within the
+# span budget. All JVM-side (no UDF, no join, no shuffle); position
+# lists are per-row and tiny, so the nested scan is O(prod |P_i|)
+# over single-digit lists.
+
+
+def _positions_sql(field: str, term: str, engine: str) -> str:
+    """SQL text for the list of token positions of `term` in the
+    analyzed (lowercased, non-alnum-split) text of `field`. Interior
+    separators always collapse to ONE split point, so positions are
+    true token indices on both engines (a leading empty token shifts
+    every position equally — gap arithmetic is unaffected)."""
+    t = term.replace("'", "''")
+    if engine == "duck":
+        toks = f"string_split_regex(lower({field}), '[^a-z0-9]+')"
+        return (f"list_filter(range(1, len({toks}) + 1), "
+                f"_i -> {toks}[_i] = '{t}')")
+    toks = f"split(lower({field}), '[^a-z0-9]+')"
+    return (f"filter(transform({toks}, (_t, _i) -> "
+            f"IF(_t = '{t}', _i, -1)), _p -> _p >= 0)")
+
+
+def proximity_pred_sql(field: str, terms: list[str],
+                       max_gaps: int | None, ordered: bool,
+                       engine: str = "spark") -> str:
+    """Boolean SQL: the analyzed terms all appear within a window of
+    len(terms) + max_gaps token positions, in order or any order.
+    `max_gaps` counts unmatched positions inside the window (the ES
+    `intervals.match.max_gaps` / Lucene `span_near.slop` contract);
+    None = unlimited (ES max_gaps: -1). Exact for ANY clause count:
+    an interval of width w containing the terms exists iff SOME
+    choice of one position per term (all distinct; increasing when
+    ordered) spans <= w, so the existential nest needs no interval
+    minimization."""
+    n = len(terms)
+    if n < 1:
+        raise ValueError("proximity: at least one term required")
+    pos = [_positions_sql(field, t.lower(), engine) for t in terms]
+
+    def ex(plist: str, var: str, cond: str) -> str:
+        if engine == "duck":
+            return f"len(list_filter({plist}, {var} -> {cond})) > 0"
+        return f"exists({plist}, {var} -> {cond})"
+
+    if n == 1 or max_gaps is None:
+        final = "true"
+    elif ordered:
+        final = f"_p{n - 1} - _p0 <= {n - 1 + max_gaps}"
+    else:
+        allp = ", ".join(f"_p{j}" for j in range(n))
+        final = (f"greatest({allp}) - least({allp}) "
+                 f"<= {n - 1 + max_gaps}")
+    conds: list[list[str]] = []
+    for k in range(n):
+        parts: list[str] = []
+        if k > 0:
+            if ordered:
+                parts.append(f"_p{k} > _p{k - 1}")
+            else:
+                # distinct positions: matters only for repeated query
+                # terms, cheap to state always
+                parts.extend(f"_p{k} != _p{j}" for j in range(k))
+        conds.append(parts)
+    body = " AND ".join(conds[n - 1] + [final])
+    expr = ex(pos[n - 1], f"_p{n - 1}", body)
+    for k in range(n - 2, -1, -1):
+        body = " AND ".join(conds[k] + [expr])
+        expr = ex(pos[k], f"_p{k}", body)
+    return expr
+
+
+def _intervals_pred(field: str, rule: dict) -> Column:
+    """One ES `intervals` rule -> boolean Column. Supports the
+    `match` source (ordered/unordered multi-term proximity with
+    max_gaps) and the `any_of` combinator (existence of ANY source
+    interval == boolean OR). `all_of` is refused: its semantics need
+    interval-level minimization and non-overlap accounting, not a
+    boolean AND — compose `match` rules or use span_near."""
+    if "match" in rule:
+        m = rule["match"]
+        terms = _tokens(m["query"])
+        if not terms:
+            return F.lit(True)
+        mg = int(m.get("max_gaps", -1))
+        pred = proximity_pred_sql(
+            field, terms, None if mg < 0 else mg,
+            bool(m.get("ordered", False)))
+        return F.col(field).isNotNull() & F.expr(pred)
+    if "any_of" in rule:
+        acc = F.lit(False)
+        for sub in rule["any_of"]["intervals"]:
+            acc = acc | _intervals_pred(field, sub)
+        return acc
+    if "all_of" in rule:
+        raise ValueError(
+            "intervals: all_of needs interval-level minimization "
+            "(non-overlapping sub-intervals), which a boolean AND "
+            "cannot express — compose match rules or use span_near")
+    raise ValueError(f"intervals: unsupported rule {set(rule)}")
+
+
 def translate_query(q: dict | None) -> Column:
     """DSL query dict -> boolean Column.
 
@@ -302,13 +547,28 @@ def translate_query(q: dict | None) -> Column:
         return F.lit(True)
     if kind == "term":
         field, val = _field_value(body, "value")
+        if is_cidr_literal(val):
+            # ES ip-field semantics: a CIDR term matches the subnet
+            return _ip_term_pred(field, val)
         return F.col(field).isNotNull() & (F.col(field) == F.lit(val))
     if kind == "terms":
         field, vals = next(iter(body.items()))
-        return F.col(field).isNotNull() & F.col(field).isin(list(vals))
+        vals = list(vals)
+        if any(is_cidr_literal(v) for v in vals):
+            acc = F.lit(False)
+            for v in vals:
+                acc = acc | _ip_term_pred(field, v)
+            return acc
+        return F.col(field).isNotNull() & F.col(field).isin(vals)
     if kind == "range":
         field, conds = next(iter(body.items()))
         col = F.col(field)
+        if any(is_ip_literal(v) for v in conds.values()):
+            # range over an ip field compares the packed integer, so
+            # '9.255.255.255' < '10.0.0.0' (dotted-string order would
+            # say otherwise)
+            col = ip_num_col(field)
+            conds = {op: ip_to_int(v) for op, v in conds.items()}
         out = col.isNotNull()
         ops = {"gt": col.__gt__, "gte": col.__ge__,
                "lt": col.__lt__, "lte": col.__le__}
@@ -427,27 +687,33 @@ def translate_query(q: dict | None) -> Column:
         import json
         return translate_query(
             json.loads(base64.b64decode(body["query"])))
+    if kind == "intervals":
+        field, rule = next(iter(body.items()))
+        return _intervals_pred(field, rule)
     if kind == "span_near":
-        # Lucene span_near over two span_term clauses: the two terms
-        # within `slop` intervening tokens, optionally order-free.
-        # Exact for two clauses (the regex counts the gap directly);
-        # >2 clauses would need per-gap vs total-slop budgeting and
-        # is refused rather than silently approximated.
+        # Lucene span_near over span_term clauses: all terms within
+        # `slop` total intervening tokens, optionally order-free.
+        # Two clauses compile to one codegen regex (the gap count is
+        # direct); more clauses share the slop budget across gaps,
+        # which no single regex expresses — those route to the exact
+        # token-position chain (proximity_pred_sql).
         clauses = body["clauses"]
-        if len(clauses) != 2:
-            raise ValueError("span_near: exactly 2 clauses supported "
-                             "(total-slop budgeting across more gaps "
-                             "is not expressible as one regex)")
+        if len(clauses) < 2:
+            raise ValueError("span_near: at least 2 clauses")
         slop = int(body.get("slop", 0))
         in_order = body.get("in_order", True)
         pairs = []
         for c in clauses:
             f, v = next(iter(c["span_term"].items()))
-            pairs.append((f, re.escape(str(v).lower())))
-        if pairs[0][0] != pairs[1][0]:
+            pairs.append((f, str(v).lower()))
+        if len({f for f, _ in pairs}) != 1:
             raise ValueError("span_near clauses must share one field")
         field = pairs[0][0]
-        t1, t2 = pairs[0][1], pairs[1][1]
+        if len(clauses) > 2:
+            pred = proximity_pred_sql(
+                field, [v for _, v in pairs], slop, bool(in_order))
+            return F.col(field).isNotNull() & F.expr(pred)
+        t1, t2 = re.escape(pairs[0][1]), re.escape(pairs[1][1])
 
         def _near(a: str, b: str) -> str:
             return (f"{_B_L}{a}({_SEP}{_TOKEN}){{0,{slop}}}"
@@ -564,6 +830,8 @@ def score_query(q: dict | None, boost: float = 1.0) -> Column:
         return F.when(translate_query(body["filter"]),
                       F.lit(b)).otherwise(F.lit(0.0))
     if kind == "dis_max":
+        if not body["queries"]:
+            raise ValueError("dis_max: empty queries")
         scores = [score_query(c) for c in body["queries"]]
         tb = float(body.get("tie_breaker", 0.0))
         best = F.greatest(*scores) if len(scores) > 1 else scores[0]

@@ -1,0 +1,197 @@
+"""ES-DSL twelfth tranche: IP/CIDR queries (`term`/`terms` with CIDR
+masks, packed-integer `range` comparisons), the `ip_range` bucket
+agg, the `intervals` query (ordered/unordered multi-term proximity
+with a SHARED max_gaps budget), and >2-clause `span_near`. The reference's fixture schema is SIEM sign-in data with
+client_ip / dev_address fields (office365_signin/schema.asvc), and
+its whole domain is security alerting (the rule_name terms agg,
+Bootstrap.java:196-219) — IP matching is the first query a real user
+of that data writes.
+
+The raw tables carry no IP column, so the query first attaches a
+deterministic synthetic dotted-quad as a runtime field (the
+dsl_runtime_field / geo-family precedent): md5-spread octets over
+user_id, computed identically on both engines, so the predicates
+exercise the real string->packed-int parse path while staying
+oracle-reproducible.
+
+Scale posture: every IP predicate is a narrow row-level expression
+(split + integer arithmetic in whole-stage codegen — no UDF, no
+join); the ip_range agg is one grouped pass over exploded bucket
+labels plus a bounded literal join for zero-fill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.operators.esdsl import (
+    ip_num_sql,
+    ip_range_agg,
+    proximity_pred_sql,
+    search,
+    translate_query,
+)
+from parquet_generator_spark.plans.reference_queries9 import (
+    _h_duck,
+    _h_spark,
+)
+from parquet_generator_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _ip_expr(h, cast_str: str) -> str:
+    """Dotted-quad runtime field: first octet cycles the three
+    classic private blocks so CIDR masks select meaningful subsets;
+    the rest md5-spread over the full byte range."""
+    o1 = (f"(CASE WHEN ({h(1)}) % 3 = 0 THEN 10 "
+          f"WHEN ({h(1)}) % 3 = 1 THEN 172 ELSE 192 END)")
+    o2 = f"(({h(5)}) % 256)"
+    o3 = f"(({h(9)}) % 256)"
+    o4 = f"(({h(13)}) % 256)"
+    c = cast_str
+    return (f"concat({c.format(o1)}, '.', {c.format(o2)}, '.', "
+            f"{c.format(o3)}, '.', {c.format(o4)})")
+
+
+IP_S = _ip_expr(_h_spark, "cast({} as string)")
+IP_D = _ip_expr(_h_duck, "CAST({} AS VARCHAR)")
+
+IP_FILTER = {"bool": {
+    "must": [{"range": {"client_ip": {"gte": "100.0.0.0"}}}],
+    "must_not": [{"term": {"client_ip": "192.168.0.0/16"}}],
+}}
+IP_RANGES = [
+    {"key": "b-172", "mask": "172.0.0.0/8"},
+    {"key": "b-192", "mask": "192.0.0.0/8"},
+    {"key": "empty", "mask": "8.0.0.0/8"},
+    {"key": "mid", "from": "172.0.0.0", "to": "192.0.0.1"},
+]
+
+
+def dsl_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP surface end-to-end: a packed-int `range` (gte 100.0.0.0
+    drops the 10.* block — dotted-STRING order would keep it), a
+    CIDR `term` exclusion (192.168.0.0/16), then an `ip_range` agg
+    with mask and from/to buckets — including one overlapping bucket
+    (ES range aggs count a doc in every bucket it falls in) and one
+    empty bucket (zero-filled, ES reports every configured bucket).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    src = ev.select(F.expr(IP_S).alias("client_ip"))
+    hits = src.filter(translate_query(IP_FILTER))
+    return (ip_range_agg(hits, "client_ip", IP_RANGES)
+            .orderBy("key"))
+
+
+def _ip_range_oracle() -> str:
+    num = ip_num_sql("client_ip", "duck")
+    lo_192168 = (192 << 24) + (168 << 16)
+    hi_192168 = lo_192168 + (1 << 16) - 1
+    b172_lo, b172_hi = 172 << 24, (172 << 24) + (1 << 24) - 1
+    b192_lo, b192_hi = 192 << 24, (192 << 24) + (1 << 24) - 1
+    b8_lo, b8_hi = 8 << 24, (8 << 24) + (1 << 24) - 1
+    mid_lo, mid_hi_excl = 172 << 24, (192 << 24) + 1
+    return f"""
+WITH src AS (SELECT {IP_D} AS client_ip FROM events),
+f AS (
+  SELECT {num} AS ipn FROM src
+  WHERE {num} >= {100 << 24}
+    AND NOT ({num} BETWEEN {lo_192168} AND {hi_192168}))
+SELECT * FROM (
+  SELECT 'b-172' AS key,
+         (SELECT count(*) FROM f
+          WHERE ipn BETWEEN {b172_lo} AND {b172_hi}) AS doc_count
+  UNION ALL SELECT 'b-192',
+         (SELECT count(*) FROM f
+          WHERE ipn BETWEEN {b192_lo} AND {b192_hi})
+  UNION ALL SELECT 'empty',
+         (SELECT count(*) FROM f
+          WHERE ipn BETWEEN {b8_lo} AND {b8_hi})
+  UNION ALL SELECT 'mid',
+         (SELECT count(*) FROM f
+          WHERE ipn >= {mid_lo} AND ipn < {mid_hi_excl}))
+ORDER BY key
+"""
+
+
+INTERVALS_TERMS = ["spark", "window", "agg"]
+INTERVALS_GAPS = 4
+
+
+def dsl_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`intervals` query: an ORDERED match of three terms with a
+    SHARED max_gaps budget (the case no single regex expresses — a
+    per-gap bound admits 2x the budget), plus an `any_of` alternative
+    over an unordered pair. Compiles to nested array higher-order
+    functions over token-position lists — whole-stage codegen, no
+    UDF, no join. Faceted by lang."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (search(docs, {
+        "query": {"intervals": {"text": {"any_of": {"intervals": [
+            {"match": {"query": " ".join(INTERVALS_TERMS),
+                       "max_gaps": INTERVALS_GAPS, "ordered": True}},
+            {"match": {"query": "vector stream",
+                       "max_gaps": 1, "ordered": False}},
+        ]}}}},
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 10}}},
+    }))
+
+
+def _intervals_oracle() -> str:
+    p1 = proximity_pred_sql("text", INTERVALS_TERMS, INTERVALS_GAPS,
+                            True, engine="duck")
+    p2 = proximity_pred_sql("text", ["vector", "stream"], 1,
+                            False, engine="duck")
+    return f"""
+SELECT lang AS key, count(*) AS doc_count
+FROM documents
+WHERE ({p1}) OR ({p2})
+GROUP BY key ORDER BY doc_count DESC, key ASC
+LIMIT 10
+"""
+
+
+SPAN3_TERMS = ["key", "sort", "merge"]
+SPAN3_SLOP = 5
+
+
+def dsl_span_near_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`span_near` with THREE clauses (the shape round 7 refused):
+    total slop budget shared across both gaps, in_order=false, via
+    the exact token-position chain. Faceted by source."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (search(docs, {
+        "query": {"span_near": {
+            "clauses": [{"span_term": {"text": t}}
+                        for t in SPAN3_TERMS],
+            "slop": SPAN3_SLOP, "in_order": False}},
+        "aggs": {"by_source": {"terms": {"field": "source",
+                                         "size": 25}}},
+    }))
+
+
+def _span3_oracle() -> str:
+    p = proximity_pred_sql("text", SPAN3_TERMS, SPAN3_SLOP, False,
+                           engine="duck")
+    return f"""
+SELECT source AS key, count(*) AS doc_count
+FROM documents
+WHERE {p}
+GROUP BY key ORDER BY doc_count DESC, key ASC
+LIMIT 25
+"""
+
+
+QUERIES.update({
+    "dsl_ip_range": dsl_ip_range,
+    "dsl_intervals": dsl_intervals,
+    "dsl_span_near_multi": dsl_span_near_multi,
+})
+ORACLES.update({
+    "dsl_ip_range": _ip_range_oracle(),
+    "dsl_intervals": _intervals_oracle(),
+    "dsl_span_near_multi": _span3_oracle(),
+})

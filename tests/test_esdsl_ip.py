@@ -1,0 +1,85 @@
+"""IP/CIDR query support: packed-int helpers, CIDR term/range
+translation, malformed-string null-safety, and the ip_range agg's
+overlap + zero-fill contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_generator_spark.operators import esdsl
+from parquet_generator_spark.operators.esdsl import (
+    cidr_bounds,
+    ip_range_agg,
+    ip_to_int,
+    translate_query,
+)
+
+ROWS = [
+    (1, "10.0.0.1"),
+    (2, "10.255.255.255"),
+    (3, "9.255.255.255"),     # dotted-STRING order would sort after 10.*
+    (4, "192.168.3.4"),
+    (5, "192.169.0.1"),
+    (6, "not-an-ip"),
+    (7, None),
+]
+
+
+@pytest.fixture(scope="module")
+def ips(spark):
+    return spark.createDataFrame(ROWS, "id long, addr string")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_packing_and_bounds():
+    assert ip_to_int("10.0.0.1") == (10 << 24) + 1
+    assert cidr_bounds("10.0.0.0/8") == (10 << 24, (11 << 24) - 1)
+    assert cidr_bounds("192.168.0.0/16") == (
+        (192 << 24) + (168 << 16), (192 << 24) + (169 << 16) - 1)
+    assert cidr_bounds("0.0.0.0/0") == (0, (1 << 32) - 1)
+    with pytest.raises(ValueError):
+        ip_to_int("1.2.3.999")
+    with pytest.raises(ValueError):
+        cidr_bounds("10.0.0.0/40")
+
+
+def test_cidr_term_and_terms(ips):
+    got = ips.filter(translate_query(
+        {"term": {"addr": "10.0.0.0/8"}}))
+    assert _ids(got) == [1, 2]
+    got = ips.filter(translate_query(
+        {"terms": {"addr": ["192.168.0.0/16", "9.255.255.255"]}}))
+    assert _ids(got) == [3, 4]
+
+
+def test_ip_range_compares_packed_int_not_string(ips):
+    # '9.255.255.255' < '10.0.0.0' numerically; string order disagrees
+    got = ips.filter(translate_query(
+        {"range": {"addr": {"lt": "10.0.0.0"}}}))
+    assert _ids(got) == [3]
+    got = ips.filter(translate_query(
+        {"range": {"addr": {"gte": "10.0.0.1",
+                            "lte": "192.168.255.255"}}}))
+    assert _ids(got) == [1, 2, 4]
+
+
+def test_malformed_and_null_never_match(ips):
+    for q in ({"term": {"addr": "10.0.0.0/8"}},
+              {"range": {"addr": {"gte": "0.0.0.0"}}}):
+        assert 6 not in _ids(ips.filter(translate_query(q)))
+        assert 7 not in _ids(ips.filter(translate_query(q)))
+
+
+def test_ip_range_agg_overlap_and_zero_fill(ips):
+    out = ip_range_agg(ips, "addr", [
+        {"key": "ten", "mask": "10.0.0.0/8"},
+        {"key": "all", "from": "0.0.0.0"},          # overlaps every row
+        {"key": "none", "to": "1.0.0.0"},           # empty -> 0
+        {"key": "mid", "from": "10.0.0.1", "to": "10.255.255.255"},
+    ])
+    got = {r["key"]: r["doc_count"] for r in out.collect()}
+    # 5 parseable IPs; 'to' is EXCLUSIVE so row 2 is out of 'mid'
+    assert got == {"ten": 2, "all": 5, "none": 0, "mid": 1}
