@@ -70,6 +70,7 @@ FRONT_KEYS = [
     "dsl_ip_range",
     "dsl_intervals",
     "dsl_span_near_multi",
+    "dsl_knn",
 ]
 
 

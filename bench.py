@@ -268,6 +268,7 @@ HEADLINE = [
     "dsl_ip_range",
     "dsl_intervals",
     "dsl_span_near_multi",
+    "dsl_knn",
 ]
 
 

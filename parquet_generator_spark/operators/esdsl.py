@@ -1254,6 +1254,27 @@ def search(df: DataFrame, body: dict) -> DataFrame:
     for fname, fspec in (body.get("runtime_mappings") or {}).items():
         df = df.withColumn(fname, F.expr(fspec["expr"]))
 
+    # ES 8.x `knn` search section: filtered vector search, routed to
+    # the IVF index (knn_literal_topk). `filter` is a regular DSL
+    # query applied BEFORE the probe (ES's filtered-kNN contract: all
+    # k hits satisfy it). Deviations, documented: `num_candidates` is
+    # accepted but the IVF dial is `n_probe` (+ `n_cells`,
+    # `id_field`) — HNSW's candidate count has no IVF equivalent.
+    knn = body.get("knn")
+    if knn is not None:
+        from parquet_generator_spark.operators import similarity
+        n_cells = int(knn.get("n_cells", 32))
+        n_probe = int(knn.get("n_probe", 8))
+        id_col = knn.get("id_field", "vec_id")
+        pre = (translate_query(knn["filter"])
+               if "filter" in knn else None)
+        cents = similarity.make_centroids_from_corpus(
+            df, n_cells, id_col=id_col, vec_col=knn["field"])
+        return similarity.knn_literal_topk(
+            df, knn["query_vector"], int(knn["k"]), cents,
+            n_probe=n_probe, pre_filter=pre, id_col=id_col,
+            vec_col=knn["field"])
+
     filtered = df.filter(translate_query(body.get("query")))
     aggs = body.get("aggs") or body.get("aggregations")
     if not aggs:

@@ -320,6 +320,93 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .orderBy("qid", "rank"))
 
 
+def knn_literal_topk(corpus: DataFrame, query_vector: list[float],
+                     k: int, centroids: np.ndarray, n_probe: int = 8,
+                     pre_filter=None, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Filtered k-NN for ONE literal query vector via the IVF index
+    (the ES 8.x `knn` search section). The query's probe cells are
+    computed ON THE DRIVER at plan time (one vector x the small
+    centroid matrix — pure numpy, no Spark job), so the executed plan
+    is: pre-filter -> single-cell assignment (narrow map) -> `cell IN
+    probes` -> cosine against the literal -> TakeOrderedAndProject.
+    No join, no shuffle, no broadcast of anything data-sized; at
+    write-time-bucketed scale the cell becomes a partition column and
+    the probe filter prunes partitions. Pre-filtering (filter BEFORE
+    the index probe) is ES's filtered-kNN contract: all k hits
+    satisfy the filter."""
+    qv = np.asarray(query_vector, dtype=np.float64)
+    cm = centroids.astype(np.float64)
+    cm = cm / np.sqrt((cm * cm).sum(axis=1))[:, None]
+    sims = cm @ qv  # query norm is rank-constant for cell choice
+    order = np.argsort(-sims, kind="stable")
+    probes = [int(c) for c in order[:min(n_probe, len(cm))]]
+    base = corpus if pre_filter is None else corpus.filter(pre_filter)
+    cand = (ivf_assign_cells(base, centroids, 1, id_col, vec_col)
+            .filter(F.col("cell").isin(probes)))
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qn = float(np.sqrt((qv * qv).sum()))
+    score = F.round(
+        F.aggregate(F.zip_with(F.col(vec_col), qlit,
+                               lambda a, b: a.cast("double") * b),
+                    F.lit(0.0), lambda acc, x: acc + x)
+        / (norm(vec_col) * F.lit(qn)), 4)
+    top = (cand.select(F.col(id_col), score.alias("cos"))
+           .orderBy(F.desc("cos"), F.asc(id_col)).limit(k))
+    w = Window.orderBy(F.desc("cos"), F.asc(id_col))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", id_col, "cos").orderBy("rank"))
+
+
+def knn_literal_topk_duck_sql(table: str, query_vector: list[float],
+                              k: int, n_centroids: int,
+                              n_probe: int = 8,
+                              pre_filter_sql: str | None = None,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> str:
+    """DuckDB mirror of knn_literal_topk with the smallest-id coarse
+    quantizer: centroids, the query's probe cells, corpus cell
+    assignment, and the final cosine ranking all rebuilt in SQL from
+    the same literals."""
+    qv = [float(x) for x in query_vector]
+    qlit = "[" + ", ".join(f"{x!r}" for x in qv) + "]::DOUBLE[]"
+    qn = float(np.sqrt(sum(x * x for x in qv)))
+    where = f"WHERE {pre_filter_sql}" if pre_filter_sql else ""
+    return f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ce
+  FROM (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS e
+        FROM {table} ORDER BY {id_col} LIMIT {n_centroids})),
+probes AS (
+  SELECT cell FROM (
+    SELECT cell, list_dot_product({qlit}, ce) AS sim FROM cent
+    ORDER BY sim DESC, cell ASC LIMIT {n_probe})),
+v AS (
+  SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS e
+  FROM {table} {where}),
+cells AS (
+  SELECT v.{id_col}, v.e, cent.cell,
+         row_number() OVER (PARTITION BY v.{id_col}
+                            ORDER BY list_dot_product(v.e, cent.ce)
+                              / sqrt(list_dot_product(v.e, v.e)) DESC,
+                            cent.cell ASC) AS pr
+  FROM v CROSS JOIN cent),
+cand AS (
+  SELECT {id_col}, e FROM cells
+  WHERE pr = 1 AND cell IN (SELECT cell FROM probes)),
+top AS (
+  SELECT {id_col},
+         round(list_dot_product(e, {qlit})
+               / (sqrt(list_dot_product(e, e)) * {qn!r}), 4) AS cos
+  FROM cand ORDER BY cos DESC, {id_col} ASC LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, {id_col}) AS INT)
+         AS rank,
+       {id_col}, cos
+FROM top ORDER BY rank
+"""
+
+
 def make_centroids_from_corpus(df: DataFrame, n_centroids: int,
                                id_col: str = "vec_id",
                                vec_col: str = "embedding") -> np.ndarray:

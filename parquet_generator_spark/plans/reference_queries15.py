@@ -185,13 +185,50 @@ LIMIT 25
 """
 
 
+KNN_K = 10
+KNN_CELLS = 32
+KNN_PROBE = 8
+# deterministic literal query vector (64-dim, same literal on both
+# engines)
+KNN_QV = [round(__import__("math").sin(0.7 * i + 0.3), 4)
+          for i in range(64)]
+KNN_FILTER = {"range": {"label": {"gte": 3}}}
+
+
+def dsl_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.x `knn` search section: filtered vector search for one
+    literal query vector, routed to the IVF index. The filter
+    (label >= 3) applies BEFORE the probe (ES filtered-kNN: every hit
+    satisfies it); the query's probe cells are computed at plan time
+    on the driver, so the executed plan is pre-filter -> single-cell
+    assignment (narrow map) -> cell IN probes -> cosine vs literal ->
+    TakeOrderedAndProject. No join, no shuffle, no corpus broadcast."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return search(emb, {"knn": {
+        "field": "embedding", "query_vector": KNN_QV, "k": KNN_K,
+        "filter": KNN_FILTER,
+        "n_cells": KNN_CELLS, "n_probe": KNN_PROBE,
+    }})
+
+
+def _knn_oracle() -> str:
+    from parquet_generator_spark.operators.similarity import (
+        knn_literal_topk_duck_sql,
+    )
+    return knn_literal_topk_duck_sql(
+        "embeddings", KNN_QV, KNN_K, KNN_CELLS, KNN_PROBE,
+        pre_filter_sql="label >= 3")
+
+
 QUERIES.update({
     "dsl_ip_range": dsl_ip_range,
     "dsl_intervals": dsl_intervals,
     "dsl_span_near_multi": dsl_span_near_multi,
+    "dsl_knn": dsl_knn,
 })
 ORACLES.update({
     "dsl_ip_range": _ip_range_oracle(),
     "dsl_intervals": _intervals_oracle(),
     "dsl_span_near_multi": _span3_oracle(),
+    "dsl_knn": _knn_oracle(),
 })
