@@ -71,6 +71,7 @@ FRONT_KEYS = [
     "dsl_intervals",
     "dsl_span_near_multi",
     "dsl_knn",
+    "dsl_rescore",
 ]
 
 

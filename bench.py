@@ -269,6 +269,7 @@ HEADLINE = [
     "dsl_intervals",
     "dsl_span_near_multi",
     "dsl_knn",
+    "dsl_rescore",
 ]
 
 

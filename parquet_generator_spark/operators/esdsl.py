@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators.util import broadcast_scalars
@@ -864,6 +864,52 @@ def score_query(q: dict | None, boost: float = 1.0) -> Column:
                   F.lit(float(boost) * leaf_boost)).otherwise(F.lit(0.0))
 
 
+_RESCORE_MODES = ("total", "multiply", "avg", "max", "min")
+
+
+def rescore_search(df: DataFrame, body: dict,
+                   id_col: str = "doc_id") -> DataFrame:
+    """ES `rescore`: two-phase ranking. Phase 1 scores every match of
+    `query` (score_query arithmetic) and keeps the top `window_size`
+    by (score desc, id asc) — a bounded TakeOrderedAndProject, never
+    a global sort. Phase 2 re-scores ONLY that window with
+    `rescore_query` and combines per `score_mode`:
+    total = qw*q + rqw*r, multiply = (qw*q)*(rqw*r), avg/max/min of
+    the two weighted scores. A window doc missing the rescore query
+    scores r=0 (Lucene's behavior). Returns the re-ranked top `size`
+    of the window as (rank, id, score) — `size` must be <= the
+    window; the unrescored tail below the window is a hits-paging
+    concern, not a ranking one."""
+    rs = body["rescore"]
+    spec = rs["query"]
+    window = int(rs.get("window_size", 10))
+    size = int(body.get("size", window))
+    if size > window:
+        raise ValueError("rescore: size must be <= window_size")
+    mode = spec.get("score_mode", "total")
+    if mode not in _RESCORE_MODES:
+        raise ValueError(f"rescore: unknown score_mode {mode!r}")
+    qw = float(spec.get("query_weight", 1.0))
+    rqw = float(spec.get("rescore_query_weight", 1.0))
+    first = F.round(score_query(body["query"]), 4)
+    win = (df.filter(translate_query(body["query"]))
+           .withColumn("_first", first)
+           .orderBy(F.desc("_first"), F.asc(id_col))
+           .limit(window))
+    a = F.lit(qw) * F.col("_first")
+    b = F.lit(rqw) * F.round(score_query(spec["rescore_query"]), 4)
+    comb = {"total": a + b, "multiply": a * b,
+            "avg": (a + b) / 2.0,
+            "max": F.greatest(a, b), "min": F.least(a, b)}[mode]
+    scored = win.select(F.col(id_col),
+                        F.round(comb, 4).alias("score"))
+    top = (scored.orderBy(F.desc("score"), F.asc(id_col))
+           .limit(size))
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", id_col, "score").orderBy("rank"))
+
+
 def osa_distance(a: str, b: str) -> int:
     """Optimal-string-alignment distance — Levenshtein plus adjacent
     transposition as ONE edit (Lucene's fuzzy_transpositions=true
@@ -1274,6 +1320,10 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             df, knn["query_vector"], int(knn["k"]), cents,
             n_probe=n_probe, pre_filter=pre, id_col=id_col,
             vec_col=knn["field"])
+
+    if body.get("rescore") is not None:
+        return rescore_search(df, body,
+                              id_col=body.get("id_field", "doc_id"))
 
     filtered = df.filter(translate_query(body.get("query")))
     aggs = body.get("aggs") or body.get("aggregations")

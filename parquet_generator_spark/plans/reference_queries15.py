@@ -185,6 +185,80 @@ LIMIT 25
 """
 
 
+RESCORE_WINDOW = 40
+RESCORE_K = 15
+RESCORE_BODY = {
+    "query": {"dis_max": {"queries": [
+        {"match": {"text": {"query": "spark", "boost": 2.0}}},
+        {"match": {"text": {"query": "vector", "boost": 1.5}}},
+        {"match": {"text": {"query": "window", "boost": 1.0}}},
+    ], "tie_breaker": 0.3}},
+    "rescore": {
+        "window_size": RESCORE_WINDOW,
+        "query": {
+            "rescore_query": {"match_phrase": {
+                "text": {"query": "spark window", "boost": 3.0}}},
+            "query_weight": 0.7,
+            "rescore_query_weight": 1.2,
+            "score_mode": "total",
+        },
+    },
+    "size": RESCORE_K,
+}
+
+
+def dsl_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rescore` two-phase ranking: phase 1 ranks every dis_max match
+    and keeps the top window_size via TakeOrderedAndProject (never a
+    global sort); phase 2 re-scores ONLY that bounded window with a
+    phrase query and combines 0.7*q + 1.2*r. The expensive scorer
+    touches window_size rows regardless of corpus size — the whole
+    point of rescore at 100 TB."""
+    docs = load_table(spark, "documents", sf_dir)
+    return search(docs, RESCORE_BODY)
+
+
+def _rescore_oracle() -> str:
+    from parquet_generator_spark.operators.esdsl import (
+        _B_L,
+        _B_R,
+        phrase_regex,
+    )
+
+    def tok(t: str) -> str:
+        return (f"CASE WHEN regexp_matches(lower(text), "
+                f"'{_B_L}{t}{_B_R}') THEN 1 ELSE 0 END")
+
+    phrase = phrase_regex("spark window")
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         2.0 * {tok('spark')} AS s1,
+         1.5 * {tok('vector')} AS s2,
+         1.0 * {tok('window')} AS s3,
+         CASE WHEN regexp_matches(lower(text), '{phrase}')
+              THEN 3.0 ELSE 0.0 END AS r
+  FROM documents),
+phase1 AS (
+  SELECT doc_id, r,
+         round(greatest(s1, s2, s3)
+               + 0.3 * (s1 + s2 + s3 - greatest(s1, s2, s3)), 4)
+           AS first
+  FROM scored
+  WHERE s1 > 0 OR s2 > 0 OR s3 > 0
+  ORDER BY first DESC, doc_id ASC
+  LIMIT {RESCORE_WINDOW}),
+phase2 AS (
+  SELECT doc_id, round(0.7 * first + 1.2 * r, 4) AS score
+  FROM phase1)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, score
+FROM phase2 ORDER BY score DESC, doc_id
+LIMIT {RESCORE_K}
+"""
+
+
 KNN_K = 10
 KNN_CELLS = 32
 KNN_PROBE = 8
@@ -225,8 +299,10 @@ QUERIES.update({
     "dsl_intervals": dsl_intervals,
     "dsl_span_near_multi": dsl_span_near_multi,
     "dsl_knn": dsl_knn,
+    "dsl_rescore": dsl_rescore,
 })
 ORACLES.update({
+    "dsl_rescore": _rescore_oracle(),
     "dsl_ip_range": _ip_range_oracle(),
     "dsl_intervals": _intervals_oracle(),
     "dsl_span_near_multi": _span3_oracle(),

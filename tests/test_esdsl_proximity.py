@@ -122,3 +122,64 @@ def test_proximity_duck_oracle_agrees(spark, docs):
         d = sorted(r[0] for r in con.execute(
             f"SELECT id FROM docs WHERE {pred}").fetchall())
         assert s == d, (terms, gaps, ordered)
+
+
+# ---------------------------------------------------------------- rescore
+
+RES_DOCS = [
+    (1, "spark window agg"),      # phase1 hit + phrase hit
+    (2, "spark agg"),             # phase1 hit, no phrase
+    (3, "window spark"),          # phase1 hit, no phrase (order)
+    (4, "nothing"),               # no match
+]
+
+
+def test_rescore_total_and_window(spark):
+    docs = spark.createDataFrame(RES_DOCS, "doc_id long, text string")
+    body = {
+        "query": {"match": {"text": {"query": "spark", "boost": 2.0}}},
+        "rescore": {"window_size": 2, "query": {
+            "rescore_query": {"match_phrase": {
+                "text": {"query": "spark window", "boost": 3.0}}},
+            "query_weight": 0.5, "rescore_query_weight": 2.0,
+            "score_mode": "total"}},
+        "size": 2,
+    }
+    got = [(r["rank"], r["doc_id"], r["score"])
+           for r in esdsl.search(docs, body).collect()]
+    # phase1: docs 1,2,3 all score 2.0; window of 2 keeps ids 1,2.
+    # doc 1 rescores 0.5*2 + 2*3 = 7.0; doc 2 -> 1.0. doc 3 is OUTSIDE
+    # the window, so its phrase miss never gets re-ranked in.
+    assert got == [(1, 1, 7.0), (2, 2, 1.0)]
+
+
+def test_rescore_modes_and_guards(spark):
+    docs = spark.createDataFrame(RES_DOCS, "doc_id long, text string")
+
+    def run(mode):
+        body = {
+            "query": {"match": {"text": {"query": "spark",
+                                         "boost": 2.0}}},
+            "rescore": {"window_size": 3, "query": {
+                "rescore_query": {"match_phrase": {
+                    "text": {"query": "spark window", "boost": 3.0}}},
+                "score_mode": mode}},
+            "size": 1,
+        }
+        return esdsl.search(docs, body).collect()[0]["score"]
+
+    assert run("total") == 5.0      # 2 + 3
+    assert run("multiply") == 6.0   # 2 * 3
+    assert run("avg") == 2.5
+    assert run("max") == 3.0
+    assert run("min") == 2.0        # doc1 min(2,3); others min(2,0)=0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="score_mode"):
+        run("geometric")
+    with _pt.raises(ValueError, match="window_size"):
+        esdsl.rescore_search(docs, {
+            "query": {"match": {"text": "spark"}},
+            "rescore": {"window_size": 1,
+                        "query": {"rescore_query": {
+                            "match": {"text": "agg"}}}},
+            "size": 5})
