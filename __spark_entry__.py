@@ -33,6 +33,7 @@ from parquet_generator_spark.plans import llm_queries12 as L12
 from parquet_generator_spark.plans import llm_queries13 as L13
 from parquet_generator_spark.plans import llm_queries14 as L14
 from parquet_generator_spark.plans import llm_queries15 as L15
+from parquet_generator_spark.plans import llm_queries16 as L16
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -72,6 +73,7 @@ FRONT_KEYS = [
     "dsl_span_near_multi",
     "dsl_knn",
     "dsl_rescore",
+    "jpeg_header_parse",
 ]
 
 
@@ -103,6 +105,7 @@ def queries() -> dict[str, QueryFn]:
         **L13.QUERIES,
         **L14.QUERIES,
         **L15.QUERIES,
+        **L16.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -151,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         **L13.ORACLES,
         **L14.ORACLES,
         **L15.ORACLES,
+        **L16.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

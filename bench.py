@@ -270,6 +270,7 @@ HEADLINE = [
     "dsl_span_near_multi",
     "dsl_knn",
     "dsl_rescore",
+    "jpeg_header_parse",
 ]
 
 

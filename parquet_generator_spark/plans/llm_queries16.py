@@ -1,0 +1,132 @@
+"""Training-data pipeline, sixteenth wave: JPEG metadata extraction.
+
+JPEG is the bulk format of real web image corpora (BMP/PNG decode
+landed earlier in operators/multimodal.py; full baseline-JPEG pixel
+decode needs a Huffman+IDCT stack and stays PIL-gated). What a
+100-TB profiling pass actually needs from each payload is the SOF
+header — dimensions, component count, progressive flag — and unlike
+BMP/PNG that header is NOT at a fixed offset: JPEG is a stream of
+variable-length marker segments, so the parser must WALK markers
+(read 0xFF id, read big-endian length, skip) until it hits SOF0/SOF2.
+The walk is unrolled to a bounded depth as nested CASE arithmetic
+over substring+hex+conv — all JVM whole-stage codegen, narrow map,
+no UDF, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# Synthetic-but-valid JPEG header streams (no scan data): SOI, APP0
+# (JFIF), an OPTIONAL DQT on even doc_ids (so the SOF offset varies
+# per row and a fixed-offset "parser" hash-mismatches immediately),
+# then SOF0 (baseline) or SOF2 (progressive, every third doc) with
+# 1 or 3 components.
+_APP0 = "FFE0" + "0010" + "4A46494600" + "0101" + "00" + \
+    "0048" + "0048" + "00" + "00"
+_DQT = "FFDB" + "0043" + "00" + "10" * 64
+
+
+def _jpeg_payload():
+    w = (F.col("n_chars") % 1024 + 16).cast("int")
+    h = (F.col("n_chars") % 768 + 16).cast("int")
+    ncomp = (F.lit(1) + (F.col("doc_id") % 2) * 2).cast("int")
+    sof_marker = F.when(F.col("doc_id") % 3 == 0,
+                        F.lit("FFC2")).otherwise(F.lit("FFC0"))
+    sof_len = F.lpad(F.hex(F.lit(8) + ncomp * 3), 4, "0")
+
+    def be2(c):
+        return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+    comps = F.when(F.col("doc_id") % 2 == 0,
+                   F.unhex(F.lit("011100"))) \
+        .otherwise(F.unhex(F.lit("011100" + "021100" + "031100")))
+    return F.concat(
+        F.unhex(F.lit("FFD8")),
+        F.unhex(F.lit(_APP0)),
+        F.when(F.col("doc_id") % 2 == 0, F.unhex(F.lit(_DQT)))
+         .otherwise(F.unhex(F.lit(""))),
+        F.unhex(sof_marker), F.unhex(sof_len),
+        F.unhex(F.lit("08")),          # precision
+        be2(h), be2(w),
+        F.unhex(F.lpad(F.hex(ncomp), 2, "0")),
+        comps)
+
+
+def jpeg_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-walk JPEG SOF parser: starting after SOI, read each
+    segment's marker id + big-endian length and advance until SOF0/
+    SOF2 (unrolled to 3 hops — APP0, optional DQT, SOF; a real
+    corpus pass unrolls deeper or mapInPandas-es past EXIF blobs).
+    Emits width/height/components/progressive + a derived megapixel
+    bucket. The oracle recomputes everything arithmetically, so any
+    offset, endianness, or walk bug hash-mismatches."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        _jpeg_payload().alias("payload"))
+
+    # positions are data-dependent -> SQL substring with a computed
+    # 1-based position: substring(payload, pos, 1), then hex->int
+    def b(pos):
+        return (F.conv(F.hex(F.expr(
+            f"substring(payload, CAST({pos} AS INT), 1)")), 16, 10)
+            .cast("int"))
+
+    def be16(pos):
+        return b(pos) * 256 + b(f"({pos}) + 1")
+
+    o1 = "3"
+    m1, l1 = b(f"({o1}) + 1"), be16(f"({o1}) + 2")
+    media = media.withColumn("_o2", (F.lit(3) + 2 + l1).cast("int"))
+    o2 = "_o2"
+    m2, l2 = b(f"({o2}) + 1"), be16(f"({o2}) + 2")
+    media = media.withColumn("_o3", (F.col("_o2") + 2 + l2).cast("int"))
+    o3 = "_o3"
+    m3 = b(f"({o3}) + 1")
+
+    def is_sof(m):
+        return m.isin(0xC0, 0xC2)
+
+    sof = (F.when(is_sof(m1), F.lit(3))
+           .when(is_sof(m2), F.col("_o2"))
+           .when(is_sof(m3), F.col("_o3"))).cast("int")
+    media = media.withColumn("_sof", sof)
+    marker = b("_sof + 1")
+    height = be16("_sof + 5")
+    width = be16("_sof + 7")
+    ncomp = b("_sof + 9")
+    return (media.select(
+        "media_id",
+        width.alias("width"),
+        height.alias("height"),
+        ncomp.alias("components"),
+        (marker == 0xC2).alias("progressive"),
+        F.floor(width * height / 100000).cast("long")
+        .alias("deci_mp_bucket"),
+        F.length("payload").alias("n_bytes"))
+        .orderBy("media_id"))
+
+
+JPEG_HEADER_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(n_chars % 1024 + 16 AS INT) AS width,
+       CAST(n_chars % 768 + 16 AS INT) AS height,
+       CAST(1 + (doc_id % 2) * 2 AS INT) AS components,
+       doc_id % 3 = 0 AS progressive,
+       CAST(floor((n_chars % 1024 + 16) * (n_chars % 768 + 16)
+                  / 100000) AS BIGINT) AS deci_mp_bucket,
+       CAST(2 + 18 + (CASE WHEN doc_id % 2 = 0 THEN 69 ELSE 0 END)
+            + 2 + 2 + 1 + 4 + 1
+            + (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 9 END)
+            AS BIGINT) AS n_bytes
+FROM documents ORDER BY media_id
+"""
+
+QUERIES.update({"jpeg_header_parse": jpeg_header_parse})
+ORACLES.update({"jpeg_header_parse": JPEG_HEADER_ORACLE})
