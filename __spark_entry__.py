@@ -74,6 +74,7 @@ FRONT_KEYS = [
     "dsl_knn",
     "dsl_rescore",
     "jpeg_header_parse",
+    "dsl_scripted_metric",
 ]
 
 

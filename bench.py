@@ -271,6 +271,7 @@ HEADLINE = [
     "dsl_knn",
     "dsl_rescore",
     "jpeg_header_parse",
+    "dsl_scripted_metric",
 ]
 
 

@@ -1046,6 +1046,146 @@ def _pct_label(p: float) -> str:
     return f"p{s}"
 
 
+# --- scripted_metric (bounded painless subset) -----------------------
+# ES scripted_metric runs painless init/map/combine/reduce scripts
+# per shard. The Spark translation exploits that the canonical shapes
+# (the ES reference's own example included) are associative folds:
+# map emits one value per doc, combine folds the shard, reduce folds
+# the shards with the SAME operator — which is exactly a Catalyst
+# partial aggregate (map-side combine + final merge), so the whole
+# agg stays a single grouped pass with no UDF and no state object.
+# DOCUMENTED DIVERGENCE: only fold-shaped scripts are accepted —
+# map ``state.<v>.add(expr)`` / ``state.<v> += expr`` / ``state.<v> =
+# Math.max|min(state.<v>, expr)``, combine/reduce a matching
+# sum/max/min fold; arbitrary stateful scripts raise ValueError.
+
+_DOC_REF_RE = re.compile(r"doc(?:\['(\w+)'\]|\.(\w+))(?:\.value\b)?")
+_MATH_FNS = {"Math.round": "round", "Math.abs": "abs",
+             "Math.sqrt": "sqrt", "Math.log": "ln",
+             "Math.floor": "floor", "Math.ceil": "ceiling",
+             "Math.max": "greatest", "Math.min": "least",
+             "Math.pow": "power"}
+
+
+def _painless_expr_sql(expr: str) -> str:
+    """Painless value expression -> engine-neutral SQL text.
+
+    Handles ``doc['f'].value`` / ``doc.f.value`` field refs, Math.*
+    calls, ``==``/``!=``/``&&``/``||``, string literals, and the
+    ternary ``cond ? a : b`` (recursively) -> CASE WHEN.
+    """
+    expr = expr.strip()
+    # strip fully-enclosing parens so a parenthesized ternary (the
+    # idiomatic painless nesting) is seen at top level when recursing
+    while expr.startswith("(") and expr.endswith(")"):
+        depth, in_s = 0, None
+        enclosing = True
+        for i, ch in enumerate(expr):
+            if in_s:
+                if ch == in_s:
+                    in_s = None
+                continue
+            if ch in "'\"":
+                in_s = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(expr) - 1:
+                    enclosing = False
+                    break
+        if not enclosing:
+            break
+        expr = expr[1:-1].strip()
+    # ternary first, structurally: find a top-level '?', then its
+    # matching top-level ':' (quotes and parens respected)
+    depth, q_pos = 0, -1
+    in_str: str | None = None
+    for i, ch in enumerate(expr):
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "'\"":
+            in_str = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "?" and depth == 0:
+            q_pos = i
+            break
+    if q_pos >= 0:
+        depth, in_str = 0, None
+        for j in range(q_pos + 1, len(expr)):
+            ch = expr[j]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+                continue
+            if ch in "'\"":
+                in_str = ch
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == ":" and depth == 0:
+                cond = _painless_expr_sql(expr[:q_pos])
+                then = _painless_expr_sql(expr[q_pos + 1:j])
+                other = _painless_expr_sql(expr[j + 1:])
+                return f"CASE WHEN {cond} THEN {then} ELSE {other} END"
+        raise ValueError(f"unterminated ternary in script: {expr!r}")
+    out = _DOC_REF_RE.sub(lambda m: m.group(1) or m.group(2), expr)
+    for pain, sql in _MATH_FNS.items():
+        out = out.replace(pain + "(", sql + "(")
+    out = out.replace("!=", "<>").replace("==", "=")
+    out = re.sub(r"\s*&&\s*", " AND ", out)
+    out = re.sub(r"\s*\|\|\s*", " OR ", out)
+    return out
+
+
+_MAP_ADD_RE = re.compile(
+    r"^\s*state\.(\w+)\.add\((.*)\)\s*;?\s*$", re.S)
+_MAP_INCR_RE = re.compile(r"^\s*state\.(\w+)\s*\+=\s*(.*?)\s*;?\s*$",
+                          re.S)
+_MAP_MAXMIN_RE = re.compile(
+    r"^\s*state\.(\w+)\s*=\s*Math\.(max|min)\(\s*state\.\1\s*,"
+    r"\s*(.*)\)\s*;?\s*$", re.S)
+
+
+def _scripted_metric_col(agg_name: str, mbody: dict) -> Column:
+    """Fold-shaped scripted_metric -> one aggregate Column."""
+    map_script = mbody["map_script"]
+    m = _MAP_ADD_RE.match(map_script) or _MAP_INCR_RE.match(map_script)
+    if m:
+        expr, fold = m.group(2), "sum"
+    else:
+        m = _MAP_MAXMIN_RE.match(map_script)
+        if not m:
+            raise ValueError(
+                "scripted_metric: map_script must be a fold "
+                "(state.v.add(expr), state.v += expr, or "
+                f"state.v = Math.max/min(state.v, expr)): {map_script!r}")
+        fold, expr = m.group(2), m.group(3)
+    # combine/reduce must fold with the same operator (or be omitted)
+    for key in ("combine_script", "reduce_script"):
+        s = mbody.get(key, "")
+        if "Math.max" in s:
+            other = "max"
+        elif "Math.min" in s:
+            other = "min"
+        elif "+=" in s or not s:
+            other = "sum"
+        else:
+            raise ValueError(f"scripted_metric: unsupported {key}: {s!r}")
+        if other != fold:
+            raise ValueError(
+                f"scripted_metric: {key} folds with {other!r} but "
+                f"map_script folds with {fold!r}")
+    fn = {"sum": F.sum, "max": F.max, "min": F.min}[fold]
+    return fn(F.expr(_painless_expr_sql(expr))).alias(agg_name)
+
+
 def _metric_cols(agg_name: str, spec: dict) -> list[Column]:
     """Metric agg spec -> output Columns (percentiles expand to one
     column per requested percent: ``<name>_p50`` etc.)."""
@@ -1087,6 +1227,8 @@ def _metric_cols(agg_name: str, spec: dict) -> list[Column]:
         key_sql = f"struct({sf}, {tb})" if tb else sf
         fn = "max_by" if sdir == "desc" else "min_by"
         return [F.expr(f"{fn}({m}, {key_sql})").alias(agg_name)]
+    if mtype == "scripted_metric":
+        return [_scripted_metric_col(agg_name, mbody)]
     field = mbody["field"]
     if mtype in _METRICS:
         c = _METRICS[mtype](field)
@@ -1108,7 +1250,7 @@ def _is_metric(spec: dict) -> bool:
     (mtype, _), = ((k, v) for k, v in spec.items() if k != "aggs")
     return mtype in _METRICS or mtype in (
         "cardinality", "percentiles", "percentile_ranks",
-        "weighted_avg", "top_metrics")
+        "weighted_avg", "top_metrics", "scripted_metric")
 
 
 # --- pipeline aggregations -------------------------------------------

@@ -294,7 +294,64 @@ def _knn_oracle() -> str:
         pre_filter_sql="label >= 3")
 
 
+# ------------------------------------------------- dsl_scripted_metric
+
+def dsl_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``scripted_metric`` agg (bounded painless subset): the ES
+    reference's canonical fold shape — map emits a value per doc into
+    ``state``, combine folds the shard, reduce folds the shards with
+    the same operator. That associativity is exactly a Catalyst
+    partial aggregate, so both scripted metrics below run in the SAME
+    single grouped pass as the terms bucket (map-side combine + final
+    merge; no UDF, no state object, no extra shuffle). Values are
+    quantized to cents inside the script (Math.round(v*100)) so the
+    sum is an exact integer-valued double on both engines."""
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"range": {"value": {"gte": 0.0}}},
+        "aggs": {"types": {
+            "terms": {"field": "event_type", "size": 20},
+            "aggs": {
+                "big_cents": {"scripted_metric": {
+                    "init_script": "state.t = []",
+                    "map_script":
+                        "state.t.add(doc['value'].value >= 100.0"
+                        " ? Math.round(doc.value.value * 100) : 0)",
+                    "combine_script":
+                        "long p = 0; for (t in state.t) { p += t }"
+                        " return p",
+                    "reduce_script":
+                        "long p = 0; for (a in states) { p += a }"
+                        " return p"}},
+                "peak_cents": {"scripted_metric": {
+                    "init_script": "state.m = 0",
+                    "map_script":
+                        "state.m = Math.max(state.m,"
+                        " Math.round(doc.value.value * 100))",
+                    "combine_script":
+                        "long m = 0; for (s in state.m) m ="
+                        " Math.max(m, s); return m",
+                    "reduce_script":
+                        "long m = 0; for (a in states) m ="
+                        " Math.max(m, a); return m"}},
+            }}},
+    })
+
+
+DSL_SCRIPTED_METRIC_ORACLE = """
+SELECT event_type AS key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       sum(CASE WHEN value >= 100.0 THEN round(value * 100)
+                ELSE 0 END) AS big_cents,
+       max(round(value * 100)) AS peak_cents
+FROM events WHERE value >= 0.0
+GROUP BY event_type
+ORDER BY doc_count DESC, key ASC LIMIT 20
+"""
+
+
 QUERIES.update({
+    "dsl_scripted_metric": dsl_scripted_metric,
     "dsl_ip_range": dsl_ip_range,
     "dsl_intervals": dsl_intervals,
     "dsl_span_near_multi": dsl_span_near_multi,
@@ -302,6 +359,7 @@ QUERIES.update({
     "dsl_rescore": dsl_rescore,
 })
 ORACLES.update({
+    "dsl_scripted_metric": DSL_SCRIPTED_METRIC_ORACLE,
     "dsl_rescore": _rescore_oracle(),
     "dsl_ip_range": _ip_range_oracle(),
     "dsl_intervals": _intervals_oracle(),

@@ -1,0 +1,101 @@
+"""scripted_metric agg: the bounded painless-fold subset — the
+painless->SQL expression translator, fold-shape recognition (sum via
+.add()/+=, max/min via Math.max/min self-assignment), combine/reduce
+consistency validation, and end-to-end semantics through search()
+(global and inside a terms bucket)."""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_generator_spark.operators.esdsl import (
+    _painless_expr_sql,
+    _scripted_metric_col,
+    search,
+)
+
+
+def test_painless_doc_refs_and_math():
+    assert _painless_expr_sql("doc['v'].value * 2") == "v * 2"
+    assert _painless_expr_sql("doc.v.value + doc['w'].value") == "v + w"
+    assert _painless_expr_sql(
+        "Math.round(doc.v.value * 100)") == "round(v * 100)"
+    assert _painless_expr_sql(
+        "Math.max(doc.v.value, Math.abs(doc.w.value))") \
+        == "greatest(v, abs(w))"
+
+
+def test_painless_operators():
+    assert _painless_expr_sql("doc.k.value == 'a'") == "k = 'a'"
+    assert _painless_expr_sql("doc.k.value != 'a'") == "k <> 'a'"
+    assert _painless_expr_sql(
+        "doc.v.value >= 1 && doc.v.value <= 9") == "v >= 1 AND v <= 9"
+
+
+def test_painless_ternary_nested():
+    out = _painless_expr_sql(
+        "doc.k.value == 'sale' ? doc.v.value "
+        ": (doc.k.value == 'fee' ? 0 : -1 * doc.v.value)")
+    assert out == ("CASE WHEN k = 'sale' THEN v ELSE "
+                   "CASE WHEN k = 'fee' THEN 0 "
+                   "ELSE -1 * v END END")
+
+
+def test_painless_ternary_ignores_quoted_question_mark():
+    # '?' inside a string literal must not split a ternary
+    assert _painless_expr_sql("doc.k.value == '?'") == "k = '?'"
+
+
+def test_rejects_non_fold_map_script():
+    with pytest.raises(ValueError, match="fold"):
+        _scripted_metric_col("m", {
+            "map_script": "state.seen[doc.k.value] = 1"})
+
+
+def test_rejects_mismatched_combine_fold():
+    with pytest.raises(ValueError, match="combine_script folds"):
+        _scripted_metric_col("m", {
+            "map_script": "state.t.add(doc.v.value)",
+            "combine_script":
+                "long m = 0; for (s in state.t) m = Math.max(m, s);"
+                " return m"})
+
+
+def _frame(spark):
+    rows = [(1, "sale", 10.0), (2, "sale", 20.0), (3, "refund", 5.0),
+            (4, "sale", 40.0), (5, "refund", 15.0)]
+    return spark.createDataFrame(rows, "id long, kind string, v double")
+
+
+def test_global_profit_fold(spark):
+    # the ES reference example: sale -> +v, else -> -v, summed
+    out = search(_frame(spark), {
+        "aggs": {"profit": {"scripted_metric": {
+            "init_script": "state.t = []",
+            "map_script": "state.t.add(doc.kind.value == 'sale'"
+                          " ? doc.v.value : -1 * doc.v.value)",
+            "combine_script":
+                "double p = 0; for (t in state.t) { p += t } return p",
+            "reduce_script":
+                "double p = 0; for (a in states) { p += a } return p",
+        }}}}).collect()
+    assert out[0]["profit"] == 10.0 + 20.0 + 40.0 - 5.0 - 15.0
+
+
+def test_max_fold_in_terms_bucket(spark):
+    out = search(_frame(spark), {
+        "aggs": {"kinds": {
+            "terms": {"field": "kind", "size": 10},
+            "aggs": {"peak": {"scripted_metric": {
+                "init_script": "state.m = 0",
+                "map_script":
+                    "state.m = Math.max(state.m, doc.v.value)",
+                "combine_script":
+                    "double m = 0; for (s in state.m) m ="
+                    " Math.max(m, s); return m",
+                "reduce_script":
+                    "double m = 0; for (a in states) m ="
+                    " Math.max(m, a); return m",
+            }}}}}}).collect()
+    got = {r["key"]: (r["doc_count"], r["peak"]) for r in out}
+    assert got == {"sale": (3, 40.0), "refund": (2, 15.0)}
