@@ -75,6 +75,7 @@ FRONT_KEYS = [
     "dsl_rescore",
     "jpeg_header_parse",
     "dsl_scripted_metric",
+    "dedup_embedding_lsh_hi",
 ]
 
 

@@ -272,6 +272,7 @@ HEADLINE = [
     "dsl_rescore",
     "jpeg_header_parse",
     "dsl_scripted_metric",
+    "dedup_embedding_lsh_hi",
 ]
 
 

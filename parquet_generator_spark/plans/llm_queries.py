@@ -113,11 +113,15 @@ EMB_LSH_BANDS = 8
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-quadratic scale path: banded hyperplane-LSH candidates +
-    exact cosine verify. The oracle mirrors the banding exactly
-    (same plane literals), so the hash check is strict; recall vs
-    the exact baseline (~0.97 at cos>=0.3 with 8 bands x 2 bits) is
-    asserted in tests/test_operators.py."""
+    """Banded hyperplane-LSH candidates + exact cosine verify at the
+    DEMO threshold 0.3. The oracle mirrors the banding exactly (same
+    plane literals), so the hash check is strict; recall vs the exact
+    baseline (~0.97 with 8 bands x 2 bits) is asserted in
+    tests/test_operators.py. NOT the 100-TB path: at cos>=0.3 the
+    output itself is quadratic (0.7% cross-pair density) and p~0.6
+    per sign bit means no banding beats the exact GEMM — see
+    dedup_embedding_lsh_hi (llm_queries16) and SCALE.md for the
+    re-tuned production regime."""
     emb = load_table(spark, "embeddings", sf_dir)
     planes = similarity.make_hyperplanes(64, 16, seed=7)
     return similarity.embedding_dup_pairs_lsh(

@@ -128,5 +128,74 @@ SELECT doc_id AS media_id,
 FROM documents ORDER BY media_id
 """
 
-QUERIES.update({"jpeg_header_parse": jpeg_header_parse})
-ORACLES.update({"jpeg_header_parse": JPEG_HEADER_ORACLE})
+# ------------------------------------------- dedup_embedding_lsh_hi
+# The production near-dup regime. The 0.3-threshold twin
+# (dedup_embedding_lsh) is OUTPUT-bound: on this corpus ~0.7% of all
+# cross pairs clear cos>=0.3, so the result set itself grows
+# quadratically and banding cannot beat the exact GEMM (at p=0.6 per
+# sign bit, b*n^2/2^r >= n^2/2 for every (r, b) with usable recall).
+# Real near-dups sit at cos>=0.95 (p~0.95+ per bit), where 8-bit
+# bands give 256 buckets/band: GEMM work drops to 8*n^2/256 = n^2/32
+# vs n^2/2 exact (16x), recall ~1 for true dups. Measured at sf1 in
+# SCALE.md. Twins are planted IN-QUERY with a deterministic LCG
+# perturbation (pure int64/double arithmetic, identical in Spark and
+# DuckDB), so the entry returns real rows at every SF.
+
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2147483648
+_TWIN_EPS = 0.06          # +/-3% multiplicative => cos ~ 0.9995
+_TWIN_OFFSET = 1_000_000
+HI_THRESHOLD = 0.95
+
+
+def _twin_factor(x_expr: str) -> str:
+    """Engine-neutral U(-0.5, 0.5) from an int64 index expression."""
+    h = f"({_LCG_A} * ({x_expr}) + {_LCG_C}) % {_LCG_M}"
+    return (f"(1.0 + ((CAST({h} AS DOUBLE) / {_LCG_M}.0) - 0.5)"
+            f" * {_TWIN_EPS})")
+
+
+def dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-regime embedding near-dup: corpus = originals +
+    deterministically perturbed twins, banded hyperplane LSH at
+    cos>=0.95 with 8 bands x 8 bits (the tuned scale configuration),
+    exact-cosine verified. Every original/twin pair (cos ~ 0.9995)
+    must survive banding; random cross pairs (cos < 0.5 on this
+    corpus) never reach the verify stage."""
+    from parquet_generator_spark.operators import similarity
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    orig = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+        .alias("embedding"))
+    twin = emb.select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (v, i) -> CAST(v AS DOUBLE) * "
+            + _twin_factor("vec_id * 64 + i") + ")").alias("embedding"))
+    corpus = orig.unionAll(twin)
+    planes = similarity.make_hyperplanes(64, 64, seed=9)
+    return similarity.embedding_dup_pairs_lsh(
+        corpus, HI_THRESHOLD, planes, 8)
+
+
+def _lsh_hi_oracle() -> str:
+    from parquet_generator_spark.operators import similarity
+
+    planes = similarity.make_hyperplanes(64, 64, seed=9)
+    factor = _twin_factor(f"vec_id * 64 + (i - 1)")
+    corpus = (
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding "
+        "FROM embeddings "
+        "UNION ALL "
+        f"SELECT vec_id + {_TWIN_OFFSET} AS vec_id, "
+        "list_transform(range(1, 65), i -> embedding[i] * "
+        + factor + ") AS embedding FROM embeddings)")
+    return similarity.embedding_dup_pairs_lsh_duck_sql(
+        corpus, HI_THRESHOLD, planes, 8)
+
+
+QUERIES.update({"jpeg_header_parse": jpeg_header_parse,
+                "dedup_embedding_lsh_hi": dedup_embedding_lsh_hi})
+ORACLES.update({"jpeg_header_parse": JPEG_HEADER_ORACLE,
+                "dedup_embedding_lsh_hi": _lsh_hi_oracle()})

@@ -222,6 +222,29 @@ def test_embedding_dup_pairs_lsh_planted_dups_full_recall(spark):
     assert {(i, 1000 + i) for i in range(40)} <= got
 
 
+def test_embedding_lsh_hi_planted_full_recall(spark):
+    """Tuned production config (64 planes, 8 bands x 8 bits): every
+    planted twin pair (cos ~ 0.9995) must survive the 8-bit bands
+    (p ~ 0.99 per sign bit => band match p^8 ~ 0.92, miss-all-8
+    probability ~ 1e-9), while 256 buckets/band keep the bucket GEMM
+    at n^2/32 -- the sf1-measured scale configuration (SCALE.md)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((60, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i,
+                     [float(x) for x in v * (1 + rng.standard_normal(64) * 0.03)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    planes = similarity.make_hyperplanes(64, 64, seed=9)
+    got = {(r["id_a"], r["id_b"])
+           for r in similarity.embedding_dup_pairs_lsh(
+               df, 0.95, planes, 8).collect()}
+    assert {(i, 1000 + i) for i in range(60)} <= got
+
+
 def test_lsh_bucket_cap_skips_hot_bucket(spark):
     """A degenerate bucket (many docs sharing every band signature)
     is skipped above the cap — its pairs disappear, everything else
