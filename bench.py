@@ -5,6 +5,22 @@ ONE JSON line the driver records as BENCH_r{N}.json.
 Covers every operator family from SURVEY.md §2: TPC-H-style analytics,
 ES-DSL translation, reference ETL surface, dedup/similarity, text ops,
 and the batch-equivalent streaming aggregation.
+
+PINNED PROTOCOL (round 8) — so round-over-round deltas stay
+attributable:
+- ONE SparkSession for the whole run; HEADLINE is append-only, so
+  every query keeps its list position (and therefore its
+  session-age) across rounds. New queries append at the end.
+- Warmup at sf0.001 (JIT + Python-worker spawn) before timing.
+- Median of N=3 consecutive runs per query (SPARK_GRAFT_BENCH_RUNS);
+  min/max land in BENCH_FULL.json.
+- BENCH_FULL.json records per-query `t_offset` = seconds since the
+  first timed query, so late-session drift (GC/heap growth as the
+  list grows round-over-round) is distinguishable from plan
+  regressions: a plan regression reproduces in isolation
+  (SPARK_GRAFT_BENCH_KEYS=<name>), session drift does not.
+- The box itself swings ~10% run-to-run: compare within-run ratios,
+  not absolute seconds, across rounds.
 """
 
 from __future__ import annotations
@@ -310,7 +326,10 @@ def main() -> None:
     maxs: dict[str, float] = {}
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
+    offsets: dict[str, float] = {}
+    t_session = time.perf_counter()
     for name in headline:
+        offsets[name] = round(time.perf_counter() - t_session, 1)
         per: list[float] = []
         t0 = time.perf_counter()
         try:
@@ -341,6 +360,8 @@ def main() -> None:
         "n_runs": n_runs,
         "rows": rows,
         "sf": sf,
+        "order": headline,
+        "t_offset": offsets,
     }
     if errors:
         full["errors"] = errors
