@@ -76,6 +76,7 @@ FRONT_KEYS = [
     "jpeg_header_parse",
     "dsl_scripted_metric",
     "dedup_embedding_lsh_hi",
+    "dsl_ip_prefix",
 ]
 
 

@@ -289,6 +289,7 @@ HEADLINE = [
     "jpeg_header_parse",
     "dsl_scripted_metric",
     "dedup_embedding_lsh_hi",
+    "dsl_ip_prefix",
 ]
 
 

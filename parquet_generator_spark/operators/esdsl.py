@@ -416,6 +416,65 @@ def ip_range_agg(df: DataFrame, field: str,
                     .alias("doc_count")))
 
 
+def ip_prefix_agg(df: DataFrame, field: str, prefix_length: int,
+                  min_doc_count: int = 1) -> DataFrame:
+    """ES 8.x `ip_prefix` bucket agg: group addresses by their
+    /prefix_length network. One grouped pass over the packed-int
+    representation (net = ipn >> s << s, pure arithmetic — the
+    grouping key never touches strings until the final bounded
+    bucket frame); buckets ordered by network address ascending,
+    ES's ordering. `min_doc_count` prunes sparse buckets (ES
+    default 1 = only observed networks, so no zero-fill frame is
+    needed)."""
+    if not 0 <= prefix_length <= 32:
+        raise ValueError(f"prefix_length out of range: {prefix_length}")
+    span = 1 << (32 - prefix_length)
+    num = ip_num_col(field)
+    net = F.floor(num / span).cast("long") * span
+    dotted = F.concat_ws(
+        ".",
+        (F.floor(F.col("net") / 16777216).cast("long") % 256)
+        .cast("string"),
+        (F.floor(F.col("net") / 65536).cast("long") % 256)
+        .cast("string"),
+        (F.floor(F.col("net") / 256).cast("long") % 256)
+        .cast("string"),
+        (F.col("net") % 256).cast("string"))
+    return (df.filter(num.isNotNull())
+            .groupBy(net.alias("net"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .filter(F.col("doc_count") >= min_doc_count)
+            .orderBy("net")
+            .select(dotted.alias("key"),
+                    F.lit(prefix_length).alias("prefix_length"),
+                    "doc_count"))
+
+
+def ip_prefix_agg_duck_sql(src_sql: str, field: str,
+                           prefix_length: int,
+                           min_doc_count: int = 1) -> str:
+    """DuckDB mirror of ip_prefix_agg over a source subquery."""
+    span = 1 << (32 - prefix_length)
+    num = ip_num_sql(field, "duck")
+    return f"""
+WITH nets AS (
+  SELECT CAST(floor(({num}) / {span}) AS BIGINT) * {span} AS net
+  FROM {src_sql}
+  WHERE regexp_matches({field}, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$')),
+b AS (
+  SELECT net, count(*) AS doc_count FROM nets GROUP BY net
+  HAVING count(*) >= {min_doc_count})
+SELECT concat_ws('.',
+         CAST(floor(net / 16777216) AS BIGINT) % 256,
+         CAST(floor(net / 65536) AS BIGINT) % 256,
+         CAST(floor(net / 256) AS BIGINT) % 256,
+         net % 256) AS key,
+       {prefix_length} AS prefix_length,
+       doc_count
+FROM b ORDER BY net
+"""
+
+
 # ------------------------------------------------------------------
 # Positional proximity (`intervals` query; `span_near` with >2
 # clauses)

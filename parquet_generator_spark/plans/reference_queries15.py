@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators.esdsl import (
     ip_num_sql,
+    ip_prefix_agg,
+    ip_prefix_agg_duck_sql,
     ip_range_agg,
     proximity_pred_sql,
     search,
@@ -294,6 +296,31 @@ def _knn_oracle() -> str:
         pre_filter_sql="label >= 3")
 
 
+# ----------------------------------------------------- dsl_ip_prefix
+
+IP_PREFIX_LEN = 10
+IP_PREFIX_MIN_DOCS = 5
+
+
+def dsl_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.x ``ip_prefix`` agg over the same SIEM-shaped runtime IP
+    field as dsl_ip_range: /10 networks of the events' client_ip,
+    sparse networks pruned by min_doc_count. The grouping key is the
+    packed-int network (pure arithmetic, no strings in the shuffle);
+    the dotted-quad label is rendered on the final bounded bucket
+    frame only."""
+    ev = load_table(spark, "events", sf_dir)
+    src = ev.select(F.expr(IP_S).alias("client_ip"))
+    return ip_prefix_agg(src, "client_ip", IP_PREFIX_LEN,
+                         IP_PREFIX_MIN_DOCS)
+
+
+def _ip_prefix_oracle() -> str:
+    return ip_prefix_agg_duck_sql(
+        f"(SELECT {IP_D} AS client_ip FROM events)", "client_ip",
+        IP_PREFIX_LEN, IP_PREFIX_MIN_DOCS)
+
+
 # ------------------------------------------------- dsl_scripted_metric
 
 def dsl_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,6 +378,7 @@ ORDER BY doc_count DESC, key ASC LIMIT 20
 
 
 QUERIES.update({
+    "dsl_ip_prefix": dsl_ip_prefix,
     "dsl_scripted_metric": dsl_scripted_metric,
     "dsl_ip_range": dsl_ip_range,
     "dsl_intervals": dsl_intervals,
@@ -359,6 +387,7 @@ QUERIES.update({
     "dsl_rescore": dsl_rescore,
 })
 ORACLES.update({
+    "dsl_ip_prefix": _ip_prefix_oracle(),
     "dsl_scripted_metric": DSL_SCRIPTED_METRIC_ORACLE,
     "dsl_rescore": _rescore_oracle(),
     "dsl_ip_range": _ip_range_oracle(),

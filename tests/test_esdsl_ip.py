@@ -83,3 +83,28 @@ def test_ip_range_agg_overlap_and_zero_fill(ips):
     got = {r["key"]: r["doc_count"] for r in out.collect()}
     # 5 parseable IPs; 'to' is EXCLUSIVE so row 2 is out of 'mid'
     assert got == {"ten": 2, "all": 5, "none": 0, "mid": 1}
+
+
+def test_ip_prefix_agg_networks_and_min_docs(ips):
+    out = esdsl.ip_prefix_agg(ips, "addr", 8).collect()
+    # malformed + null dropped; /8 networks in ascending address order
+    assert [(r["key"], r["prefix_length"], r["doc_count"])
+            for r in out] == [
+        ("9.0.0.0", 8, 1), ("10.0.0.0", 8, 2), ("192.0.0.0", 8, 2)]
+    pruned = esdsl.ip_prefix_agg(ips, "addr", 8, min_doc_count=2)
+    assert [r["key"] for r in pruned.collect()] == ["10.0.0.0",
+                                                    "192.0.0.0"]
+
+
+def test_ip_prefix_agg_full_and_zero_length(ips):
+    # /32 = exact addresses; /0 = one global bucket of all parseable
+    exact = esdsl.ip_prefix_agg(ips, "addr", 32).collect()
+    assert len(exact) == 5 and exact[0]["key"] == "9.255.255.255"
+    world = esdsl.ip_prefix_agg(ips, "addr", 0).collect()
+    assert [(r["key"], r["doc_count"]) for r in world] == [
+        ("0.0.0.0", 5)]
+
+
+def test_ip_prefix_agg_rejects_bad_length(ips):
+    with pytest.raises(ValueError):
+        esdsl.ip_prefix_agg(ips, "addr", 33)
