@@ -50,6 +50,7 @@ from parquet_generator_spark.plans import reference_queries12 as R12
 from parquet_generator_spark.plans import reference_queries13 as R13
 from parquet_generator_spark.plans import reference_queries14 as R14
 from parquet_generator_spark.plans import reference_queries15 as R15
+from parquet_generator_spark.plans import reference_queries16 as R16
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -77,6 +78,10 @@ FRONT_KEYS = [
     "dsl_scripted_metric",
     "dedup_embedding_lsh_hi",
     "dsl_ip_prefix",
+    "dsl_term_suggest",
+    "dsl_highlight",
+    "dsl_diversified_sampler",
+    "dsl_categorize_text",
 ]
 
 
@@ -127,6 +132,7 @@ def queries() -> dict[str, QueryFn]:
         **R13.QUERIES,
         **R14.QUERIES,
         **R15.QUERIES,
+        **R16.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -176,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         **R13.ORACLES,
         **R14.ORACLES,
         **R15.ORACLES,
+        **R16.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

@@ -290,6 +290,10 @@ HEADLINE = [
     "dsl_scripted_metric",
     "dedup_embedding_lsh_hi",
     "dsl_ip_prefix",
+    "dsl_term_suggest",
+    "dsl_highlight",
+    "dsl_diversified_sampler",
+    "dsl_categorize_text",
 ]
 
 

@@ -1,0 +1,237 @@
+"""ES search-experience surface, sixteenth wave: the `suggest` API
+(term suggester) and friends.
+
+The reference feeds an ES index whose users get did-you-mean
+suggestions and highlighted hits for free; this wave re-expresses
+those read-side features Spark-first. The term suggester is a
+corpus-vocabulary problem, not a per-row one: build (term, doc_freq)
+once (one grouped pass), then candidate-match the bounded input
+terms against it — a broadcast of the TINY input side onto the
+first-letter equi-key, with the edit-distance bound as a post-join
+filter, so the vocab (millions of terms on a real corpus) never
+moves except through one groupBy shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.operators import text as tx
+from parquet_generator_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ---------------------------------------------------- dsl_term_suggest
+
+SUGGEST_INPUTS = ["colunm", "fitler", "streem", "windoe", "batsh",
+                  "join"]
+SUGGEST_MAX_EDITS = 2
+SUGGEST_PREFIX_LEN = 1     # ES default: first char must match
+SUGGEST_SIZE = 3
+SUGGEST_MIN_WORD_LEN = 4
+
+
+def dsl_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `suggest`/`term` suggester, string_distance=levenshtein:
+    for each input term NOT present in the index (suggest_mode
+    "missing" — 'join' exercises the suppression), the top-3
+    vocabulary terms within max_edits=2 sharing the first character
+    (prefix_length=1), ranked ES-style: edit distance, then document
+    frequency, then term. Vocabulary = distinct-per-doc tokens >=
+    min_word_length, counted in one grouped pass; inputs are a
+    bounded literal frame broadcast onto the first-letter key."""
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = (docs.select(F.explode(F.expr(
+        f"array_distinct({tx.toks_spark('text')})")).alias("term"))
+        .filter(F.length("term") >= SUGGEST_MIN_WORD_LEN)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
+    inputs = spark.createDataFrame(
+        [(t,) for t in SUGGEST_INPUTS], "input string")
+    missing = F.broadcast(
+        inputs.join(vocab, inputs.input == vocab.term, "left_anti"))
+    dist = F.levenshtein("input", "term")
+    cand = missing.join(
+        vocab,
+        (F.substring("input", 1, SUGGEST_PREFIX_LEN)
+         == F.substring("term", 1, SUGGEST_PREFIX_LEN))
+        & (dist <= SUGGEST_MAX_EDITS))
+    w = (Window.partitionBy("input")
+         .orderBy(dist.asc(), F.desc("freq"), F.asc("term")))
+    return (cand
+            .withColumn("distance", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= SUGGEST_SIZE)
+            .select("input", "rank", F.col("term").alias("suggestion"),
+                    "distance", "freq")
+            .orderBy("input", "rank"))
+
+
+def _term_suggest_oracle() -> str:
+    vals = ", ".join(f"('{t}')" for t in SUGGEST_INPUTS)
+    return f"""
+WITH vocab AS (
+  SELECT t AS term, count(*) AS freq FROM (
+    SELECT unnest(list_distinct({tx.toks_duck('text')})) AS t
+    FROM documents)
+  WHERE length(t) >= {SUGGEST_MIN_WORD_LEN}
+  GROUP BY t),
+inputs(input) AS (VALUES {vals}),
+missing AS (
+  SELECT input FROM inputs
+  WHERE input NOT IN (SELECT term FROM vocab)),
+ranked AS (
+  SELECT i.input, v.term,
+         CAST(levenshtein(i.input, v.term) AS INT) AS distance,
+         v.freq,
+         CAST(row_number() OVER (
+           PARTITION BY i.input
+           ORDER BY levenshtein(i.input, v.term) ASC, v.freq DESC,
+                    v.term ASC) AS INT) AS rank
+  FROM missing i JOIN vocab v
+    ON substring(i.input, 1, {SUGGEST_PREFIX_LEN})
+       = substring(v.term, 1, {SUGGEST_PREFIX_LEN})
+   AND levenshtein(i.input, v.term) <= {SUGGEST_MAX_EDITS})
+SELECT input, rank, term AS suggestion, distance, freq
+FROM ranked WHERE rank <= {SUGGEST_SIZE}
+ORDER BY input, rank
+"""
+
+
+# ------------------------------------------------------ dsl_highlight
+
+HL_TERM = "spark"
+HL_FRAG_SIZE = 80          # ES fragment_size default is 100
+HL_CONTEXT = 20            # chars of left context before the hit
+
+
+def dsl_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `highlight`: for docs matching a term query, one fragment
+    per doc anchored at the first occurrence (ES's plain highlighter
+    with number_of_fragments=1), occurrences inside the fragment
+    wrapped in <em> tags, plus the per-doc hit count. Pure narrow
+    map — locate + substring + regexp_replace stay in codegen, no
+    shuffle beyond the result sort. DIVERGENCE (documented): the
+    fragment is a fixed char window [first_hit - 20, +80) rather
+    than ES's sentence-boundary fragmenter."""
+    docs = load_table(spark, "documents", sf_dir)
+    pat = rf"\b{HL_TERM}\b"
+    hits = docs.filter(F.col("text").rlike(pat))
+    pos = F.locate(HL_TERM, "text")
+    start = F.greatest(F.lit(1), pos - HL_CONTEXT)
+    frag = F.expr(
+        f"substring(text, CAST(greatest(1, locate('{HL_TERM}', text)"
+        f" - {HL_CONTEXT}) AS INT), {HL_FRAG_SIZE})")
+    return (hits.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            "text", F.lit(pat), F.lit(0))).alias("n_hits"),
+        start.alias("frag_start"),
+        F.regexp_replace(
+            frag, pat, f"<em>{HL_TERM}</em>").alias("fragment"))
+        .orderBy("doc_id"))
+
+
+def _highlight_oracle() -> str:
+    return rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b{HL_TERM}\b')) AS INT)
+         AS n_hits,
+       CAST(greatest(1, strpos(text, '{HL_TERM}') - {HL_CONTEXT})
+            AS INT) AS frag_start,
+       regexp_replace(
+         substring(text,
+                   CAST(greatest(1, strpos(text, '{HL_TERM}')
+                                 - {HL_CONTEXT}) AS INT),
+                   {HL_FRAG_SIZE}),
+         '\b{HL_TERM}\b', '<em>{HL_TERM}</em>', 'g') AS fragment
+FROM documents
+WHERE regexp_matches(text, '\b{HL_TERM}\b')
+ORDER BY doc_id
+"""
+
+
+# -------------------------------------------- dsl_diversified_sampler
+
+DIV_MAX_PER_VALUE = 2      # ES max_docs_per_value
+DIV_SHARD_SIZE = 500       # ES shard_size
+
+
+def dsl_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `diversified_sampler` agg: cap docs per diversity value
+    (user_id, max_docs_per_value=2), take the top shard_size docs,
+    run sub-aggs over the sample. ES picks by score/index order; the
+    deterministic stand-in orders by event_id both for the per-value
+    cap and the sample cut. Plan: the per-value cap is a window
+    PARTITIONED by user_id (parallel across users), the sample cut
+    is TakeOrderedAndProject on the capped frame, and the sub-aggs
+    run on a <=shard_size bounded frame — nothing global except the
+    bounded top-k."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    capped = (ev.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= DIV_MAX_PER_VALUE))
+    samp = capped.orderBy("event_id").limit(DIV_SHARD_SIZE)
+    return samp.agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.countDistinct("event_type").alias("n_types"))
+
+
+DSL_DIVERSIFIED_SAMPLER_ORACLE = f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY event_id) AS rn
+  FROM events),
+samp AS (
+  SELECT * FROM ranked WHERE rn <= {DIV_MAX_PER_VALUE}
+  ORDER BY event_id LIMIT {DIV_SHARD_SIZE})
+SELECT CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(value), 4) AS avg_value,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM samp
+"""
+
+
+# ------------------------------------------------ dsl_categorize_text
+
+def dsl_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `categorize_text` agg (log-template clustering): messages
+    collapse into categories by masking the variable parts — ES's
+    categorizer drops/masks numbers and groups on the remaining
+    token sequence. The log-like message here is the event's
+    type + raw props JSON; masking the numeric run makes every
+    '{"k": <n>}' variant one category per event_type. One masked-key
+    grouped pass; the per-category example is min(message)
+    (deterministic stand-in for ES's first-seen exemplar)."""
+    ev = load_table(spark, "events", sf_dir)
+    msg = F.concat_ws(" ", "event_type", "props")
+    category = F.regexp_replace(msg, "[0-9]+", "<num>")
+    return (ev.select(category.alias("category"), msg.alias("msg"))
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 F.min("msg").alias("example"))
+            .orderBy(F.desc("doc_count"), F.asc("category")))
+
+
+DSL_CATEGORIZE_TEXT_ORACLE = """
+SELECT regexp_replace(concat_ws(' ', event_type, props),
+                      '[0-9]+', '<num>', 'g') AS category,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       min(concat_ws(' ', event_type, props)) AS example
+FROM events
+GROUP BY category
+ORDER BY doc_count DESC, category ASC
+"""
+
+
+QUERIES.update({"dsl_term_suggest": dsl_term_suggest,
+                "dsl_highlight": dsl_highlight,
+                "dsl_diversified_sampler": dsl_diversified_sampler,
+                "dsl_categorize_text": dsl_categorize_text})
+ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
+                "dsl_highlight": _highlight_oracle(),
+                "dsl_diversified_sampler": DSL_DIVERSIFIED_SAMPLER_ORACLE,
+                "dsl_categorize_text": DSL_CATEGORIZE_TEXT_ORACLE})
