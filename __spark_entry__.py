@@ -18,6 +18,7 @@ from parquet_generator_spark.plans import analytics2 as A2
 from parquet_generator_spark.plans import analytics3 as A3
 from parquet_generator_spark.plans import analytics4 as A4
 from parquet_generator_spark.plans import analytics5 as A5
+from parquet_generator_spark.plans import analytics6 as A6
 from parquet_generator_spark.plans import llm_queries as L
 from parquet_generator_spark.plans import llm_queries2 as L2
 from parquet_generator_spark.plans import llm_queries3 as L3
@@ -82,6 +83,9 @@ FRONT_KEYS = [
     "dsl_highlight",
     "dsl_diversified_sampler",
     "dsl_categorize_text",
+    "basket_lift",
+    "dsl_date_math",
+    "dsl_terms_lookup",
 ]
 
 
@@ -143,6 +147,7 @@ def queries() -> dict[str, QueryFn]:
         **A3.QUERIES,
         **A4.QUERIES,
         **A5.QUERIES,
+        **A6.QUERIES,
     })
 
 
@@ -193,4 +198,5 @@ def oracle_sql() -> dict[str, str]:
         **A3.ORACLES,
         **A4.ORACLES,
         **A5.ORACLES,
+        **A6.ORACLES,
     }

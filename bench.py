@@ -294,6 +294,9 @@ HEADLINE = [
     "dsl_highlight",
     "dsl_diversified_sampler",
     "dsl_categorize_text",
+    "basket_lift",
+    "dsl_date_math",
+    "dsl_terms_lookup",
 ]
 
 

@@ -14,6 +14,8 @@ lowercase alphanumeric tokenization ([a-z0-9]+), which makes
 
 from __future__ import annotations
 
+import calendar
+import datetime
 import re
 
 import pandas as pd
@@ -416,6 +418,127 @@ def ip_range_agg(df: DataFrame, field: str,
                     .alias("doc_count")))
 
 
+def terms_lookup_filter(df: DataFrame, field: str,
+                        lookup: DataFrame, path: str) -> DataFrame:
+    """ES `terms` lookup (the {"index", "id", "path"} form): the
+    match set comes from another index's document(s) instead of an
+    inline array. Spark-first this is a LEFT SEMI join against the
+    distinct lookup keys, broadcast: ES itself caps lookup terms at
+    65k (index.max_terms_count), so the build side is bounded by
+    contract — the 100-TB fact table streams past an in-memory hash
+    set, no shuffle of the big side."""
+    keys = lookup.select(F.col(path).alias("__lookup_key")).distinct()
+    return df.join(F.broadcast(keys),
+                   df[field] == keys["__lookup_key"], "left_semi")
+
+
+# --- ES date math (anchored) ----------------------------------------
+# `"2024-01-31||-2w/d"`: an anchor date, then +/-N unit steps, then an
+# optional trailing /unit rounding. Resolution happens at PLAN time
+# (the literal reaches the parquet scan as a plain timestamp bound, so
+# row-group pruning still applies). `now`-anchored math is refused:
+# a plan whose pruning bound silently depends on wall-clock produces
+# unreproducible scans — callers pass an explicit anchor instead.
+
+_DATE_MATH_RE = re.compile(
+    r"^(\d{4}-\d{2}-\d{2}(?:[T ]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?)?)"
+    r"\|\|(.*)$")
+_DM_STEP_RE = re.compile(r"([+-]\d+)([yMwdhms])")
+_DM_ROUND_RE = re.compile(r"/([yMwdhms])$")
+
+
+def is_date_math(v) -> bool:
+    if not isinstance(v, str):
+        return False
+    if v == "now" or v.startswith("now"):
+        raise ValueError(
+            "now-anchored date math is not supported: the resolved "
+            "scan bound would depend on wall-clock; use an explicit "
+            "anchor like '2024-01-31||-7d/d'")
+    return _DATE_MATH_RE.match(v) is not None
+
+
+def _dm_add_months(dt: datetime.datetime, n: int) -> datetime.datetime:
+    m = dt.month - 1 + n
+    y, m = dt.year + m // 12, m % 12 + 1
+    last = calendar.monthrange(y, m)[1]
+    return dt.replace(year=y, month=m, day=min(dt.day, last))
+
+
+def _dm_floor(dt: datetime.datetime, unit: str) -> datetime.datetime:
+    if unit == "y":
+        return dt.replace(month=1, day=1, hour=0, minute=0, second=0,
+                          microsecond=0)
+    if unit == "M":
+        return dt.replace(day=1, hour=0, minute=0, second=0,
+                          microsecond=0)
+    if unit == "w":       # ES floors to Monday
+        d0 = dt.replace(hour=0, minute=0, second=0, microsecond=0)
+        return d0 - datetime.timedelta(days=d0.weekday())
+    if unit == "d":
+        return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "h":
+        return dt.replace(minute=0, second=0, microsecond=0)
+    if unit == "m":
+        return dt.replace(second=0, microsecond=0)
+    return dt.replace(microsecond=0)
+
+
+def _dm_next(dt: datetime.datetime, unit: str) -> datetime.datetime:
+    if unit == "y":
+        return dt.replace(year=dt.year + 1)
+    if unit == "M":
+        return _dm_add_months(dt, 1)
+    step = {"w": datetime.timedelta(weeks=1),
+            "d": datetime.timedelta(days=1),
+            "h": datetime.timedelta(hours=1),
+            "m": datetime.timedelta(minutes=1),
+            "s": datetime.timedelta(seconds=1)}[unit]
+    return dt + step
+
+
+def resolve_date_math(v: str, op: str) -> datetime.datetime:
+    """Resolve an anchored date-math string for a range op, with
+    ES's documented rounding directions: with a trailing /unit,
+    `gte`/`lt` take the unit's start, `gt`/`lte` its last
+    microsecond (so `gt` excludes and `lte` includes the whole
+    rounded unit)."""
+    m = _DATE_MATH_RE.match(v)
+    if not m:
+        raise ValueError(f"not a date-math literal: {v!r}")
+    anchor, expr = m.groups()
+    dt = datetime.datetime.fromisoformat(anchor.replace("T", " "))
+    rnd = _DM_ROUND_RE.search(expr)
+    if rnd:
+        expr = expr[:rnd.start()]
+    pos = 0
+    for step in _DM_STEP_RE.finditer(expr):
+        if step.start() != pos:
+            raise ValueError(f"bad date-math expression: {v!r}")
+        pos = step.end()
+        n, unit = int(step.group(1)), step.group(2)
+        if unit == "y":
+            dt = _dm_add_months(dt, 12 * n)
+        elif unit == "M":
+            dt = _dm_add_months(dt, n)
+        else:
+            dt = dt + n * {"w": datetime.timedelta(weeks=1),
+                           "d": datetime.timedelta(days=1),
+                           "h": datetime.timedelta(hours=1),
+                           "m": datetime.timedelta(minutes=1),
+                           "s": datetime.timedelta(seconds=1)}[unit]
+    if pos != len(expr):
+        raise ValueError(f"bad date-math expression: {v!r}")
+    if rnd:
+        unit = rnd.group(1)
+        start = _dm_floor(dt, unit)
+        if op in ("gt", "lte"):
+            return (_dm_next(start, unit)
+                    - datetime.timedelta(microseconds=1))
+        return start
+    return dt
+
+
 def ip_prefix_agg(df: DataFrame, field: str, prefix_length: int,
                   min_doc_count: int = 1) -> DataFrame:
     """ES 8.x `ip_prefix` bucket agg: group addresses by their
@@ -634,8 +757,20 @@ def translate_query(q: dict | None) -> Column:
         for op, v in conds.items():
             if op not in ops:
                 raise ValueError(f"unsupported range op {op!r}")
+            if is_date_math(v):
+                v = resolve_date_math(v, op)
             out = out & ops[op](F.lit(v))
         return out
+    if kind == "ids":
+        # ES matches the _id metadata field; parquet rows have no
+        # hidden _id, so the key column is named explicitly.
+        field = body.get("field")
+        if not field:
+            raise ValueError(
+                "ids query needs an explicit 'field' naming the key "
+                "column (parquet rows have no _id metadata)")
+        vals = list(body["values"])
+        return F.col(field).isNotNull() & F.col(field).isin(vals)
     if kind == "exists":
         return F.col(body["field"]).isNotNull()
     if kind == "prefix":

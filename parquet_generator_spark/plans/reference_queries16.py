@@ -195,6 +195,90 @@ FROM samp
 """
 
 
+# -------------------------------------------------- dsl_date_math
+
+DM_GTE = "2024-01-31||-2w/d"     # -> 2024-01-17 00:00:00
+DM_LTE = "2024-01-01||+3w+2d/d"  # -> 2024-01-24 23:59:59.999999
+
+
+def dsl_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored ES date math in `range`: the gte bound steps back two
+    weeks then floors to day start; the lte bound steps forward 3w+2d
+    and rounds to the day's LAST microsecond (ES: lte includes the
+    whole rounded unit). Both resolve at plan time to plain timestamp
+    literals, so the scan bound is a constant and row-group pruning
+    applies; now-anchored math is refused (wall-clock-dependent scan
+    bounds are unreproducible)."""
+    from parquet_generator_spark.operators.esdsl import translate_query
+
+    ev = load_table(spark, "events", sf_dir)
+    hits = ev.filter(translate_query(
+        {"range": {"ts": {"gte": DM_GTE, "lte": DM_LTE}}}))
+    return (hits.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("day"))
+
+
+def _date_math_oracle() -> str:
+    from parquet_generator_spark.operators.esdsl import resolve_date_math
+
+    lo = resolve_date_math(DM_GTE, "gte").isoformat(sep=" ")
+    hi = resolve_date_math(DM_LTE, "lte").isoformat(sep=" ")
+    return f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS doc_count
+FROM events
+WHERE ts >= TIMESTAMP '{lo}' AND ts <= TIMESTAMP '{hi}'
+GROUP BY day ORDER BY day
+"""
+
+
+# ------------------------------------------------- dsl_terms_lookup
+
+LOOKUP_MIN_BAL = 9000.0
+IDS_SAMPLE = [1, 7, 32, 33]
+
+
+def dsl_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `terms` lookup + `ids` queries: the match set comes from
+    another index (rich customers) rather than an inline array —
+    re-expressed as a broadcast LEFT SEMI join (ES's own
+    index.max_terms_count bounds the build side by contract), OR'd
+    at the result level with an explicit `ids` pick. Per-priority
+    order counts over the union; the big orders side never
+    shuffles for the semi-join."""
+    from parquet_generator_spark.operators.esdsl import (
+        terms_lookup_filter,
+        translate_query,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    rich = customer.filter(F.col("c_acctbal") > LOOKUP_MIN_BAL)
+    looked_up = terms_lookup_filter(orders, "o_custkey", rich,
+                                    "c_custkey")
+    picked = orders.filter(translate_query(
+        {"ids": {"field": "o_orderkey", "values": IDS_SAMPLE}}))
+    hits = looked_up.unionAll(picked).dropDuplicates(["o_orderkey"])
+    return (hits.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.max("o_totalprice").alias("max_price"))
+            .orderBy("o_orderpriority"))
+
+
+def _terms_lookup_oracle() -> str:
+    ids = ", ".join(str(i) for i in IDS_SAMPLE)
+    return f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       max(o_totalprice) AS max_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_acctbal > {LOOKUP_MIN_BAL})
+   OR o_orderkey IN ({ids})
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ------------------------------------------------ dsl_categorize_text
 
 def dsl_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,8 +314,12 @@ ORDER BY doc_count DESC, category ASC
 QUERIES.update({"dsl_term_suggest": dsl_term_suggest,
                 "dsl_highlight": dsl_highlight,
                 "dsl_diversified_sampler": dsl_diversified_sampler,
-                "dsl_categorize_text": dsl_categorize_text})
+                "dsl_categorize_text": dsl_categorize_text,
+                "dsl_date_math": dsl_date_math,
+                "dsl_terms_lookup": dsl_terms_lookup})
 ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
                 "dsl_highlight": _highlight_oracle(),
                 "dsl_diversified_sampler": DSL_DIVERSIFIED_SAMPLER_ORACLE,
-                "dsl_categorize_text": DSL_CATEGORIZE_TEXT_ORACLE})
+                "dsl_categorize_text": DSL_CATEGORIZE_TEXT_ORACLE,
+                "dsl_date_math": _date_math_oracle(),
+                "dsl_terms_lookup": _terms_lookup_oracle()})

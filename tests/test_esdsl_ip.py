@@ -108,3 +108,49 @@ def test_ip_prefix_agg_full_and_zero_length(ips):
 def test_ip_prefix_agg_rejects_bad_length(ips):
     with pytest.raises(ValueError):
         esdsl.ip_prefix_agg(ips, "addr", 33)
+
+
+# --- anchored date math (lives here with the other leaf-literal
+# translation tests) -------------------------------------------------
+
+def test_date_math_steps_and_floor():
+    from datetime import datetime as DT
+
+    from parquet_generator_spark.operators.esdsl import resolve_date_math
+
+    assert resolve_date_math("2024-01-31||-2w/d", "gte") == DT(2024, 1, 17)
+    # month add clamps to the target month's last day (ES semantics)
+    assert resolve_date_math("2024-01-31||+1M", "gte") == DT(2024, 2, 29)
+    # /w floors to Monday (2024-01-31 is a Wednesday)
+    assert resolve_date_math("2024-01-31||/w", "gte") == DT(2024, 1, 29)
+    # gte/lt take the unit start; gt/lte its last microsecond
+    assert resolve_date_math("2024-01-05||/M", "lt") == DT(2024, 1, 1)
+    assert (resolve_date_math("2024-01-05||/M", "lte")
+            == DT(2024, 1, 31, 23, 59, 59, 999999))
+    assert (resolve_date_math("2024-01-05||/d", "gt")
+            == DT(2024, 1, 5, 23, 59, 59, 999999))
+    # time-of-day anchors parse too
+    assert (resolve_date_math("2024-01-05T10:30||+2h", "gte")
+            == DT(2024, 1, 5, 12, 30))
+
+
+def test_date_math_rejects_now_and_garbage():
+    from parquet_generator_spark.operators.esdsl import (
+        is_date_math,
+        resolve_date_math,
+    )
+
+    with pytest.raises(ValueError, match="now-anchored"):
+        is_date_math("now-7d/d")
+    with pytest.raises(ValueError, match="bad date-math"):
+        resolve_date_math("2024-01-01||+7x", "gte")
+    assert not is_date_math("2024-01-01")       # plain date: untouched
+    assert not is_date_math(5)
+
+
+def test_ids_query_requires_field_and_matches(ips):
+    got = ips.filter(translate_query(
+        {"ids": {"field": "id", "values": [1, 3, 99]}}))
+    assert _ids(got) == [1, 3]
+    with pytest.raises(ValueError, match="_id metadata"):
+        translate_query({"ids": {"values": [1]}})
