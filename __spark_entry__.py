@@ -86,6 +86,9 @@ FRONT_KEYS = [
     "basket_lift",
     "dsl_date_math",
     "dsl_terms_lookup",
+    "dsl_completion_suggest",
+    "hapax_doc_flags",
+    "length_quality_heatmap",
 ]
 
 

@@ -297,6 +297,9 @@ HEADLINE = [
     "basket_lift",
     "dsl_date_math",
     "dsl_terms_lookup",
+    "dsl_completion_suggest",
+    "hapax_doc_flags",
+    "length_quality_heatmap",
 ]
 
 

@@ -195,7 +195,136 @@ def _lsh_hi_oracle() -> str:
         corpus, HI_THRESHOLD, planes, 8)
 
 
+# --------------------------------------------------- hapax_doc_flags
+
+HAPAX_MAX_DF = 1       # a hapax legomenon: appears in exactly 1 doc
+
+
+def hapax_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token quality signal: per-source counts of documents
+    containing hapax legomena (corpus df = 1 tokens — on web corpora
+    these are typos, codes and mojibake, a standard noise indicator).
+    Plan: one (doc, distinct token) explode feeds BOTH the df count
+    and the doc flag via a token-keyed join — token-cardinality
+    frames meet on the token key (no corpus broadcast), then one
+    bounded per-source rollup."""
+    from parquet_generator_spark.operators import text as tx
+
+    docs = load_table(spark, "documents", sf_dir)
+    dt = docs.select(
+        "doc_id", "source",
+        F.explode(F.expr(f"array_distinct({tx.toks_spark('text')})"))
+        .alias("term"))
+    df_counts = dt.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    hapax = df_counts.filter(F.col("df") <= HAPAX_MAX_DF)
+    flagged = (dt.join(hapax, "term")
+               .groupBy("doc_id", "source")
+               .agg(F.count(F.lit(1)).alias("n_hapax")))
+    per_doc = (docs.select("doc_id", "source")
+               .join(flagged.select("doc_id", "n_hapax"), "doc_id",
+                     "left")
+               .select("source",
+                       F.coalesce("n_hapax", F.lit(0))
+                       .alias("n_hapax")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("n_hapax") > 0).cast("long"))
+                 .alias("docs_with_hapax"),
+                 F.sum("n_hapax").alias("total_hapax"))
+            .orderBy("source"))
+
+
+def _hapax_oracle() -> str:
+    from parquet_generator_spark.operators import text as tx
+
+    return f"""
+WITH dt AS (
+  SELECT doc_id, source, unnest(list_distinct({tx.toks_duck('text')}))
+           AS term
+  FROM documents),
+hapax AS (
+  SELECT term FROM dt GROUP BY term
+  HAVING count(*) <= {HAPAX_MAX_DF}),
+flagged AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hapax
+  FROM dt WHERE term IN (SELECT term FROM hapax)
+  GROUP BY doc_id),
+per_doc AS (
+  SELECT d.source, coalesce(f.n_hapax, 0) AS n_hapax
+  FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_hapax > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_hapax,
+       CAST(sum(n_hapax) AS BIGINT) AS total_hapax
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# ------------------------------------------- length_quality_heatmap
+
+LQ_LEN_BUCKETS = 6      # power-of-2 length axis, capped
+LQ_Q_BUCKETS = 5        # distinct-token-ratio axis, 0.2-wide bins
+
+
+def length_quality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card 2D histogram: doc-length bucket (power-of-2 token
+    count, capped) x lexical-quality bucket (distinct-token ratio in
+    0.2-wide bins). The axes are pure arithmetic on two per-doc
+    scalars, so the whole heatmap is ONE grouped pass; bucket ids
+    are exact integers on both engines (floor of a single division —
+    no float accumulation)."""
+    from parquet_generator_spark.operators import text as tx
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.expr(tx.toks_spark("text"))
+    n = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    len_b = F.least(
+        F.lit(LQ_LEN_BUCKETS - 1),
+        F.floor(F.log2(F.greatest(n, F.lit(1)).cast("double") / 16))
+        .cast("int"))
+    len_b = F.greatest(F.lit(0), len_b)
+    # ratio in (0,1]: bucket floor(r*5), r=1 folds into the top bin
+    q_b = F.least(F.lit(LQ_Q_BUCKETS - 1),
+                  F.floor(n_dist * LQ_Q_BUCKETS / F.greatest(
+                      n, F.lit(1))).cast("int"))
+    return (docs.select(len_b.alias("len_bucket"),
+                        q_b.alias("quality_bucket"))
+            .groupBy("len_bucket", "quality_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("len_bucket", "quality_bucket"))
+
+
+def _lq_heatmap_oracle() -> str:
+    from parquet_generator_spark.operators import text as tx
+
+    toks = tx.toks_duck("text")
+    return f"""
+WITH per_doc AS (
+  SELECT len({toks}) AS n, len(list_distinct({toks})) AS n_dist
+  FROM documents),
+b AS (
+  SELECT greatest(0, least({LQ_LEN_BUCKETS - 1},
+           CAST(floor(log2(CAST(greatest(n, 1) AS DOUBLE) / 16))
+                AS INT))) AS len_bucket,
+         least({LQ_Q_BUCKETS - 1},
+           CAST(floor(n_dist * {LQ_Q_BUCKETS} / greatest(n, 1))
+                AS INT)) AS quality_bucket
+  FROM per_doc)
+SELECT len_bucket, quality_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM b GROUP BY len_bucket, quality_bucket
+ORDER BY len_bucket, quality_bucket
+"""
+
+
 QUERIES.update({"jpeg_header_parse": jpeg_header_parse,
-                "dedup_embedding_lsh_hi": dedup_embedding_lsh_hi})
+                "dedup_embedding_lsh_hi": dedup_embedding_lsh_hi,
+                "hapax_doc_flags": hapax_doc_flags,
+                "length_quality_heatmap": length_quality_heatmap})
 ORACLES.update({"jpeg_header_parse": JPEG_HEADER_ORACLE,
-                "dedup_embedding_lsh_hi": _lsh_hi_oracle()})
+                "dedup_embedding_lsh_hi": _lsh_hi_oracle(),
+                "hapax_doc_flags": _hapax_oracle(),
+                "length_quality_heatmap": _lq_heatmap_oracle()})

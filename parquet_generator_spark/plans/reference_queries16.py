@@ -232,6 +232,63 @@ GROUP BY day ORDER BY day
 """
 
 
+# ------------------------------------------- dsl_completion_suggest
+
+COMP_PREFIXES = ["sp", "wi", "ba"]
+COMP_SIZE = 3
+COMP_MIN_LEN = 3
+
+
+def dsl_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `completion` suggester: prefix -> top completions by
+    weight (doc frequency stands in for the suggestion weight, ES's
+    common setup). Same vocabulary pass as the term suggester; the
+    bounded prefix frame broadcasts onto a startswith probe and a
+    per-prefix rank window caps the output. At corpus scale the
+    vocab shuffles once for the groupBy and the prefix probe is a
+    broadcast nested-loop over a HANDFUL of prefixes — bounded by
+    the suggest request, not the data."""
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = (docs.select(F.explode(F.expr(
+        f"array_distinct({tx.toks_spark('text')})")).alias("term"))
+        .filter(F.length("term") >= COMP_MIN_LEN)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("weight")))
+    prefixes = spark.createDataFrame(
+        [(p,) for p in COMP_PREFIXES], "prefix string")
+    cand = vocab.join(
+        F.broadcast(prefixes),
+        F.col("term").startswith(F.col("prefix")))
+    w = (Window.partitionBy("prefix")
+         .orderBy(F.desc("weight"), F.asc("term")))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= COMP_SIZE)
+            .select("prefix", "rank",
+                    F.col("term").alias("completion"), "weight")
+            .orderBy("prefix", "rank"))
+
+
+def _completion_suggest_oracle() -> str:
+    vals = ", ".join(f"('{p}')" for p in COMP_PREFIXES)
+    return f"""
+WITH vocab AS (
+  SELECT t AS term, count(*) AS weight FROM (
+    SELECT unnest(list_distinct({tx.toks_duck('text')})) AS t
+    FROM documents)
+  WHERE length(t) >= {COMP_MIN_LEN}
+  GROUP BY t),
+prefixes(prefix) AS (VALUES {vals}),
+ranked AS (
+  SELECT p.prefix, v.term, v.weight,
+         CAST(row_number() OVER (
+           PARTITION BY p.prefix
+           ORDER BY v.weight DESC, v.term ASC) AS INT) AS rank
+  FROM prefixes p JOIN vocab v ON starts_with(v.term, p.prefix))
+SELECT prefix, rank, term AS completion, weight
+FROM ranked WHERE rank <= {COMP_SIZE}
+ORDER BY prefix, rank
+"""
+
+
 # ------------------------------------------------- dsl_terms_lookup
 
 LOOKUP_MIN_BAL = 9000.0
@@ -316,10 +373,12 @@ QUERIES.update({"dsl_term_suggest": dsl_term_suggest,
                 "dsl_diversified_sampler": dsl_diversified_sampler,
                 "dsl_categorize_text": dsl_categorize_text,
                 "dsl_date_math": dsl_date_math,
-                "dsl_terms_lookup": dsl_terms_lookup})
+                "dsl_terms_lookup": dsl_terms_lookup,
+                "dsl_completion_suggest": dsl_completion_suggest})
 ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
                 "dsl_highlight": _highlight_oracle(),
                 "dsl_diversified_sampler": DSL_DIVERSIFIED_SAMPLER_ORACLE,
                 "dsl_categorize_text": DSL_CATEGORIZE_TEXT_ORACLE,
                 "dsl_date_math": _date_math_oracle(),
-                "dsl_terms_lookup": _terms_lookup_oracle()})
+                "dsl_terms_lookup": _terms_lookup_oracle(),
+                "dsl_completion_suggest": _completion_suggest_oracle()})
