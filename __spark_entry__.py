@@ -89,6 +89,7 @@ FRONT_KEYS = [
     "dsl_completion_suggest",
     "hapax_doc_flags",
     "length_quality_heatmap",
+    "lsh_bands_planner",
 ]
 
 

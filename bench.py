@@ -300,6 +300,7 @@ HEADLINE = [
     "dsl_completion_suggest",
     "hapax_doc_flags",
     "length_quality_heatmap",
+    "lsh_bands_planner",
 ]
 
 

@@ -320,11 +320,90 @@ ORDER BY len_bucket, quality_bucket
 """
 
 
+# --------------------------------------------------- lsh_bands_planner
+
+BANDS_GRID = [(128, 1), (64, 2), (32, 4), (16, 8), (8, 16)]
+PLANNER_MAX_ID = 200      # bounded, deterministic calibration sample
+PLANNER_T = 0.5           # the near-dup threshold being tuned for
+
+
+def lsh_bands_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven MinHash banding tuner: for each (bands, rows)
+    split of a 128-perm signature, the expected candidate load and
+    the recall at the target threshold, computed against the
+    OBSERVED pair-similarity distribution of a bounded calibration
+    sample (exact k-shingle Jaccard over docs with id <= 200 —
+    constant cost regardless of corpus size). P(candidate | s) =
+    1-(1-s^r)^b; summing it over observed sims prices each dial
+    setting in actual pairs rather than textbook curves. Emits
+    per-config: expected candidate pairs, recall over true pairs
+    (s >= T), and the false-candidate rate."""
+    from parquet_generator_spark.operators import dedup
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .filter(F.col("doc_id") <= PLANNER_MAX_ID))
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", 0.0)
+    grid = spark.createDataFrame(BANDS_GRID, "b int, r int")
+    j = F.col("jaccard")
+    p = F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(j, F.col("r")),
+                           F.col("b"))
+    x = pairs.crossJoin(F.broadcast(grid))
+    true_pair = (j >= PLANNER_T).cast("int")
+    return (x.groupBy("b", "r")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(true_pair.cast("long")).alias("n_true"),
+                 F.round(F.sum(p), 3).alias("expected_candidates"),
+                 F.round(F.sum(p * true_pair)
+                         / F.sum(true_pair.cast("double")), 4)
+                 .alias("recall_at_t"),
+                 F.round(F.sum(p * (1 - true_pair))
+                         / F.sum((1 - true_pair).cast("double")), 6)
+                 .alias("false_cand_rate"))
+            .orderBy("r"))
+
+
+def _bands_planner_oracle() -> str:
+    from parquet_generator_spark.operators import text as tx
+
+    sh = tx.shingles_duck("text", 3)
+    grid = ", ".join(f"({b}, {r})" for b, r in BANDS_GRID)
+    return f"""
+WITH s AS (
+  SELECT doc_id AS id, {sh} AS sh FROM documents
+  WHERE doc_id <= {PLANNER_MAX_ID}),
+p AS (
+  SELECT round(CASE WHEN len(a.sh) + len(b.sh)
+                         - len(list_intersect(a.sh, b.sh)) > 0
+               THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)))
+               ELSE 0.0 END, 3) AS j
+  FROM s a, s b WHERE a.id < b.id),
+grid(b, r) AS (VALUES {grid}),
+x AS (
+  SELECT g.b, g.r, p.j,
+         1.0 - pow(1.0 - pow(p.j, g.r), g.b) AS pc,
+         CASE WHEN p.j >= {PLANNER_T} THEN 1 ELSE 0 END AS tp
+  FROM p CROSS JOIN grid g)
+SELECT b, r,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(tp) AS BIGINT) AS n_true,
+       round(sum(pc), 3) AS expected_candidates,
+       round(sum(pc * tp) / sum(CAST(tp AS DOUBLE)), 4)
+         AS recall_at_t,
+       round(sum(pc * (1 - tp)) / sum(CAST(1 - tp AS DOUBLE)), 6)
+         AS false_cand_rate
+FROM x GROUP BY b, r ORDER BY r
+"""
+
+
 QUERIES.update({"jpeg_header_parse": jpeg_header_parse,
                 "dedup_embedding_lsh_hi": dedup_embedding_lsh_hi,
                 "hapax_doc_flags": hapax_doc_flags,
-                "length_quality_heatmap": length_quality_heatmap})
+                "length_quality_heatmap": length_quality_heatmap,
+                "lsh_bands_planner": lsh_bands_planner})
 ORACLES.update({"jpeg_header_parse": JPEG_HEADER_ORACLE,
                 "dedup_embedding_lsh_hi": _lsh_hi_oracle(),
                 "hapax_doc_flags": _hapax_oracle(),
-                "length_quality_heatmap": _lq_heatmap_oracle()})
+                "length_quality_heatmap": _lq_heatmap_oracle(),
+                "lsh_bands_planner": _bands_planner_oracle()})
