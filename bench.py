@@ -301,6 +301,8 @@ HEADLINE = [
     "hapax_doc_flags",
     "length_quality_heatmap",
     "lsh_bands_planner",
+    "dsl_phrase_suggest",
+    "dsl_field_caps",
 ]
 
 

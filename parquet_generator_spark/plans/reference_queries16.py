@@ -289,6 +289,177 @@ ORDER BY prefix, rank
 """
 
 
+# ------------------------------------------------ dsl_phrase_suggest
+
+# typo phrase whose slots each have SEVERAL candidates ("tab" ->
+# table/the, "ar" -> agg/a), so the bigram model actually decides
+# the ranking instead of a single survivor per slot
+PHRASE_INPUT = ("tab", "kei", "ar")
+PS_MAX_EDITS = 2
+PS_CAND_K = 4
+PS_TOPK = 3
+PS_BACKOFF = 0.4                           # stupid-backoff discount
+
+
+def dsl_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `phrase` suggester: whole-phrase did-you-mean. Candidate
+    generation per slot (levenshtein<=1, first char pinned, top-4 by
+    unigram frequency via TakeOrderedAndProject — never a global
+    window), then every combination scored under the corpus bigram
+    model with stupid backoff: P(w|prev) = c12/c1 when the bigram
+    exists, else 0.4 * cnt(w)/N. The combination frame is bounded by
+    the request (<= 4^3 rows); the unigram/bigram models are grouped
+    passes whose lookups stay keyed equi-joins. The score is one
+    left-associated product of exact count ratios — bit-identical
+    cross-engine, emitted unrounded."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(F.expr(tx.toks_spark("text")).alias("tk"))
+    uni = (t.select(F.explode("tk").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    n_tok = t.agg(F.sum(F.size("tk")).alias("n"))
+    bg = (t.select(F.explode(F.expr(
+        "CASE WHEN size(tk) >= 2 THEN "
+        "transform(sequence(0, size(tk) - 2), "
+        "i -> struct(tk[i] AS w1, tk[i + 1] AS w2)) "
+        "ELSE array() END")).alias("b"))
+        .select("b.w1", "b.w2"))
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lefts = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+
+    def cands(tok: str, out: str):
+        return (uni.filter(
+            (F.substring("w", 1, 1) == tok[0])
+            & (F.levenshtein(F.lit(tok), F.col("w")) <= PS_MAX_EDITS))
+            .orderBy(F.desc("cnt"), F.asc("w")).limit(PS_CAND_K)
+            .select(F.col("w").alias(out),
+                    F.col("cnt").alias(f"cnt_{out}")))
+
+    combos = (cands(PHRASE_INPUT[0], "a")
+              .crossJoin(cands(PHRASE_INPUT[1], "b"))
+              .crossJoin(cands(PHRASE_INPUT[2], "c"))
+              .crossJoin(F.broadcast(n_tok)))
+    m12 = model.select(F.col("w1").alias("a"), F.col("w2").alias("b"),
+                       F.col("c12").alias("c12_ab"))
+    m23 = model.select(F.col("w1").alias("b"), F.col("w2").alias("c"),
+                       F.col("c12").alias("c12_bc"))
+    l1 = lefts.select(F.col("w1").alias("a"), F.col("c1").alias("c1_a"))
+    l2 = lefts.select(F.col("w1").alias("b"), F.col("c1").alias("c1_b"))
+    x = (combos.join(m12, ["a", "b"], "left")
+         .join(l1, ["a"], "left")
+         .join(m23, ["b", "c"], "left")
+         .join(l2, ["b"], "left"))
+    n = F.col("n").cast("double")
+    s1 = F.col("cnt_a") / n
+    s2 = (F.when(F.col("c12_ab").isNotNull(),
+                 F.col("c12_ab") / F.col("c1_a"))
+          .otherwise(F.lit(PS_BACKOFF) * F.col("cnt_b") / n))
+    s3 = (F.when(F.col("c12_bc").isNotNull(),
+                 F.col("c12_bc") / F.col("c1_b"))
+          .otherwise(F.lit(PS_BACKOFF) * F.col("cnt_c") / n))
+    return (x.select(
+        F.concat_ws(" ", "a", "b", "c").alias("phrase"),
+        (s1 * s2 * s3).alias("score"))
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(PS_TOPK))
+
+
+def _phrase_suggest_oracle() -> str:
+    toks = tx.toks_duck("text")
+
+    def cand_cte(tok: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT w, cnt FROM uni
+  WHERE substring(w, 1, 1) = '{tok[0]}'
+    AND levenshtein('{tok}', w) <= {PS_MAX_EDITS}
+  ORDER BY cnt DESC, w ASC LIMIT {PS_CAND_K})"""
+
+    return f"""
+WITH t AS (SELECT {toks} AS tk FROM documents),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+n_tok AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n FROM t),
+bg AS (
+  SELECT tk[i + 1] AS w1, tk[i + 2] AS w2
+  FROM t, unnest(range(0, len(tk) - 1)) AS a(i)
+  WHERE len(tk) >= 2),
+model AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM bg GROUP BY 1, 2),
+lefts AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+          FROM model GROUP BY 1),
+{cand_cte(PHRASE_INPUT[0], 'ca')},
+{cand_cte(PHRASE_INPUT[1], 'cb')},
+{cand_cte(PHRASE_INPUT[2], 'cc')},
+x AS (
+  SELECT ca.w AS a, ca.cnt AS cnt_a, cb.w AS b, cb.cnt AS cnt_b,
+         cc.w AS c, cc.cnt AS cnt_c, n_tok.n,
+         m12.c12 AS c12_ab, l1.c1 AS c1_a,
+         m23.c12 AS c12_bc, l2.c1 AS c1_b
+  FROM ca CROSS JOIN cb CROSS JOIN cc CROSS JOIN n_tok
+  LEFT JOIN model m12 ON m12.w1 = ca.w AND m12.w2 = cb.w
+  LEFT JOIN lefts l1 ON l1.w1 = ca.w
+  LEFT JOIN model m23 ON m23.w1 = cb.w AND m23.w2 = cc.w
+  LEFT JOIN lefts l2 ON l2.w1 = cb.w)
+SELECT concat_ws(' ', a, b, c) AS phrase,
+       (cnt_a / CAST(n AS DOUBLE))
+       * (CASE WHEN c12_ab IS NOT NULL
+               THEN CAST(c12_ab AS DOUBLE) / c1_a
+               ELSE {PS_BACKOFF} * cnt_b / CAST(n AS DOUBLE) END)
+       * (CASE WHEN c12_bc IS NOT NULL
+               THEN CAST(c12_bc AS DOUBLE) / c1_b
+               ELSE {PS_BACKOFF} * cnt_c / CAST(n AS DOUBLE) END)
+         AS score
+FROM x ORDER BY score DESC, phrase ASC LIMIT {PS_TOPK}
+"""
+
+
+# --------------------------------------------------- dsl_field_caps
+
+_ES_TYPE = {"bigint": "long", "string": "text", "double": "double",
+            "timestamp": "date", "array<float>": "dense_vector",
+            "int": "integer", "float": "float", "boolean": "boolean"}
+FIELD_CAPS_TABLES = ("events", "embeddings")
+
+
+def dsl_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_field_caps` across two indices: per (index, field) the ES
+    type derived from the physical schema (string->text,
+    bigint->long, timestamp->date, array<float>->dense_vector).
+    Schema introspection is driver-side METADATA — no data is read;
+    the result frame is bounded by column count, so this stays O(1)
+    at any corpus size."""
+    rows = []
+    for name in FIELD_CAPS_TABLES:
+        df = load_table(spark, name, sf_dir)
+        for f in df.schema.fields:
+            spark_t = f.dataType.simpleString()
+            rows.append((name, f.name,
+                         _ES_TYPE.get(spark_t, spark_t)))
+    return (spark.createDataFrame(
+        rows, "index string, field string, es_type string")
+        .orderBy("index", "field"))
+
+
+def _field_caps_oracle() -> str:
+    selects = []
+    for name in FIELD_CAPS_TABLES:
+        selects.append(f"""
+SELECT '{name}' AS "index", column_name AS field,
+       CASE column_type
+         WHEN 'BIGINT' THEN 'long'
+         WHEN 'VARCHAR' THEN 'text'
+         WHEN 'DOUBLE' THEN 'double'
+         WHEN 'TIMESTAMP' THEN 'date'
+         WHEN 'FLOAT[]' THEN 'dense_vector'
+         WHEN 'INTEGER' THEN 'integer'
+         WHEN 'FLOAT' THEN 'float'
+         WHEN 'BOOLEAN' THEN 'boolean'
+         ELSE lower(column_type) END AS es_type
+FROM (DESCRIBE SELECT * FROM {name})""")
+    return (" UNION ALL ".join(selects)
+            + ' ORDER BY "index", field')
+
+
 # ------------------------------------------------- dsl_terms_lookup
 
 LOOKUP_MIN_BAL = 9000.0
@@ -374,11 +545,15 @@ QUERIES.update({"dsl_term_suggest": dsl_term_suggest,
                 "dsl_categorize_text": dsl_categorize_text,
                 "dsl_date_math": dsl_date_math,
                 "dsl_terms_lookup": dsl_terms_lookup,
-                "dsl_completion_suggest": dsl_completion_suggest})
+                "dsl_completion_suggest": dsl_completion_suggest,
+                "dsl_phrase_suggest": dsl_phrase_suggest,
+                "dsl_field_caps": dsl_field_caps})
 ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
                 "dsl_highlight": _highlight_oracle(),
                 "dsl_diversified_sampler": DSL_DIVERSIFIED_SAMPLER_ORACLE,
                 "dsl_categorize_text": DSL_CATEGORIZE_TEXT_ORACLE,
                 "dsl_date_math": _date_math_oracle(),
                 "dsl_terms_lookup": _terms_lookup_oracle(),
-                "dsl_completion_suggest": _completion_suggest_oracle()})
+                "dsl_completion_suggest": _completion_suggest_oracle(),
+                "dsl_phrase_suggest": _phrase_suggest_oracle(),
+                "dsl_field_caps": _field_caps_oracle()})
