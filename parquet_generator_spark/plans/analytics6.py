@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parquet_generator_spark.operators.util import broadcast_scalars
 from parquet_generator_spark.sources.catalog import load_table
 
 QUERIES: dict = {}
@@ -27,8 +28,9 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top co-purchase pairs by lift. Plan: distinct (order, part)
     once; item frequencies = one grouped pass; pair counts = a
     basket-key self-join (bounded per-basket fan-out) + one grouped
-    pass; the scalar basket count joins in as a 1-row broadcast
-    cross; the two item-frequency joins stay plain equi-joins (AQE
+    pass; the scalar basket count enters as a plan literal
+    (broadcast_scalars — no nested-loop cross join in the plan
+    text); the two item-frequency joins stay plain equi-joins (AQE
     picks broadcast when the item dimension fits). Lift/confidence/
     support are single int64-product divisions — cross-engine
     bit-identical, unrounded."""
@@ -45,14 +47,15 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("item_a", "item_b")
              .agg(F.count(F.lit(1)).alias("pair_cnt"))
              .filter(F.col("pair_cnt") >= BASKET_MIN_PAIR))
-    enriched = (pairs
-                .join(items.select(F.col("item").alias("item_a"),
-                                   F.col("item_cnt").alias("cnt_a")),
-                      "item_a")
-                .join(items.select(F.col("item").alias("item_b"),
-                                   F.col("item_cnt").alias("cnt_b")),
-                      "item_b")
-                .crossJoin(F.broadcast(n_baskets)))
+    enriched = broadcast_scalars(
+        pairs
+        .join(items.select(F.col("item").alias("item_a"),
+                           F.col("item_cnt").alias("cnt_a")),
+              "item_a")
+        .join(items.select(F.col("item").alias("item_b"),
+                           F.col("item_cnt").alias("cnt_b")),
+              "item_b"),
+        n_baskets)
     support = F.col("pair_cnt").cast("double") / F.col("n")
     confidence = F.col("pair_cnt").cast("double") / F.col("cnt_a")
     lift = ((F.col("pair_cnt") * F.col("n")).cast("double")

@@ -337,17 +337,26 @@ def lsh_bands_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-s^r)^b; summing it over observed sims prices each dial
     setting in actual pairs rather than textbook curves. Emits
     per-config: expected candidate pairs, recall over true pairs
-    (s >= T), and the false-candidate rate."""
+    (s >= T), and the false-candidate rate. The exact-jaccard
+    kernel over the bounded sample is deliberately pairwise
+    (PAIRWISE_KERNELS allow-list, like ivf_recall_curve) — its cost
+    is a constant set by PLANNER_MAX_ID, not the corpus."""
     from parquet_generator_spark.operators import dedup
 
     docs = (load_table(spark, "documents", sf_dir)
             .filter(F.col("doc_id") <= PLANNER_MAX_ID))
     pairs = dedup.jaccard_pairs(docs, "doc_id", "text", 0.0)
-    grid = spark.createDataFrame(BANDS_GRID, "b int, r int")
+    # the (b, r) grid is a CONSTANT: explode a literal struct array
+    # instead of cross-joining a grid frame (no nested-loop join in
+    # the plan; the fan-out is len(BANDS_GRID) per pair)
+    grid = F.explode(F.array(*[
+        F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
+        for b, r in BANDS_GRID]))
     j = F.col("jaccard")
     p = F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(j, F.col("r")),
                            F.col("b"))
-    x = pairs.crossJoin(F.broadcast(grid))
+    x = (pairs.select("jaccard", grid.alias("g"))
+         .select("jaccard", "g.b", "g.r"))
     true_pair = (j >= PLANNER_T).cast("int")
     return (x.groupBy("b", "r")
             .agg(F.count(F.lit(1)).alias("n_pairs"),

@@ -255,9 +255,12 @@ def dsl_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term").agg(F.count(F.lit(1)).alias("weight")))
     prefixes = spark.createDataFrame(
         [(p,) for p in COMP_PREFIXES], "prefix string")
+    # first-char equi key makes this a broadcast HASH join; the
+    # startswith refinement rides along as the join filter
     cand = vocab.join(
         F.broadcast(prefixes),
-        F.col("term").startswith(F.col("prefix")))
+        (F.substring("term", 1, 1) == F.substring("prefix", 1, 1))
+        & F.col("term").startswith(F.col("prefix")))
     w = (Window.partitionBy("prefix")
          .orderBy(F.desc("weight"), F.asc("term")))
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -326,18 +329,28 @@ def dsl_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     lefts = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
 
-    def cands(tok: str, out: str):
-        return (uni.filter(
-            (F.substring("w", 1, 1) == tok[0])
-            & (F.levenshtein(F.lit(tok), F.col("w")) <= PS_MAX_EDITS))
-            .orderBy(F.desc("cnt"), F.asc("w")).limit(PS_CAND_K)
-            .select(F.col("w").alias(out),
-                    F.col("cnt").alias(f"cnt_{out}")))
+    def cands(tok: str):
+        # bounded collect (<= PS_CAND_K rows, a plan constant) — the
+        # suggester materializes per-slot candidate sets exactly like
+        # ES does, and literal combos keep every downstream model
+        # lookup an equi-join (no nested-loop/cartesian in the plan)
+        return [(r["w"], r["cnt"]) for r in
+                uni.filter(
+                    (F.substring("w", 1, 1) == tok[0])
+                    & (F.levenshtein(F.lit(tok), F.col("w"))
+                       <= PS_MAX_EDITS))
+                .orderBy(F.desc("cnt"), F.asc("w"))
+                .limit(PS_CAND_K).collect()]
 
-    combos = (cands(PHRASE_INPUT[0], "a")
-              .crossJoin(cands(PHRASE_INPUT[1], "b"))
-              .crossJoin(cands(PHRASE_INPUT[2], "c"))
-              .crossJoin(F.broadcast(n_tok)))
+    ca, cb, cc = (cands(t) for t in PHRASE_INPUT)
+    combo_rows = [(a, na, b, nb, c, nc)
+                  for a, na in ca for b, nb in cb for c, nc in cc]
+    combos = spark.createDataFrame(
+        combo_rows,
+        "a string, cnt_a long, b string, cnt_b long, "
+        "c string, cnt_c long")
+    from parquet_generator_spark.operators.util import broadcast_scalars
+    combos = broadcast_scalars(combos, n_tok)
     m12 = model.select(F.col("w1").alias("a"), F.col("w2").alias("b"),
                        F.col("c12").alias("c12_ab"))
     m23 = model.select(F.col("w1").alias("b"), F.col("w2").alias("c"),

@@ -322,7 +322,12 @@ PAIRWISE_KERNELS = {"dedup_ngram_jaccard", "ann_bruteforce",
                     # round 6: evaluation queries embedding the same
                     # bounded broadcast kernels (knn predictions /
                     # brute-force ANN truth)
-                    "knn_eval_confusion", "ivf_recall_curve"}
+                    "knn_eval_confusion", "ivf_recall_curve",
+                    # round 8: banding tuner prices (b,r) configs
+                    # against exact pair similarities of a BOUNDED
+                    # calibration sample (doc_id <= 200) — the same
+                    # deliberately-pairwise jaccard kernel
+                    "lsh_bands_planner"}
 
 
 def test_no_unexpected_nested_loop_in_any_plan(spark):
