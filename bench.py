@@ -303,6 +303,9 @@ HEADLINE = [
     "lsh_bands_planner",
     "dsl_phrase_suggest",
     "dsl_field_caps",
+    "dsl_rate",
+    "dsl_span_first",
+    "doc_keywords",
 ]
 
 

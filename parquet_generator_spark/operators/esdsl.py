@@ -629,6 +629,21 @@ def _positions_sql(field: str, term: str, engine: str) -> str:
             f"IF(_t = '{t}', _i, -1)), _p -> _p >= 0)")
 
 
+def span_first_pred_sql(field: str, term: str, end: int,
+                        engine: str = "spark") -> str:
+    """`span_first`: the term must occur within the first ``end``
+    token positions (Lucene counts 0-based, so a match needs
+    0-based pos < end). Same analyzed-position machinery as
+    span_near — a narrow map over the token array, no UDF. Both
+    engines tokenize identically, so any leading-empty-token shift
+    cancels cross-engine."""
+    plist = _positions_sql(field, term, engine)
+    if engine == "duck":
+        # duck positions are 1-based: 1-based p <= end <=> 0-based < end
+        return f"len(list_filter({plist}, _p -> _p <= {end})) > 0"
+    return f"exists({plist}, _p -> _p < {end})"
+
+
 def proximity_pred_sql(field: str, terms: list[str],
                        max_gaps: int | None, ordered: bool,
                        engine: str = "spark") -> str:
@@ -1423,6 +1438,26 @@ def _metric_cols(agg_name: str, spec: dict) -> list[Column]:
         return [F.expr(f"{fn}({m}, {key_sql})").alias(agg_name)]
     if mtype == "scripted_metric":
         return [_scripted_metric_col(agg_name, mbody)]
+    if mtype == "rate":
+        # ES `rate`: bucket count (or field sum) rescaled from the
+        # parent bucket's calendar interval to `unit`. DOCUMENTED
+        # DIVERGENCE: the metric compiler is context-free, so the
+        # parent interval is named explicitly (parent_interval)
+        # instead of inherited from the enclosing date_histogram.
+        secs = {"second": 1, "minute": 60, "hour": 3600,
+                "day": 86400, "week": 604800}
+        parent = mbody.get("parent_interval", "day")
+        unit = mbody.get("unit", parent)
+        if parent not in secs or unit not in secs:
+            raise ValueError(
+                f"rate: fixed-width units only, got "
+                f"{parent!r} -> {unit!r} (month/quarter/year vary)")
+        factor = float(secs[parent]) / secs[unit]
+        if "field" in mbody:
+            base = F.round(F.sum(mbody["field"]), 4)
+        else:
+            base = F.count(F.lit(1))
+        return [(base / F.lit(factor)).alias(agg_name)]
     field = mbody["field"]
     if mtype in _METRICS:
         c = _METRICS[mtype](field)
@@ -1444,7 +1479,7 @@ def _is_metric(spec: dict) -> bool:
     (mtype, _), = ((k, v) for k, v in spec.items() if k != "aggs")
     return mtype in _METRICS or mtype in (
         "cardinality", "percentiles", "percentile_ranks",
-        "weighted_avg", "top_metrics", "scripted_metric")
+        "weighted_avg", "top_metrics", "scripted_metric", "rate")
 
 
 # --- pipeline aggregations -------------------------------------------

@@ -406,13 +406,84 @@ FROM x GROUP BY b, r ORDER BY r
 """
 
 
+# ------------------------------------------------------ doc_keywords
+
+KW_TOPK = 3
+
+
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF
+    (tf * ln(N/df)). Two grouped passes build tf and df; the scalar
+    doc count enters as a plan literal; scores are ROUNDED TO 4
+    BEFORE ranking so the rank window (partitioned per doc — fully
+    parallel) breaks ties on the term, immune to cross-engine ln()
+    last-ulp differences."""
+    from pyspark.sql import Window
+
+    from parquet_generator_spark.operators import text as tx
+    from parquet_generator_spark.operators.util import broadcast_scalars
+
+    docs = load_table(spark, "documents", sf_dir)
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.expr(tx.toks_spark("text"))).alias("w"))
+    tf = dw.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (dw.distinct().groupBy("w")
+             .agg(F.count(F.lit(1)).alias("df")))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = broadcast_scalars(tf.join(dfreq, "w"), n_docs)
+    score = F.round(
+        F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")),
+        4)
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.desc("score"), F.asc("w")))
+    return (scored.withColumn("score", score)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= KW_TOPK)
+            .select("doc_id", "rank", F.col("w").alias("term"),
+                    "score")
+            .orderBy("doc_id", "rank"))
+
+
+def _doc_keywords_oracle() -> str:
+    from parquet_generator_spark.operators import text as tx
+
+    return f"""
+WITH dw AS (
+  SELECT doc_id, unnest({tx.toks_duck('text')}) AS w
+  FROM documents),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM dw GROUP BY doc_id, w),
+dfreq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, w FROM dw) GROUP BY w),
+n_docs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 4)
+           AS score
+  FROM tf JOIN dfreq USING (w) CROSS JOIN n_docs n),
+ranked AS (
+  SELECT doc_id, w, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, w ASC) AS INT) AS rank
+  FROM scored)
+SELECT doc_id, rank, w AS term, score
+FROM ranked WHERE rank <= {KW_TOPK}
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES.update({"jpeg_header_parse": jpeg_header_parse,
                 "dedup_embedding_lsh_hi": dedup_embedding_lsh_hi,
                 "hapax_doc_flags": hapax_doc_flags,
                 "length_quality_heatmap": length_quality_heatmap,
-                "lsh_bands_planner": lsh_bands_planner})
+                "lsh_bands_planner": lsh_bands_planner,
+                "doc_keywords": doc_keywords})
 ORACLES.update({"jpeg_header_parse": JPEG_HEADER_ORACLE,
                 "dedup_embedding_lsh_hi": _lsh_hi_oracle(),
                 "hapax_doc_flags": _hapax_oracle(),
                 "length_quality_heatmap": _lq_heatmap_oracle(),
-                "lsh_bands_planner": _bands_planner_oracle()})
+                "lsh_bands_planner": _bands_planner_oracle(),
+                "doc_keywords": _doc_keywords_oracle()})

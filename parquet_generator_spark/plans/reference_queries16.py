@@ -473,6 +473,80 @@ FROM (DESCRIBE SELECT * FROM {name})""")
             + ' ORDER BY "index", field')
 
 
+# ----------------------------------------------------- dsl_rate
+
+def dsl_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rate` agg inside a date_histogram: per-day buckets with
+    the event count rescaled to an hourly rate and the value sum to
+    a per-hour rate. Pure bucket-frame arithmetic after the one
+    grouped pass (the parent interval is named explicitly — the
+    metric compiler is context-free; see esdsl._metric_cols)."""
+    from parquet_generator_spark.operators.esdsl import search
+
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "click"}},
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {
+                "events_per_hour": {"rate": {
+                    "unit": "hour", "parent_interval": "day"}},
+                "value_per_hour": {"rate": {
+                    "field": "value", "unit": "hour",
+                    "parent_interval": "day"}},
+            },
+        }},
+    })
+
+
+DSL_RATE_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS key,
+       count(*) AS doc_count,
+       count(*) / 24.0 AS events_per_hour,
+       round(sum(value), 4) / 24.0 AS value_per_hour
+FROM events WHERE event_type = 'click'
+GROUP BY key ORDER BY key ASC
+"""
+
+
+# ----------------------------------------------------- dsl_span_first
+
+SPAN_FIRST_TERM = "spark"
+SPAN_FIRST_END = 5
+
+
+def dsl_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`span_first`: the term must appear within the first `end`
+    token positions (Lucene 0-based span end). Narrow map over the
+    analyzed token positions (same machinery as span_near), then a
+    per-source rollup."""
+    from parquet_generator_spark.operators.esdsl import (
+        span_first_pred_sql,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    hits = docs.filter(F.expr(span_first_pred_sql(
+        "text", SPAN_FIRST_TERM, SPAN_FIRST_END)))
+    return (hits.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("source"))
+
+
+def _span_first_oracle() -> str:
+    from parquet_generator_spark.operators.esdsl import (
+        span_first_pred_sql,
+    )
+
+    pred = span_first_pred_sql("text", SPAN_FIRST_TERM,
+                               SPAN_FIRST_END, engine="duck")
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents WHERE {pred}
+GROUP BY source ORDER BY source
+"""
+
+
 # ------------------------------------------------- dsl_terms_lookup
 
 LOOKUP_MIN_BAL = 9000.0
@@ -560,7 +634,9 @@ QUERIES.update({"dsl_term_suggest": dsl_term_suggest,
                 "dsl_terms_lookup": dsl_terms_lookup,
                 "dsl_completion_suggest": dsl_completion_suggest,
                 "dsl_phrase_suggest": dsl_phrase_suggest,
-                "dsl_field_caps": dsl_field_caps})
+                "dsl_field_caps": dsl_field_caps,
+                "dsl_rate": dsl_rate,
+                "dsl_span_first": dsl_span_first})
 ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
                 "dsl_highlight": _highlight_oracle(),
                 "dsl_diversified_sampler": DSL_DIVERSIFIED_SAMPLER_ORACLE,
@@ -569,4 +645,6 @@ ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
                 "dsl_terms_lookup": _terms_lookup_oracle(),
                 "dsl_completion_suggest": _completion_suggest_oracle(),
                 "dsl_phrase_suggest": _phrase_suggest_oracle(),
-                "dsl_field_caps": _field_caps_oracle()})
+                "dsl_field_caps": _field_caps_oracle(),
+                "dsl_rate": DSL_RATE_ORACLE,
+                "dsl_span_first": _span_first_oracle()})

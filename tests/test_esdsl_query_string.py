@@ -199,11 +199,20 @@ def test_span_near_slop_and_order(spark):
     assert sorted(r["id"] for r in both.collect()) == [1, 2, 4]
     tight = df.filter(esdsl.translate_query(q(0, True)))
     assert sorted(r["id"] for r in tight.collect()) == [1]
-    with pytest.raises(ValueError):
-        esdsl.translate_query({"span_near": {
-            "clauses": [{"span_term": {"text": "a"}},
-                        {"span_term": {"text": "b"}},
-                        {"span_term": {"text": "c"}}]}})
+    # >2 clauses: the round-8 multi-clause path (shared slop budget
+    # across ALL gaps, not per-gap)
+    df3 = spark.createDataFrame(
+        [(1, "a b c"),            # gaps 0+0
+         (2, "a x b c"),          # gaps 1+0 = 1
+         (3, "a x b y c"),        # gaps 1+1 = 2 > slop 1
+         (4, "c b a")],           # reversed
+        "id long, text string")
+    got = df3.filter(esdsl.translate_query({"span_near": {
+        "clauses": [{"span_term": {"text": "a"}},
+                    {"span_term": {"text": "b"}},
+                    {"span_term": {"text": "c"}}],
+        "slop": 1, "in_order": True}}))
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]
 
 
 def test_terms_set_field_minimum(spark):
