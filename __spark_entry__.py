@@ -95,6 +95,7 @@ FRONT_KEYS = [
     "dsl_rate",
     "dsl_span_first",
     "doc_keywords",
+    "dsl_geo_bounds",
 ]
 
 

@@ -306,6 +306,7 @@ HEADLINE = [
     "dsl_rate",
     "dsl_span_first",
     "doc_keywords",
+    "dsl_geo_bounds",
 ]
 
 

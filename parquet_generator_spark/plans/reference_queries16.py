@@ -547,6 +547,50 @@ GROUP BY source ORDER BY source
 """
 
 
+# ----------------------------------------------------- dsl_geo_bounds
+
+def dsl_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`geo_bounds` metric agg per terms bucket: the smallest box
+    enclosing each event_type's points — top_left = (max lat, min
+    lon), bottom_right = (min lat, max lon). min/max are exact
+    (no float accumulation), one grouped pass over the runtime-field
+    coordinates (dsl_geo_centroid's sibling)."""
+    from parquet_generator_spark.plans.reference_queries9 import (
+        LAT_S,
+        LON_S,
+    )
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.select(F.col("event_type").alias("key"),
+                      F.expr(LAT_S).cast("double").alias("lat"),
+                      F.expr(LON_S).cast("double").alias("lon"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 F.round(F.max("lat"), 4).alias("top_left_lat"),
+                 F.round(F.min("lon"), 4).alias("top_left_lon"),
+                 F.round(F.min("lat"), 4).alias("bottom_right_lat"),
+                 F.round(F.max("lon"), 4).alias("bottom_right_lon"))
+            .orderBy(F.desc("doc_count"), F.asc("key")))
+
+
+def _geo_bounds_oracle() -> str:
+    from parquet_generator_spark.plans.reference_queries9 import (
+        LAT_D,
+        LON_D,
+    )
+    # CAST to DOUBLE: DuckDB's min/max PRESERVE the literal-decimal
+    # type of the runtime field (avg would coerce to double), and a
+    # Decimal result bypasses the float canonicalization
+    return f"""
+SELECT event_type AS key, count(*) AS doc_count,
+       round(max(CAST({LAT_D} AS DOUBLE)), 4) AS top_left_lat,
+       round(min(CAST({LON_D} AS DOUBLE)), 4) AS top_left_lon,
+       round(min(CAST({LAT_D} AS DOUBLE)), 4) AS bottom_right_lat,
+       round(max(CAST({LON_D} AS DOUBLE)), 4) AS bottom_right_lon
+FROM events
+GROUP BY key ORDER BY doc_count DESC, key ASC
+"""
+
+
 # ------------------------------------------------- dsl_terms_lookup
 
 LOOKUP_MIN_BAL = 9000.0
@@ -636,7 +680,8 @@ QUERIES.update({"dsl_term_suggest": dsl_term_suggest,
                 "dsl_phrase_suggest": dsl_phrase_suggest,
                 "dsl_field_caps": dsl_field_caps,
                 "dsl_rate": dsl_rate,
-                "dsl_span_first": dsl_span_first})
+                "dsl_span_first": dsl_span_first,
+                "dsl_geo_bounds": dsl_geo_bounds})
 ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
                 "dsl_highlight": _highlight_oracle(),
                 "dsl_diversified_sampler": DSL_DIVERSIFIED_SAMPLER_ORACLE,
@@ -647,4 +692,5 @@ ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
                 "dsl_phrase_suggest": _phrase_suggest_oracle(),
                 "dsl_field_caps": _field_caps_oracle(),
                 "dsl_rate": DSL_RATE_ORACLE,
-                "dsl_span_first": _span_first_oracle()})
+                "dsl_span_first": _span_first_oracle(),
+                "dsl_geo_bounds": _geo_bounds_oracle()})
