@@ -362,11 +362,17 @@ def lsh_bands_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.sum(true_pair.cast("long")).alias("n_true"),
                  F.round(F.sum(p), 3).alias("expected_candidates"),
-                 F.round(F.sum(p * true_pair)
-                         / F.sum(true_pair.cast("double")), 4)
+                 # try_divide: a calibration sample with no true
+                 # pairs at T (data-dependent) reports NULL recall
+                 # instead of failing under ANSI mode — the oracle
+                 # mirrors with an explicit zero-divisor CASE
+                 F.round(F.try_divide(
+                     F.sum(p * true_pair),
+                     F.sum(true_pair.cast("double"))), 4)
                  .alias("recall_at_t"),
-                 F.round(F.sum(p * (1 - true_pair))
-                         / F.sum((1 - true_pair).cast("double")), 6)
+                 F.round(F.try_divide(
+                     F.sum(p * (1 - true_pair)),
+                     F.sum((1 - true_pair).cast("double"))), 6)
                  .alias("false_cand_rate"))
             .orderBy("r"))
 
@@ -398,10 +404,12 @@ SELECT b, r,
        CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(tp) AS BIGINT) AS n_true,
        round(sum(pc), 3) AS expected_candidates,
-       round(sum(pc * tp) / sum(CAST(tp AS DOUBLE)), 4)
+       round(CASE WHEN sum(tp) = 0 THEN NULL
+             ELSE sum(pc * tp) / sum(CAST(tp AS DOUBLE)) END, 4)
          AS recall_at_t,
-       round(sum(pc * (1 - tp)) / sum(CAST(1 - tp AS DOUBLE)), 6)
-         AS false_cand_rate
+       round(CASE WHEN sum(1 - tp) = 0 THEN NULL
+             ELSE sum(pc * (1 - tp)) / sum(CAST(1 - tp AS DOUBLE))
+             END, 6) AS false_cand_rate
 FROM x GROUP BY b, r ORDER BY r
 """
 

@@ -34,6 +34,7 @@ from parquet_generator_spark.operators.esdsl import (
     search,
     translate_query,
 )
+from parquet_generator_spark.operators.util import widen_if_narrow
 from parquet_generator_spark.plans.reference_queries9 import (
     _h_duck,
     _h_spark,
@@ -61,6 +62,21 @@ def _ip_expr(h, cast_str: str) -> str:
 IP_S = _ip_expr(_h_spark, "cast({} as string)")
 IP_D = _ip_expr(_h_duck, "CAST({} AS VARCHAR)")
 
+def _ip_source(ev: DataFrame) -> DataFrame:
+    """Synthesize the SIEM-shaped client_ip column ONCE, widened and
+    materialized (localCheckpoint — the minhash-signature barrier
+    pattern). Without the barrier Catalyst pushes the IP predicates
+    below the widening exchange and RE-INLINES the md5+concat
+    synthesis into every split/rlike use (~60 md5 evaluations per
+    row in one scan task: measured 11s at sf0.1). A real corpus
+    stores the ip string, so the checkpointed column IS the
+    realistic scan shape; downstream packed-int predicates then
+    cost one split chain per use over all cores."""
+    return (widen_if_narrow(ev)
+            .select(F.expr(IP_S).alias("client_ip"))
+            .localCheckpoint())
+
+
 IP_FILTER = {"bool": {
     "must": [{"range": {"client_ip": {"gte": "100.0.0.0"}}}],
     "must_not": [{"term": {"client_ip": "192.168.0.0/16"}}],
@@ -82,7 +98,7 @@ def dsl_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty bucket (zero-filled, ES reports every configured bucket).
     """
     ev = load_table(spark, "events", sf_dir)
-    src = ev.select(F.expr(IP_S).alias("client_ip"))
+    src = _ip_source(ev)
     hits = src.filter(translate_query(IP_FILTER))
     return (ip_range_agg(hits, "client_ip", IP_RANGES)
             .orderBy("key"))
@@ -310,7 +326,7 @@ def dsl_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dotted-quad label is rendered on the final bounded bucket
     frame only."""
     ev = load_table(spark, "events", sf_dir)
-    src = ev.select(F.expr(IP_S).alias("client_ip"))
+    src = _ip_source(ev)
     return ip_prefix_agg(src, "client_ip", IP_PREFIX_LEN,
                          IP_PREFIX_MIN_DOCS)
 

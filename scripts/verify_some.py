@@ -47,6 +47,12 @@ Q, O = em.queries(), em.oracle_sql()
 fails = []
 for name in sys.argv[1:]:
     t0 = time.time()
+    if name not in Q:
+        print(f"{name}: not a queries() entry — non-query components "
+              f"(streaming helpers, sinks) are verified by pytest, "
+              f"not the oracle sim; known keys are in "
+              f"__spark_entry__.queries()")
+        continue
     try:
         sdf = Q[name](spark, SF)
         scols = sdf.columns
