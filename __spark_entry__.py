@@ -96,6 +96,8 @@ FRONT_KEYS = [
     "dsl_span_first",
     "doc_keywords",
     "dsl_geo_bounds",
+    "dsl_reverse_nested",
+    "dsl_children_agg",
 ]
 
 

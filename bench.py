@@ -307,6 +307,8 @@ HEADLINE = [
     "dsl_span_first",
     "doc_keywords",
     "dsl_geo_bounds",
+    "dsl_reverse_nested",
+    "dsl_children_agg",
 ]
 
 

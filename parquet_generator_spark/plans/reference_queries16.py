@@ -591,6 +591,72 @@ GROUP BY key ORDER BY doc_count DESC, key ASC
 """
 
 
+# ------------------------------------------------ dsl_reverse_nested
+
+def dsl_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`reverse_nested` agg: inside a nested terms agg over array
+    elements, jump back to PARENT scope — per element key, the
+    element count AND the number of distinct parent docs containing
+    such an element. Same (user, day) nested carrier as dsl_nested;
+    one explode + one grouped pass with a distinct-parent count."""
+    from parquet_generator_spark.plans.reference_queries6 import (
+        _nested_parents,
+    )
+    parents = _nested_parents(spark, sf_dir)
+    ex = parents.select(
+        F.concat_ws("|", "user_id", F.col("day").cast("string"))
+        .alias("parent_id"),
+        F.explode("items").alias("it"))
+    return (ex.groupBy(F.col("it.event_type").alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 F.countDistinct("parent_id")
+                 .alias("parent_doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("key")))
+
+
+DSL_REVERSE_NESTED_ORACLE = """
+SELECT event_type AS key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(DISTINCT concat_ws('|', user_id,
+                  CAST(CAST(ts AS DATE) AS VARCHAR)))
+            AS BIGINT) AS parent_doc_count
+FROM events
+GROUP BY event_type
+ORDER BY doc_count DESC, key ASC
+"""
+
+
+# ------------------------------------------------- dsl_children_agg
+
+def dsl_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`children` agg (join-field families): bucket PARENT docs
+    (orders, by priority) and aggregate their CHILD docs (lineitems)
+    — parent count, child count, child metric. One equi-join on the
+    family key + one grouped pass; at scale the join shuffles on
+    orderkey (or stays co-located under bucketing), never a
+    broadcast of either fact side."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    j = orders.select("o_orderkey", "o_orderpriority").join(
+        li.select("l_orderkey", "l_discount"),
+        orders.o_orderkey == li.l_orderkey)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_orderkey").alias("parent_count"),
+                 F.count(F.lit(1)).alias("child_count"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_discount"))
+            .orderBy("o_orderpriority"))
+
+
+DSL_CHILDREN_AGG_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS parent_count,
+       CAST(count(*) AS BIGINT) AS child_count,
+       round(avg(l_discount), 4) AS avg_discount
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ------------------------------------------------- dsl_terms_lookup
 
 LOOKUP_MIN_BAL = 9000.0
@@ -681,7 +747,9 @@ QUERIES.update({"dsl_term_suggest": dsl_term_suggest,
                 "dsl_field_caps": dsl_field_caps,
                 "dsl_rate": dsl_rate,
                 "dsl_span_first": dsl_span_first,
-                "dsl_geo_bounds": dsl_geo_bounds})
+                "dsl_geo_bounds": dsl_geo_bounds,
+                "dsl_reverse_nested": dsl_reverse_nested,
+                "dsl_children_agg": dsl_children_agg})
 ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
                 "dsl_highlight": _highlight_oracle(),
                 "dsl_diversified_sampler": DSL_DIVERSIFIED_SAMPLER_ORACLE,
@@ -693,4 +761,6 @@ ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
                 "dsl_field_caps": _field_caps_oracle(),
                 "dsl_rate": DSL_RATE_ORACLE,
                 "dsl_span_first": _span_first_oracle(),
-                "dsl_geo_bounds": _geo_bounds_oracle()})
+                "dsl_geo_bounds": _geo_bounds_oracle(),
+                "dsl_reverse_nested": DSL_REVERSE_NESTED_ORACLE,
+                "dsl_children_agg": DSL_CHILDREN_AGG_ORACLE})
