@@ -98,6 +98,7 @@ FRONT_KEYS = [
     "dsl_geo_bounds",
     "dsl_reverse_nested",
     "dsl_children_agg",
+    "stream_scripted_metric",
 ]
 
 

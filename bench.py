@@ -309,6 +309,7 @@ HEADLINE = [
     "dsl_geo_bounds",
     "dsl_reverse_nested",
     "dsl_children_agg",
+    "stream_scripted_metric",
 ]
 
 

@@ -188,8 +188,28 @@ def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("win_start", "event_type"))
 
 
-QUERIES.update({"stream_window_distinct": stream_window_distinct})
+def stream_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the windowed scripted_metric fold plan the stream
+    uses (streaming/scripted.py): the bounded painless-fold subset
+    compiles to associative aggregates, so the SAME columns run
+    incrementally under Structured Streaming with watermarked state
+    (stream-vs-batch equality in tests/test_streaming.py)."""
+    from parquet_generator_spark.streaming.scripted import (
+        windowed_scripted_folds,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return windowed_scripted_folds(ev).orderBy("win_start")
+
+
+QUERIES.update({"stream_window_distinct": stream_window_distinct,
+                "stream_scripted_metric": stream_scripted_metric})
 from parquet_generator_spark.streaming.windowed import (  # noqa: E402
     WINDOW_DISTINCT_ORACLE,
 )
-ORACLES.update({"stream_window_distinct": WINDOW_DISTINCT_ORACLE})
+from parquet_generator_spark.streaming.scripted import (  # noqa: E402
+    SCRIPTED_FOLDS_ORACLE,
+)
+
+ORACLES.update({"stream_window_distinct": WINDOW_DISTINCT_ORACLE,
+                "stream_scripted_metric": SCRIPTED_FOLDS_ORACLE})

@@ -619,3 +619,26 @@ def test_stream_percolate_empty_registry_streams(spark, tmp_path):
         spark.createDataFrame([(1, "spark", 1)], schema), [])
     assert batch.count() == 0
     assert batch.columns == ["query_id", "doc_id"]
+
+
+def test_scripted_fold_stream_matches_batch(spark, tmp_path):
+    """The scripted_metric painless-fold subset compiles to
+    associative aggregates, so the identical columns must produce
+    the same windows incrementally under Structured Streaming."""
+    from parquet_generator_spark.streaming.scripted import (
+        windowed_scripted_folds,
+    )
+
+    ev = load_table(spark, "events", SF)
+    batch = windowed_scripted_folds(ev).collect()
+
+    ev.write.parquet(str(tmp_path / "events"))
+    stream = (spark.readStream.schema(ev.schema)
+              .parquet(str(tmp_path / "events")))
+    agg = windowed_scripted_folds(stream, watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("scriptedfold")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    streamed = spark.sql("select * from scriptedfold").collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
