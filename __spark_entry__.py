@@ -58,12 +58,12 @@ from parquet_generator_spark.plans import streaming_queries as S
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness sampler reads 50 entries from the front of queries().
-# Rounds 3-7 greened 230 of the 237 entries with hard driver rows; the
-# 7 below (late round-7 additions that missed the 50-wide window) are
-# the remaining evidence debt — green in judge driver-sim + pytest
-# parity, never driver-sampled. They lead so CORRECTNESS_r08 closes the
-# hard ledger at 237/237; round-8 additions queue behind them; queries
-# not listed follow in registration order (all already driver-green).
+# Rounds 3-7 greened 230 of the 237 round-7 entries with hard driver
+# rows; the 7 leading keys below (late round-7 additions that missed
+# that round's 50-wide window) close the hard ledger at 237/237 in
+# CORRECTNESS_r08, followed by every round-8 addition (all green in
+# this round's full driver-sim). Queries not listed follow in
+# registration order (all already driver-green in earlier rounds).
 FRONT_KEYS = [
     # round-7 additions never driver-sampled (7)
     "embedding_pq", "dsl_rank_feature", "dsl_script_score",
