@@ -99,6 +99,10 @@ FRONT_KEYS = [
     "dsl_reverse_nested",
     "dsl_children_agg",
     "stream_scripted_metric",
+    "dsl_sort_script",
+    "dsl_frequent_item_sets",
+    "gif_header_parse",
+    "dsl_geo_line",
 ]
 
 

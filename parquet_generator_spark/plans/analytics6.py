@@ -96,5 +96,71 @@ ORDER BY lift DESC, item_a ASC, item_b ASC
 LIMIT {BASKET_TOPK}
 """
 
-QUERIES.update({"basket_lift": basket_lift})
-ORACLES.update({"basket_lift": BASKET_LIFT_ORACLE})
+FIS_MIN_SUPPORT = 8
+FIS_TOPK = 15
+
+
+def dsl_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.4 `frequent_item_sets` agg (bounded to set sizes 1-2 —
+    the pairwise tier basket_lift prices; larger sets grow from
+    frequent pairs by the apriori property and reuse the same
+    bounded per-basket expansion). Emits each frequent set with its
+    absolute support and support ratio; the ratio is one exact
+    int64 division (unrounded, bit-identical)."""
+    li = (load_table(spark, "lineitem", sf_dir)
+          .select(F.col("l_orderkey").alias("okey"),
+                  F.col("l_partkey").alias("item"))
+          .distinct())
+    n_baskets = li.select(F.countDistinct("okey").alias("n"))
+    singles = (li.groupBy("item")
+               .agg(F.count(F.lit(1)).alias("support"))
+               .select(F.col("item").cast("string").alias("items"),
+                       F.lit(1).alias("set_size"), "support"))
+    a = li.select("okey", F.col("item").alias("item_a"))
+    b = li.select("okey", F.col("item").alias("item_b"))
+    pairs = (a.join(b, "okey")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).alias("support"))
+             .select(F.concat_ws(",", "item_a", "item_b")
+                     .alias("items"),
+                     F.lit(2).alias("set_size"), "support"))
+    sets = broadcast_scalars(
+        singles.unionAll(pairs)
+        .filter(F.col("support") >= FIS_MIN_SUPPORT), n_baskets)
+    return (sets.select(
+        "items", "set_size", "support",
+        (F.col("support").cast("double") / F.col("n"))
+        .alias("support_ratio"))
+        .orderBy(F.desc("support"), F.asc("set_size"), F.asc("items"))
+        .limit(FIS_TOPK))
+
+
+DSL_FREQUENT_ITEM_SETS_ORACLE = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
+  FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM li),
+singles AS (
+  SELECT CAST(item AS VARCHAR) AS items, 1 AS set_size,
+         CAST(count(*) AS BIGINT) AS support
+  FROM li GROUP BY item),
+pairs AS (
+  SELECT concat_ws(',', a.item, b.item) AS items, 2 AS set_size,
+         CAST(count(*) AS BIGINT) AS support
+  FROM li a JOIN li b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY a.item, b.item),
+sets AS (
+  SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+SELECT items, set_size, support,
+       CAST(support AS DOUBLE) / n.n AS support_ratio
+FROM sets CROSS JOIN n
+WHERE support >= {FIS_MIN_SUPPORT}
+ORDER BY support DESC, set_size ASC, items ASC
+LIMIT {FIS_TOPK}
+"""
+
+QUERIES.update({"basket_lift": basket_lift,
+                "dsl_frequent_item_sets": dsl_frequent_item_sets})
+ORACLES.update({"basket_lift": BASKET_LIFT_ORACLE,
+                "dsl_frequent_item_sets": DSL_FREQUENT_ITEM_SETS_ORACLE})

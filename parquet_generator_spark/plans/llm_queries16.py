@@ -128,6 +128,70 @@ SELECT doc_id AS media_id,
 FROM documents ORDER BY media_id
 """
 
+# ---------------------------------------------------- gif_header_parse
+
+def _gif_payload():
+    """Planted GIF logical-screen descriptor: GIF87a/89a signature,
+    little-endian 16-bit canvas dims, and the packed flags byte
+    (global-color-table bit + color resolution bits)."""
+    ver = F.when(F.col("doc_id") % 4 == 0, F.lit("GIF87a")) \
+        .otherwise(F.lit("GIF89a"))
+    w = (F.col("n_chars") % 512 + 1).cast("int")
+    h = (F.col("n_chars") % 256 + 1).cast("int")
+    packed = F.when(F.col("doc_id") % 5 == 0,
+                    (F.col("doc_id") % 8).cast("int")) \
+        .otherwise((F.lit(0x80) + F.col("doc_id") % 8).cast("int"))
+
+    def le16(c):
+        return F.concat(F.unhex(F.lpad(F.hex(c % 256), 2, "0")),
+                        F.unhex(F.lpad(F.hex(F.floor(c / 256)
+                                             .cast("int")), 2, "0")))
+
+    return F.concat(F.encode(ver, "UTF-8"), le16(w), le16(h),
+                    F.unhex(F.lpad(F.hex(packed), 2, "0")))
+
+
+def gif_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF logical-screen-descriptor parse: version string, LITTLE-
+    endian dims (the byte-order counterpart to JPEG/PNG's big-endian
+    parsers), global-color-table flag and color-resolution bits out
+    of the packed byte — pure codegen substring/hex arithmetic, no
+    UDF, no shuffle; oracle recomputes the planted stream
+    arithmetically so any endianness or bit-slicing bug mismatches."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        _gif_payload().alias("payload"))
+
+    def b(pos):
+        return (F.conv(F.hex(F.expr(
+            f"substring(payload, {pos}, 1)")), 16, 10).cast("int"))
+
+    width = b(7) + b(8) * 256
+    height = b(9) + b(10) * 256
+    packed = b(11)
+    return (media.select(
+        "media_id",
+        F.expr("decode(substring(payload, 1, 6), 'UTF-8')")
+        .alias("version"),
+        width.alias("width"),
+        height.alias("height"),
+        (F.floor(packed / 128) % 2 == 1).alias("has_gct"),
+        (packed % 8 + 1).alias("color_bits"))
+        .orderBy("media_id"))
+
+
+GIF_HEADER_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'GIF87a' ELSE 'GIF89a' END
+         AS version,
+       CAST(n_chars % 512 + 1 AS INT) AS width,
+       CAST(n_chars % 256 + 1 AS INT) AS height,
+       doc_id % 5 <> 0 AS has_gct,
+       CAST(doc_id % 8 + 1 AS INT) AS color_bits
+FROM documents ORDER BY media_id
+"""
+
+
 # ------------------------------------------- dedup_embedding_lsh_hi
 # The production near-dup regime. The 0.3-threshold twin
 # (dedup_embedding_lsh) is OUTPUT-bound: on this corpus ~0.7% of all
@@ -488,10 +552,12 @@ QUERIES.update({"jpeg_header_parse": jpeg_header_parse,
                 "hapax_doc_flags": hapax_doc_flags,
                 "length_quality_heatmap": length_quality_heatmap,
                 "lsh_bands_planner": lsh_bands_planner,
-                "doc_keywords": doc_keywords})
+                "doc_keywords": doc_keywords,
+                "gif_header_parse": gif_header_parse})
 ORACLES.update({"jpeg_header_parse": JPEG_HEADER_ORACLE,
                 "dedup_embedding_lsh_hi": _lsh_hi_oracle(),
                 "hapax_doc_flags": _hapax_oracle(),
                 "length_quality_heatmap": _lq_heatmap_oracle(),
                 "lsh_bands_planner": _bands_planner_oracle(),
-                "doc_keywords": _doc_keywords_oracle()})
+                "doc_keywords": _doc_keywords_oracle(),
+                "gif_header_parse": GIF_HEADER_ORACLE})

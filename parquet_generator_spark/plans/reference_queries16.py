@@ -657,6 +657,96 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------------------- dsl_sort_script
+
+SORT_SCRIPT = ("doc['value'].value >= 100.0"
+               " ? doc.value.value : doc['value'].value * 0.5")
+SORT_K = 15
+
+
+def dsl_sort_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-based sort (`sort: {_script: ...}`): rank docs by a
+    painless expression — the same bounded painless->SQL translator
+    scripted_metric uses (doc refs, ternary, Math.*), compiled to a
+    codegen expression so the sort key costs one narrow map and the
+    top-k is TakeOrderedAndProject, never a global sort."""
+    from parquet_generator_spark.operators.esdsl import (
+        _painless_expr_sql,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    key = F.round(F.expr(_painless_expr_sql(SORT_SCRIPT)), 4)
+    return (ev.select("event_id", key.alias("sort_key"))
+            .orderBy(F.desc("sort_key"), F.asc("event_id"))
+            .limit(SORT_K))
+
+
+DSL_SORT_SCRIPT_ORACLE = f"""
+SELECT event_id,
+       round(CASE WHEN value >= 100.0 THEN value
+             ELSE value * 0.5 END, 4) AS sort_key
+FROM events ORDER BY sort_key DESC, event_id ASC LIMIT {SORT_K}
+"""
+
+
+# ----------------------------------------------------- dsl_geo_line
+
+GEO_LINE_SIZE = 5
+
+
+def dsl_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`geo_line` agg: per bucket, the track of the first N points
+    in timestamp order (ES's sort+size contract, size capped like
+    ES's default). The per-bucket cut is a PARTITIONED rank window
+    (parallel across buckets, never global); the bounded survivors
+    collect into a sort_array'd struct list so the join order is
+    deterministic, then render as 'lat,lon' joined with ';' —
+    identical doubles on both engines make identical shortest-
+    roundtrip strings."""
+    from parquet_generator_spark.plans.reference_queries9 import (
+        LAT_S,
+        LON_S,
+    )
+    ev = load_table(spark, "events", sf_dir)
+    pts = ev.select(
+        F.col("event_type").alias("key"), "ts", "event_id",
+        F.round(F.expr(LAT_S).cast("double"), 4).alias("lat"),
+        F.round(F.expr(LON_S).cast("double"), 4).alias("lon"))
+    w = Window.partitionBy("key").orderBy("ts", "event_id")
+    first_n = (pts.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= GEO_LINE_SIZE))
+    return (first_n.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.array_join(F.expr(
+                     "transform(array_sort(collect_list("
+                     "struct(ts, event_id, lat, lon))), "
+                     "p -> concat(cast(p.lat as string), ',', "
+                     "cast(p.lon as string)))"), ";").alias("track"))
+            .orderBy("key"))
+
+
+def _geo_line_oracle() -> str:
+    from parquet_generator_spark.plans.reference_queries9 import (
+        LAT_D,
+        LON_D,
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_type AS key, ts, event_id,
+         round(CAST({LAT_D} AS DOUBLE), 4) AS lat,
+         round(CAST({LON_D} AS DOUBLE), 4) AS lon,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT key, CAST(count(*) AS BIGINT) AS n_points,
+       string_agg(concat(CAST(lat AS VARCHAR), ',',
+                         CAST(lon AS VARCHAR)), ';'
+                  ORDER BY ts, event_id) AS track
+FROM pts WHERE rn <= {GEO_LINE_SIZE}
+GROUP BY key ORDER BY key
+"""
+
+
 # ------------------------------------------------- dsl_terms_lookup
 
 LOOKUP_MIN_BAL = 9000.0
@@ -749,7 +839,9 @@ QUERIES.update({"dsl_term_suggest": dsl_term_suggest,
                 "dsl_span_first": dsl_span_first,
                 "dsl_geo_bounds": dsl_geo_bounds,
                 "dsl_reverse_nested": dsl_reverse_nested,
-                "dsl_children_agg": dsl_children_agg})
+                "dsl_children_agg": dsl_children_agg,
+                "dsl_sort_script": dsl_sort_script,
+                "dsl_geo_line": dsl_geo_line})
 ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
                 "dsl_highlight": _highlight_oracle(),
                 "dsl_diversified_sampler": DSL_DIVERSIFIED_SAMPLER_ORACLE,
@@ -763,4 +855,6 @@ ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
                 "dsl_span_first": _span_first_oracle(),
                 "dsl_geo_bounds": _geo_bounds_oracle(),
                 "dsl_reverse_nested": DSL_REVERSE_NESTED_ORACLE,
-                "dsl_children_agg": DSL_CHILDREN_AGG_ORACLE})
+                "dsl_children_agg": DSL_CHILDREN_AGG_ORACLE,
+                "dsl_sort_script": DSL_SORT_SCRIPT_ORACLE,
+                "dsl_geo_line": _geo_line_oracle()})
