@@ -103,6 +103,8 @@ FRONT_KEYS = [
     "dsl_frequent_item_sets",
     "gif_header_parse",
     "dsl_geo_line",
+    "tiff_header_parse",
+    "colbert_maxsim",
 ]
 
 

@@ -314,6 +314,8 @@ HEADLINE = [
     "dsl_frequent_item_sets",
     "gif_header_parse",
     "dsl_geo_line",
+    "tiff_header_parse",
+    "colbert_maxsim",
 ]
 
 

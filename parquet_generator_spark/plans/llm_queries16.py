@@ -15,6 +15,7 @@ no UDF, no shuffle.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -188,6 +189,74 @@ SELECT doc_id AS media_id,
        CAST(n_chars % 256 + 1 AS INT) AS height,
        doc_id % 5 <> 0 AS has_gct,
        CAST(doc_id % 8 + 1 AS INT) AS color_bits
+FROM documents ORDER BY media_id
+"""
+
+
+# --------------------------------------------------- tiff_header_parse
+
+def _tiff_payload():
+    """Planted TIFF header: byte-order mark (II little-endian on
+    even docs, MM big-endian on odd), magic 42 in that byte order,
+    then the 32-bit first-IFD offset — so the parser must branch on
+    endianness PER ROW."""
+    off = (F.col("n_chars") % 4096 + 8).cast("long")
+
+    def le32(c):
+        return F.concat(*[
+            F.unhex(F.lpad(F.hex(F.floor(c / (1 << (8 * i)))
+                                 .cast("long") % 256), 2, "0"))
+            for i in range(4)])
+
+    def be32(c):
+        return F.concat(*[
+            F.unhex(F.lpad(F.hex(F.floor(c / (1 << (8 * i)))
+                                 .cast("long") % 256), 2, "0"))
+            for i in (3, 2, 1, 0)])
+
+    ii = F.concat(F.encode(F.lit("II"), "UTF-8"),
+                  F.unhex(F.lit("2A00")), le32(off))
+    mm = F.concat(F.encode(F.lit("MM"), "UTF-8"),
+                  F.unhex(F.lit("002A")), be32(off))
+    return F.when(F.col("doc_id") % 2 == 0, ii).otherwise(mm)
+
+
+def tiff_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF header parse with PER-ROW endianness: the II/MM
+    byte-order mark decides how the magic and the 32-bit IFD offset
+    deserialize, so the expression branches on the mark before the
+    multi-byte reads — the real-corpus case BMP/PNG/GIF/JPEG
+    parsers (each single-endian) don't cover. Codegen only."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        _tiff_payload().alias("payload"))
+
+    def b(pos):
+        return (F.conv(F.hex(F.expr(
+            f"substring(payload, {pos}, 1)")), 16, 10).cast("long"))
+
+    order = F.expr("decode(substring(payload, 1, 2), 'UTF-8')")
+    little = order == "II"
+    magic = F.when(little, b(3) + b(4) * 256) \
+        .otherwise(b(3) * 256 + b(4))
+    ifd = F.when(
+        little,
+        b(5) + b(6) * 256 + b(7) * 65536 + b(8) * 16777216) \
+        .otherwise(
+        b(5) * 16777216 + b(6) * 65536 + b(7) * 256 + b(8))
+    return (media.select(
+        "media_id",
+        order.alias("byte_order"),
+        (magic == 42).alias("magic_ok"),
+        ifd.alias("ifd_offset"))
+        .orderBy("media_id"))
+
+
+TIFF_HEADER_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       TRUE AS magic_ok,
+       CAST(n_chars % 4096 + 8 AS BIGINT) AS ifd_offset
 FROM documents ORDER BY media_id
 """
 
@@ -384,6 +453,79 @@ ORDER BY len_bucket, quality_bucket
 """
 
 
+# ----------------------------------------------------- colbert_maxsim
+
+MAXSIM_DOC_VECS = 4      # token vectors per multi-vector doc
+MAXSIM_TOPK = 10
+
+
+def colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late interaction: a document is a SET of token
+    vectors; score(q, d) = sum over query tokens of the max cosine
+    against any doc token. The embeddings table becomes multi-vector
+    docs by grouping consecutive vec_ids; the two query token
+    vectors are plan literals. Execution is max-sim as Catalyst
+    aggregates: per-row cosines against each literal query vector
+    (sequential-fold dot products, no UDF), ONE groupBy(doc) with a
+    max() per query token, sum of the maxes, top-k via
+    TakeOrderedAndProject. At corpus scale this is a single narrow
+    map + one keyed aggregation — the late-interaction retrieval
+    shape without any all-pairs stage."""
+    from parquet_generator_spark.operators.similarity import (
+        _plane_dot_sql,
+        make_hyperplanes,
+    )
+
+    qvecs = make_hyperplanes(64, 2, seed=31)
+    emb = load_table(spark, "embeddings", sf_dir)
+    doc = ((F.col("vec_id") - 1) / MAXSIM_DOC_VECS).cast("long")
+    norm = "sqrt(aggregate(zip_with(embedding, embedding, " \
+           "(x, y) -> cast(x AS DOUBLE) * y), cast(0.0 AS DOUBLE), " \
+           "(acc, v) -> acc + v))"
+    cols = [doc.alias("mv_doc_id")]
+    for i, qv in enumerate(qvecs):
+        qn = float(np.sqrt((qv * qv).sum()))
+        cols.append(
+            (F.expr(_plane_dot_sql("embedding", qv))
+             / (F.expr(norm) * F.lit(qn))).alias(f"cos_q{i}"))
+    scored = emb.select(*cols)
+    agg = (scored.groupBy("mv_doc_id")
+           .agg(*[F.max(f"cos_q{i}").alias(f"max_q{i}")
+                  for i in range(len(qvecs))]))
+    score = F.round(sum(F.col(f"max_q{i}")
+                        for i in range(len(qvecs))), 4)
+    return (agg.select("mv_doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("mv_doc_id"))
+            .limit(MAXSIM_TOPK))
+
+
+def _maxsim_oracle() -> str:
+    from parquet_generator_spark.operators.similarity import (
+        make_hyperplanes,
+    )
+
+    qvecs = make_hyperplanes(64, 2, seed=31)
+    sels = []
+    for i, qv in enumerate(qvecs):
+        arr = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+        qn = repr(float(np.sqrt((qv * qv).sum())))
+        sels.append(
+            f"list_dot_product(e, {arr}) / "
+            f"(sqrt(list_dot_product(e, e)) * {qn}) AS cos_q{i}")
+    return f"""
+WITH v AS (
+  SELECT CAST(floor((vec_id - 1) / {MAXSIM_DOC_VECS}) AS BIGINT)
+           AS mv_doc_id,
+         CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings),
+scored AS (SELECT mv_doc_id, {', '.join(sels)} FROM v)
+SELECT mv_doc_id,
+       round(max(cos_q0) + max(cos_q1), 4) AS score
+FROM scored GROUP BY mv_doc_id
+ORDER BY score DESC, mv_doc_id ASC LIMIT {MAXSIM_TOPK}
+"""
+
+
 # --------------------------------------------------- lsh_bands_planner
 
 BANDS_GRID = [(128, 1), (64, 2), (32, 4), (16, 8), (8, 16)]
@@ -553,11 +695,15 @@ QUERIES.update({"jpeg_header_parse": jpeg_header_parse,
                 "length_quality_heatmap": length_quality_heatmap,
                 "lsh_bands_planner": lsh_bands_planner,
                 "doc_keywords": doc_keywords,
-                "gif_header_parse": gif_header_parse})
+                "gif_header_parse": gif_header_parse,
+                "tiff_header_parse": tiff_header_parse,
+                "colbert_maxsim": colbert_maxsim})
 ORACLES.update({"jpeg_header_parse": JPEG_HEADER_ORACLE,
                 "dedup_embedding_lsh_hi": _lsh_hi_oracle(),
                 "hapax_doc_flags": _hapax_oracle(),
                 "length_quality_heatmap": _lq_heatmap_oracle(),
                 "lsh_bands_planner": _bands_planner_oracle(),
                 "doc_keywords": _doc_keywords_oracle(),
-                "gif_header_parse": GIF_HEADER_ORACLE})
+                "gif_header_parse": GIF_HEADER_ORACLE,
+                "tiff_header_parse": TIFF_HEADER_ORACLE,
+                "colbert_maxsim": _maxsim_oracle()})
