@@ -105,6 +105,8 @@ FRONT_KEYS = [
     "dsl_geo_line",
     "tiff_header_parse",
     "colbert_maxsim",
+    "dsl_moving_percentiles",
+    "dsl_change_point",
 ]
 
 

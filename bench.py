@@ -316,6 +316,8 @@ HEADLINE = [
     "dsl_geo_line",
     "tiff_header_parse",
     "colbert_maxsim",
+    "dsl_moving_percentiles",
+    "dsl_change_point",
 ]
 
 

@@ -1492,10 +1492,10 @@ def _is_metric(spec: dict) -> bool:
 # painless script with params.* paths.
 
 _PARENT_PIPES = ("derivative", "serial_diff", "cumulative_sum",
-                 "moving_fn", "moving_avg", "bucket_script",
-                 "bucket_selector", "bucket_sort")
+                 "moving_fn", "moving_avg", "moving_percentiles",
+                 "bucket_script", "bucket_selector", "bucket_sort")
 _SERIAL_PIPES = ("derivative", "serial_diff", "cumulative_sum",
-                 "moving_fn", "moving_avg")
+                 "moving_fn", "moving_avg", "moving_percentiles")
 _SIBLING_PIPES = {"avg_bucket": F.avg, "sum_bucket": F.sum,
                   "max_bucket": F.max, "min_bucket": F.min}
 # stats_bucket expands to five columns, handled inline in search()
@@ -1542,6 +1542,18 @@ def _apply_pipelines(grouped: DataFrame, pipes: list[tuple[str, dict]],
                 name,
                 F.round(F.sum(path).over(
                     w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+        elif ptype == "moving_percentiles":
+            # ES moving_percentiles: percentiles over the trailing
+            # bucket window (t-digest in ES; exact here — the window
+            # is bucket-cardinality, tiny by construction)
+            path = pbody["buckets_path"]
+            n = int(pbody.get("window", 5))
+            for p in pbody.get("percents", _DEFAULT_PERCENTS):
+                df = df.withColumn(
+                    f"{name}_{_pct_label(float(p))}",
+                    F.round(F.expr(
+                        f"percentile({path}, {float(p) / 100.0!r})")
+                        .over(w.rowsBetween(-(n - 1), 0)), 4))
         elif ptype in ("moving_fn", "moving_avg"):
             # trailing window INCLUDING the current bucket (SQL moving
             # average; ES's shift parameter can express the same)

@@ -747,6 +747,109 @@ GROUP BY key ORDER BY key
 """
 
 
+# ------------------------------------------ dsl_moving_percentiles
+
+def dsl_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`moving_percentiles` pipeline agg: p50/p90 of daily volume
+    over a 7-day trailing window. ES runs a t-digest over the
+    window; exact percentiles here — the window is
+    bucket-cardinality (days), a tiny second-pass frame."""
+    from parquet_generator_spark.operators.esdsl import search
+
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "view"}},
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {"vol": {"moving_percentiles": {
+                "buckets_path": "doc_count", "window": 7,
+                "percents": [50, 90]}}},
+        }},
+    })
+
+
+DSL_MOVING_PERCENTILES_ORACLE = """
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS key,
+         count(*) AS doc_count
+  FROM events WHERE event_type = 'view'
+  GROUP BY key)
+SELECT key, doc_count,
+       round(quantile_cont(doc_count, 0.5) OVER (
+         ORDER BY key ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         AS vol_p50,
+       round(quantile_cont(doc_count, 0.9) OVER (
+         ORDER BY key ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         AS vol_p90
+FROM b ORDER BY key
+"""
+
+
+# ---------------------------------------------------- dsl_change_point
+
+def dsl_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`change_point` agg (ES 8.x) as a deterministic step-change
+    detector: over the daily-volume bucket series, the split point
+    maximizing |mean(before) - mean(after)| (the classic two-sample
+    step statistic; ES's ML version adds p-values — DOCUMENTED
+    DIVERGENCE: we emit the argmax split and step size). All
+    second-pass arithmetic on the bucket-cardinality frame: prefix
+    sums via the ordered bucket window, totals as plan literals, one
+    TakeOrdered(1) for the argmax."""
+    from pyspark.sql import Window
+
+    from parquet_generator_spark.operators.util import broadcast_scalars
+
+    ev = load_table(spark, "events", sf_dir)
+    b = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                "yyyy-MM-dd").alias("key"))
+         .agg(F.count(F.lit(1)).alias("doc_count")))
+    totals = b.agg(F.sum("doc_count").alias("total"),
+                   F.count(F.lit(1)).alias("n_buckets"))
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+    pre = (broadcast_scalars(b, totals)
+           .withColumn("ps", F.sum("doc_count").over(w))
+           .withColumn("pc", F.count(F.lit(1)).over(w))
+           .filter(F.col("pc") < F.col("n_buckets")))
+    mean_before = F.col("ps").cast("double") / F.col("pc")
+    mean_after = ((F.col("total") - F.col("ps")).cast("double")
+                  / (F.col("n_buckets") - F.col("pc")))
+    step = F.round(mean_after - mean_before, 4)
+    return (pre.select(F.col("key").alias("split_after"),
+                       step.alias("step"),
+                       F.abs(step).alias("score"))
+            .orderBy(F.desc("score"), F.asc("split_after"))
+            .limit(1))
+
+
+DSL_CHANGE_POINT_ORACLE = """
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS key,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY key),
+t AS (SELECT CAST(sum(doc_count) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_buckets FROM b),
+pre AS (
+  SELECT key,
+         sum(doc_count) OVER (ORDER BY key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+         count(*) OVER (ORDER BY key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+         t.total, t.n_buckets
+  FROM b CROSS JOIN t)
+SELECT key AS split_after,
+       round(CAST(total - ps AS DOUBLE) / (n_buckets - pc)
+             - CAST(ps AS DOUBLE) / pc, 4) AS step,
+       abs(round(CAST(total - ps AS DOUBLE) / (n_buckets - pc)
+                 - CAST(ps AS DOUBLE) / pc, 4)) AS score
+FROM pre WHERE pc < n_buckets
+ORDER BY score DESC, split_after ASC LIMIT 1
+"""
+
+
 # ------------------------------------------------- dsl_terms_lookup
 
 LOOKUP_MIN_BAL = 9000.0
@@ -841,7 +944,9 @@ QUERIES.update({"dsl_term_suggest": dsl_term_suggest,
                 "dsl_reverse_nested": dsl_reverse_nested,
                 "dsl_children_agg": dsl_children_agg,
                 "dsl_sort_script": dsl_sort_script,
-                "dsl_geo_line": dsl_geo_line})
+                "dsl_geo_line": dsl_geo_line,
+                "dsl_moving_percentiles": dsl_moving_percentiles,
+                "dsl_change_point": dsl_change_point})
 ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
                 "dsl_highlight": _highlight_oracle(),
                 "dsl_diversified_sampler": DSL_DIVERSIFIED_SAMPLER_ORACLE,
@@ -857,4 +962,6 @@ ORACLES.update({"dsl_term_suggest": _term_suggest_oracle(),
                 "dsl_reverse_nested": DSL_REVERSE_NESTED_ORACLE,
                 "dsl_children_agg": DSL_CHILDREN_AGG_ORACLE,
                 "dsl_sort_script": DSL_SORT_SCRIPT_ORACLE,
-                "dsl_geo_line": _geo_line_oracle()})
+                "dsl_geo_line": _geo_line_oracle(),
+                "dsl_moving_percentiles": DSL_MOVING_PERCENTILES_ORACLE,
+                "dsl_change_point": DSL_CHANGE_POINT_ORACLE})
