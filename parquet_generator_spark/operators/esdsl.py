@@ -348,13 +348,18 @@ def cidr_bounds(cidr: str) -> tuple[int, int]:
 
 def ip_num_col(field: str) -> Column:
     """Dotted-quad string column -> packed 32-bit integer Column
-    (null for malformed strings, so predicates stay null-safe)."""
+    (null for malformed strings, so predicates stay null-safe).
+    Octets > 255 are malformed too: without the bound check
+    '1.2.3.999' would pack to the SAME integer as '1.2.6.231' and
+    silently count as that other address."""
     p = F.split(F.col(field), r"\.")
-    num = (p.getItem(0).cast("long") * 16777216
-           + p.getItem(1).cast("long") * 65536
-           + p.getItem(2).cast("long") * 256
-           + p.getItem(3).cast("long"))
-    return F.when(F.col(field).rlike(r"^\d{1,3}(\.\d{1,3}){3}$"), num)
+    octs = [p.getItem(i).cast("long") for i in range(4)]
+    num = (octs[0] * 16777216 + octs[1] * 65536
+           + octs[2] * 256 + octs[3])
+    in_range = (octs[0] <= 255) & (octs[1] <= 255) \
+        & (octs[2] <= 255) & (octs[3] <= 255)
+    return F.when(F.col(field).rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+                  & in_range, num)
 
 
 def ip_num_sql(field: str, engine: str) -> str:
@@ -367,8 +372,12 @@ def ip_num_sql(field: str, engine: str) -> str:
         part = "CAST(split({f}, '\\\\.')[{i}] AS BIGINT)"
         idx = (0, 1, 2, 3)
     terms = [part.format(f=field, i=i) for i in idx]
-    return (f"({terms[0]} * 16777216 + {terms[1]} * 65536 + "
-            f"{terms[2]} * 256 + {terms[3]})")
+    bound = " AND ".join(f"{t} <= 255" for t in terms)
+    packed = (f"{terms[0]} * 16777216 + {terms[1]} * 65536 + "
+              f"{terms[2]} * 256 + {terms[3]}")
+    # NULL (not a wrong address) for octets > 255, mirroring
+    # ip_num_col's malformed-string contract
+    return f"(CASE WHEN {bound} THEN {packed} END)"
 
 
 def _ip_term_pred(field: str, val: str) -> Column:
@@ -450,7 +459,10 @@ _DM_ROUND_RE = re.compile(r"/([yMwdhms])$")
 def is_date_math(v) -> bool:
     if not isinstance(v, str):
         return False
-    if v == "now" or v.startswith("now"):
+    # only date-math-SHAPED now anchors ("now", "now-7d/d") are
+    # refused — a plain string value that happens to start with the
+    # letters 'now' ("nowhere") is not date math at all
+    if v == "now" or re.match(r"^now[+\-/]", v):
         raise ValueError(
             "now-anchored date math is not supported: the resolved "
             "scan bound would depend on wall-clock; use an explicit "
@@ -1344,22 +1356,36 @@ def _painless_expr_sql(expr: str) -> str:
                 other = _painless_expr_sql(expr[j + 1:])
                 return f"CASE WHEN {cond} THEN {then} ELSE {other} END"
         raise ValueError(f"unterminated ternary in script: {expr!r}")
-    out = _DOC_REF_RE.sub(lambda m: m.group(1) or m.group(2), expr)
-    for pain, sql in _MATH_FNS.items():
-        out = out.replace(pain + "(", sql + "(")
-    out = out.replace("!=", "<>").replace("==", "=")
-    out = re.sub(r"\s*&&\s*", " AND ", out)
-    out = re.sub(r"\s*\|\|\s*", " OR ", out)
-    return out
+    # doc refs first, over the WHOLE string: the quotes in
+    # doc['field'] are ref syntax, not value literals (a painless
+    # string literal containing the text "doc['x'].value" is not
+    # supported — document over contort)
+    expr = _DOC_REF_RE.sub(lambda m: m.group(1) or m.group(2), expr)
+    # remaining token replacements must not touch STRING LITERALS
+    # ('a==b' stays 'a==b'): split on quoted segments, rewrite only
+    # the code between them
+    parts = re.split(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", expr)
+    for i in range(0, len(parts), 2):      # even indices = code
+        out = parts[i]
+        for pain, sql in _MATH_FNS.items():
+            out = out.replace(pain + "(", sql + "(")
+        out = out.replace("!=", "<>").replace("==", "=")
+        out = re.sub(r"\s*&&\s*", " AND ", out)
+        out = re.sub(r"\s*\|\|\s*", " OR ", out)
+        parts[i] = out
+    return "".join(parts)
 
 
+# [^;]* keeps multi-STATEMENT scripts out of the fold gate: a second
+# statement after the fold ("state.t.add(a); state.u.add(b)") must
+# hit the clean ValueError below, not leak garbage into F.expr
 _MAP_ADD_RE = re.compile(
-    r"^\s*state\.(\w+)\.add\((.*)\)\s*;?\s*$", re.S)
-_MAP_INCR_RE = re.compile(r"^\s*state\.(\w+)\s*\+=\s*(.*?)\s*;?\s*$",
+    r"^\s*state\.(\w+)\.add\(([^;]*)\)\s*;?\s*$", re.S)
+_MAP_INCR_RE = re.compile(r"^\s*state\.(\w+)\s*\+=\s*([^;]*?)\s*;?\s*$",
                           re.S)
 _MAP_MAXMIN_RE = re.compile(
     r"^\s*state\.(\w+)\s*=\s*Math\.(max|min)\(\s*state\.\1\s*,"
-    r"\s*(.*)\)\s*;?\s*$", re.S)
+    r"\s*([^;]*)\)\s*;?\s*$", re.S)
 
 
 def _scripted_metric_col(agg_name: str, mbody: dict) -> Column:
@@ -1691,6 +1717,16 @@ def search(df: DataFrame, body: dict) -> DataFrame:
     # `id_field`) — HNSW's candidate count has no IVF equivalent.
     knn = body.get("knn")
     if knn is not None:
+        # refuse shapes this path would silently drop (same policy
+        # as every other unsupported construct): ES hybrid query+knn
+        # scoring and aggs-over-knn-hits are not implemented
+        dropped = [k for k in ("query", "aggs", "aggregations",
+                               "size") if body.get(k) is not None]
+        if dropped:
+            raise ValueError(
+                f"knn search section cannot be combined with "
+                f"{dropped}: hybrid query+knn scoring is not "
+                f"supported — put the pre-filter in knn['filter']")
         from parquet_generator_spark.operators import similarity
         n_cells = int(knn.get("n_cells", 32))
         n_probe = int(knn.get("n_probe", 8))
@@ -1705,6 +1741,12 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             vec_col=knn["field"])
 
     if body.get("rescore") is not None:
+        if body.get("aggs") is not None \
+                or body.get("aggregations") is not None:
+            raise ValueError(
+                "rescore applies to the hit window only; aggs over "
+                "the unrescored result set are not supported in the "
+                "same body — run a separate search for the aggs")
         return rescore_search(df, body,
                               id_col=body.get("id_field", "doc_id"))
 

@@ -474,20 +474,18 @@ def colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_generator_spark.operators.similarity import (
         _plane_dot_sql,
         make_hyperplanes,
+        norm,
     )
 
     qvecs = make_hyperplanes(64, 2, seed=31)
     emb = load_table(spark, "embeddings", sf_dir)
     doc = ((F.col("vec_id") - 1) / MAXSIM_DOC_VECS).cast("long")
-    norm = "sqrt(aggregate(zip_with(embedding, embedding, " \
-           "(x, y) -> cast(x AS DOUBLE) * y), cast(0.0 AS DOUBLE), " \
-           "(acc, v) -> acc + v))"
     cols = [doc.alias("mv_doc_id")]
     for i, qv in enumerate(qvecs):
         qn = float(np.sqrt((qv * qv).sum()))
         cols.append(
             (F.expr(_plane_dot_sql("embedding", qv))
-             / (F.expr(norm) * F.lit(qn))).alias(f"cos_q{i}"))
+             / (norm("embedding") * F.lit(qn))).alias(f"cos_q{i}"))
     scored = emb.select(*cols)
     agg = (scored.groupBy("mv_doc_id")
            .agg(*[F.max(f"cos_q{i}").alias(f"max_q{i}")

@@ -306,9 +306,9 @@ PS_BACKOFF = 0.4                           # stupid-backoff discount
 
 def dsl_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES `phrase` suggester: whole-phrase did-you-mean. Candidate
-    generation per slot (levenshtein<=1, first char pinned, top-4 by
-    unigram frequency via TakeOrderedAndProject — never a global
-    window), then every combination scored under the corpus bigram
+    generation per slot (levenshtein <= PS_MAX_EDITS = 2, first char
+    pinned, top-4 by unigram frequency via TakeOrderedAndProject —
+    never a global window), then every combination scored under the corpus bigram
     model with stupid backoff: P(w|prev) = c12/c1 when the bigram
     exists, else 0.4 * cnt(w)/N. The combination frame is bounded by
     the request (<= 4^3 rows); the unigram/bigram models are grouped

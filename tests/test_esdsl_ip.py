@@ -154,3 +154,46 @@ def test_ids_query_requires_field_and_matches(ips):
     assert _ids(got) == [1, 3]
     with pytest.raises(ValueError, match="_id metadata"):
         translate_query({"ids": {"values": [1]}})
+
+
+def test_octets_over_255_never_match(spark):
+    # '1.2.3.999' packs to the same int as '1.2.6.231' without the
+    # bound check — it must be malformed (null), not another address
+    df = spark.createDataFrame(
+        [(1, "1.2.3.999"), (2, "1.2.6.231")], "id long, addr string")
+    got = df.filter(translate_query(
+        {"term": {"addr": "1.2.6.231/32"}}))
+    assert _ids(got) == [2]
+    out = esdsl.ip_prefix_agg(df, "addr", 24).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        ("1.2.6.0", 1)]
+
+
+def test_date_math_ignores_now_prefixed_plain_strings(spark):
+    from parquet_generator_spark.operators.esdsl import is_date_math
+
+    # a string VALUE starting with the letters 'now' is not date math
+    assert not is_date_math("nowhere")
+    df = spark.createDataFrame([(1, "nowhere"), (2, "zurich")],
+                               "id long, city string")
+    got = df.filter(translate_query(
+        {"range": {"city": {"gte": "nowhere"}}}))
+    assert _ids(got) == [1, 2]
+
+
+def test_knn_and_rescore_refuse_silently_dropped_sections(spark):
+    from parquet_generator_spark.operators.esdsl import search
+
+    df = spark.createDataFrame([(1, [0.1] * 4)],
+                               "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="hybrid"):
+        search(df, {"query": {"match_all": {}},
+                    "knn": {"field": "embedding",
+                            "query_vector": [0.1] * 4, "k": 1}})
+    ev = spark.createDataFrame([(1, "a", 1.0)],
+                               "doc_id long, k string, v double")
+    with pytest.raises(ValueError, match="rescore"):
+        search(ev, {"query": {"match_all": {}},
+                    "rescore": {"window_size": 5, "query": {
+                        "rescore_query": {"match_all": {}}}},
+                    "aggs": {"m": {"max": {"field": "v"}}}})

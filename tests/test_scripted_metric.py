@@ -99,3 +99,18 @@ def test_max_fold_in_terms_bucket(spark):
             }}}}}}).collect()
     got = {r["key"]: (r["doc_count"], r["peak"]) for r in out}
     assert got == {"sale": (3, 40.0), "refund": (2, 15.0)}
+
+
+def test_painless_preserves_string_literals():
+    # operators INSIDE string literals must survive untouched
+    assert _painless_expr_sql("doc.k.value == 'a==b'") == "k = 'a==b'"
+    assert _painless_expr_sql(
+        "doc.k.value == 'x&&y' && doc.v.value > 0") \
+        == "k = 'x&&y' AND v > 0"
+
+
+def test_rejects_multi_statement_map_script():
+    with pytest.raises(ValueError, match="fold"):
+        _scripted_metric_col("m", {
+            "map_script":
+                "state.t.add(doc.a.value); state.u.add(doc.b.value)"})
