@@ -35,6 +35,7 @@ from parquet_generator_spark.plans import llm_queries13 as L13
 from parquet_generator_spark.plans import llm_queries14 as L14
 from parquet_generator_spark.plans import llm_queries15 as L15
 from parquet_generator_spark.plans import llm_queries16 as L16
+from parquet_generator_spark.plans import llm_queries17 as L17
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -52,6 +53,7 @@ from parquet_generator_spark.plans import reference_queries13 as R13
 from parquet_generator_spark.plans import reference_queries14 as R14
 from parquet_generator_spark.plans import reference_queries15 as R15
 from parquet_generator_spark.plans import reference_queries16 as R16
+from parquet_generator_spark.plans import reference_queries17 as R17
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -107,6 +109,12 @@ FRONT_KEYS = [
     "colbert_maxsim",
     "dsl_moving_percentiles",
     "dsl_change_point",
+    "mp4_header_parse",
+    "webp_header_parse",
+    "readability_scores",
+    "url_domain_stats",
+    "dsl_bucket_correlation",
+    "dsl_bucket_count_ks_test",
 ]
 
 
@@ -139,6 +147,7 @@ def queries() -> dict[str, QueryFn]:
         **L14.QUERIES,
         **L15.QUERIES,
         **L16.QUERIES,
+        **L17.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -158,6 +167,7 @@ def queries() -> dict[str, QueryFn]:
         **R14.QUERIES,
         **R15.QUERIES,
         **R16.QUERIES,
+        **R17.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -190,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         **L14.ORACLES,
         **L15.ORACLES,
         **L16.ORACLES,
+        **L17.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,
@@ -209,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         **R14.ORACLES,
         **R15.ORACLES,
         **R16.ORACLES,
+        **R17.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

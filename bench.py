@@ -318,6 +318,12 @@ HEADLINE = [
     "colbert_maxsim",
     "dsl_moving_percentiles",
     "dsl_change_point",
+    "mp4_header_parse",
+    "webp_header_parse",
+    "readability_scores",
+    "url_domain_stats",
+    "dsl_bucket_correlation",
+    "dsl_bucket_count_ks_test",
 ]
 
 
