@@ -54,6 +54,7 @@ from parquet_generator_spark.plans import reference_queries14 as R14
 from parquet_generator_spark.plans import reference_queries15 as R15
 from parquet_generator_spark.plans import reference_queries16 as R16
 from parquet_generator_spark.plans import reference_queries17 as R17
+from parquet_generator_spark.plans import reference_queries18 as R18
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -168,6 +169,7 @@ def queries() -> dict[str, QueryFn]:
         **R15.QUERIES,
         **R16.QUERIES,
         **R17.QUERIES,
+        **R18.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -221,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         **R15.ORACLES,
         **R16.ORACLES,
         **R17.ORACLES,
+        **R18.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

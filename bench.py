@@ -324,6 +324,9 @@ HEADLINE = [
     "url_domain_stats",
     "dsl_bucket_correlation",
     "dsl_bucket_count_ks_test",
+    "dsl_parent_id",
+    "dsl_sparse_vector",
+    "dsl_rank_eval",
 ]
 
 
