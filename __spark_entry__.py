@@ -55,6 +55,7 @@ from parquet_generator_spark.plans import reference_queries15 as R15
 from parquet_generator_spark.plans import reference_queries16 as R16
 from parquet_generator_spark.plans import reference_queries17 as R17
 from parquet_generator_spark.plans import reference_queries18 as R18
+from parquet_generator_spark.plans import reference_queries19 as R19
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -170,6 +171,7 @@ def queries() -> dict[str, QueryFn]:
         **R16.QUERIES,
         **R17.QUERIES,
         **R18.QUERIES,
+        **R19.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -224,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         **R16.ORACLES,
         **R17.ORACLES,
         **R18.ORACLES,
+        **R19.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

@@ -898,8 +898,71 @@ def translate_query(q: dict | None) -> Column:
         for f in fields:
             acc = acc | (F.col(f).isNotNull() & match_any(f, val))
         return acc
-    if kind == "ids":
-        return F.col("_id").isNotNull() & F.col("_id").isin(list(body["values"]))
+    if kind == "combined_fields":
+        # ES 7.13 combined_fields: term-centric match over several
+        # text fields analyzed as one — a term matches when it
+        # appears in ANY of the fields, and operator /
+        # minimum_should_match apply across TERMS (not fields).
+        # Field ^boosts are scoring-only (score_query), as in ES.
+        toks = _tokens(body["query"])
+        fields = [f.split("^", 1)[0] for f in body["fields"]]
+        if not toks or not fields:
+            raise ValueError("combined_fields: empty query or fields")
+        hits = []
+        for t in toks:
+            any_f = F.lit(False)
+            for f in fields:
+                any_f = any_f | (F.col(f).isNotNull()
+                                 & token_present(f, t))
+            hits.append(any_f)
+        if body.get("operator", "or") == "and":
+            out = F.lit(True)
+            for h in hits:
+                out = out & h
+            return out
+        msm = int(body.get("minimum_should_match", 1))
+        if msm > len(hits):
+            return F.lit(False)
+        if msm == 1:
+            out = F.lit(False)
+            for h in hits:
+                out = out | h
+            return out
+        n = None
+        for h in hits:
+            c = h.cast("int")
+            n = c if n is None else n + c
+        return n >= F.lit(msm)
+    if kind == "match_bool_prefix":
+        # ES match_bool_prefix: each analyzed term becomes a term
+        # clause except the LAST, which matches as a token prefix;
+        # clauses combine as bool-should with minimum_should_match
+        # (default 1, like the bool it desugars to).
+        field, spec = next(iter(body.items()))
+        if isinstance(spec, dict):
+            val = spec["query"]
+            msm = int(spec.get("minimum_should_match", 1))
+        else:
+            val, msm = spec, 1
+        toks = _tokens(val)
+        if not toks:
+            raise ValueError("match_bool_prefix: empty query")
+        nn = F.col(field).isNotNull()
+        clauses = [token_present(field, t) for t in toks[:-1]]
+        clauses.append(F.lower(F.col(field))
+                       .rlike(f"{_B_L}{re.escape(toks[-1])}"))
+        if msm > len(clauses):
+            return F.lit(False)
+        if msm == 1:
+            out = F.lit(False)
+            for c in clauses:
+                out = out | c
+            return nn & out
+        n = None
+        for cl in clauses:
+            c = cl.cast("int")
+            n = c if n is None else n + c
+        return nn & (n >= F.lit(msm))
     if kind == "wrapper":
         # base64-encoded JSON query, decoded on the driver at plan
         # time (zero runtime cost; the inner query pushes down like
@@ -1073,6 +1136,22 @@ def score_query(q: dict | None, boost: float = 1.0) -> Column:
         for p in parts:
             total = total + p
         return F.when(translate_query(q), total).otherwise(F.lit(0.0))
+    if kind == "combined_fields":
+        # deterministic stand-in for BM25F's term-centric blend: each
+        # term contributes the ^boost-weighted count of fields that
+        # contain it, summed over terms and gated on the query
+        # matching (so operator/msm still decide WHO scores)
+        total = F.lit(0.0)
+        toks = _tokens(body["query"])
+        for spec in body["fields"]:
+            name, _, w = spec.partition("^")
+            fw = float(w) if w else 1.0
+            for t in toks:
+                total = total + F.when(
+                    F.col(name).isNotNull() & token_present(name, t),
+                    F.lit(fw)).otherwise(F.lit(0.0))
+        return F.when(translate_query(q),
+                      F.lit(float(boost)) * total).otherwise(F.lit(0.0))
     # leaf: honor a per-leaf "boost" in the field spec if present
     # (guard the probe — match_all's body is an empty dict, the
     # canonical ES idiom under scoring compounds)
@@ -1129,6 +1208,41 @@ def rescore_search(df: DataFrame, body: dict,
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", id_col, "score").orderBy("rank"))
+
+
+def render_search_template(template: str, params: dict) -> dict:
+    """ES search templates: render the mustache subset ES documents
+    into a query body dict. Supported: ``{{var}}`` substitution
+    (inserted as raw text — the template supplies any quoting, as in
+    ES), ``{{#toJson}}var{{/toJson}}`` (JSON-encodes lists/dicts),
+    conditional sections ``{{#var}}...{{/var}}`` (kept when the param
+    is truthy) and inverted ``{{^var}}...{{/var}}`` (kept when falsy
+    or absent). Sections don't nest — ES's own examples don't either.
+    Rendering happens on the driver at plan time (like `wrapper`);
+    the result is an ordinary body for ``search``/``translate_query``.
+    """
+    import json
+
+    def _section(m):
+        neg, name, inner = m.group(1) == "^", m.group(2), m.group(3)
+        keep = bool(params.get(name)) != neg
+        return inner if keep else ""
+
+    # toJson first: it shares the {{#...}} shape with sections
+    out = re.sub(r"\{\{#toJson\}\}(\w+)\{\{/toJson\}\}",
+                 lambda m: json.dumps(params[m.group(1)]), template)
+    out = re.sub(r"\{\{([#^])(\w+)\}\}(.*?)\{\{/\2\}\}",
+                 _section, out, flags=re.S)
+
+    def _var(m):
+        name = m.group(1)
+        if name not in params:
+            raise KeyError(f"search template: missing param {name!r}")
+        v = params[name]
+        return json.dumps(v) if isinstance(v, (list, dict)) else str(v)
+
+    out = re.sub(r"\{\{(\w+)\}\}", _var, out)
+    return json.loads(out)
 
 
 def osa_distance(a: str, b: str) -> int:
