@@ -19,6 +19,7 @@ from parquet_generator_spark.plans import analytics3 as A3
 from parquet_generator_spark.plans import analytics4 as A4
 from parquet_generator_spark.plans import analytics5 as A5
 from parquet_generator_spark.plans import analytics6 as A6
+from parquet_generator_spark.plans import analytics7 as A7
 from parquet_generator_spark.plans import llm_queries as L
 from parquet_generator_spark.plans import llm_queries2 as L2
 from parquet_generator_spark.plans import llm_queries3 as L3
@@ -36,6 +37,7 @@ from parquet_generator_spark.plans import llm_queries14 as L14
 from parquet_generator_spark.plans import llm_queries15 as L15
 from parquet_generator_spark.plans import llm_queries16 as L16
 from parquet_generator_spark.plans import llm_queries17 as L17
+from parquet_generator_spark.plans import llm_queries18 as L18
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -68,6 +70,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CORRECTNESS_r08, followed by every round-8 addition (all green in
 # this round's full driver-sim). Queries not listed follow in
 # registration order (all already driver-green in earlier rounds).
+#
+# ROUND-9 ROTATION DEBT: round 8 added more queries than the window
+# holds. Never driver-sampled (full driver-sim green this round, all
+# MATCH): dsl_parent_id, dsl_sparse_vector, dsl_rank_eval,
+# dsl_combined_fields, dsl_match_bool_prefix, dsl_min_max_sum_bucket,
+# dsl_msearch, dsl_search_template, dsl_rrf, dsl_geo_polygon,
+# dedup_edit_distance, url_dedup_normalized, pii_density,
+# url_blocklist_filter, benford_digits, pareto_cumshare, yoy_growth
+# (+ any later round-8 additions). Round 9: put THESE at the front.
 FRONT_KEYS = [
     # round-7 additions never driver-sampled (7)
     "embedding_pq", "dsl_rank_feature", "dsl_script_score",
@@ -150,6 +161,7 @@ def queries() -> dict[str, QueryFn]:
         **L15.QUERIES,
         **L16.QUERIES,
         **L17.QUERIES,
+        **L18.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -183,6 +195,7 @@ def queries() -> dict[str, QueryFn]:
         **A4.QUERIES,
         **A5.QUERIES,
         **A6.QUERIES,
+        **A7.QUERIES,
     })
 
 
@@ -205,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         **L15.ORACLES,
         **L16.ORACLES,
         **L17.ORACLES,
+        **L18.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,
@@ -238,4 +252,5 @@ def oracle_sql() -> dict[str, str]:
         **A4.ORACLES,
         **A5.ORACLES,
         **A6.ORACLES,
+        **A7.ORACLES,
     }
