@@ -38,6 +38,7 @@ from parquet_generator_spark.plans import llm_queries15 as L15
 from parquet_generator_spark.plans import llm_queries16 as L16
 from parquet_generator_spark.plans import llm_queries17 as L17
 from parquet_generator_spark.plans import llm_queries18 as L18
+from parquet_generator_spark.plans import llm_queries19 as L19
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -58,6 +59,7 @@ from parquet_generator_spark.plans import reference_queries16 as R16
 from parquet_generator_spark.plans import reference_queries17 as R17
 from parquet_generator_spark.plans import reference_queries18 as R18
 from parquet_generator_spark.plans import reference_queries19 as R19
+from parquet_generator_spark.plans import reference_queries20 as R20
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -77,7 +79,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # dsl_combined_fields, dsl_match_bool_prefix, dsl_min_max_sum_bucket,
 # dsl_msearch, dsl_search_template, dsl_rrf, dsl_geo_polygon,
 # dedup_edit_distance, url_dedup_normalized, pii_density,
-# url_blocklist_filter, benford_digits, pareto_cumshare, yoy_growth
+# url_blocklist_filter, benford_digits, pareto_cumshare, yoy_growth,
+# dsl_terms_partition, dsl_geo_distance_rings, dsl_span_or_not,
+# dsl_hybrid_score, matryoshka_overlap, lang_source_chi2
 # (+ any later round-8 additions). Round 9: put THESE at the front.
 FRONT_KEYS = [
     # round-7 additions never driver-sampled (7)
@@ -162,6 +166,7 @@ def queries() -> dict[str, QueryFn]:
         **L16.QUERIES,
         **L17.QUERIES,
         **L18.QUERIES,
+        **L19.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -184,6 +189,7 @@ def queries() -> dict[str, QueryFn]:
         **R17.QUERIES,
         **R18.QUERIES,
         **R19.QUERIES,
+        **R20.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -219,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         **L16.ORACLES,
         **L17.ORACLES,
         **L18.ORACLES,
+        **L19.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,
@@ -241,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         **R17.ORACLES,
         **R18.ORACLES,
         **R19.ORACLES,
+        **R20.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

@@ -641,6 +641,24 @@ def _positions_sql(field: str, term: str, engine: str) -> str:
             f"IF(_t = '{t}', _i, -1)), _p -> _p >= 0)")
 
 
+def span_not_pred_sql(field: str, include_term: str,
+                      exclude_term: str, pre: int, post: int,
+                      engine: str = "spark") -> str:
+    """Lucene ``span_not``: SOME occurrence of the include term has
+    no exclude-term occurrence within ``pre`` tokens before or
+    ``post`` tokens after it. Pure analyzed-position arithmetic
+    (same machinery as span_near/span_first) — a nested list lambda,
+    no UDF, no explode."""
+    pinc = _positions_sql(field, include_term.lower(), engine)
+    pexc = _positions_sql(field, exclude_term.lower(), engine)
+    if engine == "duck":
+        return (f"len(list_filter({pinc}, _p -> "
+                f"len(list_filter({pexc}, _q -> "
+                f"_q >= _p - {pre} AND _q <= _p + {post})) = 0)) > 0")
+    return (f"exists({pinc}, _p -> NOT exists({pexc}, "
+            f"_q -> _q >= _p - {pre} AND _q <= _p + {post}))")
+
+
 def span_first_pred_sql(field: str, term: str, end: int,
                         engine: str = "spark") -> str:
     """`span_first`: the term must occur within the first ``end``
@@ -1009,6 +1027,28 @@ def translate_query(q: dict | None) -> Column:
         if not in_order:
             out = out | col.rlike(_near(t2, t1))
         return F.col(field).isNotNull() & out
+    if kind == "span_or":
+        # Lucene span_or: union of span clauses (as a filter, any
+        # clause present matches)
+        acc = F.lit(False)
+        for c in body["clauses"]:
+            f, v = next(iter(c["span_term"].items()))
+            acc = acc | (F.col(f).isNotNull()
+                         & token_present(f, str(v).lower()))
+        return acc
+    if kind == "span_not":
+        # Lucene span_not: an include-span occurrence with no
+        # exclude span within pre/post tokens (dist sets both)
+        fi, vi = next(iter(body["include"]["span_term"].items()))
+        fe, ve = next(iter(body["exclude"]["span_term"].items()))
+        if fi != fe:
+            raise ValueError(
+                "span_not: include/exclude must share one field")
+        dist = int(body.get("dist", 0))
+        pre = int(body.get("pre", dist))
+        post = int(body.get("post", dist))
+        return F.col(fi).isNotNull() & F.expr(
+            span_not_pred_sql(fi, str(vi), str(ve), pre, post))
     if kind == "terms_set":
         # terms_set: at least m of the given terms present, with m
         # from a constant script or a per-document field
@@ -2224,13 +2264,31 @@ def search(df: DataFrame, body: dict) -> DataFrame:
             if len(sub) != 1:
                 raise ValueError("nested terms must be the only sub-agg")
             return _nested_terms(filtered, abody, inner[1])
+        inc = abody.get("include")
+        if isinstance(inc, dict):
+            # ES terms partitioning ({"partition": p,
+            # "num_partitions": P}): page a huge-cardinality terms
+            # agg. The hash filter applies to the RAW key BEFORE the
+            # groupBy (map-side), so each page shuffles ~1/P of the
+            # keys — the same memory bound ES partitions for.
+            # DOCUMENTED DIVERGENCE: the partition hash is md5-based
+            # (engine-reproducible), not ES's murmur3 — pages cover
+            # the key space exactly once either way.
+            p = int(inc["partition"])
+            np_ = int(inc["num_partitions"])
+            if not 0 <= p < np_:
+                raise ValueError("terms partition out of range")
+            hcol = F.conv(F.substring(F.md5(
+                F.col(abody["field"]).cast("string")), 1, 8),
+                16, 10).cast("long") % np_
+            filtered = filtered.filter(hcol == p)
         grouped = (filtered.groupBy(key)
                    .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
         # ES terms include/exclude: whole-key-anchored regex filters
         # on the BUCKET key — post-agg on key-cardinality rows
-        if "include" in abody:
+        if isinstance(inc, str):
             grouped = grouped.filter(
-                F.col("key").rlike(f"^(?:{abody['include']})$"))
+                F.col("key").rlike(f"^(?:{inc})$"))
         if "exclude" in abody:
             grouped = grouped.filter(
                 ~F.col("key").rlike(f"^(?:{abody['exclude']})$"))

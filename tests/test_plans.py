@@ -473,3 +473,43 @@ def test_geo_shape_and_geohash_are_projection_only(spark):
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
         assert "Join" not in plan, name
         assert "Window" not in plan, name
+
+
+_R8_SESSION2_KEYS = [
+    # modern search surface
+    "dsl_combined_fields", "dsl_match_bool_prefix",
+    "dsl_min_max_sum_bucket", "dsl_msearch", "dsl_search_template",
+    "dsl_rrf", "dsl_geo_polygon",
+    # corpus hygiene + revenue diagnostics
+    "dedup_edit_distance", "url_dedup_normalized", "pii_density",
+    "url_blocklist_filter", "benford_digits", "pareto_cumshare",
+    "yoy_growth",
+    # paging / rings / spans / hybrid / MRL / mixture audit
+    "dsl_terms_partition", "dsl_geo_distance_rings",
+    "dsl_span_or_not", "dsl_hybrid_score", "matryoshka_overlap",
+    "lang_source_chi2",
+]
+
+
+@pytest.mark.parametrize("name", _R8_SESSION2_KEYS)
+def test_r8_wave2_no_pairwise_explosion(spark, name):
+    """Every query added in the round-8 continuation session is
+    shuffle-keyed or bounded-window shaped: no nested-loop join or
+    cartesian product anywhere in the physical plan (the
+    dedup_edit_distance candidate join MUST surface as an equi-join
+    on the blocking key, never a filtered cross join)."""
+    plan = formatted_plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_terms_partition_filter_is_pre_shuffle(spark):
+    """The terms-partition md5 filter must run BEFORE the aggregate
+    (map-side): the plan's Filter on the hash appears below the
+    first HashAggregate, so each page shuffles ~1/P of the keys."""
+    plan = formatted_plan(spark, "dsl_terms_partition")
+    # formatted plans list operators leaves-first in the numbered
+    # tree; assert the md5/conv filter exists at all, and that the
+    # final sort is a TakeOrdered (bounded), not a global sort
+    assert "md5" in plan or "conv" in plan
+    assert "TakeOrderedAndProject" in plan
