@@ -39,6 +39,7 @@ from parquet_generator_spark.plans import llm_queries16 as L16
 from parquet_generator_spark.plans import llm_queries17 as L17
 from parquet_generator_spark.plans import llm_queries18 as L18
 from parquet_generator_spark.plans import llm_queries19 as L19
+from parquet_generator_spark.plans import llm_queries20 as L20
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -81,7 +82,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # dedup_edit_distance, url_dedup_normalized, pii_density,
 # url_blocklist_filter, benford_digits, pareto_cumshare, yoy_growth,
 # dsl_terms_partition, dsl_geo_distance_rings, dsl_span_or_not,
-# dsl_hybrid_score, matryoshka_overlap, lang_source_chi2
+# dsl_hybrid_score, matryoshka_overlap, lang_source_chi2,
+# exif_orientation_parse
 # (+ any later round-8 additions). Round 9: put THESE at the front.
 FRONT_KEYS = [
     # round-7 additions never driver-sampled (7)
@@ -167,6 +169,7 @@ def queries() -> dict[str, QueryFn]:
         **L17.QUERIES,
         **L18.QUERIES,
         **L19.QUERIES,
+        **L20.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -226,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         **L17.ORACLES,
         **L18.ORACLES,
         **L19.ORACLES,
+        **L20.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

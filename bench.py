@@ -327,6 +327,27 @@ HEADLINE = [
     "dsl_parent_id",
     "dsl_sparse_vector",
     "dsl_rank_eval",
+    "dsl_combined_fields",
+    "dsl_match_bool_prefix",
+    "dsl_min_max_sum_bucket",
+    "dsl_msearch",
+    "dsl_search_template",
+    "dsl_rrf",
+    "dsl_geo_polygon",
+    "dedup_edit_distance",
+    "url_dedup_normalized",
+    "pii_density",
+    "url_blocklist_filter",
+    "benford_digits",
+    "pareto_cumshare",
+    "yoy_growth",
+    "dsl_terms_partition",
+    "dsl_geo_distance_rings",
+    "dsl_span_or_not",
+    "dsl_hybrid_score",
+    "matryoshka_overlap",
+    "lang_source_chi2",
+    "exif_orientation_parse",
 ]
 
 

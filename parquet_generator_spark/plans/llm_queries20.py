@@ -1,0 +1,176 @@
+"""LLM-pipeline wave 20: EXIF orientation — a TWO-LEVEL container
+walk (JPEG APP1 segment -> embedded TIFF structure).
+
+Every real image pipeline needs EXIF orientation before resizing or
+captioning (orientations 5-8 transpose width/height; ignoring them
+feeds models sideways images). Structurally this is the hardest
+metadata parse in the corpus family: a JPEG marker segment whose
+payload is a SECOND container (TIFF) with its OWN byte order chosen
+per file ('II' little / 'MM' big), a parsed IFD offset that must be
+followed (not assumed), and a variable-length entry table that must
+be SCANNED for tag 0x0112 — three data-dependent indirections, all
+unrolled to codegen substring+hex arithmetic. No UDF, no shuffle.
+
+Payload variability (so fixed-offset or fixed-endianness parsers
+hash-mismatch immediately): byte order alternates per doc, the IFD
+offset carries 4 bytes of pad on every 3rd doc, and the entry count
+is 3 or 4 with Orientation always LAST.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _hx(c, n: int):
+    """n-byte big-endian hex string of an int column."""
+    return F.lpad(F.hex(c.cast("long")), 2 * n, "0")
+
+
+def _hx_le(c, n: int):
+    """n-byte little-endian hex string of an int column."""
+    parts = [
+        F.lpad(F.hex(F.floor(c / (1 << (8 * i))).cast("long") % 256),
+               2, "0")
+        for i in range(n)]
+    return F.concat(*parts)
+
+
+_W = (F.col("n_chars") % 512 + 16).cast("int")
+_H = (F.col("n_chars") % 384 + 16).cast("int")
+_ORI = (F.col("doc_id") % 8 + 1).cast("int")
+_LE = F.col("doc_id") % 2 == 0          # 'II' on even docs
+_PAD = F.col("doc_id") % 3 == 0         # IFD offset 12, not 8
+_N_ENTRIES = (F.col("doc_id") % 2 + 3).cast("int")  # 3 or 4
+
+
+def _exif_payload():
+    """SOI + APP1("Exif\\0\\0" + TIFF): header byte order II/MM, IFD
+    offset 8 or 12 (4 pad bytes), 3-4 IFD entries (ImageWidth,
+    ImageLength, [ResolutionUnit], Orientation last), zero next-IFD
+    pointer. Everything a real camera writes, minus the thumbnail."""
+    def u16(c):
+        return F.when(_LE, _hx_le(c, 2)).otherwise(_hx(c, 2))
+
+    def u32(c):
+        return F.when(_LE, _hx_le(c, 4)).otherwise(_hx(c, 4))
+
+    def entry(tag: int, val):
+        return F.concat(u16(F.lit(tag)), u16(F.lit(3)),
+                        u32(F.lit(1)), u16(val), F.lit("0000"))
+
+    bo = F.when(_LE, F.lit("4949")).otherwise(F.lit("4D4D"))
+    magic = F.when(_LE, F.lit("2A00")).otherwise(F.lit("002A"))
+    ifd_off = F.when(_PAD, F.lit(12)).otherwise(F.lit(8))
+    pad = F.when(_PAD, F.lit("00000000")).otherwise(F.lit(""))
+    extra = F.when(F.col("doc_id") % 2 == 1,
+                   entry(0x0128, F.lit(2))).otherwise(F.lit(""))
+    tiff = F.concat(
+        bo, magic, u32(ifd_off), pad,
+        u16(_N_ENTRIES),
+        entry(0x0100, _W), entry(0x0101, _H), extra,
+        entry(0x0112, _ORI),
+        F.lit("00000000"))
+    tiff_bytes = F.length(tiff) / 2
+    app1_len = (tiff_bytes + 8).cast("int")  # len(2) + "Exif\0\0"(6)
+    return F.unhex(F.concat(
+        F.lit("FFD8"), F.lit("FFE1"), _hx(app1_len, 2),
+        F.lit("457869660000"), tiff))
+
+
+def exif_orientation_parse(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Parse EXIF orientation the way a 100-TB profiling pass must:
+    verify the APP1/Exif envelope, read the TIFF byte-order mark,
+    branch EVERY later read on it, FOLLOW the parsed IFD offset
+    (not byte 8 — a third of the corpus pads it), scan the IFD
+    entry table for tag 0x0112, and emit orientation + the
+    transpose flag (orientations 5-8 swap width/height downstream).
+    The unrolled entry scan covers 4 slots; dims read back from
+    their own tags as a cross-check."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        _exif_payload().alias("payload"))
+
+    def b(pos):
+        return (F.conv(F.hex(F.expr(
+            f"substring(payload, CAST({pos} AS INT), 1)")), 16, 10)
+            .cast("int"))
+
+    le = b("13") == 0x49  # 'I'
+
+    def rd16(pos):
+        return F.when(le, b(pos) + b(f"({pos}) + 1") * 256) \
+            .otherwise(b(pos) * 256 + b(f"({pos}) + 1"))
+
+    def rd32(pos):
+        out = None
+        for i in range(4):
+            byte = b(f"({pos}) + {i}")
+            term = F.when(le, byte * (1 << (8 * i))) \
+                .otherwise(byte * (1 << (8 * (3 - i))))
+            out = term if out is None else out + term
+        return out
+
+    # TIFF structure starts at byte 13 (1-based); offsets inside the
+    # file are relative to it
+    media = (media
+             .withColumn("_ok", (b("3") == 0xFF) & (b("4") == 0xE1)
+                         & (F.expr("substring(payload, 7, 6)")
+                            == F.unhex(F.lit("457869660000"))))
+             .withColumn("_le", le)
+             .withColumn("_ifd", (F.lit(13) + rd32("17")).cast("int")))
+    n = rd16("_ifd")
+    media = media.withColumn("_n", n.cast("int"))
+
+    tag_cols, val_cols = [], []
+    for i in range(4):
+        pos = f"_ifd + 2 + {12 * i}"
+        tag_cols.append(rd16(pos))
+        val_cols.append(rd16(f"({pos}) + 8"))
+
+    def find(tag: int):
+        # entry-table scan, first hit wins; slots beyond the parsed
+        # entry count must not match (they'd read past the IFD)
+        out = F.lit(None).cast("int")
+        for i in range(3, -1, -1):
+            out = F.when(
+                (F.lit(i) < F.col("_n")) & (tag_cols[i] == tag),
+                val_cols[i]).otherwise(out)
+        return out
+
+    ori = find(0x0112)
+    return (media.select(
+        "media_id",
+        F.when(F.col("_le"), F.lit("II")).otherwise(F.lit("MM"))
+        .alias("byte_order"),
+        F.col("_n").alias("n_entries"),
+        find(0x0100).alias("width"),
+        find(0x0101).alias("height"),
+        ori.alias("orientation"),
+        (ori >= 5).alias("needs_transpose"),
+        F.col("_ok").alias("envelope_ok"))
+        .orderBy("media_id"))
+
+
+EXIF_ORIENTATION_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       CAST(doc_id % 2 + 3 AS INT) AS n_entries,
+       CAST(n_chars % 512 + 16 AS INT) AS width,
+       CAST(n_chars % 384 + 16 AS INT) AS height,
+       CAST(doc_id % 8 + 1 AS INT) AS orientation,
+       doc_id % 8 + 1 >= 5 AS needs_transpose,
+       true AS envelope_ok
+FROM documents ORDER BY media_id
+"""
+
+
+QUERIES.update({"exif_orientation_parse": exif_orientation_parse})
+ORACLES.update({"exif_orientation_parse": EXIF_ORIENTATION_ORACLE})
