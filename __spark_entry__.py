@@ -83,7 +83,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # url_blocklist_filter, benford_digits, pareto_cumshare, yoy_growth,
 # dsl_terms_partition, dsl_geo_distance_rings, dsl_span_or_not,
 # dsl_hybrid_score, matryoshka_overlap, lang_source_chi2,
-# exif_orientation_parse
+# exif_orientation_parse, dsl_rule_query
 # (+ any later round-8 additions). Round 9: put THESE at the front.
 FRONT_KEYS = [
     # round-7 additions never driver-sampled (7)

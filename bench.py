@@ -348,6 +348,7 @@ HEADLINE = [
     "matryoshka_overlap",
     "lang_source_chi2",
     "exif_orientation_parse",
+    "dsl_rule_query",
 ]
 
 

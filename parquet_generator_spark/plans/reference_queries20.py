@@ -262,15 +262,114 @@ ORDER BY score DESC, id ASC LIMIT {_HY_K}
 """
 
 
+# ------------------------------------------------------ dsl_rule_query
+
+_QUERY_RULES = [
+    {"rule_id": "promo-spark", "type": "pinned",
+     "criteria": [{"type": "contains", "metadata": "user_query",
+                   "values": ["spark"]}],
+     "ids": [42, 7]},
+    {"rule_id": "hide-legacy", "type": "exclude",
+     "criteria": [{"type": "exact", "metadata": "user_lang",
+                   "values": ["en"]}],
+     "ids": [3, 11]},
+    {"rule_id": "never-fires", "type": "pinned",
+     "criteria": [{"type": "exact", "metadata": "user_query",
+                   "values": ["tensor"]}],
+     "ids": [999]},
+]
+_RULE_METADATA = {"user_query": "spark joins", "user_lang": "en"}
+_RULE_K = 12
+
+
+def _criteria_match(crit: dict, metadata: dict) -> bool:
+    v = metadata.get(crit["metadata"])
+    if v is None:
+        return False
+    if crit["type"] == "exact":
+        return any(v == x for x in crit["values"])
+    if crit["type"] == "contains":
+        return any(x in v for x in crit["values"])
+    if crit["type"] == "prefix":
+        return any(v.startswith(x) for x in crit["values"])
+    raise ValueError(f"unsupported rule criteria {crit['type']!r}")
+
+
+def resolve_query_rules(rules: list[dict],
+                        metadata: dict) -> tuple[list[int], list[int]]:
+    """ES 8.10 query rules: rules whose criteria ALL match the
+    request metadata activate; pinned ids promote in rule order,
+    exclude ids drop. Resolution is pure driver-side logic on the
+    (small, curated) ruleset — by the time Spark sees anything, the
+    rules are two literal id lists."""
+    pinned: list[int] = []
+    excluded: list[int] = []
+    for r in rules:
+        if all(_criteria_match(c, metadata) for c in r["criteria"]):
+            dest = pinned if r["type"] == "pinned" else excluded
+            for i in r["ids"]:
+                if i not in dest:
+                    dest.append(i)
+    return pinned, excluded
+
+
+def dsl_rule_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rule_query` (ES 8.10 query rules): the curated-search layer —
+    for this request's metadata the 'promo-spark' rule fires (pins
+    42, 7), 'hide-legacy' fires (excludes 3, 11), 'never-fires'
+    doesn't. Rules resolve on the driver at plan time; the executed
+    plan is dsl_pinned's shape (array_position projection + bounded
+    TakeOrdered) plus a NOT IN filter — no joins, nothing data-scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    pinned, excluded = resolve_query_rules(_QUERY_RULES, _RULE_METADATA)
+    pin_rank = F.array_position(
+        F.array(*[F.lit(i).cast("long") for i in pinned]),
+        F.col("doc_id"))
+    organic = translate_query({"match": {"text": "spark"}})
+    kept = (docs.withColumn("pin", pin_rank)
+            .filter(((F.col("pin") > 0) | organic)
+                    & ~F.col("doc_id").isin(excluded)))
+    order = [(F.col("pin") > 0).desc(), F.col("pin").asc(),
+             F.col("doc_id").asc()]
+    top = kept.orderBy(*order).limit(_RULE_K)
+    w = Window.orderBy(*order)
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id",
+                    (F.col("pin") > 0).alias("pinned"))
+            .orderBy("rank"))
+
+
+def _rule_query_oracle() -> str:
+    pinned, excluded = resolve_query_rules(_QUERY_RULES, _RULE_METADATA)
+    exc = ", ".join(str(i) for i in excluded)
+    return f"""
+WITH kept AS (
+  SELECT doc_id,
+         list_position({pinned}, doc_id) AS pin
+  FROM documents
+  WHERE (list_position({pinned}, doc_id) > 0
+         OR {_tok_duck('text', 'spark')})
+    AND doc_id NOT IN ({exc}))
+SELECT CAST(row_number() OVER
+            (ORDER BY (pin > 0) DESC, pin, doc_id) AS INT) AS rank,
+       doc_id, pin > 0 AS pinned
+FROM kept
+ORDER BY (pin > 0) DESC, pin, doc_id
+LIMIT {_RULE_K}
+"""
+
+
 QUERIES.update({
     "dsl_terms_partition": dsl_terms_partition,
     "dsl_geo_distance_rings": dsl_geo_distance_rings,
     "dsl_span_or_not": dsl_span_or_not,
     "dsl_hybrid_score": dsl_hybrid_score,
+    "dsl_rule_query": dsl_rule_query,
 })
 ORACLES.update({
     "dsl_terms_partition": DSL_TERMS_PARTITION_ORACLE,
     "dsl_geo_distance_rings": _geo_rings_oracle(),
     "dsl_span_or_not": _span_or_not_oracle(),
     "dsl_hybrid_score": _hybrid_oracle(),
+    "dsl_rule_query": _rule_query_oracle(),
 })
