@@ -42,19 +42,22 @@ def _hx_le(c, n: int):
     return F.concat(*parts)
 
 
-_W = (F.col("n_chars") % 512 + 16).cast("int")
-_H = (F.col("n_chars") % 384 + 16).cast("int")
-_ORI = (F.col("doc_id") % 8 + 1).cast("int")
-_LE = F.col("doc_id") % 2 == 0          # 'II' on even docs
-_PAD = F.col("doc_id") % 3 == 0         # IFD offset 12, not 8
-_N_ENTRIES = (F.col("doc_id") % 2 + 3).cast("int")  # 3 or 4
-
-
 def _exif_payload():
     """SOI + APP1("Exif\\0\\0" + TIFF): header byte order II/MM, IFD
     offset 8 or 12 (4 pad bytes), 3-4 IFD entries (ImageWidth,
     ImageLength, [ResolutionUnit], Orientation last), zero next-IFD
-    pointer. Everything a real camera writes, minus the thumbnail."""
+    pointer. Everything a real camera writes, minus the thumbnail.
+
+    Column expressions build INSIDE this function, never at module
+    scope: classic PySpark's F.col() needs an active SparkContext,
+    and the driver/bench import this module before starting one."""
+    _W = (F.col("n_chars") % 512 + 16).cast("int")
+    _H = (F.col("n_chars") % 384 + 16).cast("int")
+    _ORI = (F.col("doc_id") % 8 + 1).cast("int")
+    _LE = F.col("doc_id") % 2 == 0      # 'II' on even docs
+    _PAD = F.col("doc_id") % 3 == 0     # IFD offset 12, not 8
+    _N_ENTRIES = (F.col("doc_id") % 2 + 3).cast("int")  # 3 or 4
+
     def u16(c):
         return F.when(_LE, _hx_le(c, 2)).otherwise(_hx(c, 2))
 
