@@ -79,14 +79,24 @@ def matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("id", rank_name))
 
     joined = leg("full_cos", "fr").join(leg("trunc_cos", "tr"), "id")
-    ks = F.explode(F.array(*[F.lit(k) for k in _MRL_KS])).alias("k")
-    return (joined.select(ks, "fr", "tr")
-            .groupBy("k")
-            .agg(F.sum(F.when((F.col("fr") <= F.col("k"))
-                              & (F.col("tr") <= F.col("k")), 1)
-                       .otherwise(0)).cast("long").alias("n_common"))
-            .select("k", "n_common",
-                    F.round(F.col("n_common") / F.col("k"), 4)
+    # one scalar agg, then unpivot the single row to k rows — the
+    # output contract (one row per k) must hold even when the two
+    # top-k sets are DISJOINT (observed at the sf1 checkpoint:
+    # noise-dominated vectors -> empty intersection; an explode
+    # built FROM the join would emit zero rows there)
+    counts = joined.agg(*[
+        F.coalesce(F.sum(((F.col("fr") <= k) & (F.col("tr") <= k))
+                         .cast("int")), F.lit(0)).cast("long")
+        .alias(f"n{k}")
+        for k in _MRL_KS])
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(k).alias("k"),
+                 F.col(f"n{k}").alias("n_common"))
+        for k in _MRL_KS])).alias("s")
+    return (counts.select(rows)
+            .select(F.col("s.k").alias("k"),
+                    F.col("s.n_common").alias("n_common"),
+                    F.round(F.col("s.n_common") / F.col("s.k"), 4)
                     .alias("overlap"))
             .orderBy("k"))
 
@@ -122,7 +132,7 @@ SELECT k,
          AS n_common,
        round(count(*) FILTER (WHERE fr <= k AND tr <= k)
              / CAST(k AS DOUBLE), 4) AS overlap
-FROM ks CROSS JOIN joined
+FROM ks LEFT JOIN joined ON true
 GROUP BY k ORDER BY k
 """
 
