@@ -61,6 +61,7 @@ from parquet_generator_spark.plans import reference_queries17 as R17
 from parquet_generator_spark.plans import reference_queries18 as R18
 from parquet_generator_spark.plans import reference_queries19 as R19
 from parquet_generator_spark.plans import reference_queries20 as R20
+from parquet_generator_spark.plans import reference_queries21 as R21
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -83,7 +84,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # url_blocklist_filter, benford_digits, pareto_cumshare, yoy_growth,
 # dsl_terms_partition, dsl_geo_distance_rings, dsl_span_or_not,
 # dsl_hybrid_score, matryoshka_overlap, lang_source_chi2,
-# exif_orientation_parse, dsl_rule_query
+# exif_orientation_parse, dsl_rule_query, dq_referential_audit,
+# incremental_agg_merge, dsl_ltr_rescore, dsl_retriever_pipeline
 # (+ any later round-8 additions). Round 9: put THESE at the front.
 FRONT_KEYS = [
     # round-7 additions never driver-sampled (7)
@@ -193,6 +195,7 @@ def queries() -> dict[str, QueryFn]:
         **R18.QUERIES,
         **R19.QUERIES,
         **R20.QUERIES,
+        **R21.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -253,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         **R18.ORACLES,
         **R19.ORACLES,
         **R20.ORACLES,
+        **R21.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

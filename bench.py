@@ -349,6 +349,10 @@ HEADLINE = [
     "lang_source_chi2",
     "exif_orientation_parse",
     "dsl_rule_query",
+    "dq_referential_audit",
+    "incremental_agg_merge",
+    "dsl_ltr_rescore",
+    "dsl_retriever_pipeline",
 ]
 
 

@@ -193,13 +193,168 @@ ORDER BY a.yr
 """
 
 
+# ------------------------------------------------ dq_referential_audit
+
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse data-quality audit — the checks an ETL gate runs on
+    every load: FK orphan counts across the star schema (anti-join
+    per edge), domain violations (negative qty/price), and the
+    order-total reconciliation |o_totalprice - sum(line net)| > 1
+    cent. Each check is one keyed anti-join or one grouped pass; the
+    output is a fixed 6-row report (one per check), so everything
+    after the scans is bounded. On this synthetic corpus the FK
+    edges are clean and the totals deliberately do NOT reconcile —
+    the audit's job is to REPORT that, not assume it."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+
+    def check(name: str, viol: DataFrame, total: DataFrame) -> DataFrame:
+        v = viol.agg(F.count(F.lit(1)).alias("n_violations"))
+        t = total.agg(F.count(F.lit(1)).alias("n_total"))
+        return (broadcast_scalars(v, t)
+                .select(F.lit(name).alias("check_name"),
+                        F.col("n_violations"),
+                        F.col("n_total"),
+                        F.round(F.col("n_violations")
+                                / F.col("n_total"), 6).alias("rate")))
+
+    li_orphan = li.join(o.select("o_orderkey"),
+                        li.l_orderkey == o.o_orderkey, "left_anti")
+    o_orphan = o.join(c.select("c_custkey"),
+                      o.o_custkey == c.c_custkey, "left_anti")
+    lp_orphan = li.join(p.select("p_partkey"),
+                        li.l_partkey == p.p_partkey, "left_anti")
+    neg_qty = li.filter((F.col("l_quantity") <= 0)
+                        | (F.col("l_extendedprice") <= 0))
+    bad_disc = li.filter((F.col("l_discount") < 0)
+                         | (F.col("l_discount") > 1))
+    net = F.round(F.sum(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * (1 + F.col("l_tax"))), 2)
+    recon = (li.groupBy("l_orderkey").agg(net.alias("net"))
+             .join(o.select("o_orderkey", "o_totalprice"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .filter(F.abs(F.col("o_totalprice") - F.col("net"))
+                     > 0.01))
+    out = check("lineitem_order_orphans", li_orphan, li)
+    for name, viol, tot in [
+            ("order_customer_orphans", o_orphan, o),
+            ("lineitem_part_orphans", lp_orphan, li),
+            ("nonpositive_qty_or_price", neg_qty, li),
+            ("discount_out_of_range", bad_disc, li),
+            ("order_total_mismatch", recon, o)]:
+        out = out.unionByName(check(name, viol, tot))
+    return out.orderBy("check_name")
+
+
+DQ_AUDIT_ORACLE = """
+WITH net AS (
+  SELECT l_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount)
+                   * (1 + l_tax)), 2) AS net
+  FROM lineitem GROUP BY l_orderkey)
+SELECT check_name, n_violations, n_total,
+       round(n_violations / CAST(n_total AS DOUBLE), 6) AS rate
+FROM (
+  SELECT 'lineitem_order_orphans' AS check_name,
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+              AS BIGINT) AS n_violations,
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_total
+  UNION ALL
+  SELECT 'order_customer_orphans',
+         CAST((SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+              AS BIGINT),
+         CAST((SELECT count(*) FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem_part_orphans',
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey))
+              AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+  UNION ALL
+  SELECT 'nonpositive_qty_or_price',
+         CAST((SELECT count(*) FROM lineitem
+               WHERE l_quantity <= 0 OR l_extendedprice <= 0)
+              AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+  UNION ALL
+  SELECT 'discount_out_of_range',
+         CAST((SELECT count(*) FROM lineitem
+               WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+  UNION ALL
+  SELECT 'order_total_mismatch',
+         CAST((SELECT count(*) FROM orders o JOIN net
+               ON net.l_orderkey = o.o_orderkey
+               WHERE abs(o.o_totalprice - net.net) > 0.01) AS BIGINT),
+         CAST((SELECT count(*) FROM orders) AS BIGINT)
+) t
+ORDER BY check_name
+"""
+
+
+# ---------------------------------------------- incremental_agg_merge
+
+_IVM_CUTOFF = "2024-01-20"
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a (day, event_type) revenue
+    aggregate: the SNAPSHOT partition (ts < cutoff) and the DELTA
+    batch (ts >= cutoff) each aggregate to mergeable partial state
+    (count, sum) and the view updates by RE-AGGREGATING the union of
+    partials — the algebra Catalyst's map-side combine uses, spelled
+    out as the warehouse IVM pattern (never re-scan the snapshot's
+    raw rows). The oracle recomputes the view from raw data, so the
+    merge is proven equivalent to full recomputation."""
+    ev = load_table(spark, "events", sf_dir)
+    day = F.date_format(F.date_trunc("day", F.col("ts")),
+                        "yyyy-MM-dd HH:mm:ss").alias("day")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (df.groupBy(day, "event_type")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.sum("value").alias("vsum")))
+
+    cut = F.lit(_IVM_CUTOFF).cast("timestamp")
+    snap = partial(ev.filter(F.col("ts") < cut))
+    delta = partial(ev.filter(F.col("ts") >= cut))
+    return (snap.unionByName(delta)
+            .groupBy("day", "event_type")
+            .agg(F.sum("cnt").alias("n"),
+                 F.round(F.sum("vsum"), 2).alias("revenue"))
+            .orderBy("day", "event_type"))
+
+
+IVM_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS revenue
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
 QUERIES.update({
     "benford_digits": benford_digits,
     "pareto_cumshare": pareto_cumshare,
     "yoy_growth": yoy_growth,
+    "dq_referential_audit": dq_referential_audit,
+    "incremental_agg_merge": incremental_agg_merge,
 })
 ORACLES.update({
     "benford_digits": _benford_oracle(),
     "pareto_cumshare": PARETO_ORACLE,
     "yoy_growth": YOY_ORACLE,
+    "dq_referential_audit": DQ_AUDIT_ORACLE,
+    "incremental_agg_merge": IVM_ORACLE,
 })

@@ -1,0 +1,263 @@
+"""ES-DSL twenty-first tranche: learned and composed ranking.
+
+- ``dsl_ltr_rescore`` — the Learning-to-Rank rescorer (ES 8.12):
+  phase 1 retrieves a bounded window by query score, phase 2
+  re-scores ONLY that window with a trained model over extracted
+  features. The model here is a literal linear scorer (the shape a
+  distilled LTR model has after export); feature extraction is the
+  real contract — per-doc features computed inside the window
+  projection, never corpus-wide.
+- ``dsl_retriever_pipeline`` — the ES 8.14+ retriever TREE: an
+  `rrf` retriever (lexical + vector legs) nested under a `rescorer`
+  retriever (phrase-boost re-rank of the fused window). Composition
+  is the point: each stage consumes the previous stage's bounded
+  frame, so the whole pipeline touches window-size rows after the
+  two leg scans.
+
+Scale posture: every stage is TakeOrderedAndProject over one scan or
+over a previous bounded frame; joins are <= window-size full-outers
+(AQE broadcasts); no global sort anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.operators.esdsl import (
+    _B_L,
+    _B_R,
+    score_query,
+    translate_query,
+)
+from parquet_generator_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _tok_duck(col: str, t: str) -> str:
+    return f"regexp_matches(lower({col}), '{_B_L}{t}{_B_R}')"
+
+
+# ------------------------------------------------------ dsl_ltr_rescore
+
+_LTR_Q = {"dis_max": {"queries": [
+    {"match": {"text": {"query": "scan", "boost": 2.0}}},
+    {"match": {"text": {"query": "sort", "boost": 1.5}}},
+    {"match": {"text": {"query": "line", "boost": 1.0}}},
+], "tie_breaker": 0.3}}
+_LTR_WINDOW = 40
+_LTR_K = 10
+# exported linear model: [w_query_score, w_token_count, w_is_en], bias
+_LTR_W = [0.8, -0.002, 1.2]
+_LTR_BIAS = 0.1
+
+
+def dsl_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR rescorer: phase-1 dis_max window (TakeOrdered 40), then a
+    literal linear model over three features extracted IN the window
+    projection — the phase-1 score, the token count (length prior),
+    and a language indicator. Emits features beside the model score
+    (the explain-your-ranking contract LTR tooling expects)."""
+    docs = load_table(spark, "documents", sf_dir)
+    win = (docs.filter(translate_query(_LTR_Q))
+           .select("doc_id", "lang", "text",
+                   F.round(score_query(_LTR_Q), 4).alias("f_score"))
+           .orderBy(F.desc("f_score"), F.asc("doc_id"))
+           .limit(_LTR_WINDOW))
+    f_len = F.size(F.split(F.col("text"), " "))
+    f_en = F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+    model = (F.lit(_LTR_W[0]) * F.col("f_score")
+             + F.lit(_LTR_W[1]) * F.col("f_len")
+             + F.lit(_LTR_W[2]) * F.col("f_en") + F.lit(_LTR_BIAS))
+    scored = (win.withColumn("f_len", f_len)
+              .withColumn("f_en", f_en)
+              .select("doc_id", "f_score", "f_len", "f_en",
+                      F.round(model, 4).alias("ltr_score")))
+    top = (scored.orderBy(F.desc("ltr_score"), F.asc("doc_id"))
+           .limit(_LTR_K))
+    w = Window.orderBy(F.desc("ltr_score"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "f_score", "f_len", "f_en",
+                    "ltr_score").orderBy("rank"))
+
+
+def _ltr_oracle() -> str:
+    def hit(t: str, w: float) -> str:
+        return (f"{w!r} * (CASE WHEN {_tok_duck('text', t)} "
+                f"THEN 1 ELSE 0 END)")
+
+    s1, s2, s3 = hit("scan", 2.0), hit("sort", 1.5), hit("line", 1.0)
+    return f"""
+WITH win AS (
+  SELECT doc_id, lang, text,
+         round(greatest({s1}, {s2}, {s3})
+               + 0.3 * ({s1} + {s2} + {s3}
+                        - greatest({s1}, {s2}, {s3})), 4) AS f_score
+  FROM documents
+  WHERE {_tok_duck('text', 'scan')} OR {_tok_duck('text', 'sort')}
+     OR {_tok_duck('text', 'line')}
+  ORDER BY f_score DESC, doc_id ASC LIMIT {_LTR_WINDOW}),
+feat AS (
+  SELECT doc_id, f_score,
+         CAST(len(string_split(text, ' ')) AS INT) AS f_len,
+         CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END
+              AS DOUBLE) AS f_en
+  FROM win),
+scored AS (
+  SELECT doc_id, f_score, f_len, f_en,
+         round({_LTR_W[0]!r} * f_score + {_LTR_W[1]!r} * f_len
+               + {_LTR_W[2]!r} * f_en + {_LTR_BIAS!r}, 4)
+           AS ltr_score
+  FROM feat)
+SELECT CAST(row_number() OVER (ORDER BY ltr_score DESC, doc_id)
+            AS INT) AS rank,
+       doc_id, f_score, f_len, f_en, ltr_score
+FROM scored ORDER BY ltr_score DESC, doc_id LIMIT {_LTR_K}
+"""
+
+
+# ------------------------------------------------ dsl_retriever_pipeline
+
+_RP_TEXT_Q = {"dis_max": {"queries": [
+    {"match": {"text": {"query": "merge", "boost": 2.0}}},
+    {"match": {"text": {"query": "batch", "boost": 1.0}}},
+], "tie_breaker": 0.2}}
+_RP_QV = [round(math.sin(0.51 * i + 0.9), 4) for i in range(64)]
+_RP_WINDOW = 30     # rrf rank_window_size
+_RP_CONST = 60
+_RP_RESCORE_WINDOW = 12
+_RP_K = 8
+_RP_QW, _RP_RQW = 50.0, 1.0   # rescore weights over the rrf score
+_RP_PHRASE_BOOST = 3.0
+
+
+def dsl_retriever_pipeline(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Retriever tree: rescorer( rrf( standard(dis_max),
+    knn(literal vector) ) ). The rrf stage fuses two bounded
+    TakeOrdered legs by reciprocal rank; the rescorer re-ranks the
+    fused top-12 with a phrase query (50*rrf + 3.0*phrase_hit).
+    After the two corpus scans, every stage operates on <= 30 rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    t_top = (docs.filter(translate_query(_RP_TEXT_Q))
+             .select("doc_id",
+                     F.round(score_query(_RP_TEXT_Q), 4).alias("s"))
+             .orderBy(F.desc("s"), F.asc("doc_id"))
+             .limit(_RP_WINDOW))
+    tw = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    t_rank = (t_top.withColumn("tr", F.row_number().over(tw))
+              .select(F.col("doc_id").alias("id"), "tr"))
+
+    qlit = F.array(*[F.lit(float(x)) for x in _RP_QV])
+    qn = math.sqrt(sum(x * x for x in _RP_QV))
+    dn = F.sqrt(F.aggregate(
+        F.col("embedding"), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    cos = F.round(
+        F.aggregate(F.zip_with(F.col("embedding"), qlit,
+                               lambda a, b: a.cast("double") * b),
+                    F.lit(0.0), lambda acc, x: acc + x)
+        / (dn * F.lit(qn)), 4)
+    v_top = (emb.select(F.col("vec_id").alias("id"), cos.alias("c"))
+             .orderBy(F.desc("c"), F.asc("id")).limit(_RP_WINDOW))
+    vw = Window.orderBy(F.desc("c"), F.asc("id"))
+    v_rank = (v_top.withColumn("vr", F.row_number().over(vw))
+              .select("id", "vr"))
+
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(_RP_CONST) + F.col("tr")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(_RP_CONST) + F.col("vr")),
+                     F.lit(0.0)), 6)
+    fused = (t_rank.join(v_rank, "id", "full_outer")
+             .select("id", rrf.alias("rrf_score"))
+             .orderBy(F.desc("rrf_score"), F.asc("id"))
+             .limit(_RP_RESCORE_WINDOW))
+
+    # rescorer stage: re-join the bounded fused frame to the doc
+    # text (window-size semi-bounded equi-join) for the phrase test
+    phrase = translate_query(
+        {"match_phrase": {"text": "merge batch"}})
+    rescored = (fused.join(docs.select("doc_id", "text"),
+                           fused.id == F.col("doc_id"), "left")
+                .select("id", "rrf_score",
+                        F.when(phrase, F.lit(_RP_PHRASE_BOOST))
+                        .otherwise(F.lit(0.0)).alias("r")))
+    final = F.round(F.lit(_RP_QW) * F.col("rrf_score")
+                    + F.lit(_RP_RQW) * F.col("r"), 4)
+    top = (rescored.select("id", final.alias("score"))
+           .orderBy(F.desc("score"), F.asc("id")).limit(_RP_K))
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "id", "score").orderBy("rank"))
+
+
+def _retriever_pipeline_oracle() -> str:
+    from parquet_generator_spark.operators.esdsl import phrase_regex
+
+    def hit(t: str, w: float) -> str:
+        return (f"{w!r} * (CASE WHEN {_tok_duck('text', t)} "
+                f"THEN 1 ELSE 0 END)")
+
+    s1, s2 = hit("merge", 2.0), hit("batch", 1.0)
+    qlit = "[" + ", ".join(f"{float(x)!r}" for x in _RP_QV) \
+        + "]::DOUBLE[]"
+    qn = math.sqrt(sum(x * x for x in _RP_QV))
+    ph = phrase_regex("merge batch")
+    return f"""
+WITH t_top AS (
+  SELECT doc_id AS id,
+         round(greatest({s1}, {s2})
+               + 0.2 * ({s1} + {s2} - greatest({s1}, {s2})), 4) AS s
+  FROM documents
+  WHERE {_tok_duck('text', 'merge')} OR {_tok_duck('text', 'batch')}
+  ORDER BY s DESC, id ASC LIMIT {_RP_WINDOW}),
+t_rank AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY s DESC, id) AS INT)
+           AS tr FROM t_top),
+v_top AS (
+  SELECT vec_id AS id,
+         round(list_dot_product(CAST(embedding AS DOUBLE[]), {qlit})
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * {qn!r}), 4) AS c
+  FROM embeddings ORDER BY c DESC, id ASC LIMIT {_RP_WINDOW}),
+v_rank AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY c DESC, id) AS INT)
+           AS vr FROM v_top),
+fused AS (
+  SELECT coalesce(t_rank.id, v_rank.id) AS id,
+         round(coalesce(1.0 / ({_RP_CONST} + tr), 0.0)
+               + coalesce(1.0 / ({_RP_CONST} + vr), 0.0), 6)
+           AS rrf_score
+  FROM t_rank FULL OUTER JOIN v_rank ON t_rank.id = v_rank.id
+  ORDER BY rrf_score DESC, id ASC LIMIT {_RP_RESCORE_WINDOW}),
+rescored AS (
+  SELECT fused.id, rrf_score,
+         CASE WHEN regexp_matches(lower(d.text), '{ph}')
+              THEN {_RP_PHRASE_BOOST!r} ELSE 0.0 END AS r
+  FROM fused LEFT JOIN documents d ON fused.id = d.doc_id),
+final AS (
+  SELECT id, round({_RP_QW!r} * rrf_score + {_RP_RQW!r} * r, 4)
+           AS score
+  FROM rescored)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, id) AS INT)
+         AS rank,
+       id, score
+FROM final ORDER BY score DESC, id LIMIT {_RP_K}
+"""
+
+
+QUERIES.update({
+    "dsl_ltr_rescore": dsl_ltr_rescore,
+    "dsl_retriever_pipeline": dsl_retriever_pipeline,
+})
+ORACLES.update({
+    "dsl_ltr_rescore": _ltr_oracle(),
+    "dsl_retriever_pipeline": _retriever_pipeline_oracle(),
+})

@@ -487,7 +487,9 @@ _R8_SESSION2_KEYS = [
     # paging / rings / spans / hybrid / MRL / mixture audit
     "dsl_terms_partition", "dsl_geo_distance_rings",
     "dsl_span_or_not", "dsl_hybrid_score", "matryoshka_overlap",
-    "lang_source_chi2",
+    "lang_source_chi2", "exif_orientation_parse", "dsl_rule_query",
+    "dq_referential_audit", "incremental_agg_merge",
+    "dsl_ltr_rescore", "dsl_retriever_pipeline",
 ]
 
 
