@@ -353,6 +353,7 @@ HEADLINE = [
     "incremental_agg_merge",
     "dsl_ltr_rescore",
     "dsl_retriever_pipeline",
+    "dsl_explain_score",
 ]
 
 

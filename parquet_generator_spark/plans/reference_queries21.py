@@ -253,11 +253,76 @@ FROM final ORDER BY score DESC, id LIMIT {_RP_K}
 """
 
 
+# ----------------------------------------------------- dsl_explain_score
+
+_EXPLAIN_DOC = 42
+_EXPLAIN_CLAUSES = [("spark", 2.0), ("window", 1.5), ("merge", 1.0)]
+_EXPLAIN_TB = 0.3
+
+
+def dsl_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES `_explain` API: for ONE document and a dis_max query,
+    emit the per-clause score breakdown (matched flag + weighted
+    contribution) plus a TOTAL row carrying the tie-breaker
+    combination — the relevance-debugging contract. The doc filter
+    pushes to the scan (point lookup); the breakdown is a
+    literal-struct unpivot of one row."""
+    docs = load_table(spark, "documents", sf_dir)
+    row = docs.filter(F.col("doc_id") == _EXPLAIN_DOC)
+    clause_cols = []
+    for term, boost in _EXPLAIN_CLAUSES:
+        sc = F.round(score_query(
+            {"match": {"text": {"query": term, "boost": boost}}}), 4)
+        clause_cols.append((term, sc))
+    total = F.round(score_query({"dis_max": {
+        "queries": [{"match": {"text": {"query": t, "boost": b}}}
+                    for t, b in _EXPLAIN_CLAUSES],
+        "tie_breaker": _EXPLAIN_TB}}), 4)
+    structs = [F.struct(F.lit(f"match:{t}").alias("clause"),
+                        c.alias("contribution"))
+               for t, c in clause_cols]
+    structs.append(F.struct(
+        F.lit("dis_max_total").alias("clause"),
+        total.alias("contribution")))
+    return (row.select(F.explode(F.array(*structs)).alias("s"))
+            .select(F.lit(_EXPLAIN_DOC).cast("long").alias("doc_id"),
+                    F.col("s.clause").alias("clause"),
+                    F.col("s.contribution").alias("contribution"),
+                    (F.col("s.contribution") > 0).alias("matched"))
+            .orderBy("clause"))
+
+
+def _explain_oracle() -> str:
+    def hit(t: str, w: float) -> str:
+        return (f"CAST({w!r} * (CASE WHEN {_tok_duck('text', t)} "
+                f"THEN 1 ELSE 0 END) AS DOUBLE)")
+
+    parts = [
+        f"SELECT {_EXPLAIN_DOC} AS doc_id, 'match:{t}' AS clause, "
+        f"round({hit(t, b)}, 4) AS contribution "
+        f"FROM documents WHERE doc_id = {_EXPLAIN_DOC}"
+        for t, b in _EXPLAIN_CLAUSES]
+    ss = [hit(t, b) for t, b in _EXPLAIN_CLAUSES]
+    g = f"greatest({ss[0]}, {ss[1]}, {ss[2]})"
+    tot = (f"round({g} + {_EXPLAIN_TB} * ({ss[0]} + {ss[1]} + {ss[2]}"
+           f" - {g}), 4)")
+    parts.append(
+        f"SELECT {_EXPLAIN_DOC} AS doc_id, 'dis_max_total' AS clause, "
+        f"{tot} AS contribution "
+        f"FROM documents WHERE doc_id = {_EXPLAIN_DOC}")
+    inner = " UNION ALL ".join(parts)
+    return (f"SELECT doc_id, clause, contribution, "
+            f"contribution > 0 AS matched FROM ({inner}) t "
+            f"ORDER BY clause")
+
+
 QUERIES.update({
     "dsl_ltr_rescore": dsl_ltr_rescore,
     "dsl_retriever_pipeline": dsl_retriever_pipeline,
+    "dsl_explain_score": dsl_explain_score,
 })
 ORACLES.update({
     "dsl_ltr_rescore": _ltr_oracle(),
     "dsl_retriever_pipeline": _retriever_pipeline_oracle(),
+    "dsl_explain_score": _explain_oracle(),
 })

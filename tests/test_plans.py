@@ -490,6 +490,7 @@ _R8_SESSION2_KEYS = [
     "lang_source_chi2", "exif_orientation_parse", "dsl_rule_query",
     "dq_referential_audit", "incremental_agg_merge",
     "dsl_ltr_rescore", "dsl_retriever_pipeline",
+    "dsl_explain_score",
 ]
 
 
