@@ -354,6 +354,7 @@ HEADLINE = [
     "dsl_ltr_rescore",
     "dsl_retriever_pipeline",
     "dsl_explain_score",
+    "stream_windowed_topk",
 ]
 
 

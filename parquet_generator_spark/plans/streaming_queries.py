@@ -22,9 +22,11 @@ from parquet_generator_spark.streaming.stream_join import (
 )
 from parquet_generator_spark.streaming.windowed import (
     SLIDING_ORACLE,
+    TOPK_ORACLE,
     WINDOWED_ORACLE,
     sliding_event_counts,
     windowed_event_counts,
+    windowed_type_topk,
 )
 
 
@@ -136,7 +138,18 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("win_start", "event_type"))
 
 
+def stream_windowed_topk(spark, sf_dir):
+    """Batch twin of the foreachBatch top-k-per-window stream: the
+    SAME ranking plan the stream applies to each complete-mode
+    micro-batch (run_topk_stream), run over the batch table so the
+    oracle can pin the ranking arithmetic."""
+    ev = load_table(spark, "events", sf_dir)
+    return (windowed_type_topk(ev)
+            .orderBy("win_start", "rk"))
+
+
 QUERIES = {
+    "stream_windowed_topk": stream_windowed_topk,
     "stream_sliding_agg": stream_sliding_agg,
     "stream_stream_join": stream_stream_join,
     "stream_windowed_agg": stream_windowed_agg,
@@ -146,6 +159,7 @@ QUERIES = {
     "stream_static_enrich": stream_static_enrich,
 }
 ORACLES = {
+    "stream_windowed_topk": TOPK_ORACLE,
     "stream_sliding_agg": SLIDING_ORACLE,
     "stream_stream_join": PAIRS_ORACLE,
     "stream_windowed_agg": WINDOWED_ORACLE,

@@ -109,3 +109,74 @@ FROM events
 GROUP BY win_start, event_type
 ORDER BY win_start, event_type
 """
+
+
+TOPK_PER_WINDOW = 3
+
+
+def windowed_type_topk(df: DataFrame, watermark: str | None = None,
+                       k: int = TOPK_PER_WINDOW) -> DataFrame:
+    """Top-k event types per tumbling window by count. Ranking is not
+    directly streamable (a rank needs the window's final counts), so
+    on a stream this plan runs INSIDE foreachBatch over the windowed
+    aggregate (complete mode hands each micro-batch the full updated
+    counts — see run_topk_stream); in batch it is the plan itself.
+    The rank window partitions by win_start — keyed, parallel across
+    windows, never a global sort."""
+    from pyspark.sql import Window
+
+    counts = windowed_event_counts(df, watermark=watermark)
+    w = Window.partitionBy("win_start").orderBy(
+        F.desc("n"), F.asc("event_type"))
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("win_start", "rk", "event_type", "n", "sum_value"))
+
+
+def run_topk_stream(stream_df: DataFrame, table_name: str,
+                    k: int = TOPK_PER_WINDOW):
+    """Streaming runner: windowed counts aggregate (complete mode) ->
+    foreachBatch ranks the CURRENT full aggregate and replaces the
+    sink table — the standard pattern for topN-over-stream. State is
+    (open windows x keys), bounded by the watermark."""
+    from pyspark.sql import Window
+
+    agg = windowed_event_counts(stream_df, watermark="1 hour")
+
+    def rank_and_replace(batch_df: DataFrame, _epoch: int) -> None:
+        w = Window.partitionBy("win_start").orderBy(
+            F.desc("n"), F.asc("event_type"))
+        ranked = (batch_df.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= k)
+                  .select("win_start", "rk", "event_type", "n",
+                          "sum_value"))
+        # MATERIALIZE inside foreachBatch: a lazy view would leave
+        # the micro-batch's partitions unprocessed and fail the
+        # state-store commit validation. The collect is bounded by
+        # k x open-windows — the sink row count, not the stream.
+        rows = ranked.collect()
+        (batch_df.sparkSession.createDataFrame(rows, ranked.schema)
+         .createOrReplaceGlobalTempView(table_name))
+
+    return (agg.writeStream.outputMode("complete")
+            .foreachBatch(rank_and_replace)
+            .trigger(availableNow=True).start())
+
+
+TOPK_ORACLE = f"""
+WITH counts AS (
+  SELECT strftime(make_timestamp(
+           CAST(floor(epoch(ts) / {WINDOW_SECONDS})
+                * {WINDOW_SECONDS} * 1000000 AS BIGINT)),
+           '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, count(*) AS n,
+         round(sum(value), 2) AS sum_value
+  FROM events GROUP BY win_start, event_type)
+SELECT win_start,
+       CAST(row_number() OVER (PARTITION BY win_start
+            ORDER BY n DESC, event_type) AS INT) AS rk,
+       event_type, n, sum_value
+FROM counts
+QUALIFY rk <= {TOPK_PER_WINDOW}
+ORDER BY win_start, rk
+"""

@@ -642,3 +642,26 @@ def test_scripted_fold_stream_matches_batch(spark, tmp_path):
 
     streamed = spark.sql("select * from scriptedfold").collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_windowed_topk_stream_matches_batch(spark, tmp_path):
+    """The foreachBatch top-k runner's FINAL table equals the batch
+    twin: complete mode hands the last micro-batch the full counts,
+    so the last rank-and-replace is the converged answer."""
+    from parquet_generator_spark.streaming.windowed import (
+        run_topk_stream,
+        windowed_type_topk,
+    )
+
+    ev = load_table(spark, "events", SF)
+    batch = windowed_type_topk(ev).collect()
+
+    ev.write.parquet(str(tmp_path / "events_topk"))
+    stream = (spark.readStream.schema(ev.schema)
+              .parquet(str(tmp_path / "events_topk")))
+    q = run_topk_stream(stream, "topk_stream")
+    q.awaitTermination(120)
+
+    streamed = spark.sql(
+        "select * from global_temp.topk_stream").collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
