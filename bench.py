@@ -355,6 +355,8 @@ HEADLINE = [
     "dsl_retriever_pipeline",
     "dsl_explain_score",
     "stream_windowed_topk",
+    "dsl_composite_mixed",
+    "dsl_multi_knn",
 ]
 
 

@@ -2232,14 +2232,33 @@ def search(df: DataFrame, body: dict) -> DataFrame:
         # keyset pagination — exactly a groupBy ordered by its keys;
         # the `after` cursor becomes a lexicographic keyset predicate
         size = abody.get("size", 10)
-        names, fields = [], []
+        names, key_cols = [], []
         for src in abody["sources"]:
             (name, spec), = src.items()
+            (stype, sbody), = spec.items()
             names.append(name)
-            fields.append(spec["terms"]["field"])
-        grouped = (filtered.groupBy(
-            *[F.col(f).alias(n) for n, f in zip(names, fields)])
-            .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols))
+            if stype == "terms":
+                key_cols.append(F.col(sbody["field"]).alias(name))
+            elif stype == "date_histogram":
+                unit = {"day": "day", "hour": "hour",
+                        "week": "week", "month": "month",
+                        "year": "year", "1d": "day", "1h": "hour"}[
+                    sbody.get("calendar_interval",
+                              sbody.get("fixed_interval", "day"))]
+                key_cols.append(F.date_format(
+                    F.date_trunc(unit, F.col(sbody["field"])),
+                    "yyyy-MM-dd HH:mm:ss").alias(name))
+            elif stype == "histogram":
+                iv = float(sbody["interval"])
+                key_cols.append(
+                    (F.floor(F.col(sbody["field"]) / iv) * iv)
+                    .alias(name))
+            else:
+                raise ValueError(
+                    f"unsupported composite source {stype!r}")
+        grouped = (filtered.groupBy(*key_cols)
+                   .agg(F.count(F.lit(1)).alias("doc_count"),
+                        *metric_cols))
         after = body.get("after") or abody.get("after")
         if after:
             pred, eq = F.lit(False), F.lit(True)

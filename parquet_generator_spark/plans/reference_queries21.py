@@ -326,3 +326,121 @@ ORACLES.update({
     "dsl_retriever_pipeline": _retriever_pipeline_oracle(),
     "dsl_explain_score": _explain_oracle(),
 })
+
+
+# ---------------------------------------------------- dsl_composite_mixed
+
+def dsl_composite_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite agg with MIXED source types — the real composite
+    contract (date_histogram x terms in one key tuple, keyset-paged
+    with `after`): ES's scale-path agg for exporting a full
+    cube slice in key order. The groupBy key is (day, type); the
+    `after` cursor compiles to one lexicographic keyset predicate
+    evaluated BEFORE the bucket sort, so each page aggregates and
+    ships only the keys past the cursor."""
+    from parquet_generator_spark.operators.esdsl import search
+
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {"aggs": {"page": {"composite": {
+        "size": 12,
+        "sources": [
+            {"day": {"date_histogram": {"field": "ts",
+                                        "calendar_interval": "day"}}},
+            {"etype": {"terms": {"field": "event_type"}}},
+        ],
+        "after": {"day": "2024-01-10 00:00:00", "etype": "purchase"},
+    }, "aggs": {"revenue": {"sum": {"field": "value"}}}}}})
+
+
+DSL_COMPOSITE_MIXED_ORACLE = """
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+         event_type AS etype,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         round(sum(value), 4) AS revenue
+  FROM events GROUP BY day, etype)
+SELECT day, etype, doc_count, revenue FROM b
+WHERE day > '2024-01-10 00:00:00'
+   OR (day = '2024-01-10 00:00:00' AND etype > 'purchase')
+ORDER BY day, etype
+LIMIT 12
+"""
+
+
+# -------------------------------------------------------- dsl_multi_knn
+
+_MK_QV1 = [round(math.sin(0.23 * i + 0.4), 4) for i in range(64)]
+_MK_QV2 = [round(math.cos(0.41 * i + 1.3), 4) for i in range(64)]
+_MK_WINDOW = 25
+_MK_BOOSTS = (1.0, 2.0)
+_MK_K = 10
+
+
+def dsl_multi_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple `knn` clauses in one search (ES 8.7): each clause
+    retrieves its own bounded top window against its own query
+    vector; final score = sum of boost x similarity over the clauses
+    where the doc survived (ES's multi-kNN union semantics). Two
+    TakeOrdered legs + one <= window-size outer join."""
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    def leg(qv: list[float], out: str) -> DataFrame:
+        qlit = F.array(*[F.lit(float(x)) for x in qv])
+        qn = math.sqrt(sum(x * x for x in qv))
+        dn = F.sqrt(F.aggregate(
+            F.col("embedding"), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+        cos = F.round(
+            F.aggregate(F.zip_with(F.col("embedding"), qlit,
+                                   lambda a, b: a.cast("double") * b),
+                        F.lit(0.0), lambda acc, x: acc + x)
+            / (dn * F.lit(qn)), 4)
+        return (emb.select(F.col("vec_id").alias("id"),
+                           cos.alias(out))
+                .orderBy(F.desc(out), F.asc("id"))
+                .limit(_MK_WINDOW))
+
+    b1, b2 = _MK_BOOSTS
+    score = (F.lit(b1) * F.coalesce(F.col("c1"), F.lit(0.0))
+             + F.lit(b2) * F.coalesce(F.col("c2"), F.lit(0.0)))
+    return (leg(_MK_QV1, "c1").join(leg(_MK_QV2, "c2"),
+                                    "id", "full_outer")
+            .select("id", "c1", "c2",
+                    F.round(score, 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(_MK_K))
+
+
+def _multi_knn_oracle() -> str:
+    def leg_sql(qv: list[float], out: str) -> str:
+        qlit = "[" + ", ".join(f"{float(x)!r}" for x in qv) \
+            + "]::DOUBLE[]"
+        qn = math.sqrt(sum(x * x for x in qv))
+        return f"""
+  SELECT vec_id AS id,
+         round(list_dot_product(CAST(embedding AS DOUBLE[]), {qlit})
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * {qn!r}), 4) AS {out}
+  FROM embeddings ORDER BY {out} DESC, id ASC LIMIT {_MK_WINDOW}"""
+
+    b1, b2 = _MK_BOOSTS
+    return f"""
+WITH l1 AS ({leg_sql(_MK_QV1, 'c1')}),
+l2 AS ({leg_sql(_MK_QV2, 'c2')})
+SELECT coalesce(l1.id, l2.id) AS id, c1, c2,
+       round({b1!r} * coalesce(c1, 0.0)
+             + {b2!r} * coalesce(c2, 0.0), 4) AS score
+FROM l1 FULL OUTER JOIN l2 ON l1.id = l2.id
+ORDER BY score DESC, id ASC LIMIT {_MK_K}
+"""
+
+
+QUERIES.update({
+    "dsl_composite_mixed": dsl_composite_mixed,
+    "dsl_multi_knn": dsl_multi_knn,
+})
+ORACLES.update({
+    "dsl_composite_mixed": DSL_COMPOSITE_MIXED_ORACLE,
+    "dsl_multi_knn": _multi_knn_oracle(),
+})

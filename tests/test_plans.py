@@ -490,7 +490,8 @@ _R8_SESSION2_KEYS = [
     "lang_source_chi2", "exif_orientation_parse", "dsl_rule_query",
     "dq_referential_audit", "incremental_agg_merge",
     "dsl_ltr_rescore", "dsl_retriever_pipeline",
-    "dsl_explain_score",
+    "dsl_explain_score", "stream_windowed_topk",
+    "dsl_composite_mixed", "dsl_multi_knn",
 ]
 
 
