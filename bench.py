@@ -357,6 +357,7 @@ HEADLINE = [
     "stream_windowed_topk",
     "dsl_composite_mixed",
     "dsl_multi_knn",
+    "hard_negative_mining",
 ]
 
 

@@ -177,3 +177,101 @@ FROM documents ORDER BY media_id
 
 QUERIES.update({"exif_orientation_parse": exif_orientation_parse})
 ORACLES.update({"exif_orientation_parse": EXIF_ORIENTATION_ORACLE})
+
+
+# ---------------------------------------------- hard_negative_mining
+
+_HN_N_QUERIES = 20     # mine negatives for the first 20 vectors
+_HN_LO, _HN_HI = 0.25, 0.45
+_HN_K = 5
+_HN_CELLS = 16
+_HN_PROBE = 16  # probe ALL cells: the band's tail matters more than
+#                 speed here, and recall of mid-similarity pairs
+#                 under few probes is untested; production drops this
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retriever training: for
+    each query vector, the top-k candidates whose cosine lands in
+    the HARD band [0.25, 0.45] — similar enough to teach the margin,
+    far enough to be true negatives. (Production thresholds are
+    ~[0.7, 0.95]; this synthetic corpus' noise vectors top out at
+    cos 0.49, so the band is shifted — the plan is identical.)
+    Candidates come from the IVF cell equi-join (query side bounded
+    at 20 rows and broadcast; corpus side shuffles on the cell key),
+    so nothing is all-pairs; the per-query rank windows are keyed by
+    qid."""
+    from pyspark.sql import Window
+
+    from parquet_generator_spark.operators.similarity import (
+        dot,
+        ivf_assign_cells,
+        make_centroids_from_corpus,
+        norm,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = make_centroids_from_corpus(emb, _HN_CELLS)
+    c = (ivf_assign_cells(emb, cents, 1)
+         .select(F.col("vec_id").alias("nid"),
+                 F.col("embedding").alias("nvec"),
+                 norm("embedding").alias("nn"), "cell"))
+    q = (ivf_assign_cells(emb.filter(F.col("vec_id") < _HN_N_QUERIES),
+                          cents, _HN_PROBE)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qvec"),
+                 norm("embedding").alias("qn"), "cell"))
+    cos = F.round(dot("qvec", "nvec") / (F.col("qn") * F.col("nn")), 4)
+    band = (c.join(F.broadcast(q), "cell")
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", cos.alias("cos"))
+            .dropDuplicates(["qid", "nid"])
+            .filter((F.col("cos") >= _HN_LO) & (F.col("cos") <= _HN_HI)))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (band.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _HN_K)
+            .select("qid", "rank", F.col("nid").alias("neg_id"), "cos")
+            .orderBy("qid", "rank"))
+
+
+def _hard_negative_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ce
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_HN_CELLS})),
+sims AS (
+  SELECT v.vec_id, v.e, cent.cell,
+         list_dot_product(v.e, cent.ce)
+           / sqrt(list_dot_product(v.e, v.e)) AS sim
+  FROM v CROSS JOIN cent),
+cells AS (
+  SELECT vec_id, e, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cell ASC) AS pr
+  FROM sims),
+c AS (SELECT vec_id, e, cell FROM cells WHERE pr = 1),
+qc AS (SELECT vec_id, e, cell FROM cells
+       WHERE pr <= {_HN_PROBE} AND vec_id < {_HN_N_QUERIES}),
+band AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid,
+         round(list_dot_product(q.e, c.e) /
+               (sqrt(list_dot_product(q.e, q.e)) *
+                sqrt(list_dot_product(c.e, c.e))), 4) AS cos
+  FROM qc q JOIN c ON q.cell = c.cell
+  WHERE q.vec_id != c.vec_id),
+ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, nid ASC) AS rank
+  FROM band WHERE cos BETWEEN {_HN_LO} AND {_HN_HI})
+SELECT qid, rank, nid AS neg_id, cos
+FROM ranked WHERE rank <= {_HN_K}
+ORDER BY qid, rank
+"""
+
+
+QUERIES.update({"hard_negative_mining": hard_negative_mining})
+ORACLES.update({"hard_negative_mining": _hard_negative_oracle()})

@@ -491,7 +491,7 @@ _R8_SESSION2_KEYS = [
     "dq_referential_audit", "incremental_agg_merge",
     "dsl_ltr_rescore", "dsl_retriever_pipeline",
     "dsl_explain_score", "stream_windowed_topk",
-    "dsl_composite_mixed", "dsl_multi_knn",
+    "dsl_composite_mixed", "dsl_multi_knn", "hard_negative_mining",
 ]
 
 
