@@ -58,6 +58,13 @@ def match_any(col: Column | str, query: str) -> Column:
     return F.lower(c).rlike(pattern)
 
 
+def token_present_duck_sql(col: str, token: str) -> str:
+    """DuckDB mirror of ``token_present`` — the one place the
+    analyzed-token boundary semantics (_B_L/_B_R) render to oracle
+    SQL, so oracles cannot drift from the Spark predicate."""
+    return f"regexp_matches(lower({col}), '{_B_L}{token}{_B_R}')"
+
+
 def token_present(col: Column | str, token: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.lower(c).rlike(_B_L + re.escape(token) + _B_R)
@@ -1180,7 +1187,8 @@ def score_query(q: dict | None, boost: float = 1.0) -> Column:
         # deterministic stand-in for BM25F's term-centric blend: each
         # term contributes the ^boost-weighted count of fields that
         # contain it, summed over terms and gated on the query
-        # matching (so operator/msm still decide WHO scores)
+        # matching (so operator/msm still decide WHO scores); an
+        # in-body "boost" scales the whole clause like any leaf
         total = F.lit(0.0)
         toks = _tokens(body["query"])
         for spec in body["fields"]:
@@ -1190,8 +1198,10 @@ def score_query(q: dict | None, boost: float = 1.0) -> Column:
                 total = total + F.when(
                     F.col(name).isNotNull() & token_present(name, t),
                     F.lit(fw)).otherwise(F.lit(0.0))
+        clause_boost = float(body.get("boost", 1.0))
         return F.when(translate_query(q),
-                      F.lit(float(boost)) * total).otherwise(F.lit(0.0))
+                      F.lit(float(boost) * clause_boost) * total) \
+            .otherwise(F.lit(0.0))
     # leaf: honor a per-leaf "boost" in the field spec if present
     # (guard the probe — match_all's body is an empty dict, the
     # canonical ES idiom under scoring compounds)
@@ -1279,7 +1289,15 @@ def render_search_template(template: str, params: dict) -> dict:
         if name not in params:
             raise KeyError(f"search template: missing param {name!r}")
         v = params[name]
-        return json.dumps(v) if isinstance(v, (list, dict)) else str(v)
+        # bool/None must render as JSON (true/null), not Python
+        # literals (True/None) — str() would break the final loads;
+        # lists/dicts likewise. Plain strings insert raw text (the
+        # template supplies quotes), numbers insert their digits.
+        if isinstance(v, str):
+            return v
+        if isinstance(v, (list, dict, bool)) or v is None:
+            return json.dumps(v)
+        return str(v)
 
     out = re.sub(r"\{\{(\w+)\}\}", _var, out)
     return json.loads(out)

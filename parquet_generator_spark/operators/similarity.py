@@ -48,6 +48,40 @@ COSINE_DUCK = ("list_dot_product({a}, {b}) / "
                "list_dot_product({b}, {b}))")
 
 
+def cosine_to_literal(vec_col, query_vector: list[float]) -> Column:
+    """Cosine of an array column against ONE literal query vector,
+    rounded to 4 — the single definition every literal-query ranking
+    leg (rrf / hybrid / multi-knn / matryoshka / retriever pipeline)
+    uses, so rounding and null/cast behavior cannot drift between
+    plans. Pure codegen fold (zip_with + aggregate), no UDF."""
+    if isinstance(vec_col, str):
+        vec_col = F.col(vec_col)
+    qv = [float(x) for x in query_vector]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    qn = float(np.sqrt(sum(x * x for x in qv)))
+    dn = F.sqrt(F.aggregate(
+        vec_col, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.round(
+        F.aggregate(F.zip_with(vec_col, qlit,
+                               lambda a, b: a.cast("double") * b),
+                    F.lit(0.0), lambda acc, x: acc + x)
+        / (dn * F.lit(qn)), 4)
+
+
+def cosine_to_literal_duck_sql(vec_expr: str,
+                               query_vector: list[float]) -> str:
+    """DuckDB mirror of cosine_to_literal (same literal, same
+    rounding) for the oracle side. ``vec_expr`` must already be a
+    DOUBLE[] expression."""
+    qv = [float(x) for x in query_vector]
+    qlit = "[" + ", ".join(f"{x!r}" for x in qv) + "]::DOUBLE[]"
+    qn = float(np.sqrt(sum(x * x for x in qv)))
+    return (f"round(list_dot_product({vec_expr}, {qlit}) / "
+            f"(sqrt(list_dot_product({vec_expr}, {vec_expr})) "
+            f"* {qn!r}), 4)")
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:

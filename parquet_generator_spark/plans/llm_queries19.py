@@ -28,6 +28,10 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_generator_spark.operators.similarity import (
+    cosine_to_literal,
+    cosine_to_literal_duck_sql,
+)
 from parquet_generator_spark.operators.util import broadcast_scalars
 from parquet_generator_spark.sources.catalog import load_table
 
@@ -43,17 +47,7 @@ _MRL_KS = [5, 10, 20]
 _MRL_MAXK = max(_MRL_KS)
 
 
-def _cos_col(vec, qv: list[float]):
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
-    qn = math.sqrt(sum(x * x for x in qv))
-    dn = F.sqrt(F.aggregate(
-        vec, F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return F.round(
-        F.aggregate(F.zip_with(vec, qlit,
-                               lambda a, b: a.cast("double") * b),
-                    F.lit(0.0), lambda acc, x: acc + x)
-        / (dn * F.lit(qn)), 4)
+_cos_col = cosine_to_literal
 
 
 def matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,12 +96,7 @@ def matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mrl_oracle() -> str:
-    def cos_sql(vec: str, qv: list[float]) -> str:
-        qlit = "[" + ", ".join(f"{float(x)!r}" for x in qv) \
-            + "]::DOUBLE[]"
-        qn = math.sqrt(sum(x * x for x in qv))
-        return (f"round(list_dot_product({vec}, {qlit}) / "
-                f"(sqrt(list_dot_product({vec}, {vec})) * {qn!r}), 4)")
+    cos_sql = cosine_to_literal_duck_sql
 
     full = cos_sql("CAST(embedding AS DOUBLE[])", _MRL_QV)
     trunc = cos_sql(f"CAST(embedding[1:{_MRL_DIMS}] AS DOUBLE[])",

@@ -36,11 +36,15 @@ from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators.esdsl import (
     _B_L,
-    _B_R,
     render_search_template,
     score_query,
     search,
+    token_present_duck_sql,
     translate_query,
+)
+from parquet_generator_spark.operators.similarity import (
+    cosine_to_literal,
+    cosine_to_literal_duck_sql,
 )
 from parquet_generator_spark.plans.reference_queries9 import (
     LAT_D,
@@ -54,9 +58,7 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 
-def _tok_duck(col: str, t: str) -> str:
-    """DuckDB mirror of token_present (analyzed-token containment)."""
-    return (f"regexp_matches(lower({col}), '{_B_L}{t}{_B_R}')")
+_tok_duck = token_present_duck_sql
 
 
 # ----------------------------------------------- dsl_combined_fields
@@ -348,16 +350,7 @@ def dsl_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_rank = (t_top.withColumn("text_rank", F.row_number().over(tw))
               .select(F.col("doc_id").alias("id"), "text_rank"))
 
-    qlit = F.array(*[F.lit(float(x)) for x in _RRF_QV])
-    qn = math.sqrt(sum(x * x for x in _RRF_QV))
-    dn = F.sqrt(F.aggregate(
-        F.col("embedding"), F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    cos = F.round(
-        F.aggregate(F.zip_with(F.col("embedding"), qlit,
-                               lambda a, b: a.cast("double") * b),
-                    F.lit(0.0), lambda acc, x: acc + x)
-        / (dn * F.lit(qn)), 4)
+    cos = cosine_to_literal("embedding", _RRF_QV)
     v_top = (emb.select(F.col("vec_id").alias("id"), cos.alias("c"))
              .orderBy(F.desc("c"), F.asc("id"))
              .limit(_RRF_WINDOW))
@@ -382,9 +375,8 @@ def _rrf_oracle() -> str:
                 f"THEN 1 ELSE 0 END)")
 
     s1, s2, s3 = hit("join", 2.0), hit("hash", 1.5), hit("sort", 1.0)
-    qlit = "[" + ", ".join(f"{float(x)!r}" for x in _RRF_QV) \
-        + "]::DOUBLE[]"
-    qn = math.sqrt(sum(x * x for x in _RRF_QV))
+    cos_sql = cosine_to_literal_duck_sql(
+        "CAST(embedding AS DOUBLE[])", _RRF_QV)
     return f"""
 WITH t_top AS (
   SELECT doc_id AS id,
@@ -400,11 +392,7 @@ t_rank AS (
            AS text_rank
   FROM t_top),
 v_top AS (
-  SELECT vec_id AS id,
-         round(list_dot_product(CAST(embedding AS DOUBLE[]), {qlit})
-               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[])))
-                  * {qn!r}), 4) AS c
+  SELECT vec_id AS id, {cos_sql} AS c
   FROM embeddings
   ORDER BY c DESC, id ASC LIMIT {_RRF_WINDOW}),
 v_rank AS (

@@ -27,12 +27,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators.esdsl import (
-    _B_L,
-    _B_R,
     score_query,
     search,
     span_not_pred_sql,
+    token_present_duck_sql,
     translate_query,
+)
+from parquet_generator_spark.operators.similarity import (
+    cosine_to_literal,
+    cosine_to_literal_duck_sql,
 )
 from parquet_generator_spark.plans.reference_queries9 import (
     LAT_D,
@@ -47,8 +50,7 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 
-def _tok_duck(col: str, t: str) -> str:
-    return f"regexp_matches(lower({col}), '{_B_L}{t}{_B_R}')"
+_tok_duck = token_present_duck_sql
 
 
 # --------------------------------------------- dsl_terms_partition
@@ -98,11 +100,14 @@ _G_CLAT, _G_CLON = 49.0, 13.0
 
 
 def _ring_key_sql(dist: str) -> str:
-    lo = "'*-150.0'"
-    mid = "'150.0-300.0'"
-    hi = "'300.0-*'"
-    return (f"CASE WHEN ({dist}) < 150.0 THEN {lo} "
-            f"WHEN ({dist}) < 300.0 THEN {mid} ELSE {hi} END")
+    """ES geo_distance ring keys ("*-150.0", "150.0-300.0",
+    "300.0-*"), derived from _RING_EDGES so the configured edges ARE
+    the executed edges."""
+    out, lo = "", "*"
+    for e in _RING_EDGES:
+        out += f"WHEN ({dist}) < {e!r} THEN '{lo}-{e}' "
+        lo = e
+    return f"CASE {out}ELSE '{_RING_EDGES[-1]}-*' END"
 
 
 def dsl_geo_distance_rings(spark: SparkSession,
@@ -203,16 +208,7 @@ def dsl_hybrid_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy(F.desc("qs"), F.asc("id"))
              .limit(_HY_WINDOW))
 
-    qlit = F.array(*[F.lit(float(x)) for x in _HY_QV])
-    qn = math.sqrt(sum(x * x for x in _HY_QV))
-    dn = F.sqrt(F.aggregate(
-        F.col("embedding"), F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    cos = F.round(
-        F.aggregate(F.zip_with(F.col("embedding"), qlit,
-                               lambda a, b: a.cast("double") * b),
-                    F.lit(0.0), lambda acc, x: acc + x)
-        / (dn * F.lit(qn)), 4)
+    cos = cosine_to_literal("embedding", _HY_QV)
     v_top = (emb.select(F.col("vec_id").alias("id"), cos.alias("vs"))
              .orderBy(F.desc("vs"), F.asc("id"))
              .limit(_HY_WINDOW))
@@ -233,9 +229,8 @@ def _hybrid_oracle() -> str:
                 f"THEN 1 ELSE 0 END)")
 
     s1, s2, s3 = hit("scan", 2.0), hit("filter", 1.5), hit("batch", 1.0)
-    qlit = "[" + ", ".join(f"{float(x)!r}" for x in _HY_QV) \
-        + "]::DOUBLE[]"
-    qn = math.sqrt(sum(x * x for x in _HY_QV))
+    cos_sql = cosine_to_literal_duck_sql(
+        "CAST(embedding AS DOUBLE[])", _HY_QV)
     return f"""
 WITH t_top AS (
   SELECT doc_id AS id,
@@ -247,11 +242,7 @@ WITH t_top AS (
      OR {_tok_duck('text', 'batch')}
   ORDER BY qs DESC, id ASC LIMIT {_HY_WINDOW}),
 v_top AS (
-  SELECT vec_id AS id,
-         round(list_dot_product(CAST(embedding AS DOUBLE[]), {qlit})
-               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[])))
-                  * {qn!r}), 4) AS vs
+  SELECT vec_id AS id, {cos_sql} AS vs
   FROM embeddings
   ORDER BY vs DESC, id ASC LIMIT {_HY_WINDOW})
 SELECT coalesce(t_top.id, v_top.id) AS id, qs, vs,

@@ -27,10 +27,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators.esdsl import (
-    _B_L,
-    _B_R,
     score_query,
+    token_present_duck_sql,
     translate_query,
+)
+from parquet_generator_spark.operators.similarity import (
+    cosine_to_literal,
+    cosine_to_literal_duck_sql,
 )
 from parquet_generator_spark.sources.catalog import load_table
 
@@ -38,8 +41,7 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 
-def _tok_duck(col: str, t: str) -> str:
-    return f"regexp_matches(lower({col}), '{_B_L}{t}{_B_R}')"
+_tok_duck = token_present_duck_sql
 
 
 # ------------------------------------------------------ dsl_ltr_rescore
@@ -154,16 +156,7 @@ def dsl_retriever_pipeline(spark: SparkSession,
     t_rank = (t_top.withColumn("tr", F.row_number().over(tw))
               .select(F.col("doc_id").alias("id"), "tr"))
 
-    qlit = F.array(*[F.lit(float(x)) for x in _RP_QV])
-    qn = math.sqrt(sum(x * x for x in _RP_QV))
-    dn = F.sqrt(F.aggregate(
-        F.col("embedding"), F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    cos = F.round(
-        F.aggregate(F.zip_with(F.col("embedding"), qlit,
-                               lambda a, b: a.cast("double") * b),
-                    F.lit(0.0), lambda acc, x: acc + x)
-        / (dn * F.lit(qn)), 4)
+    cos = cosine_to_literal("embedding", _RP_QV)
     v_top = (emb.select(F.col("vec_id").alias("id"), cos.alias("c"))
              .orderBy(F.desc("c"), F.asc("id")).limit(_RP_WINDOW))
     vw = Window.orderBy(F.desc("c"), F.asc("id"))
@@ -205,9 +198,8 @@ def _retriever_pipeline_oracle() -> str:
                 f"THEN 1 ELSE 0 END)")
 
     s1, s2 = hit("merge", 2.0), hit("batch", 1.0)
-    qlit = "[" + ", ".join(f"{float(x)!r}" for x in _RP_QV) \
-        + "]::DOUBLE[]"
-    qn = math.sqrt(sum(x * x for x in _RP_QV))
+    cos_sql = cosine_to_literal_duck_sql(
+        "CAST(embedding AS DOUBLE[])", _RP_QV)
     ph = phrase_regex("merge batch")
     return f"""
 WITH t_top AS (
@@ -221,11 +213,7 @@ t_rank AS (
   SELECT id, CAST(row_number() OVER (ORDER BY s DESC, id) AS INT)
            AS tr FROM t_top),
 v_top AS (
-  SELECT vec_id AS id,
-         round(list_dot_product(CAST(embedding AS DOUBLE[]), {qlit})
-               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[])))
-                  * {qn!r}), 4) AS c
+  SELECT vec_id AS id, {cos_sql} AS c
   FROM embeddings ORDER BY c DESC, id ASC LIMIT {_RP_WINDOW}),
 v_rank AS (
   SELECT id, CAST(row_number() OVER (ORDER BY c DESC, id) AS INT)
@@ -385,16 +373,7 @@ def dsl_multi_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
 
     def leg(qv: list[float], out: str) -> DataFrame:
-        qlit = F.array(*[F.lit(float(x)) for x in qv])
-        qn = math.sqrt(sum(x * x for x in qv))
-        dn = F.sqrt(F.aggregate(
-            F.col("embedding"), F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double")))
-        cos = F.round(
-            F.aggregate(F.zip_with(F.col("embedding"), qlit,
-                                   lambda a, b: a.cast("double") * b),
-                        F.lit(0.0), lambda acc, x: acc + x)
-            / (dn * F.lit(qn)), 4)
+        cos = cosine_to_literal("embedding", qv)
         return (emb.select(F.col("vec_id").alias("id"),
                            cos.alias(out))
                 .orderBy(F.desc(out), F.asc("id"))
@@ -413,15 +392,10 @@ def dsl_multi_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multi_knn_oracle() -> str:
     def leg_sql(qv: list[float], out: str) -> str:
-        qlit = "[" + ", ".join(f"{float(x)!r}" for x in qv) \
-            + "]::DOUBLE[]"
-        qn = math.sqrt(sum(x * x for x in qv))
+        cos_sql = cosine_to_literal_duck_sql(
+            "CAST(embedding AS DOUBLE[])", qv)
         return f"""
-  SELECT vec_id AS id,
-         round(list_dot_product(CAST(embedding AS DOUBLE[]), {qlit})
-               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[])))
-                  * {qn!r}), 4) AS {out}
+  SELECT vec_id AS id, {cos_sql} AS {out}
   FROM embeddings ORDER BY {out} DESC, id ASC LIMIT {_MK_WINDOW}"""
 
     b1, b2 = _MK_BOOSTS

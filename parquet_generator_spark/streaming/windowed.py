@@ -137,11 +137,20 @@ def run_topk_stream(stream_df: DataFrame, table_name: str,
                     k: int = TOPK_PER_WINDOW):
     """Streaming runner: windowed counts aggregate (complete mode) ->
     foreachBatch ranks the CURRENT full aggregate and replaces the
-    sink table — the standard pattern for topN-over-stream. State is
-    (open windows x keys), bounded by the watermark."""
+    sink table — the standard pattern for topN-over-stream.
+
+    STATE CAVEAT: complete output mode retains EVERY window ever
+    seen — Spark ignores watermarks for state eviction in complete
+    mode — so state (and the per-batch ranked frame) grows with the
+    stream's total lifetime windows, not with open windows. Fine for
+    bounded replays and availableNow backfills (this runner's use);
+    an unbounded 100-TB stream instead runs the UPDATE-mode counts
+    aggregate with a watermark and merges per-window top-k into a
+    keyed sink (upsert.py's pattern), paying one sink-side re-rank
+    per updated window."""
     from pyspark.sql import Window
 
-    agg = windowed_event_counts(stream_df, watermark="1 hour")
+    agg = windowed_event_counts(stream_df)
 
     def rank_and_replace(batch_df: DataFrame, _epoch: int) -> None:
         w = Window.partitionBy("win_start").orderBy(
@@ -153,7 +162,8 @@ def run_topk_stream(stream_df: DataFrame, table_name: str,
         # MATERIALIZE inside foreachBatch: a lazy view would leave
         # the micro-batch's partitions unprocessed and fail the
         # state-store commit validation. The collect is bounded by
-        # k x open-windows — the sink row count, not the stream.
+        # k x windows-seen-so-far (complete mode; see the state
+        # caveat above).
         rows = ranked.collect()
         (batch_df.sparkSession.createDataFrame(rows, ranked.schema)
          .createOrReplaceGlobalTempView(table_name))

@@ -76,6 +76,18 @@ class TestCombinedFields:
             translate_query({"combined_fields":
                              {"query": "", "fields": ["title"]}})
 
+    def test_in_body_boost_scales_clause(self, docs):
+        base = {"combined_fields": {"query": "spark",
+                                    "fields": ["title^2", "body"]}}
+        boosted = {"combined_fields": {"query": "spark",
+                                       "fields": ["title^2", "body"],
+                                       "boost": 3.0}}
+        a = {r["id"]: r["s"] for r in docs.select(
+            "id", score_query(base).alias("s")).collect()}
+        b = {r["id"]: r["s"] for r in docs.select(
+            "id", score_query(boosted).alias("s")).collect()}
+        assert all(b[i] == 3.0 * a[i] for i in a)
+
 
 class TestMatchBoolPrefix:
     def test_last_term_is_prefix(self, docs):
@@ -120,6 +132,13 @@ class TestSearchTemplate:
     def test_missing_param_raises(self):
         with pytest.raises(KeyError):
             render_search_template('{"term": {"f": "{{nope}}"}}', {})
+
+    def test_bool_and_null_params_render_as_json(self):
+        t = ('{"term": {"f": {"value": "x", "strict": {{flag}}, '
+             '"n": {{nil}}}}}')
+        body = render_search_template(t, {"flag": True, "nil": None})
+        assert body["term"]["f"]["strict"] is True
+        assert body["term"]["f"]["n"] is None
 
 
 class TestMsearch:

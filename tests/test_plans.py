@@ -509,11 +509,18 @@ def test_r8_wave2_no_pairwise_explosion(spark, name):
 
 def test_terms_partition_filter_is_pre_shuffle(spark):
     """The terms-partition md5 filter must run BEFORE the aggregate
-    (map-side): the plan's Filter on the hash appears below the
-    first HashAggregate, so each page shuffles ~1/P of the keys."""
-    plan = formatted_plan(spark, "dsl_terms_partition")
-    # formatted plans list operators leaves-first in the numbered
-    # tree; assert the md5/conv filter exists at all, and that the
-    # final sort is a TakeOrdered (bounded), not a global sort
-    assert "md5" in plan or "conv" in plan
+    (map-side): in the top-down executedPlan tree the Filter carrying
+    the hash is a CHILD of (printed after) every HashAggregate, so
+    each page shuffles ~1/P of the keys. A regression that lifts the
+    filter above the aggregate flips the print order and fails."""
+    df = entrymod.queries()["dsl_terms_partition"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    filt_at = min((i for i, line in enumerate(plan.splitlines())
+                   if "Filter" in line and "md5" in line),
+                  default=None)
+    aggs = [i for i, line in enumerate(plan.splitlines())
+            if "HashAggregate" in line]
+    assert filt_at is not None, "md5 partition filter missing"
+    assert aggs and all(a < filt_at for a in aggs), \
+        "partition filter must sit below the aggregates (map-side)"
     assert "TakeOrderedAndProject" in plan
