@@ -358,6 +358,8 @@ HEADLINE = [
     "dsl_composite_mixed",
     "dsl_multi_knn",
     "hard_negative_mining",
+    "dsl_collapse_inner_hits",
+    "embedding_outlier_mahalanobis",
 ]
 
 

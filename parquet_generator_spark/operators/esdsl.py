@@ -2484,9 +2484,20 @@ def collapse_search(df: DataFrame, body: dict,
              F.asc(id_col)]
     size = body.get("size")
     w = Window.partitionBy(coll).orderBy(*order)
-    out = (df.filter(translate_query(body.get("query")))
-           .withColumn("_rn", F.row_number().over(w))
-           .filter(F.col("_rn") == 1)
+    ranked = (df.filter(translate_query(body.get("query")))
+              .withColumn("_rn", F.row_number().over(w)))
+    inner = body["collapse"].get("inner_hits")
+    if inner:
+        # ES collapse inner_hits: beside each group's top hit, expose
+        # the group's next `size` hits under the same sort — the SAME
+        # keyed rank window serves both (hit_rank 1 = the collapsed
+        # hit, 2..size+1 = the inner hits); no second scan, no join
+        n = int(inner.get("size", 3))
+        return (ranked.filter(F.col("_rn") <= n + 1)
+                .select(coll, F.col("_rn").alias("hit_rank"),
+                        id_col, sort_field)
+                .orderBy(F.asc(coll), F.asc("hit_rank")))
+    out = (ranked.filter(F.col("_rn") == 1)
            .select(coll, id_col, sort_field)
            .orderBy(*order))
     return out.limit(size) if size is not None else out

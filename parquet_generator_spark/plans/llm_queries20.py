@@ -275,3 +275,80 @@ ORDER BY qid, rank
 
 QUERIES.update({"hard_negative_mining": hard_negative_mining})
 ORACLES.update({"hard_negative_mining": _hard_negative_oracle()})
+
+
+# ------------------------------------ embedding_outlier_mahalanobis
+
+_MAH_K = 15
+
+
+def embedding_outlier_mahalanobis(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Embedding QA by diagonal Mahalanobis distance: per-dimension
+    mean/std over the corpus, then each vector's distance
+    sqrt(mean_d((x_d - mu_d)^2 / sd_d^2)) — the covariance-aware
+    upgrade of the norm-outlier check (embedding_norm_outliers),
+    catching vectors that are wrong in DIRECTION, not just length.
+    Per-dim stats come from one posexplode + 64-bucket groupBy and
+    attach as dim-bounded LITERAL arrays (the kmeans-centroid
+    pattern); the scoring pass is a pure zip_with fold — one scan,
+    no join. Top-k via TakeOrderedAndProject."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    stats = (emb.select(F.posexplode("embedding")
+                        .alias("pos", "x"))
+             .groupBy("pos")
+             .agg(F.avg("x").alias("mu"),
+                  F.stddev_pop("x").alias("sd"))
+             .orderBy("pos")
+             .collect())
+    mu = F.array(*[F.lit(float(r["mu"])) for r in stats])
+    sd = F.array(*[F.lit(float(r["sd"])) for r in stats])
+    dim = len(stats)
+    z2 = F.aggregate(
+        F.zip_with(
+            F.zip_with(F.col("embedding").cast("array<double>"), mu,
+                       lambda x, m: x - m),
+            sd, lambda d, s: (d / s) * (d / s)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    dist = F.round(F.sqrt(z2 / F.lit(float(dim))), 4)
+    top = (emb.select("vec_id", "label", dist.alias("m_dist"))
+           .orderBy(F.desc("m_dist"), F.asc("vec_id"))
+           .limit(_MAH_K))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("m_dist"), F.asc("vec_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id", "label", "m_dist")
+            .orderBy("rank"))
+
+
+EMBEDDING_MAHALANOBIS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings),
+x AS (
+  SELECT vec_id, label, unnest(emb) AS x,
+         generate_subscripts(emb, 1) AS pos
+  FROM e),
+stats AS (
+  SELECT pos, avg(x) AS mu, stddev_pop(x) AS sd
+  FROM x GROUP BY pos),
+scored AS (
+  SELECT vec_id, any_value(label) AS label,
+         round(sqrt(sum(((x.x - mu) / sd) * ((x.x - mu) / sd))
+                    / count(*)), 4) AS m_dist
+  FROM x JOIN stats USING (pos)
+  GROUP BY vec_id),
+top AS (
+  SELECT vec_id, label, m_dist FROM scored
+  ORDER BY m_dist DESC, vec_id ASC LIMIT {_MAH_K})
+SELECT CAST(row_number() OVER (ORDER BY m_dist DESC, vec_id) AS INT)
+         AS rank,
+       vec_id, label, m_dist
+FROM top ORDER BY rank
+"""
+
+
+QUERIES.update({"embedding_outlier_mahalanobis":
+                embedding_outlier_mahalanobis})
+ORACLES.update({"embedding_outlier_mahalanobis":
+                EMBEDDING_MAHALANOBIS_ORACLE})

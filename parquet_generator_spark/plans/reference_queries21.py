@@ -418,3 +418,40 @@ ORACLES.update({
     "dsl_composite_mixed": DSL_COMPOSITE_MIXED_ORACLE,
     "dsl_multi_knn": _multi_knn_oracle(),
 })
+
+
+# -------------------------------------------- dsl_collapse_inner_hits
+
+def dsl_collapse_inner_hits(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Field `collapse` WITH `inner_hits`: per source, the collapsed
+    top hit plus the group's next 2 hits under the same sort (the
+    see-more-from-this-group contract). One keyed rank window serves
+    both tiers — hit_rank 1 is the collapsed hit, 2-3 the inner
+    hits; no second scan, no join."""
+    from parquet_generator_spark.operators.esdsl import collapse_search
+
+    docs = load_table(spark, "documents", sf_dir)
+    return collapse_search(docs, {
+        "query": {"term": {"lang": "en"}},
+        "collapse": {"field": "source",
+                     "inner_hits": {"name": "more", "size": 2}},
+        "sort": [{"n_chars": "desc"}],
+    })
+
+
+DSL_COLLAPSE_INNER_HITS_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id ASC) AS INT) AS hit_rank
+  FROM documents WHERE lang = 'en')
+SELECT source, hit_rank, doc_id, n_chars
+FROM ranked WHERE hit_rank <= 3
+ORDER BY source, hit_rank
+"""
+
+
+QUERIES.update({"dsl_collapse_inner_hits": dsl_collapse_inner_hits})
+ORACLES.update({"dsl_collapse_inner_hits":
+                DSL_COLLAPSE_INNER_HITS_ORACLE})

@@ -492,6 +492,7 @@ _R8_SESSION2_KEYS = [
     "dsl_ltr_rescore", "dsl_retriever_pipeline",
     "dsl_explain_score", "stream_windowed_topk",
     "dsl_composite_mixed", "dsl_multi_knn", "hard_negative_mining",
+    "dsl_collapse_inner_hits", "embedding_outlier_mahalanobis",
 ]
 
 
