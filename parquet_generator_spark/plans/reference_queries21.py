@@ -181,8 +181,12 @@ def dsl_retriever_pipeline(spark: SparkSession,
                 .select("id", "rrf_score",
                         F.when(phrase, F.lit(_RP_PHRASE_BOOST))
                         .otherwise(F.lit(0.0)).alias("r")))
-    final = F.round(F.lit(_RP_QW) * F.col("rrf_score")
-                    + F.lit(_RP_RQW) * F.col("r"), 4)
+    # UNROUNDED final: 50 x a 6-decimal rrf lands exactly on .x5
+    # boundaries where Spark (HALF_UP) and DuckDB disagree; both
+    # engines compute the identical double from identical inputs, so
+    # emitting it raw is the exact-parity choice (%.6g compare)
+    final = (F.lit(_RP_QW) * F.col("rrf_score")
+             + F.lit(_RP_RQW) * F.col("r"))
     top = (rescored.select("id", final.alias("score"))
            .orderBy(F.desc("score"), F.asc("id")).limit(_RP_K))
     w = Window.orderBy(F.desc("score"), F.asc("id"))
@@ -231,8 +235,7 @@ rescored AS (
               THEN {_RP_PHRASE_BOOST!r} ELSE 0.0 END AS r
   FROM fused LEFT JOIN documents d ON fused.id = d.doc_id),
 final AS (
-  SELECT id, round({_RP_QW!r} * rrf_score + {_RP_RQW!r} * r, 4)
-           AS score
+  SELECT id, {_RP_QW!r} * rrf_score + {_RP_RQW!r} * r AS score
   FROM rescored)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, id) AS INT)
          AS rank,
