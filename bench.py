@@ -360,6 +360,7 @@ HEADLINE = [
     "hard_negative_mining",
     "dsl_collapse_inner_hits",
     "embedding_outlier_mahalanobis",
+    "lexicon_filter_stats",
 ]
 
 

@@ -352,3 +352,68 @@ QUERIES.update({"embedding_outlier_mahalanobis":
                 embedding_outlier_mahalanobis})
 ORACLES.update({"embedding_outlier_mahalanobis":
                 EMBEDDING_MAHALANOBIS_ORACLE})
+
+
+# ------------------------------------------------ lexicon_filter_stats
+
+# tier-0 blocklist screening: real pipelines run a profanity /
+# unsafe-content lexicon before any model-based filter. The corpus
+# is word salad, so the "lexicon" is drawn from its own vocabulary —
+# the OPERATOR (token-anchored lexicon hits, per-doc flagging at a
+# hit threshold, per-source rates) is the production shape.
+_LEXICON = ["slow", "error"]
+_LEX_FLAG_MIN = 3     # docs with >= 3 total lexicon hits get flagged
+
+
+def lexicon_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon screening stats per source: total lexicon hits, hit
+    density per 10k tokens, and how many docs the >= 3-hits rule
+    would drop. Hits are TOKEN-anchored regex counts (substring
+    matches would flag 'slower' for 'slow' — the classic lexicon
+    false positive), all codegen, one scan, one 20-bucket groupBy."""
+    from parquet_generator_spark.operators.esdsl import _B_L, _B_R
+
+    docs = load_table(spark, "documents", sf_dir)
+    hit_cols = [
+        F.regexp_count(F.lower(F.col("text")),
+                       F.lit(f"{_B_L}{w}{_B_R}")).alias(f"h_{w}")
+        for w in _LEXICON]
+    toks = F.size(F.split(F.col("text"), " "))
+    per_doc = docs.select("source", toks.alias("n_toks"), *hit_cols)
+    total_hits = sum(F.col(f"h_{w}") for w in _LEXICON)
+    per_doc = per_doc.withColumn("hits", total_hits)
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("hits").cast("long").alias("lexicon_hits"),
+                 F.round(F.sum("hits") * 10000.0 / F.sum("n_toks"), 4)
+                 .alias("hits_per_10k_tokens"),
+                 F.sum(F.when(F.col("hits") >= _LEX_FLAG_MIN, 1)
+                       .otherwise(0)).cast("long").alias("n_flagged"))
+            .orderBy("source"))
+
+
+def _lexicon_oracle() -> str:
+    from parquet_generator_spark.operators.esdsl import _B_L, _B_R
+
+    hits = " + ".join(
+        f"len(regexp_extract_all(lower(text), '{_B_L}{w}{_B_R}'))"
+        for w in _LEXICON)
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_toks,
+         {hits} AS hits
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(hits) AS BIGINT) AS lexicon_hits,
+       round(sum(hits) * 10000.0 / sum(n_toks), 4)
+         AS hits_per_10k_tokens,
+       CAST(count(*) FILTER (WHERE hits >= {_LEX_FLAG_MIN}) AS BIGINT)
+         AS n_flagged
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+QUERIES.update({"lexicon_filter_stats": lexicon_filter_stats})
+ORACLES.update({"lexicon_filter_stats": _lexicon_oracle()})
