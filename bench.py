@@ -361,6 +361,8 @@ HEADLINE = [
     "dsl_collapse_inner_hits",
     "embedding_outlier_mahalanobis",
     "lexicon_filter_stats",
+    "dsl_terms_missing",
+    "skew_key_report",
 ]
 
 

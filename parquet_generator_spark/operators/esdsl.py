@@ -2287,6 +2287,17 @@ def search(df: DataFrame, body: dict) -> DataFrame:
         return grouped.orderBy(*[F.asc(n) for n in names]).limit(size)
 
     if atype == "terms":
+        # ES terms semantics for null/absent keys: docs missing the
+        # field are EXCLUDED unless "missing" names a substitute
+        # bucket (we previously grouped nulls into a null-key bucket
+        # — a silent divergence; fields in the driver corpus carry no
+        # nulls, so no green row depended on it)
+        fcol = F.col(abody["field"])
+        if "missing" in abody:
+            filtered = filtered.withColumn(
+                abody["field"], F.coalesce(fcol, F.lit(abody["missing"])))
+        else:
+            filtered = filtered.filter(fcol.isNotNull())
         key = F.col(abody["field"]).alias("key")
         size = abody.get("size", 10)
         th = next((s["top_hits"] for s in sub.values() if "top_hits" in s),

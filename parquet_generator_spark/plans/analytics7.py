@@ -358,3 +358,54 @@ ORACLES.update({
     "dq_referential_audit": DQ_AUDIT_ORACLE,
     "incremental_agg_merge": IVM_ORACLE,
 })
+
+
+# ------------------------------------------------- skew_key_report
+
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the report you run BEFORE choosing
+    a salting factor (the skew_salted_* operators are the cure; this
+    is the diagnosis): per candidate join key, the key cardinality,
+    max/avg/p99 rows per key, and the skew factor max/avg. One
+    grouped count per key column (the same shuffle the join itself
+    would do) then a scalar agg of the key-cardinality counts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+
+    def report(df: DataFrame, table: str, key: str) -> DataFrame:
+        counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        return (counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_rows"),
+            F.round(F.avg("n"), 4).alias("avg_rows"),
+            F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_rows"),
+            F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"))
+            .select(F.lit(f"{table}.{key}").alias("join_key"), "*"))
+
+    return (report(li, "lineitem", "l_orderkey")
+            .unionByName(report(ev, "events", "user_id"))
+            .orderBy("join_key"))
+
+
+SKEW_KEY_REPORT_ORACLE = """
+SELECT * FROM (
+  SELECT 'lineitem.l_orderkey' AS join_key,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(n) AS BIGINT) AS max_rows,
+         round(avg(n), 4) AS avg_rows,
+         round(quantile_cont(n, 0.99), 4) AS p99_rows,
+         round(max(n) / avg(n), 4) AS skew_factor
+  FROM (SELECT l_orderkey, count(*) AS n FROM lineitem
+        GROUP BY l_orderkey)
+  UNION ALL
+  SELECT 'events.user_id',
+         CAST(count(*) AS BIGINT), CAST(max(n) AS BIGINT),
+         round(avg(n), 4), round(quantile_cont(n, 0.99), 4),
+         round(max(n) / avg(n), 4)
+  FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+) t ORDER BY join_key
+"""
+
+
+QUERIES.update({"skew_key_report": skew_key_report})
+ORACLES.update({"skew_key_report": SKEW_KEY_REPORT_ORACLE})

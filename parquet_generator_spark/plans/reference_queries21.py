@@ -458,3 +458,41 @@ ORDER BY source, hit_rank
 QUERIES.update({"dsl_collapse_inner_hits": dsl_collapse_inner_hits})
 ORACLES.update({"dsl_collapse_inner_hits":
                 DSL_COLLAPSE_INNER_HITS_ORACLE})
+
+
+# ---------------------------------------------- dsl_terms_missing
+
+def dsl_terms_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`terms` agg `missing` parameter: docs whose field is null land
+    in a named substitute bucket instead of silently vanishing (ES's
+    exact contract; without `missing` they are EXCLUDED — both
+    behaviors pinned here via a runtime field that nulls out
+    low-value events). The coalesce happens BEFORE the groupBy, so
+    the substitute bucket shuffles like any other key."""
+    from parquet_generator_spark.operators.esdsl import search
+
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "runtime_mappings": {"maybe_type": {
+            "expr": "CASE WHEN value < 50 THEN NULL "
+                    "ELSE event_type END"}},
+        "aggs": {"types": {
+            "terms": {"field": "maybe_type", "size": 10,
+                      "missing": "(none)"},
+            "aggs": {"revenue": {"sum": {"field": "value"}}},
+        }},
+    })
+
+
+DSL_TERMS_MISSING_ORACLE = """
+SELECT coalesce(CASE WHEN value < 50 THEN NULL
+                     ELSE event_type END, '(none)') AS key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 4) AS revenue
+FROM events
+GROUP BY key ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+
+
+QUERIES.update({"dsl_terms_missing": dsl_terms_missing})
+ORACLES.update({"dsl_terms_missing": DSL_TERMS_MISSING_ORACLE})

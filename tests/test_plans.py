@@ -493,7 +493,7 @@ _R8_SESSION2_KEYS = [
     "dsl_explain_score", "stream_windowed_topk",
     "dsl_composite_mixed", "dsl_multi_knn", "hard_negative_mining",
     "dsl_collapse_inner_hits", "embedding_outlier_mahalanobis",
-    "lexicon_filter_stats",
+    "lexicon_filter_stats", "dsl_terms_missing", "skew_key_report",
 ]
 
 
