@@ -363,6 +363,7 @@ HEADLINE = [
     "lexicon_filter_stats",
     "dsl_terms_missing",
     "skew_key_report",
+    "dsl_date_histogram_tz",
 ]
 
 

@@ -496,3 +496,41 @@ GROUP BY key ORDER BY doc_count DESC, key ASC LIMIT 10
 
 QUERIES.update({"dsl_terms_missing": dsl_terms_missing})
 ORACLES.update({"dsl_terms_missing": DSL_TERMS_MISSING_ORACLE})
+
+
+# ------------------------------------------ dsl_date_histogram_tz
+
+_TZ_OFFSET_H = 2   # "+02:00" — bucket midnights in local time
+
+
+def dsl_date_histogram_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`date_histogram` with `time_zone: "+02:00"`: day buckets cut
+    at LOCAL midnight (shift, truncate, shift back — the key stays a
+    UTC instant, as ES returns epoch millis). Pure timestamp
+    arithmetic on the scan column; same expression text on both
+    engines so the boundary rows land identically."""
+    ev = load_table(spark, "events", sf_dir)
+    shifted = F.expr(
+        f"date_trunc('day', ts + INTERVAL {_TZ_OFFSET_H} HOURS) "
+        f"- INTERVAL {_TZ_OFFSET_H} HOURS")
+    return (ev.filter(F.col("event_type") == "purchase")
+            .groupBy(F.date_format(shifted, "yyyy-MM-dd HH:mm:ss")
+                     .alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 F.round(F.sum("value"), 4).alias("revenue"))
+            .orderBy("key"))
+
+
+DSL_DATE_HISTOGRAM_TZ_ORACLE = f"""
+SELECT strftime(date_trunc('day', ts + INTERVAL {_TZ_OFFSET_H} HOURS)
+                - INTERVAL {_TZ_OFFSET_H} HOURS,
+                '%Y-%m-%d %H:%M:%S') AS key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 4) AS revenue
+FROM events WHERE event_type = 'purchase'
+GROUP BY key ORDER BY key
+"""
+
+
+QUERIES.update({"dsl_date_histogram_tz": dsl_date_histogram_tz})
+ORACLES.update({"dsl_date_histogram_tz": DSL_DATE_HISTOGRAM_TZ_ORACLE})
