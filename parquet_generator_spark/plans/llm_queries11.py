@@ -17,10 +17,7 @@ from pyspark.sql import functions as F
 from parquet_generator_spark.operators import dedup
 from parquet_generator_spark.operators.text import toks_duck, toks_spark
 from parquet_generator_spark.plans.llm_queries import near_dup_edges
-from parquet_generator_spark.plans.llm_queries4 import (
-    KNN_ORACLE,
-    knn_classify,
-)
+from parquet_generator_spark.plans import llm_queries14 as _L14
 from parquet_generator_spark.sources.catalog import load_table
 
 QUERIES: dict = {}
@@ -32,8 +29,18 @@ def knn_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (true_label, pred_label) confusion matrix with per-cell counts
     and the row-normalized rate — the quality report a label-
     propagation pipeline ships with its outputs. One grouped pass
-    over the (bounded, query-cardinality) prediction frame."""
-    pred = knn_classify(spark, sf_dir)
+    over the (bounded, query-cardinality) prediction frame.
+
+    Evaluates the IVF classifier — the declared scale path — NOT the
+    brute-force kernel: routing the eval through knn_classify was
+    re-importing the quadratic kernel this family exists to replace
+    (sf1 measured 242s / 76x for 10x data; via IVF the eval scales
+    with the classifier it audits)."""
+    from parquet_generator_spark.plans.llm_queries14 import (
+        knn_classify_ivf,
+    )
+
+    pred = knn_classify_ivf(spark, sf_dir)
     per_true = (pred.groupBy("true_label")
                 .agg(F.count(F.lit(1)).alias("n_true")))
     return (pred.groupBy("true_label", "pred_label")
@@ -46,7 +53,7 @@ def knn_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_EVAL_CONFUSION_ORACLE = f"""
-WITH pred AS ({KNN_ORACLE.strip()}),
+WITH pred AS ({_L14.ORACLES["knn_classify_ivf"].strip()}),
 per_true AS (SELECT true_label, count(*) AS n_true
              FROM pred GROUP BY true_label)
 SELECT p.true_label, p.pred_label, count(*) AS n,

@@ -238,7 +238,16 @@ def knn_classify_ivf(spark: SparkSession, sf_dir: str,
     )
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
-    cents = make_centroids_from_corpus(emb, ANN_IVF_CELLS)
+    # cell count scales as sqrt(n) (the classic IVF dial): with FIXED
+    # cells, per-cell size grows linearly and the cell join re-becomes
+    # quadratic — measured 40x for 10x data at the sf1 checkpoint.
+    # The floor keeps the static oracle's cell count exact at the
+    # gate SFs (500-row embeddings -> sqrt < 32 -> floor wins); at
+    # true corpus scale the sqrt(n) centroid table is built by
+    # sampled k-means and broadcast, not collected row-by-row.
+    n = emb.count()
+    n_cells = max(ANN_IVF_CELLS, int(n ** 0.5))
+    cents = make_centroids_from_corpus(emb, n_cells)
     topk = ivf_topk(emb, queries, KNN_K, cents,
                     n_probe=n_probe or ANN_IVF_PROBE)
     # labels/truth are corpus-cardinality frames: NO broadcast hint —
