@@ -364,6 +364,8 @@ HEADLINE = [
     "dsl_terms_missing",
     "skew_key_report",
     "dsl_date_histogram_tz",
+    "dsl_moving_fn_max",
+    "dsl_terms_min_doc_count",
 ]
 
 

@@ -1754,12 +1754,26 @@ def _apply_pipelines(grouped: DataFrame, pipes: list[tuple[str, dict]],
                         .over(w.rowsBetween(-(n - 1), 0)), 4))
         elif ptype in ("moving_fn", "moving_avg"):
             # trailing window INCLUDING the current bucket (SQL moving
-            # average; ES's shift parameter can express the same)
+            # aggregate; ES's shift parameter can express the same).
+            # moving_fn's script names a MovingFunctions.* reducer —
+            # the unweighted ones map to plain window aggregates
             path = pbody["buckets_path"]
             n = int(pbody.get("window", 5))
+            script = pbody.get("script",
+                               "MovingFunctions.unweightedAvg(values)")
+            fns = {"unweightedAvg": F.avg, "max": F.max,
+                   "min": F.min, "sum": F.sum,
+                   "stdDev": F.stddev_pop}
+            m = re.search(r"MovingFunctions\.(\w+)\(", script)
+            if not m or m.group(1) not in fns:
+                raise ValueError(
+                    f"moving_fn: unsupported script {script!r} "
+                    f"(supported: MovingFunctions."
+                    f"{'/'.join(fns)})")
             df = df.withColumn(
                 name,
-                F.round(F.avg(path).over(w.rowsBetween(-(n - 1), 0)), 4))
+                F.round(fns[m.group(1)](path)
+                        .over(w.rowsBetween(-(n - 1), 0)), 4))
         elif ptype == "bucket_script":
             df = df.withColumn(
                 name, F.round(F.expr(pbody["expr"]), 4))
@@ -2337,6 +2351,12 @@ def search(df: DataFrame, body: dict) -> DataFrame:
         if isinstance(inc, str):
             grouped = grouped.filter(
                 F.col("key").rlike(f"^(?:{inc})$"))
+        # ES terms min_doc_count: prune sparse buckets post-agg (the
+        # frame is already key-cardinality; pruning happens before
+        # the bucket sort so the top-N never includes them)
+        mdc = int(abody.get("min_doc_count", 1))
+        if mdc > 1:
+            grouped = grouped.filter(F.col("doc_count") >= mdc)
         if "exclude" in abody:
             grouped = grouped.filter(
                 ~F.col("key").rlike(f"^(?:{abody['exclude']})$"))

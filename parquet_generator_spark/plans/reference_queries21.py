@@ -534,3 +534,86 @@ GROUP BY key ORDER BY key
 
 QUERIES.update({"dsl_date_histogram_tz": dsl_date_histogram_tz})
 ORACLES.update({"dsl_date_histogram_tz": DSL_DATE_HISTOGRAM_TZ_ORACLE})
+
+
+# ------------------------------------------------ dsl_moving_fn_max
+
+def dsl_moving_fn_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`moving_fn` with MovingFunctions.max and .stdDev scripts over
+    a daily revenue histogram (trailing 7-bucket window) — the
+    named-reducer moving_fn contract beyond the unweightedAvg
+    default. Serial pipes run over the bounded bucket frame only."""
+    from parquet_generator_spark.operators.esdsl import search
+
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {
+                "revenue": {"sum": {"field": "value"}},
+                "peak7": {"moving_fn": {
+                    "buckets_path": "revenue", "window": 7,
+                    "script": "MovingFunctions.max(values)"}},
+                "vol7": {"moving_fn": {
+                    "buckets_path": "revenue", "window": 7,
+                    "script": "MovingFunctions.stdDev(values)"}},
+            }}},
+    })
+
+
+DSL_MOVING_FN_MAX_ORACLE = """
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS key,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         round(sum(value), 4) AS revenue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY key)
+SELECT key, doc_count, revenue,
+       round(max(revenue) OVER (ORDER BY key
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS peak7,
+       round(stddev_pop(revenue) OVER (ORDER BY key
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS vol7
+FROM b ORDER BY key
+"""
+
+
+# ------------------------------------------ dsl_terms_min_doc_count
+
+def dsl_terms_min_doc_count(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """`terms` with `min_doc_count`: sparse buckets pruned BEFORE the
+    bucket sort, so the response never surfaces keys below the
+    support floor (ES's long-tail noise filter)."""
+    from parquet_generator_spark.operators.esdsl import search
+
+    ev = load_table(spark, "events", sf_dir)
+    return search(ev, {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"buyers": {
+            "terms": {"field": "user_id", "size": 15,
+                      "min_doc_count": 5},
+            "aggs": {"spend": {"sum": {"field": "value"}}},
+        }},
+    })
+
+
+DSL_TERMS_MIN_DOC_COUNT_ORACLE = """
+SELECT user_id AS key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 4) AS spend
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id HAVING count(*) >= 5
+ORDER BY doc_count DESC, key ASC LIMIT 15
+"""
+
+
+QUERIES.update({
+    "dsl_moving_fn_max": dsl_moving_fn_max,
+    "dsl_terms_min_doc_count": dsl_terms_min_doc_count,
+})
+ORACLES.update({
+    "dsl_moving_fn_max": DSL_MOVING_FN_MAX_ORACLE,
+    "dsl_terms_min_doc_count": DSL_TERMS_MIN_DOC_COUNT_ORACLE,
+})
