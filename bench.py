@@ -366,6 +366,7 @@ HEADLINE = [
     "dsl_date_histogram_tz",
     "dsl_moving_fn_max",
     "dsl_terms_min_doc_count",
+    "dup_rate_by_source",
 ]
 
 

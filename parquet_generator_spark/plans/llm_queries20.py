@@ -417,3 +417,47 @@ FROM per_doc GROUP BY source ORDER BY source
 
 QUERIES.update({"lexicon_filter_stats": lexicon_filter_stats})
 ORACLES.update({"lexicon_filter_stats": _lexicon_oracle()})
+
+
+# -------------------------------------------------- dup_rate_by_source
+
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication impact — the data-card line a source
+    negotiation actually uses: of each source's docs, how many sit
+    in a multi-member exact-content group (md5), how many would
+    survive keep-one dedup, and the duplicate rate. One hash groupBy
+    (the exact-dedup shuffle) re-joined to the doc frame on the
+    hash key; all frames stay hash/doc-cardinality, no pairs."""
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = docs.select("source", F.md5("text").alias("h"))
+    groups = (hashed.groupBy("h")
+              .agg(F.count(F.lit(1)).alias("gsize")))
+    return (hashed.join(groups, "h")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("gsize") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_in_dup_groups"),
+                 F.countDistinct("h").alias("n_unique_contents"),
+                 F.round(F.sum(F.when(F.col("gsize") > 1, 1)
+                               .otherwise(0))
+                         / F.count(F.lit(1)), 4).alias("dup_rate"))
+            .orderBy("source"))
+
+
+DUP_RATE_BY_SOURCE_ORACLE = """
+WITH hashed AS (SELECT source, md5(text) AS h FROM documents),
+groups AS (SELECT h, count(*) AS gsize FROM hashed GROUP BY h)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE gsize > 1) AS BIGINT)
+         AS n_in_dup_groups,
+       CAST(count(DISTINCT hashed.h) AS BIGINT) AS n_unique_contents,
+       round(count(*) FILTER (WHERE gsize > 1)
+             / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+FROM hashed JOIN groups ON hashed.h = groups.h
+GROUP BY source ORDER BY source
+"""
+
+
+QUERIES.update({"dup_rate_by_source": dup_rate_by_source})
+ORACLES.update({"dup_rate_by_source": DUP_RATE_BY_SOURCE_ORACLE})

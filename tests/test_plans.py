@@ -495,7 +495,7 @@ _R8_SESSION2_KEYS = [
     "dsl_collapse_inner_hits", "embedding_outlier_mahalanobis",
     "lexicon_filter_stats", "dsl_terms_missing", "skew_key_report",
     "dsl_date_histogram_tz", "dsl_moving_fn_max",
-    "dsl_terms_min_doc_count",
+    "dsl_terms_min_doc_count", "dup_rate_by_source",
 ]
 
 
