@@ -90,7 +90,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # dsl_multi_knn, hard_negative_mining, dsl_collapse_inner_hits,
 # embedding_outlier_mahalanobis, lexicon_filter_stats,
 # dsl_terms_missing, skew_key_report, dsl_date_histogram_tz,
-# dsl_moving_fn_max, dsl_terms_min_doc_count, dup_rate_by_source
+# dsl_moving_fn_max, dsl_terms_min_doc_count, dup_rate_by_source,
+# hourly_seasonality
 # (+ any later round-8 additions). Round 9: put THESE at the front.
 FRONT_KEYS = [
     # round-7 additions never driver-sampled (7)

@@ -367,6 +367,7 @@ HEADLINE = [
     "dsl_moving_fn_max",
     "dsl_terms_min_doc_count",
     "dup_rate_by_source",
+    "hourly_seasonality",
 ]
 
 

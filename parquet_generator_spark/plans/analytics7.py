@@ -409,3 +409,38 @@ SELECT * FROM (
 
 QUERIES.update({"skew_key_report": skew_key_report})
 ORACLES.update({"skew_key_report": SKEW_KEY_REPORT_ORACLE})
+
+
+# -------------------------------------------- hourly_seasonality
+
+def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile (dow x hour heatmap of event
+    volume and purchase revenue) — the capacity-planning /
+    anomaly-baseline view every ops dashboard opens with. One
+    grouped pass to a fixed 7x24-bucket frame. Convention pinned
+    cross-engine: dow 0 = Sunday (Spark dayofweek()-1 == DuckDB
+    dayofweek())."""
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.groupBy((F.dayofweek("ts") - 1).alias("dow"),
+                       F.hour("ts").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.when(
+                     F.col("event_type") == "purchase",
+                     F.col("value")).otherwise(0.0)), 2)
+                 .alias("purchase_revenue"))
+            .orderBy("dow", "hour"))
+
+
+HOURLY_SEASONALITY_ORACLE = """
+SELECT dayofweek(ts) AS dow,
+       CAST(hour(ts) AS INT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value
+                      ELSE 0.0 END), 2) AS purchase_revenue
+FROM events
+GROUP BY dow, hour ORDER BY dow, hour
+"""
+
+
+QUERIES.update({"hourly_seasonality": hourly_seasonality})
+ORACLES.update({"hourly_seasonality": HOURLY_SEASONALITY_ORACLE})

@@ -496,6 +496,7 @@ _R8_SESSION2_KEYS = [
     "lexicon_filter_stats", "dsl_terms_missing", "skew_key_report",
     "dsl_date_histogram_tz", "dsl_moving_fn_max",
     "dsl_terms_min_doc_count", "dup_rate_by_source",
+    "hourly_seasonality",
 ]
 
 
