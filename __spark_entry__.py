@@ -68,80 +68,61 @@ from parquet_generator_spark.plans import streaming_queries as S
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness sampler reads 50 entries from the front of queries().
-# Rounds 3-7 greened 230 of the 237 round-7 entries with hard driver
-# rows; the 7 leading keys below (late round-7 additions that missed
-# that round's 50-wide window) close the hard ledger at 237/237 in
-# CORRECTNESS_r08, followed by every round-8 addition (all green in
-# this round's full driver-sim). Queries not listed follow in
-# registration order (all already driver-green in earlier rounds).
+# Cumulative hard ledger after round 8: 280 of 324 entries driver-green
+# at their latest sample. The 44 keys below are the ONLY entries that
+# have never been driver-sampled (round-8-continuation additions; all
+# 44 judge-sim MATCH in round 8). Round 9 puts them first to close the
+# hard ledger at 324/324, leaving 6 slots for round-9 additions.
 #
-# ROUND-9 ROTATION DEBT: round 8 added more queries than the window
-# holds. Never driver-sampled (full driver-sim green this round, all
-# MATCH): dsl_parent_id, dsl_sparse_vector, dsl_rank_eval,
-# dsl_combined_fields, dsl_match_bool_prefix, dsl_min_max_sum_bucket,
-# dsl_msearch, dsl_search_template, dsl_rrf, dsl_geo_polygon,
-# dedup_edit_distance, url_dedup_normalized, pii_density,
-# url_blocklist_filter, benford_digits, pareto_cumshare, yoy_growth,
-# dsl_terms_partition, dsl_geo_distance_rings, dsl_span_or_not,
-# dsl_hybrid_score, matryoshka_overlap, lang_source_chi2,
-# exif_orientation_parse, dsl_rule_query, dq_referential_audit,
-# incremental_agg_merge, dsl_ltr_rescore, dsl_retriever_pipeline,
-# dsl_explain_score, stream_windowed_topk, dsl_composite_mixed,
-# dsl_multi_knn, hard_negative_mining, dsl_collapse_inner_hits,
-# embedding_outlier_mahalanobis, lexicon_filter_stats,
-# dsl_terms_missing, skew_key_report, dsl_date_histogram_tz,
-# dsl_moving_fn_max, dsl_terms_min_doc_count, dup_rate_by_source,
-# hourly_seasonality
-# (+ any later round-8 additions). Round 9: put THESE at the front.
+# ROUND-10 ROTATION DEBT: round-9 additions beyond the 6-slot tail
+# accumulate here as they land; rotate them to the front next round.
 FRONT_KEYS = [
-    # round-7 additions never driver-sampled (7)
-    "embedding_pq", "dsl_rank_feature", "dsl_script_score",
-    "dsl_distance_feature", "dsl_percolate", "dsl_geo_shape",
-    "dsl_wrapper",
-    # round-8 additions append here as they land (window is 50 wide)
-    "dsl_ip_range",
-    "dsl_intervals",
-    "dsl_span_near_multi",
-    "dsl_knn",
-    "dsl_rescore",
-    "jpeg_header_parse",
-    "dsl_scripted_metric",
-    "dedup_embedding_lsh_hi",
-    "dsl_ip_prefix",
-    "dsl_term_suggest",
-    "dsl_highlight",
-    "dsl_diversified_sampler",
-    "dsl_categorize_text",
-    "basket_lift",
-    "dsl_date_math",
-    "dsl_terms_lookup",
-    "dsl_completion_suggest",
-    "hapax_doc_flags",
-    "length_quality_heatmap",
-    "lsh_bands_planner",
-    "dsl_phrase_suggest",
-    "dsl_field_caps",
-    "dsl_rate",
-    "dsl_span_first",
-    "doc_keywords",
-    "dsl_geo_bounds",
-    "dsl_reverse_nested",
-    "dsl_children_agg",
-    "stream_scripted_metric",
-    "dsl_sort_script",
-    "dsl_frequent_item_sets",
-    "gif_header_parse",
-    "dsl_geo_line",
-    "tiff_header_parse",
-    "colbert_maxsim",
-    "dsl_moving_percentiles",
-    "dsl_change_point",
-    "mp4_header_parse",
-    "webp_header_parse",
-    "readability_scores",
-    "url_domain_stats",
-    "dsl_bucket_correlation",
-    "dsl_bucket_count_ks_test",
+    # round-8 evidence debt (44 never-driver-sampled keys)
+    "dsl_parent_id",
+    "dsl_sparse_vector",
+    "dsl_rank_eval",
+    "dsl_combined_fields",
+    "dsl_match_bool_prefix",
+    "dsl_min_max_sum_bucket",
+    "dsl_msearch",
+    "dsl_search_template",
+    "dsl_rrf",
+    "dsl_geo_polygon",
+    "dedup_edit_distance",
+    "url_dedup_normalized",
+    "pii_density",
+    "url_blocklist_filter",
+    "benford_digits",
+    "pareto_cumshare",
+    "yoy_growth",
+    "dsl_terms_partition",
+    "dsl_geo_distance_rings",
+    "dsl_span_or_not",
+    "dsl_hybrid_score",
+    "matryoshka_overlap",
+    "lang_source_chi2",
+    "exif_orientation_parse",
+    "dsl_rule_query",
+    "dq_referential_audit",
+    "incremental_agg_merge",
+    "dsl_ltr_rescore",
+    "dsl_retriever_pipeline",
+    "dsl_explain_score",
+    "stream_windowed_topk",
+    "dsl_composite_mixed",
+    "dsl_multi_knn",
+    "hard_negative_mining",
+    "dsl_collapse_inner_hits",
+    "embedding_outlier_mahalanobis",
+    "lexicon_filter_stats",
+    "dsl_terms_missing",
+    "skew_key_report",
+    "dsl_date_histogram_tz",
+    "dsl_moving_fn_max",
+    "dsl_terms_min_doc_count",
+    "dup_rate_by_source",
+    "hourly_seasonality",
+    # round-9 additions append here as they land (window is 50 wide)
 ]
 
 
