@@ -61,8 +61,12 @@ def match_any(col: Column | str, query: str) -> Column:
 def token_present_duck_sql(col: str, token: str) -> str:
     """DuckDB mirror of ``token_present`` — the one place the
     analyzed-token boundary semantics (_B_L/_B_R) render to oracle
-    SQL, so oracles cannot drift from the Spark predicate."""
-    return f"regexp_matches(lower({col}), '{_B_L}{token}{_B_R}')"
+    SQL, so oracles cannot drift from the Spark predicate. The token
+    is regex-escaped exactly like the Spark twin (re.escape) and
+    single quotes are doubled for the SQL string literal, so tokens
+    with regex metacharacters or quotes cannot diverge."""
+    esc = re.escape(token).replace("'", "''")
+    return f"regexp_matches(lower({col}), '{_B_L}{esc}{_B_R}')"
 
 
 def token_present(col: Column | str, token: str) -> Column:

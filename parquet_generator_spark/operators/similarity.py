@@ -241,19 +241,33 @@ ORDER BY qid, rank
 def ivf_topk_duck_sql(table: str, k: int, query_pred: str,
                       n_centroids: int, n_probe: int,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> str:
+                      vec_col: str = "embedding",
+                      sqrt_n_cells: bool = False) -> str:
     """DuckDB mirror of ivf_topk with the smallest-id coarse
     quantizer (make_centroids_from_corpus): cell = argmax cosine
     against the normalized centroid matrix with cell-asc tie-break
     (matching ivf_assign_cells' stable argsort), corpus in its single
-    nearest cell, queries probing their n_probe nearest."""
+    nearest cell, queries probing their n_probe nearest.
+
+    ``sqrt_n_cells=True`` mirrors the sqrt(n)-scaled plan variant
+    (knn_classify_ivf): the centroid count becomes
+    ``greatest(n_centroids, floor(sqrt(count(*))))`` computed inside
+    the SQL, so the oracle tracks ``max(n_centroids, int(n**0.5))``
+    at EVERY scale factor instead of only where the floor wins —
+    both sides take floor(sqrt) of the same integer through the same
+    IEEE-double sqrt, so the counts are bit-identical."""
+    cells_expr = (f"greatest({n_centroids}, "
+                  f"CAST(floor(sqrt(n_all)) AS BIGINT))"
+                  if sqrt_n_cells else str(n_centroids))
     return f"""
 WITH v AS (
   SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS e FROM {table}),
 cent AS (
-  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
+  SELECT rn - 1 AS cell,
          list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ce
-  FROM (SELECT * FROM v ORDER BY {id_col} LIMIT {n_centroids})),
+  FROM (SELECT e, row_number() OVER (ORDER BY {id_col}) AS rn,
+               count(*) OVER () AS n_all FROM v)
+  WHERE rn <= {cells_expr}),
 sims AS (
   SELECT v.{id_col}, v.e, cent.cell,
          list_dot_product(v.e, cent.ce)

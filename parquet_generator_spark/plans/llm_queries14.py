@@ -283,9 +283,12 @@ def _knn_ivf_oracle() -> str:
         KNN_K,
         KNN_QUERY_MOD,
     )
+    # sqrt_n_cells mirrors the plan's max(ANN_IVF_CELLS, int(n**0.5))
+    # so the oracle stays exact at every SF, not only where the
+    # 32-cell floor wins (ADVICE r8).
     topk = ivf_topk_duck_sql(
         "embeddings", KNN_K, f"vec_id % {KNN_QUERY_MOD} = 0",
-        ANN_IVF_CELLS, ANN_IVF_PROBE).strip()
+        ANN_IVF_CELLS, ANN_IVF_PROBE, sqrt_n_cells=True).strip()
     return f"""
 WITH ranked AS ({topk}),
 votes AS (

@@ -32,9 +32,14 @@ def to_bulk_lines(df: DataFrame, index: str,
     column ``value``; the embedded newline separates action from
     source, and the text writer's trailing newline terminates the
     stanza — exactly the framing the _bulk endpoint parses)."""
-    action = F.concat(
-        F.lit('{"index": {"_index": "' + index + '", "_id": "'),
-        F.col(id_col).cast("string"), F.lit('"}}'))
+    # to_json over a nested struct (NOT string concat) so an id or
+    # index name containing quotes/backslashes is JSON-escaped and
+    # the action line is always valid NDJSON (ADVICE r8).
+    action = F.to_json(F.struct(
+        F.struct(
+            F.lit(index).alias("_index"),
+            F.col(id_col).cast("string").alias("_id"),
+        ).alias("index")))
     source_cols = [c for c in df.columns]
     source = F.to_json(F.struct(*source_cols),
                        {"timestampFormat":
@@ -48,13 +53,20 @@ def write_bulk_export(df: DataFrame, path: str, index: str,
     """Write the corpus as ``_bulk`` request files: each output file
     carries at most ``docs_per_file`` stanzas (clusters reject
     oversized bulk bodies, so the request unit must be bounded at
-    write time, not by a post-split). Returns the file count. The
-    repartition is round-robin on a COUNT-derived width — no key, no
-    skew; at 100 TB the count comes from scan statistics and the
-    write parallelism equals the file count."""
+    write time, not by a post-split). Returns the planned request-
+    unit count (= minimum file count). The repartition is round-robin
+    on a COUNT-derived width — no key, no skew; at 100 TB the count
+    comes from scan statistics and the write parallelism equals the
+    file count. Round-robin balances per INPUT partition from an
+    arbitrary start offset, so a partition can land up to
+    (#input partitions - 1) rows over the target — the writer's
+    ``maxRecordsPerFile`` makes the per-file cap HARD by rolling any
+    overflow into an extra file (ADVICE r8)."""
     n = df.count()
     n_files = max(1, math.ceil(n / docs_per_file))
     (to_bulk_lines(df, index, id_col)
      .repartition(n_files)
-     .write.mode("overwrite").text(path))
+     .write.mode("overwrite")
+     .option("maxRecordsPerFile", docs_per_file)
+     .text(path))
     return n_files
