@@ -32,6 +32,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from parquet_generator_spark.operators import cache  # noqa: E402
 from parquet_generator_spark.session import get_spark  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -388,6 +389,7 @@ def main() -> None:
     warmup_dir = "/root/testdata/sf0.001"
     for wq in ("q1_pricing_summary", "dedup_minhash", "dedup_embedding"):
         qs[wq](spark, warmup_dir).collect()
+    cache.release_all(spark)
 
     # Median-of-N per query (N=3 default): single-shot totals swung
     # +/-25% run-to-run on a loaded box, which made per-query
@@ -417,6 +419,7 @@ def main() -> None:
                 n = len(qs[name](spark, sf_dir).collect())
                 per.append(time.perf_counter() - t1)
         except Exception as exc:  # one bad query must not kill the run
+            cache.release_all(spark)
             timings[name] = round(time.perf_counter() - t0, 3)
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
@@ -425,6 +428,12 @@ def main() -> None:
         mins[name] = round(min(per), 3)
         maxs[name] = round(max(per), 3)
         rows[name] = n
+        # Release the query's tracked localCheckpoint blocks now that
+        # its results are collected — without this the single-session
+        # sweep accumulates storage blocks for the whole run (the
+        # round-8 mid-session slowdown band). The deliberate
+        # cross-query memo (near_dup_edges) is untracked and survives.
+        cache.release_all(spark)
         print(f"# {name}: median {timings[name]:.3f}s "
               f"(min {mins[name]:.3f}s, {n} rows)", file=sys.stderr)
 

@@ -1,0 +1,82 @@
+"""Session cache hygiene for plan-internal materialization barriers.
+
+Several operators cut lineage with ``localCheckpoint()`` (iterative
+connected components, the banded-LSH edge stage, centroid builds).
+``localCheckpoint`` eagerly persists the frame's partitions as RDD
+storage blocks that live until the JVM garbage-collects the RDD — in
+a long-lived session running hundreds of queries (the driver bench,
+a production curation service) those blocks accumulate and squeeze
+the executor storage pool (round-8 verdict: 33 checkpoint sites,
+1 unpersist, and a non-reproducing 2-4.7x mid-session slowdown band).
+
+Fix: every transient barrier routes through :func:`checkpoint`,
+which registers the frame; a harness (bench.py, verify scripts, any
+long-lived caller) calls :func:`release_all` AFTER materializing a
+query's results, dropping the checkpointed blocks deterministically
+instead of waiting for GC. Deliberate cross-query memos (the
+near-dup edge cache) call ``localCheckpoint`` directly and are never
+tracked, so their reuse contract survives a release.
+
+IMPORTANT contract: ``localCheckpoint`` TRUNCATES lineage — once a
+tracked frame's blocks are dropped it cannot be recomputed. Callers
+must release only after every dependent result is collected/written,
+which is exactly the per-query boundary the harnesses use.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+
+_TRACKED: List[DataFrame] = []
+
+
+def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` + registration for later
+    deterministic release via :func:`release_all`."""
+    out = df.localCheckpoint(eager)
+    _TRACKED.append(out)
+    return out
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an already-checkpointed frame for release; returns it
+    unchanged, so chained sites read
+    ``expr.localCheckpoint().transform(cache.track)``."""
+    _TRACKED.append(df)
+    return df
+
+
+def tracked_count() -> int:
+    return len(_TRACKED)
+
+
+def _drop_blocks(df: DataFrame) -> bool:
+    """Unpersist the checkpointed RDD behind a localCheckpointed
+    DataFrame. The analyzed plan of such a frame is a ``LogicalRDD``
+    whose ``rdd()`` is the persisted (lineage-truncated) RDD;
+    ``unpersist`` drops its storage blocks immediately (verified:
+    ``sc.getRDDStorageInfo()`` returns to baseline)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
+def release_all(spark=None) -> int:
+    """Drop storage blocks of every tracked checkpoint; returns the
+    number released. Call AFTER the consuming query's results are
+    materialized (the frames are not recomputable afterwards)."""
+    n = 0
+    while _TRACKED:
+        if _drop_blocks(_TRACKED.pop()):
+            n += 1
+    return n
+
+
+def storage_block_count(spark) -> int:
+    """Number of RDDs currently holding storage blocks — the
+    instrument the cache-hygiene test asserts on."""
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())

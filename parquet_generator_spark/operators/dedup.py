@@ -33,6 +33,7 @@ from parquet_generator_spark.operators.text import (
     toks_spark,
 )
 from parquet_generator_spark.operators.util import widen_if_narrow
+from parquet_generator_spark.operators import cache as _cache
 
 logger = logging.getLogger(__name__)
 
@@ -59,7 +60,7 @@ def _drop_hot_buckets(bands: DataFrame, keys: list[str],
         return bands
     hot = (bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
            .filter(F.col("n") > bucket_cap)
-           .localCheckpoint())
+           .localCheckpoint().transform(_cache.track))
     n_hot = hot.count()
     if n_hot:
         worst = hot.agg(F.max("n")).collect()[0][0]
@@ -219,7 +220,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
     if bucket_cap is not None:
         # the hot-bucket size pass re-derives the band explosion, so
         # pin the expensive signature stage to compute exactly once
-        sig = sig.localCheckpoint()
+        sig = sig.localCheckpoint().transform(_cache.track)
     bands = sig.select(
         "id",
         F.posexplode(
@@ -237,7 +238,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
         "j -> struct(ids[i] AS id_a, ids[j] AS id_b))))")).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
-        .localCheckpoint())
+        .localCheckpoint().transform(_cache.track))
     # verify pass: shingle only the candidate ids (a tiny fraction of
     # the corpus) and materialize them once. Without the checkpoints
     # the signature pipeline would re-run for the semi-join AND the
@@ -246,7 +247,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .union(cand.select(F.col("id_b").alias("id")))
                 .distinct())
-    shc = sh.join(cand_ids, "id", "left_semi").localCheckpoint()
+    shc = sh.join(cand_ids, "id", "left_semi").localCheckpoint().transform(_cache.track)
     a = shc.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = shc.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -338,13 +339,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # checkpoint the pair list BEFORE the symmetrizing union: both
     # union branches read `pairs`, so an unmaterialized pairs pipeline
     # (LSH + verify joins) would execute twice
-    pairs = pairs.select("id_a", "id_b").localCheckpoint()
+    pairs = pairs.select("id_a", "id_b").localCheckpoint().transform(_cache.track)
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst"))))
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
-              .localCheckpoint())
+              .localCheckpoint().transform(_cache.track))
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(max_iter):
@@ -354,7 +355,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                   .select(labels["id"],
                           F.least(F.col("label"),
                                   F.coalesce("nlabel", "label")).alias("label"))
-                  .localCheckpoint())
+                  .localCheckpoint().transform(_cache.track))
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
@@ -385,10 +386,10 @@ def connected_components_star(pairs: DataFrame,
     edges = (pairs.select(F.col("id_a").alias("u"),
                           F.col("id_b").alias("v"))
              .filter(F.col("u") != F.col("v"))
-             .distinct().localCheckpoint())
+             .distinct().localCheckpoint().transform(_cache.track))
     nodes = (edges.select(F.col("u").alias("id"))
              .union(edges.select(F.col("v").alias("id")))
-             .distinct().localCheckpoint())
+             .distinct().localCheckpoint().transform(_cache.track))
 
     def sym(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"),
@@ -413,7 +414,7 @@ def connected_components_star(pairs: DataFrame,
     converged = False
     for _ in range(max_iter):
         edges = star(star(edges, large=True), large=False) \
-            .localCheckpoint()
+            .localCheckpoint().transform(_cache.track)
         sig = edges.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
@@ -508,7 +509,7 @@ def simhash_pairs(df: DataFrame, id_col: str, content_col: str,
     if bucket_cap is not None:
         # pin the (expensive) signature expression to one computation;
         # the hot-bucket size pass re-derives only the cheap explode
-        sig = sig.localCheckpoint()
+        sig = sig.localCheckpoint().transform(_cache.track)
     mask = (1 << _BAND_BITS) - 1
     bands = sig.select(
         "id", "sig",
@@ -601,7 +602,7 @@ def minhash_lsh_pairs_cross(df: DataFrame, id_col: str,
            .withColumn("sig", minhash_signature("bh"))
            .select("id", "side", "sig"))
     if bucket_cap is not None:
-        sig = sig.localCheckpoint()
+        sig = sig.localCheckpoint().transform(_cache.track)
     bands = sig.select(
         "id", "side",
         F.posexplode(
@@ -623,12 +624,12 @@ def minhash_lsh_pairs_cross(df: DataFrame, id_col: str,
         "b -> struct(a AS id_in, b AS id_corp))))")).alias("p"))
         .select("p.id_in", "p.id_corp")
         .distinct()
-        .localCheckpoint())
+        .localCheckpoint().transform(_cache.track))
     cand_ids = (cand.select(F.col("id_in").alias("id"))
                 .union(cand.select(F.col("id_corp").alias("id")))
                 .distinct())
     shc = (sh.select("id", "sh")
-           .join(cand_ids, "id", "left_semi").localCheckpoint())
+           .join(cand_ids, "id", "left_semi").localCheckpoint().transform(_cache.track))
     a = shc.select(F.col("id").alias("id_in"), F.col("sh").alias("sh_a"))
     b = shc.select(F.col("id").alias("id_corp"),
                    F.col("sh").alias("sh_b"))
@@ -758,7 +759,7 @@ def containment_pairs(df: DataFrame, id_col: str, content_col: str,
         F.expr(shingles_spark(content_col, k)).alias("sh"))
         .select("id", F.col("sh"), F.size("sh").alias("nsh"))
         .filter(F.col("nsh") > 0)
-        .localCheckpoint())  # shingling reused by index + verify
+        .localCheckpoint().transform(_cache.track))  # shingling reused by index + verify
     inv = sh.select("id", "nsh", F.explode("sh").alias("s"))
     dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("dfq"))
     ranked = inv.join(dfreq, "s").withColumn(
@@ -766,7 +767,7 @@ def containment_pairs(df: DataFrame, id_col: str, content_col: str,
             Window.partitionBy("id").orderBy(F.asc("dfq"), F.asc("s"))))
     prefix = (ranked.filter(F.expr(f"rk <= {_prefix_bound(threshold)}"))
               .select("id", "s", "dfq")
-              .localCheckpoint())  # tiny; reused for hot-count + join
+              .localCheckpoint().transform(_cache.track))  # tiny; reused for hot-count + join
     if shingle_df_cap is not None:
         # one bounded-scalar job over the (tiny, checkpointed) prefix
         n_hot, worst = prefix.agg(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from parquet_generator_spark.operators import cache as _cache
 
 PR_QUANT = 8
 
@@ -32,7 +33,7 @@ def pagerank(pairs: DataFrame, iters: int = 3,
                           F.col("id_b").alias("v"))
              .unionByName(pairs.select(F.col("id_b").alias("u"),
                                        F.col("id_a").alias("v")))
-             .localCheckpoint())
+             .localCheckpoint().transform(_cache.track))
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()  # bounded scalar: node count
     if n == 0:
@@ -51,7 +52,7 @@ def pagerank(pairs: DataFrame, iters: int = 3,
                  .agg(F.round(F.lit(base)
                               + F.lit(damping) * F.sum("c"),
                               PR_QUANT).alias("rank"))
-                 .localCheckpoint())
+                 .localCheckpoint().transform(_cache.track))
     return ranks.select(F.col("u").alias("id"), "rank")
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators.util import broadcast_scalars
 from parquet_generator_spark.sources.catalog import load_table
+from parquet_generator_spark.operators import cache as _cache
 
 
 def _rev():
@@ -101,7 +102,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.sum(_rev()).alias("raw_value"))
           # part-cardinality; materialize once so the scalar threshold
           # doesn't re-run the whole lineitem scan + aggregate
-          .localCheckpoint())
+          .localCheckpoint().transform(_cache.track))
     thresh = pv.agg((Q11_FACTOR * F.avg("raw_value")).alias("thresh"))
     return (broadcast_scalars(pv, thresh)
             .filter(F.col("raw_value") > F.col("thresh"))

@@ -22,6 +22,7 @@ from parquet_generator_spark.plans.llm_queries import (
     near_dup_edges,
 )
 from parquet_generator_spark.sources.catalog import load_table
+from parquet_generator_spark.operators import cache as _cache
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -77,7 +78,7 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(ANN_QUERY_PRED)
     truth = (similarity.brute_force_topk(emb, queries, ANN_K)
-             .select("qid", "nid").localCheckpoint())
+             .select("qid", "nid").localCheckpoint().transform(_cache.track))
     n_truth = truth.count()  # bounded: queries x k
     cents = similarity.make_centroids_from_corpus(emb, IVF_CURVE_CELLS)
     rows = []

@@ -23,6 +23,7 @@ from parquet_generator_spark.operators.text import (
 )
 from parquet_generator_spark.operators.util import broadcast_scalars
 from parquet_generator_spark.sources.catalog import load_table
+from parquet_generator_spark.operators import cache as _cache
 
 VOCAB_TOP = 50
 
@@ -225,14 +226,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (small) candidate list, then shingle ONLY the
     # docs that appear in a pair — without the semi-join both verify
     # sides would re-tokenize the full corpus
-    cand = embedding_dup_pairs(emb, SEM_THRESHOLD).localCheckpoint()
+    cand = embedding_dup_pairs(emb, SEM_THRESHOLD).localCheckpoint().transform(_cache.track)
     cand_ids = (cand.select(F.col("id_a").alias("doc_id"))
                 .union(cand.select(F.col("id_b").alias("doc_id")))
                 .distinct())
     sh = (docs.join(cand_ids, "doc_id", "left_semi")
           .select(F.col("doc_id"),
                   F.expr(shingles_spark("text", 3)).alias("sh"))
-          .localCheckpoint())
+          .localCheckpoint().transform(_cache.track))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

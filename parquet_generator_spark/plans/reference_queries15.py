@@ -40,6 +40,7 @@ from parquet_generator_spark.plans.reference_queries9 import (
     _h_spark,
 )
 from parquet_generator_spark.sources.catalog import load_table
+from parquet_generator_spark.operators import cache as _cache
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -74,7 +75,7 @@ def _ip_source(ev: DataFrame) -> DataFrame:
     cost one split chain per use over all cores."""
     return (widen_if_narrow(ev)
             .select(F.expr(IP_S).alias("client_ip"))
-            .localCheckpoint())
+            .localCheckpoint().transform(_cache.track))
 
 
 IP_FILTER = {"bool": {

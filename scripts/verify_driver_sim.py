@@ -44,6 +44,7 @@ for name in sorted(Q):
         srows = [tuple(r) for r in sdf.collect()]
         if name not in O:
             print(f"{name}: rows-only OK ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            cache.release_all(spark)
             continue
         cur = con.execute(O[name])
         dcols = [d[0] for d in cur.description]
@@ -58,7 +59,9 @@ for name in sorted(Q):
             print(f"{name}: MISMATCH cols_ok={ok_cols} n spark={len(srows)} duck={len(drows)}")
             if not ok_cols:
                 print(f"  spark cols={sorted(scols)}\n  duck cols={sorted(dcols)}")
+        cache.release_all(spark)
     except Exception as e:
+        cache.release_all(spark)
         fails.append(name)
         print(f"{name}: ERROR {type(e).__name__}: {e}")
 print("FAILS:", fails if fails else "none")

@@ -21,6 +21,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as em  # noqa: E402
+from parquet_generator_spark.operators import cache  # noqa: E402
 
 
 def norm(v):
@@ -60,6 +61,7 @@ for name in sys.argv[1:]:
         if name not in O:
             print(f"{name}: rows-only OK ({len(srows)} rows, "
                   f"{time.time() - t0:.1f}s)")
+            cache.release_all(spark)
             continue
         cur = con.execute(O[name])
         dcols = [d[0] for d in cur.description]
@@ -83,7 +85,9 @@ for name in sys.argv[1:]:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
                 for x, y in diffs:
                     print(f"  spark={x}\n  duck ={y}")
+        cache.release_all(spark)
     except Exception as e:
+        cache.release_all(spark)
         fails.append(name)
         print(f"{name}: ERROR {type(e).__name__}: {e}")
 print("FAILS:", fails if fails else "none")
