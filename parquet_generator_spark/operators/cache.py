@@ -65,6 +65,13 @@ def _drop_blocks(df: DataFrame) -> bool:
         return False
 
 
+def release(df: DataFrame) -> bool:
+    """Drop one frame's checkpoint blocks immediately (no registry) —
+    for self-contained scopes like a foreachBatch body that must not
+    touch checkpoints tracked by an enclosing query."""
+    return _drop_blocks(df)
+
+
 def release_all(spark=None) -> int:
     """Drop storage blocks of every tracked checkpoint; returns the
     number released. Call AFTER the consuming query's results are

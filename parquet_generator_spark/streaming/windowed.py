@@ -144,10 +144,10 @@ def run_topk_stream(stream_df: DataFrame, table_name: str,
     mode — so state (and the per-batch ranked frame) grows with the
     stream's total lifetime windows, not with open windows. Fine for
     bounded replays and availableNow backfills (this runner's use);
-    an unbounded 100-TB stream instead runs the UPDATE-mode counts
-    aggregate with a watermark and merges per-window top-k into a
-    keyed sink (upsert.py's pattern), paying one sink-side re-rank
-    per updated window."""
+    an unbounded 100-TB stream runs ``run_topk_stream_update`` below
+    (watermarked update-mode counts + keyed-sink top-k merge; state
+    bounded by open windows — asserted via stateOperators
+    numRowsTotal in tests/test_streaming.py)."""
     from pyspark.sql import Window
 
     agg = windowed_event_counts(stream_df)
@@ -170,6 +170,79 @@ def run_topk_stream(stream_df: DataFrame, table_name: str,
 
     return (agg.writeStream.outputMode("complete")
             .foreachBatch(rank_and_replace)
+            .trigger(availableNow=True).start())
+
+
+def run_topk_stream_update(stream_df: DataFrame, counts_path: str,
+                           topk_path: str, checkpoint_dir: str,
+                           k: int = TOPK_PER_WINDOW,
+                           watermark: str = "1 hour"):
+    """UNBOUNDED-safe top-k runner — the scale path the complete-mode
+    runner's docstring designs: watermarked UPDATE-mode counts (state
+    = open windows x keys; the watermark EVICTS closed windows, which
+    complete mode never does) + a keyed-sink merge that re-ranks ONLY
+    the windows each micro-batch touched.
+
+    Per micro-batch: (1) latest-wins merge of the updated
+    (win_start, event_type) count rows into the ``counts_path`` table
+    (upsert.merge_latest, ordered by batch id — counts are the
+    CURRENT aggregate, so newest wins); (2) one bounded re-rank of
+    the touched windows; (3) replace exactly those windows' rows in
+    the ``topk_path`` table. Work per batch is O(updated windows x
+    keys), independent of stream lifetime; both sink tables live on
+    disk, not in state. On a table format the two staging swaps
+    become native MERGEs (see upsert.py)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from parquet_generator_spark.operators import cache
+    from parquet_generator_spark.streaming.upsert import merge_latest
+
+    agg = windowed_event_counts(stream_df, watermark=watermark)
+
+    def _swap(df: DataFrame, path: str) -> None:
+        staging = path + "_staging"
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(staging, path)
+
+    def merge_topk(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        b = batch_df.withColumn("_batch", F.lit(batch_id))
+        existing = (spark.read.parquet(counts_path)
+                    if os.path.exists(counts_path) else None)
+        merged = merge_latest(existing, b,
+                              ["win_start", "event_type"], ["_batch"])
+        # localCheckpoint before the swap: the merged plan READS
+        # counts_path, which the swap deletes
+        merged = merged.localCheckpoint()
+        _swap(merged, counts_path)
+        # bounded driver list: windows updated THIS batch only
+        upd = [r[0] for r in
+               batch_df.select("win_start").distinct().collect()]
+        w = Window.partitionBy("win_start").orderBy(
+            F.desc("n"), F.asc("event_type"))
+        fresh = (merged.filter(F.col("win_start").isin(upd))
+                 .withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") <= k)
+                 .select("win_start", "rk", "event_type", "n",
+                         "sum_value"))
+        if os.path.exists(topk_path):
+            old = (spark.read.parquet(topk_path)
+                   .filter(~F.col("win_start").isin(upd)))
+            fresh = old.unionByName(fresh).localCheckpoint()
+        _swap(fresh, topk_path)
+        cache.release(merged)
+        cache.release(fresh)
+
+    return (agg.writeStream.outputMode("update")
+            .foreachBatch(merge_topk)
+            .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
 
 

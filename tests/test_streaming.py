@@ -665,3 +665,63 @@ def test_windowed_topk_stream_matches_batch(spark, tmp_path):
     streamed = spark.sql(
         "select * from global_temp.topk_stream").collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_windowed_topk_update_mode_matches_batch(spark, tmp_path):
+    """The UNBOUNDED-safe runner (update mode + watermark + keyed-sink
+    merge) converges to the batch answer AND its state stays bounded
+    by open windows — the eviction complete mode cannot do. Chunks
+    arrive in event-time order (explicit mtimes; FileStreamSource
+    processes oldest-first), so the 1h watermark drops nothing."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.streaming.windowed import (
+        run_topk_stream_update,
+        windowed_type_topk,
+    )
+
+    ev = load_table(spark, "events", SF)
+    batch = windowed_type_topk(ev).collect()
+    n_windows = ev.select(
+        F.window("ts", "6 hours")).distinct().count()
+
+    src = str(tmp_path / "ev_ordered")
+    os.makedirs(src)
+    bounds = [f"2024-01-{d:02d}" for d in
+              (1, 4, 7, 10, 13, 16, 19, 22, 25, 28)] + ["2024-02-01"]
+    for i in range(10):
+        stage = str(tmp_path / f"w{i}")
+        (ev.filter((F.col("ts") >= bounds[i])
+                   & (F.col("ts") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dst = f"{src}/chunk{i:02d}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (1700000000 + i * 60,) * 2)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    counts = str(tmp_path / "topk_counts")
+    topk = str(tmp_path / "topk_table")
+    q = run_topk_stream_update(
+        stream, counts, topk, str(tmp_path / "topk_ckpt"),
+        watermark="1 hour")
+    q.awaitTermination(240)
+    progresses = [p for p in q.recentProgress
+                  if p["stateOperators"]]
+
+    got = spark.read.parquet(topk).select(
+        "win_start", "rk", "event_type", "n", "sum_value").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+    # state boundedness: the watermark evicted closed windows, so the
+    # peak state row count stays well under ALL windows x keys (which
+    # is what complete mode would retain by the final batch)
+    peak = max(p["stateOperators"][0]["numRowsTotal"]
+               for p in progresses)
+    n_keys = 5
+    assert peak < n_windows * n_keys * 0.5, (peak, n_windows * n_keys)
