@@ -62,6 +62,7 @@ from parquet_generator_spark.plans import reference_queries18 as R18
 from parquet_generator_spark.plans import reference_queries19 as R19
 from parquet_generator_spark.plans import reference_queries20 as R20
 from parquet_generator_spark.plans import reference_queries21 as R21
+from parquet_generator_spark.plans import reference_queries22 as R22
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -123,6 +124,8 @@ FRONT_KEYS = [
     "dup_rate_by_source",
     "hourly_seasonality",
     # round-9 additions append here as they land (window is 50 wide)
+    "dsl_match_analyzer",
+    "dsl_match_synonyms",
 ]
 
 
@@ -183,6 +186,7 @@ def queries() -> dict[str, QueryFn]:
         **R19.QUERIES,
         **R20.QUERIES,
         **R21.QUERIES,
+        **R22.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -244,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         **R19.ORACLES,
         **R20.ORACLES,
         **R21.ORACLES,
+        **R22.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

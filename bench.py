@@ -369,6 +369,9 @@ HEADLINE = [
     "dsl_terms_min_doc_count",
     "dup_rate_by_source",
     "hourly_seasonality",
+    # round 9
+    "dsl_match_analyzer",
+    "dsl_match_synonyms",
 ]
 
 

@@ -1,0 +1,228 @@
+"""ES analyzer support for the match-family DSL translation.
+
+Real ES indices routinely declare ``"analyzer": "english"`` (stopword
+removal + stemming) or a custom analyzer with a synonym filter; a
+``match`` against such a field diverges token-for-token from the
+plain whitespace+lowercase shingler every other leaf uses. This
+module keeps the whole thing plan-time + codegen:
+
+- the QUERY string is analyzed in Python at plan time (tokenize,
+  drop stopwords, expand synonyms, stem) into literal token groups;
+- the FIELD side is analyzed inside the plan with built-in
+  higher-order functions — ``exists(split(lower(col), sep), t ->
+  stem(t) IN (<group literals>))`` — no UDF, stays in codegen;
+- the DuckDB oracle renders the SAME stemmer from the SAME rule
+  generator (``s_stem_sql`` emits portable SQL: CASE/right/substr/
+  length/|| behave identically in Spark SQL and DuckDB), so the two
+  engines cannot drift.
+
+Stemmer: Harman's S-stemmer ("How Effective Is Suffixing?", JASIS
+1991) — the three plural rules (ies->y, es->e-drop-s, s->drop) with
+the published exception lists. Deliberately smaller than Porter but
+deterministic, public, and expressible as one CASE expression in
+both engines; the analyzer registry is the extension point for a
+fuller snowball port.
+
+Stopword list: Lucene's EnglishAnalyzer default stop set (public,
+org.apache.lucene.analysis.en.EnglishAnalyzer#ENGLISH_STOP_WORDS_SET).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Lucene EnglishAnalyzer default stop words (public constant)
+LUCENE_ENGLISH_STOPWORDS = frozenset("""
+a an and are as at be but by for if in into is it no not of on or
+such that the their then there these they this to was will with
+""".split())
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_SEP = "[^a-z0-9]+"
+
+
+def _tokens(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text.lower())
+
+
+def s_stem(w: str) -> str:
+    """Python twin of :func:`s_stem_sql` — applied to QUERY tokens at
+    plan time; the SQL form handles the field side."""
+    if len(w) > 4 and w.endswith("ies") and w[-4:] not in ("eies", "aies"):
+        return w[:-3] + "y"
+    if len(w) > 3 and w.endswith("es") and w[-3:] not in ("aes", "ees",
+                                                          "oes"):
+        return w[:-1]
+    if len(w) > 3 and w.endswith("s") and w[-2:] not in ("us", "ss"):
+        return w[:-1]
+    return w
+
+
+def s_stem_sql(ref: str) -> str:
+    """One CASE expression implementing s_stem over ``ref``; the SQL
+    subset used (CASE/right/substr/length/||/IN) evaluates identically
+    in Spark SQL and DuckDB, so ONE generator feeds both engines."""
+    return (
+        f"CASE "
+        f"WHEN length({ref}) > 4 AND right({ref}, 3) = 'ies' "
+        f"AND right({ref}, 4) NOT IN ('eies', 'aies') "
+        f"THEN substr({ref}, 1, length({ref}) - 3) || 'y' "
+        f"WHEN length({ref}) > 3 AND right({ref}, 2) = 'es' "
+        f"AND right({ref}, 3) NOT IN ('aes', 'ees', 'oes') "
+        f"THEN substr({ref}, 1, length({ref}) - 1) "
+        f"WHEN length({ref}) > 3 AND right({ref}, 1) = 's' "
+        f"AND right({ref}, 2) NOT IN ('us', 'ss') "
+        f"THEN substr({ref}, 1, length({ref}) - 1) "
+        f"ELSE {ref} END")
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """Plan-time analyzer spec: applied to query strings in Python
+    and rendered into the plan/oracle for the field side."""
+    name: str
+    stopwords: frozenset = frozenset()
+    synonyms: dict = field(default_factory=dict)  # token -> [token...]
+    stem: bool = False
+
+    def analyze(self, query: str) -> list[list[str]]:
+        """Query string -> token GROUPS: stopwords dropped, each
+        surviving token synonym-expanded then stemmed. A group
+        matches when ANY of its members is present in the field.
+        Synonym lookup applies to the RAW lowercase token — the
+        synonym filter sits before the stemmer in the chain (ES's
+        recommended order for keep-original synonym graphs)."""
+        groups: list[list[str]] = []
+        for tok in _tokens(query):
+            if tok in self.stopwords:
+                continue
+            variants = [tok] + [v.lower() for v in
+                                self.synonyms.get(tok, [])]
+            if self.stem:
+                variants = [s_stem(v) for v in variants]
+            # dedupe, keep order for deterministic SQL rendering
+            seen: list[str] = []
+            for v in variants:
+                if v and v not in seen:
+                    seen.append(v)
+            if seen:
+                groups.append(seen)
+        return groups
+
+
+_REGISTRY: dict[str, Analyzer] = {}
+
+
+def register_analyzer(a: Analyzer) -> Analyzer:
+    _REGISTRY[a.name] = a
+    return a
+
+
+def get_analyzer(name: str) -> Analyzer:
+    if name not in _REGISTRY:
+        raise ValueError(
+            f"unknown analyzer {name!r}; registered: "
+            f"{sorted(_REGISTRY)} (register_analyzer to add)")
+    return _REGISTRY[name]
+
+
+register_analyzer(Analyzer("standard"))
+register_analyzer(Analyzer("stop", stopwords=LUCENE_ENGLISH_STOPWORDS))
+register_analyzer(Analyzer("english",
+                           stopwords=LUCENE_ENGLISH_STOPWORDS,
+                           stem=True))
+
+
+def _quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _group_pred_sql(tokens_ref: str, group: list[str],
+                    stem: bool) -> str:
+    """EXISTS-style test: any element of the tokenized field, after
+    stemming, equals any group member. ``tokens_ref`` names an array
+    expression; rendered per engine by the callers below."""
+    elem = s_stem_sql("t") if stem else "t"
+    lits = ", ".join(_quote(g) for g in group)
+    return f"t -> ({elem}) IN ({lits})"
+
+
+def _spark_tokens_expr(col: str) -> str:
+    return f"filter(split(lower({col}), '{_SEP}'), t -> t != '')"
+
+
+def _duck_tokens_expr(col: str) -> str:
+    return (f"list_filter(string_split_regex(lower({col}), "
+            f"'{_SEP}'), t -> t != '')")
+
+
+def analyzed_group_present(col: str, group: list[str],
+                           stem: bool) -> Column:
+    lam = _group_pred_sql("t", group, stem)
+    return F.expr(f"exists({_spark_tokens_expr(col)}, {lam})")
+
+
+def analyzed_group_present_duck_sql(col: str, group: list[str],
+                                    stem: bool) -> str:
+    lam = _group_pred_sql("t", group, stem)
+    return f"len(list_filter({_duck_tokens_expr(col)}, {lam})) > 0"
+
+
+def analyzed_match(col: str, query: str, analyzer: Analyzer,
+                   operator: str = "or",
+                   minimum_should_match: int | None = None) -> Column:
+    """ES ``match`` with an analyzer: token groups from the analyzed
+    query; operator/minimum_should_match count GROUPS (ES counts
+    optional clauses after analysis — a stopword dropped by the
+    analyzer never counts against the minimum)."""
+    groups = analyzer.analyze(query)
+    if not groups:
+        return F.lit(True)  # all-stopword query matches everything
+    hits = [analyzed_group_present(col, g, analyzer.stem)
+            for g in groups]
+    if operator == "and":
+        out = F.lit(True)
+        for h in hits:
+            out = out & h
+        return out
+    if minimum_should_match is not None:
+        msm = int(minimum_should_match)
+        if msm > len(hits):
+            return F.lit(False)
+        n = None
+        for h in hits:
+            c = h.cast("int")
+            n = c if n is None else n + c
+        return n >= F.lit(msm)
+    out = F.lit(False)
+    for h in hits:
+        out = out | h
+    return out
+
+
+def analyzed_match_duck_sql(col: str, query: str, analyzer: Analyzer,
+                            operator: str = "or",
+                            minimum_should_match: int | None = None
+                            ) -> str:
+    """DuckDB mirror of :func:`analyzed_match` — same groups (the
+    SAME Python analysis runs at oracle-render time), same stemmer
+    SQL, same group/operator algebra."""
+    groups = analyzer.analyze(query)
+    if not groups:
+        return "TRUE"
+    hits = [analyzed_group_present_duck_sql(col, g, analyzer.stem)
+            for g in groups]
+    if operator == "and":
+        return "(" + " AND ".join(hits) + ")"
+    if minimum_should_match is not None:
+        msm = int(minimum_should_match)
+        if msm > len(hits):
+            return "FALSE"
+        total = " + ".join(f"(CASE WHEN {h} THEN 1 ELSE 0 END)"
+                           for h in hits)
+        return f"(({total}) >= {msm})"
+    return "(" + " OR ".join(hits) + ")"

@@ -842,9 +842,18 @@ def translate_query(q: dict | None) -> Column:
             val = spec["query"]
             operator = spec.get("operator", "or")
             msm = spec.get("minimum_should_match")
+            analyzer_name = spec.get("analyzer")
         else:
-            val, operator, msm = spec, "or", None
+            val, operator, msm, analyzer_name = spec, "or", None, None
         nn = F.col(field).isNotNull()
+        if analyzer_name is not None:
+            from parquet_generator_spark.operators.analyzers import (
+                analyzed_match,
+                get_analyzer,
+            )
+            return nn & analyzed_match(
+                field, val, get_analyzer(analyzer_name),
+                operator=operator, minimum_should_match=msm)
         toks = _tokens(val)
         if operator == "and":
             cond = F.lit(True)
