@@ -40,6 +40,7 @@ from parquet_generator_spark.plans import llm_queries17 as L17
 from parquet_generator_spark.plans import llm_queries18 as L18
 from parquet_generator_spark.plans import llm_queries19 as L19
 from parquet_generator_spark.plans import llm_queries20 as L20
+from parquet_generator_spark.plans import llm_queries21 as L21
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -126,6 +127,7 @@ FRONT_KEYS = [
     # round-9 additions append here as they land (window is 50 wide)
     "dsl_match_analyzer",
     "dsl_match_synonyms",
+    "bpe_vocab_train",
 ]
 
 
@@ -162,6 +164,7 @@ def queries() -> dict[str, QueryFn]:
         **L18.QUERIES,
         **L19.QUERIES,
         **L20.QUERIES,
+        **L21.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -224,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         **L18.ORACLES,
         **L19.ORACLES,
         **L20.ORACLES,
+        **L21.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

@@ -372,6 +372,7 @@ HEADLINE = [
     # round 9
     "dsl_match_analyzer",
     "dsl_match_synonyms",
+    "bpe_vocab_train",
 ]
 
 

@@ -1,0 +1,150 @@
+"""LLM-pipeline twenty-first wave: BPE vocabulary TRAINING.
+
+``bpe_merge_candidates`` (llm_queries6.py) is step 1 of BPE — one
+pair-count pass. This module closes the round-8 verdict's missing
+capstone: the iterated merge-and-recount loop that actually trains a
+merge table (Sennrich et al. 2016, "Neural Machine Translation of
+Rare Words with Subword Units" — the published algorithm).
+
+Spark-first shape (the kmeans/pagerank iterative-join posture):
+- training runs over the UNIQUE-WORD frequency table, not the corpus
+  (one groupBy; at 100 TB the vocab table is orders of magnitude
+  smaller than the text and is the industry-standard BPE input);
+- each round is ONE keyed aggregation (adjacent-pair counts weighted
+  by word frequency) + a single-row collect (the argmax pair becomes
+  a PLAN LITERAL, exactly like the quantized k-means centroids);
+- the merge applies as a double-pass plain string ``replace`` over
+  the space-delimited symbol string — two passes make leftmost
+  non-overlapping replacement equal to greedy left-to-right BPE
+  merging (a single pass misses every second adjacent occurrence
+  because the shared delimiter space is consumed; the missed ones
+  are never adjacent, so pass 2 gets them all). Plain ``replace`` is
+  leftmost non-overlapping in BOTH engines, so the DuckDB oracle
+  replays the identical K rounds as unrolled CTEs with scalar
+  subqueries — no Spark-result leakage into the oracle.
+- per-round lineage is cut with a TRACKED localCheckpoint (the
+  cache-hygiene registry), so K rounds cost K passes, not K^2.
+
+Scale: per round = one shuffle keyed by pair over the vocab table +
+one bounded collect (1 row). State between rounds is the evolving
+vocab frame (checkpointed) + K merge literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_generator_spark.operators import cache as _cache
+from parquet_generator_spark.operators.text import toks_duck, toks_spark
+from parquet_generator_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+BPE_TRAIN_MERGES = 12
+
+# symbol string: sentinel-space-delimited chars, e.g. "low" -> " l o w "
+_CHARS_SPARK = ("concat(' ', array_join(transform("
+                "sequence(1, length(w)), i -> substring(w, i, 1)), "
+                "' '), ' ')")
+_CHARS_DUCK = ("' ' || array_to_string(list_transform("
+               "generate_series(1, length(w)), i -> substr(w, i, 1)), "
+               "' ') || ' '")
+
+# adjacent symbol pairs of the delimited string, as 'a b' strings
+_PAIRS_SPARK = (
+    "CASE WHEN size(l) >= 2 THEN transform(sequence(1, size(l) - 1), "
+    "i -> concat(element_at(l, i), ' ', element_at(l, i + 1))) "
+    "ELSE array() END")
+_PAIRS_DUCK = (
+    "CASE WHEN len(l) >= 2 THEN list_transform("
+    "generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1]) "
+    "ELSE [] END")
+
+_SPLIT_SPARK = "filter(split(s, ' '), t -> t != '')"
+_SPLIT_DUCK = "list_filter(string_split(s, ' '), t -> t <> '')"
+
+
+def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE merge table (K=12 rounds) over the documents
+    corpus: rank, the merged pair (left/right/merged), and the
+    weighted corpus frequency the pair had when selected. Ties break
+    on ascending pair string in both engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = (docs.select(F.explode(F.expr(toks_spark("text")))
+                         .alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+             .select(F.expr(_CHARS_SPARK).alias("s"), "freq"))
+    merges: list[tuple] = []
+    for r in range(1, BPE_TRAIN_MERGES + 1):
+        best = (vocab
+                .select(F.expr(_SPLIT_SPARK).alias("l"), "freq")
+                .select(F.explode(F.expr(_PAIRS_SPARK)).alias("pair"),
+                        "freq")
+                .groupBy("pair").agg(F.sum("freq").alias("n"))
+                .orderBy(F.desc("n"), F.asc("pair"))
+                .limit(1).collect())
+        if not best:
+            break
+        pair, n = best[0]["pair"], int(best[0]["n"])
+        left, right = pair.split(" ")
+        merged = left + right
+        pat, rep = f" {pair} ", f" {merged} "
+        # double-pass leftmost replace == greedy BPE merge (see
+        # module docstring); the merge pair is a plan literal
+        vocab = _cache.checkpoint(vocab.select(
+            F.replace(F.replace("s", F.lit(pat), F.lit(rep)),
+                      F.lit(pat), F.lit(rep)).alias("s"),
+            "freq"))
+        merges.append((r, left, right, merged, n))
+    schema = T.StructType([
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("merge_left", T.StringType()),
+        T.StructField("merge_right", T.StringType()),
+        T.StructField("merged", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    return spark.createDataFrame(merges, schema).orderBy("rank")
+
+
+def bpe_vocab_train_duck_sql(k: int = BPE_TRAIN_MERGES) -> str:
+    """Unrolled K-round replay: each round's argmax pair is a scalar
+    subquery; the merge is the same double-pass replace."""
+    parts = [
+        "WITH w0 AS MATERIALIZED (\n"
+        f"  SELECT {_CHARS_DUCK} AS s, freq FROM (\n"
+        f"    SELECT w, count(*) AS freq FROM (\n"
+        f"      SELECT unnest({toks_duck('text')}) AS w FROM documents)\n"
+        f"    GROUP BY w))"]
+    for r in range(1, k + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"p{r} AS MATERIALIZED (\n"
+            f"  SELECT unnest({_PAIRS_DUCK}) AS pair, freq FROM (\n"
+            f"    SELECT {_SPLIT_DUCK} AS l, freq FROM {prev})),\n"
+            f"b{r} AS MATERIALIZED (\n"
+            f"  SELECT pair, sum(freq) AS n FROM p{r} GROUP BY pair\n"
+            f"  ORDER BY n DESC, pair ASC LIMIT 1),\n"
+            f"w{r} AS MATERIALIZED (\n"
+            f"  SELECT replace(replace(s,\n"
+            f"           ' ' || (SELECT pair FROM b{r}) || ' ',\n"
+            f"           ' ' || (SELECT replace(pair, ' ', '') FROM b{r})"
+            f" || ' '),\n"
+            f"           ' ' || (SELECT pair FROM b{r}) || ' ',\n"
+            f"           ' ' || (SELECT replace(pair, ' ', '') FROM b{r})"
+            f" || ' ') AS s, freq\n"
+            f"  FROM {prev})")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank,\n"
+        f"  (SELECT split_part(pair, ' ', 1) FROM b{r}) AS merge_left,\n"
+        f"  (SELECT split_part(pair, ' ', 2) FROM b{r}) AS merge_right,\n"
+        f"  (SELECT replace(pair, ' ', '') FROM b{r}) AS merged,\n"
+        f"  (SELECT n FROM b{r}) AS n"
+        for r in range(1, k + 1))
+    return ",\n".join(parts) + "\n" + rows + "\nORDER BY rank"
+
+
+QUERIES.update({"bpe_vocab_train": bpe_vocab_train})
+ORACLES.update({"bpe_vocab_train": bpe_vocab_train_duck_sql()})
