@@ -13,6 +13,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as em
+from parquet_generator_spark.operators import cache
 
 def norm(v):
     if v is None: return "NULL"
