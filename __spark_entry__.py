@@ -128,6 +128,7 @@ FRONT_KEYS = [
     "dsl_match_analyzer",
     "dsl_match_synonyms",
     "bpe_vocab_train",
+    "bpe_encode_stats",
 ]
 
 

@@ -373,6 +373,7 @@ HEADLINE = [
     "dsl_match_analyzer",
     "dsl_match_synonyms",
     "bpe_vocab_train",
+    "bpe_encode_stats",
 ]
 
 

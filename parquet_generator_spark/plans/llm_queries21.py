@@ -148,3 +148,90 @@ def bpe_vocab_train_duck_sql(k: int = BPE_TRAIN_MERGES) -> str:
 
 QUERIES.update({"bpe_vocab_train": bpe_vocab_train})
 ORACLES.update({"bpe_vocab_train": bpe_vocab_train_duck_sql()})
+
+
+# ------------------------------------------------------ bpe_encode_stats
+
+def _apply_merges_sql(inner: str, merges: list[tuple]) -> str:
+    """SQL expression applying the trained merge sequence to the
+    delimited symbol string ``inner`` (double-pass replace per merge,
+    the same greedy semantics as training; portable to DuckDB)."""
+    expr = inner
+    for _r, left, right, merged, _n in merges:
+        pat = f"' {left} {right} '"
+        rep = f"' {merged} '"
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    return expr
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the trained merge table: re-derives the K=12
+    merges (bounded single-row collects -> plan literals, the same
+    training loop), applies them to every word of every document,
+    and reports the tokenizer's effect per source — docs, total
+    chars (pre-BPE symbol count), post-BPE token count, and chars
+    per token (the compression/fertility report a tokenizer change
+    ships with; the trained-BPE twin of tokenizer_fertility).
+
+    Scale shape: the merge table is O(K) literals; encoding is 2K
+    string replaces inside ONE projection over the corpus — no
+    shuffle beyond the final per-source aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    merges = [tuple(r) for r in
+              bpe_vocab_train(spark, sf_dir).collect()]
+    encoded = _apply_merges_sql(_CHARS_SPARK, merges)
+    word_expr = (
+        f"transform({toks_spark('text')}, w -> named_struct("
+        f"'chars', length(w), "
+        f"'toks', cast(size(filter(split({encoded}, ' '), "
+        f"t -> t != '')) as bigint)))")
+    stats = docs.filter(
+        F.expr(f"size({toks_spark('text')}) >= 1")).select(
+        "source",
+        F.expr(
+            f"aggregate({word_expr}, "
+            f"named_struct('c', cast(0 as bigint), "
+            f"'t', cast(0 as bigint)), "
+            f"(a, x) -> named_struct('c', a.c + x.chars, "
+            f"'t', a.t + x.toks))").alias("agg"))
+    return (stats.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("agg.c").alias("chars"),
+                 F.sum("agg.t").alias("bpe_tokens"),
+                 F.round(F.sum("agg.c") / F.sum("agg.t"), 4)
+                 .alias("chars_per_token"))
+            .orderBy("source"))
+
+
+def bpe_encode_stats_duck_sql(k: int = BPE_TRAIN_MERGES) -> str:
+    """Replay: re-train the merges in SQL (the bpe_vocab_train CTE
+    chain), then apply the SAME double-pass replaces to every word
+    via the b{r} scalar subqueries."""
+    train = bpe_vocab_train_duck_sql(k)
+    ctes = train[:train.index("\nSELECT CAST(1 AS INTEGER)")]
+    enc = _CHARS_DUCK
+    for r in range(1, k + 1):
+        pat = f"' ' || (SELECT pair FROM b{r}) || ' '"
+        rep = f"' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' '"
+        enc = (f"replace(replace({enc}, {pat}, {rep}), {pat}, {rep})")
+    return f"""{ctes},
+words AS (
+  SELECT doc_id, source, unnest({toks_duck('text')}) AS w
+  FROM documents),
+encw AS (
+  SELECT doc_id, source, length(w) AS chars,
+         len(list_filter(string_split({enc}, ' '), t -> t <> ''))
+           AS toks
+  FROM words)
+SELECT source, count(DISTINCT doc_id) AS n_docs,
+       sum(chars) AS chars, sum(toks) AS bpe_tokens,
+       round(CAST(sum(chars) AS DOUBLE) / sum(toks), 4)
+         AS chars_per_token
+FROM encw
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES.update({"bpe_encode_stats": bpe_encode_stats})
+ORACLES.update({"bpe_encode_stats": bpe_encode_stats_duck_sql()})
