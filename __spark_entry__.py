@@ -41,6 +41,7 @@ from parquet_generator_spark.plans import llm_queries18 as L18
 from parquet_generator_spark.plans import llm_queries19 as L19
 from parquet_generator_spark.plans import llm_queries20 as L20
 from parquet_generator_spark.plans import llm_queries21 as L21
+from parquet_generator_spark.plans import llm_queries22 as L22
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -129,6 +130,7 @@ FRONT_KEYS = [
     "dsl_match_synonyms",
     "bpe_vocab_train",
     "bpe_encode_stats",
+    "jpeg_decode_stats",
 ]
 
 
@@ -166,6 +168,7 @@ def queries() -> dict[str, QueryFn]:
         **L19.QUERIES,
         **L20.QUERIES,
         **L21.QUERIES,
+        **L22.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -229,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         **L19.ORACLES,
         **L20.ORACLES,
         **L21.ORACLES,
+        **L22.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

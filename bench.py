@@ -374,6 +374,7 @@ HEADLINE = [
     "dsl_match_synonyms",
     "bpe_vocab_train",
     "bpe_encode_stats",
+    "jpeg_decode_stats",
 ]
 
 

@@ -204,16 +204,29 @@ def _decode_png(b: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to a numpy array — REAL (pure
-    stdlib + numpy) for 24-bit BMP and 8-bit PNG; other formats use
-    PIL when importable, else the honest NotImplementedError gate."""
+    stdlib + numpy) for 24-bit BMP, 8-bit PNG, and baseline 4:4:4
+    JPEG (operators/jpeg_codec.py, round 9); other formats use PIL
+    when importable, else the honest NotImplementedError gate.
+    Progressive/subsampled JPEGs fall through to the PIL gate (the
+    numpy decoder raises its scope ValueError loudly)."""
     b = bytes(payload)
     if b[:2] == b"BM":
         return _decode_bmp(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from parquet_generator_spark.operators.jpeg_codec import (
+            decode_jpeg_baseline,
+        )
+        try:
+            return decode_jpeg_baseline(b)
+        except ValueError:
+            if not HAVE_PIL:
+                raise
     if not HAVE_PIL:
         raise NotImplementedError(
-            "decode beyond BMP/PNG requires PIL; not present here")
+            "decode beyond BMP/PNG/baseline-JPEG requires PIL; "
+            "not present here")
     import io
     return np.asarray(Image.open(io.BytesIO(b)))
 
