@@ -131,6 +131,7 @@ FRONT_KEYS = [
     "bpe_vocab_train",
     "bpe_encode_stats",
     "jpeg_decode_stats",
+    "quality_model_score",
 ]
 
 

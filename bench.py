@@ -375,6 +375,7 @@ HEADLINE = [
     "bpe_vocab_train",
     "bpe_encode_stats",
     "jpeg_decode_stats",
+    "quality_model_score",
 ]
 
 

@@ -98,3 +98,88 @@ ORDER BY media_id
 
 QUERIES.update({"jpeg_decode_stats": jpeg_decode_stats})
 ORACLES.update({"jpeg_decode_stats": JPEG_DECODE_STATS_ORACLE})
+
+
+# --------------------------------------------------- quality_model_score
+
+# exported linear quality model (the shape a distilled fasttext-style
+# doc-quality classifier has after export): literal weights over
+# cheap codegen features, sigmoid score. Weights are plan literals.
+_QM_BIAS = -1.1
+_QM_W_LOGLEN = 0.55      # log(1+chars): longer docs score higher
+_QM_W_STOP = 2.8         # stopword ratio: fluent prose marker
+_QM_W_WLEN = -0.35       # very long avg tokens: code/garbage marker
+_QM_W_DIGIT = -4.0       # digit density: boilerplate/table marker
+_QM_STOPS = ("the", "a", "of", "to", "and", "in", "is", "that")
+
+
+def _qm_z_spark() -> str:
+    from parquet_generator_spark.operators.text import toks_spark
+
+    toks = toks_spark("text")
+    stops = ", ".join(f"'{s}'" for s in _QM_STOPS)
+    return (
+        f"{_QM_BIAS} "
+        f"+ {_QM_W_LOGLEN} * ln(1 + length(text)) "
+        f"+ {_QM_W_STOP} * (size(filter({toks}, t -> t IN ({stops}))) "
+        f"  / cast(greatest(size({toks}), 1) AS DOUBLE)) "
+        f"+ {_QM_W_WLEN} * (aggregate({toks}, cast(0 AS BIGINT), "
+        f"  (a, t) -> a + length(t)) "
+        f"  / cast(greatest(size({toks}), 1) AS DOUBLE)) "
+        f"+ {_QM_W_DIGIT} * (length(regexp_replace(text, '[^0-9]', '')) "
+        f"  / cast(greatest(length(text), 1) AS DOUBLE))")
+
+
+def _qm_z_duck() -> str:
+    from parquet_generator_spark.operators.text import toks_duck
+
+    toks = toks_duck("text")
+    stops = ", ".join(f"'{s}'" for s in _QM_STOPS)
+    return (
+        f"{_QM_BIAS} "
+        f"+ {_QM_W_LOGLEN} * ln(1 + length(text)) "
+        f"+ {_QM_W_STOP} * (len(list_filter({toks}, t -> t IN ({stops}))) "
+        f"  / CAST(greatest(len({toks}), 1) AS DOUBLE)) "
+        f"+ {_QM_W_WLEN} * (list_sum(list_transform({toks}, "
+        f"  t -> length(t))) "
+        f"  / CAST(greatest(len({toks}), 1) AS DOUBLE)) "
+        f"+ {_QM_W_DIGIT} * (length(regexp_replace(text, '[^0-9]', '', "
+        f"  'g')) / CAST(greatest(length(text), 1) AS DOUBLE))")
+
+
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the exported quality model (sigmoid
+    over literal-weight codegen features — no UDF, no shuffle before
+    the per-source aggregate) and report per source: doc count, mean
+    quality, and the share passing the 0.5 keep-gate. This is the
+    model-based filter stage of a curation pipeline (the
+    heuristic-rule stages are gopher_quality / ccnet_quality_buckets;
+    this is their trained-classifier sibling)."""
+    docs = load_table(spark, "documents", sf_dir)
+    z = _qm_z_spark()
+    p = f"1.0 / (1.0 + exp(-({z})))"
+    return (docs.filter(F.col("text").isNotNull())
+            .select("source", F.expr(p).alias("p"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("p"), 4).alias("avg_quality"),
+                 F.round(F.avg((F.col("p") >= 0.5).cast("double")), 4)
+                 .alias("keep_share"))
+            .orderBy("source"))
+
+
+QUALITY_MODEL_SCORE_ORACLE = f"""
+WITH scored AS (
+  SELECT source, 1.0 / (1.0 + exp(-({_qm_z_duck()}))) AS p
+  FROM documents WHERE text IS NOT NULL)
+SELECT source, count(*) AS n_docs,
+       round(avg(p), 4) AS avg_quality,
+       round(avg(CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END), 4)
+         AS keep_share
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES.update({"quality_model_score": quality_model_score})
+ORACLES.update({"quality_model_score": QUALITY_MODEL_SCORE_ORACLE})
