@@ -290,3 +290,35 @@ def vacuum(spark: SparkSession, path: str,
         if v not in keep:
             os.remove(_manifest_path(path, v))
     return deleted
+
+
+def snapshot_upsert_writer(stream: DataFrame, table_path: str,
+                           checkpoint_dir: str, key_cols: list[str],
+                           order_cols: list[str]):
+    """Streaming MERGE sink: every micro-batch commits one atomic,
+    time-travelable snapshot version (create on first batch, stats-
+    pruned copy-on-write merge_upsert after) — the table-format
+    upgrade of upsert.upsert_writer's staging-swap, with history and
+    concurrent-writer safety for free. The reference's loop deletes
+    and rewrites its file per pull (EsParquetWriter.java:52-56);
+    here every pull is an auditable commit."""
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        if not os.path.exists(_manifest_dir(table_path)):
+            from parquet_generator_spark.streaming.upsert import (
+                merge_latest,
+            )
+            first = merge_latest(None, batch_df, key_cols, order_cols)
+            create_table(spark, table_path, first,
+                         stat_cols=[key_cols[0]])
+        else:
+            merge_upsert(spark, table_path, batch_df,
+                         key_cols, order_cols)
+
+    return (stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -127,3 +127,53 @@ def test_empty_overwrite_reads_back_empty(spark, tmp_path):
     empty = snap.read_snapshot(spark, t)
     assert empty.count() == 0
     assert empty.columns == df.columns
+
+
+def test_streaming_upsert_commits_versions(spark, tmp_path):
+    """Each micro-batch is one snapshot commit: the final version
+    equals the batch latest-wins merge, and earlier versions remain
+    time-travelable (one version per non-empty batch)."""
+    import glob
+    import shutil
+
+    from parquet_generator_spark.sinks.snapshots import (
+        history,
+        read_snapshot,
+        snapshot_upsert_writer,
+    )
+    from parquet_generator_spark.streaming.upsert import merge_latest
+
+    ev = (load_table(spark, "events", SF).limit(300)
+          .select("event_id", "user_id", "ts", "value"))
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    # 3 ordered chunks -> 3 micro-batches (maxFilesPerTrigger=1)
+    chunks = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    for i, ch in enumerate(chunks):
+        stage = str(tmp_path / f"st{i}")
+        ch.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, f"{src}/chunk{i}.parquet")
+        os.utime(f"{src}/chunk{i}.parquet",
+                 (1700000000 + i * 60,) * 2)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    t = str(tmp_path / "snap_tbl")
+    q = snapshot_upsert_writer(
+        stream, t, str(tmp_path / "ck"),
+        key_cols=["user_id"], order_cols=["ts", "event_id"])
+    q.awaitTermination(240)
+
+    hist = history(t)
+    assert [h["operation"] for h in hist] == ["create", "merge", "merge"]
+    # final table == batch latest-wins over everything
+    expect = sorted(map(tuple, merge_latest(
+        None, ev, ["user_id"], ["ts", "event_id"]).collect()))
+    got = sorted(map(tuple, read_snapshot(spark, t).collect()))
+    assert got == expect
+    # time travel: version 1 holds only chunk 0's users
+    v1_users = {r["user_id"] for r in
+                read_snapshot(spark, t, 1).collect()}
+    c0_users = {r["user_id"] for r in chunks[0].collect()}
+    assert v1_users == c0_users
