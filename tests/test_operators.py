@@ -101,9 +101,23 @@ def test_multimodal_plumbing(spark):
     assert frames.select("media_id").distinct().count() == vids
 
     if not HAVE_PIL:
-        # decode is REAL for BMP/PNG; anything else stays lib-gated
-        with pytest.raises(NotImplementedError):
+        # decode is REAL for BMP/PNG/baseline-JPEG (round 9); a
+        # malformed JPEG now fails the numpy decoder's validation
+        # (ValueError), and non-image formats stay lib-gated
+        with pytest.raises(ValueError):
             decode_image(b"\xff\xd8\xff\xe0jpeg-magic-no-decoder")
+        with pytest.raises(NotImplementedError):
+            decode_image(b"GIF89a-not-decodable-here")
+        # and a REAL baseline JPEG decodes without PIL
+        import numpy as np
+
+        from parquet_generator_spark.operators.jpeg_codec import (
+            QUANT_FLAT,
+            encode_jpeg_baseline,
+        )
+        img = np.full((8, 8), 77, dtype=np.uint8)
+        assert np.array_equal(
+            decode_image(encode_jpeg_baseline(img, QUANT_FLAT)), img)
 
 
 def test_esdsl_minimum_should_match_semantics(spark):

@@ -267,19 +267,18 @@ def test_ntile_deciles_has_no_global_window(spark):
 
 def test_front_keys_lead_queries():
     """The driver's correctness sampler reads 50 entries from the
-    front of queries(); FRONT_KEYS pins the round-8 sample to the 7
-    entries still missing a green driver row (late round-7 additions
-    that missed the window) followed by the round-8 additions, closing
-    the hard ledger at 237/237."""
+    front of queries(); FRONT_KEYS pins the round-9 sample to the 44
+    never-driver-sampled round-8 additions (closing the hard ledger
+    at 324/324) followed by the round-9 additions."""
     q = list(entrymod.queries())
     present = [k for k in entrymod.FRONT_KEYS if k in entrymod.queries()]
     assert q[:len(present)] == present
-    assert len(present) >= 7
-    assert present[:7] == [
-        "embedding_pq", "dsl_rank_feature", "dsl_script_score",
-        "dsl_distance_feature", "dsl_percolate", "dsl_geo_shape",
-        "dsl_wrapper",
-    ]
+    assert len(present) >= 44
+    assert present[0] == "dsl_parent_id"
+    assert "hourly_seasonality" in present[:44]
+    # the sampler window is 50 wide: anything past 50 is next round's
+    # rotation debt and must be called out in the FRONT_KEYS comment
+    assert len(present) <= 50, "rotation debt: update the debt comment"
     # every FRONT key must exist once round-8 queries land
     missing = [k for k in entrymod.FRONT_KEYS if k not in entrymod.queries()]
     assert not missing, missing
