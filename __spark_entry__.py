@@ -77,12 +77,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # 44 judge-sim MATCH in round 8). Round 9 puts them first to close the
 # hard ledger at 324/324, leaving 6 slots for round-9 additions.
 #
-# ROUND-10 ROTATION DEBT: NONE — round 9 added exactly 6 queries
-# (dsl_match_analyzer, dsl_match_synonyms, bpe_vocab_train,
-# bpe_encode_stats, jpeg_decode_stats, quality_model_score), filling
-# the 50-wide window exactly: 44 debt keys + 6 new = 50, all sampled
-# by CORRECTNESS_r09. Any round-10 additions start a fresh debt list
-# here; rotate them to the front next round.
+# ROUND-10 ROTATION DEBT: round 9's first 6 additions fill the
+# 50-wide window exactly (44 debt keys + 6 = 50, all sampled by
+# CORRECTNESS_r09). Later round-9 additions land PAST the window and
+# are next round's debt — rotate these to the front in round 10:
+#   dsl_match_phrase_analyzer
 FRONT_KEYS = [
     # round-8 evidence debt (44 never-driver-sampled keys)
     "dsl_parent_id",

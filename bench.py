@@ -376,6 +376,7 @@ HEADLINE = [
     "bpe_encode_stats",
     "jpeg_decode_stats",
     "quality_model_score",
+    "dsl_match_phrase_analyzer",
 ]
 
 

@@ -226,3 +226,69 @@ def analyzed_match_duck_sql(col: str, query: str, analyzer: Analyzer,
                            for h in hits)
         return f"(({total}) >= {msm})"
     return "(" + " OR ".join(hits) + ")"
+
+
+def _phrase_groups(query: str, analyzer: Analyzer) -> list[list[str]]:
+    """Analyzed phrase positions. Stopword-dropping analyzers create
+    POSITION GAPS in ES phrase matching (the phrase still requires
+    the dropped token's slot); that gap semantics is out of scope
+    here, so a phrase whose analysis would drop a token is refused
+    loudly rather than silently matching tighter adjacency."""
+    raw = _tokens(query)
+    groups = analyzer.analyze(query)
+    if len(groups) != len(raw):
+        dropped = [t for t in raw if t in analyzer.stopwords]
+        raise ValueError(
+            f"match_phrase with analyzer {analyzer.name!r} drops "
+            f"stopword(s) {dropped} — position-gap phrase semantics "
+            f"unsupported; use a stem-only analyzer or remove the "
+            f"stopwords from the phrase")
+    if not groups:
+        raise ValueError("empty analyzed phrase")
+    return groups
+
+
+def _phrase_lambda(groups: list[list[str]], elem_at) -> str:
+    """Start-position test: every phrase slot j matches its synonym
+    group at position i+j. ``elem_at(j)`` renders the engine's
+    1-BASED access to the stemmed token array at i+j (Spark uses
+    element_at — bare [] is 0-based there; DuckDB [] is 1-based)."""
+    conds = []
+    for j, g in enumerate(groups):
+        lits = ", ".join(_quote(x) for x in g)
+        conds.append(f"{elem_at(j)} IN ({lits})")
+    return "i -> (" + " AND ".join(conds) + ")"
+
+
+def analyzed_match_phrase(col: str, phrase: str,
+                          analyzer: Analyzer) -> Column:
+    """ES ``match_phrase`` with an analyzer: k consecutive field
+    tokens, each stemmed, each position accepting the query token's
+    synonym group. One struct-wrapped transform pins the stemmed
+    array to a single evaluation (the simhash trick); the adjacency
+    scan is exists() over the k-windows — codegen, no UDF."""
+    groups = _phrase_groups(phrase, analyzer)
+    k = len(groups)
+    elem = s_stem_sql("t") if analyzer.stem else "t"
+    toks = _spark_tokens_expr(col)
+    lam = _phrase_lambda(groups,
+                         lambda j: f"element_at(x.s, i + {j})")
+    return F.expr(
+        f"transform(array(struct(transform({toks}, t -> {elem}) AS s)), "
+        f"x -> CASE WHEN size(x.s) >= {k} THEN "
+        f"exists(sequence(1, size(x.s) - {k} + 1), {lam}) "
+        f"ELSE false END)[0]")
+
+
+def analyzed_match_phrase_duck_sql(col: str, phrase: str,
+                                   analyzer: Analyzer) -> str:
+    """DuckDB mirror: same groups, same stemmer SQL, same 1-based
+    adjacency windows (DuckDB list indexing is 1-based natively)."""
+    groups = _phrase_groups(phrase, analyzer)
+    k = len(groups)
+    elem = s_stem_sql("t") if analyzer.stem else "t"
+    toks = _duck_tokens_expr(col)
+    stemmed = f"list_transform({toks}, t -> {elem})"
+    lam = _phrase_lambda(groups, lambda j: f"({stemmed})[i + {j}]")
+    return (f"(len({toks}) >= {k} AND len(list_filter("
+            f"generate_series(1, len({toks}) - {k} + 1), {lam})) > 0)")

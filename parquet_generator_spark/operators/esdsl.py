@@ -865,6 +865,15 @@ def translate_query(q: dict | None) -> Column:
         return nn & match_any(field, val)
     if kind == "match_phrase":
         field, val = _field_value(body, "query")
+        spec = body[field]
+        if isinstance(spec, dict) and spec.get("analyzer"):
+            from parquet_generator_spark.operators.analyzers import (
+                analyzed_match_phrase,
+                get_analyzer,
+            )
+            return (F.col(field).isNotNull()
+                    & analyzed_match_phrase(
+                        field, val, get_analyzer(spec["analyzer"])))
         return F.col(field).isNotNull() & match_phrase(field, val)
     if kind == "match_phrase_prefix":
         field, val = _field_value(body, "query")

@@ -132,3 +132,47 @@ ORACLES.update({
     "dsl_match_analyzer": _analyzer_oracle(),
     "dsl_match_synonyms": _synonyms_oracle(),
 })
+
+
+# --------------------------------------------- dsl_match_phrase_analyzer
+
+_PHRASE_QUERY = "merges batch"
+
+
+def dsl_match_phrase_analyzer(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """``match_phrase`` with the english analyzer: "merges batch"
+    stems to [merge, batch] and matches documents where those stems
+    appear ADJACENT in order — the raw phrase (with the plural
+    surface form) matches nothing in this singular-vocabulary corpus.
+    (S-stemmer nuance, deliberate: "batches" stems to "batche", NOT
+    "batch" — Harman's es-rule drops only the final s — so the query
+    says "batch" and the stemming does its work on "merges".) Stopword-
+    dropping phrases (position gaps) are refused loudly
+    (tests/test_analyzers.py). Per-source match counts."""
+    docs = load_table(spark, "documents", sf_dir)
+    pred = translate_query({"match_phrase": {"text": {
+        "query": _PHRASE_QUERY, "analyzer": "english"}}})
+    return (docs.filter(pred)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("source"))
+
+
+def _phrase_analyzer_oracle() -> str:
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match_phrase_duck_sql,
+    )
+    pred = analyzed_match_phrase_duck_sql(
+        "text", _PHRASE_QUERY, get_analyzer("english"))
+    return f"""
+SELECT source, count(*) AS doc_count
+FROM documents
+WHERE text IS NOT NULL AND {pred}
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES.update({"dsl_match_phrase_analyzer": dsl_match_phrase_analyzer})
+ORACLES.update({"dsl_match_phrase_analyzer": _phrase_analyzer_oracle()})

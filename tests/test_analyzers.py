@@ -118,3 +118,37 @@ def test_custom_analyzer_registration_roundtrip():
     assert get_analyzer("tiny").analyze("el auto cars") == [
         ["auto", "car"], ["car"]]
     assert get_analyzer("tiny").analyze("el autos") == [["auto"]]
+
+
+def test_analyzed_phrase_matches_stemmed_adjacency(spark):
+    """'merges batch' stems to [merge, batch]: matches exactly the
+    docs whose literal token stream contains an adjacent pair that
+    stems to (merge, batch) — cross-checked against a regex over the
+    surface forms whose stems equal those (note: surface "batches"
+    stems to "batche" per the S-stemmer es-rule, so it is NOT a
+    match and is excluded by the boundary regex)."""
+    docs = load_table(spark, "documents", SF)
+    got = docs.filter(translate_query({"match_phrase": {"text": {
+        "query": "merges batch", "analyzer": "english"}}})).count()
+    surface = (r"(^|[^a-z0-9])(merge|merges)[^a-z0-9]+"
+               r"batch([^a-z0-9]|$)")
+    ref = docs.filter(F.lower("text").rlike(surface)).count()
+    assert got == ref > 0
+
+
+def test_analyzed_phrase_requires_adjacency(spark):
+    """Both stems present but NOT adjacent must not match: the
+    phrase count is strictly below the AND-match count."""
+    docs = load_table(spark, "documents", SF)
+    phrase = docs.filter(translate_query({"match_phrase": {"text": {
+        "query": "merges batch", "analyzer": "english"}}})).count()
+    both = docs.filter(translate_query({"match": {"text": {
+        "query": "merges batch", "operator": "and",
+        "analyzer": "english"}}})).count()
+    assert phrase < both
+
+
+def test_analyzed_phrase_stopword_gap_is_refused():
+    with pytest.raises(ValueError, match="position-gap"):
+        translate_query({"match_phrase": {"text": {
+            "query": "the merge", "analyzer": "english"}}})
