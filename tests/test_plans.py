@@ -528,3 +528,57 @@ def test_terms_partition_filter_is_pre_shuffle(spark):
     assert aggs and all(a < filt_at for a in aggs), \
         "partition filter must sit below the aggregates (map-side)"
     assert "TakeOrderedAndProject" in plan
+
+
+_R9_KEYS = [
+    "dsl_match_analyzer", "dsl_match_synonyms",
+    "dsl_match_phrase_analyzer", "bpe_vocab_train",
+    "bpe_encode_stats", "jpeg_decode_stats", "quality_model_score",
+]
+
+
+@pytest.mark.parametrize("name", _R9_KEYS)
+def test_r9_no_pairwise_explosion(spark, name):
+    """Round-9 queries are scan+aggregate shaped: no nested-loop or
+    cartesian join anywhere in the physical plan."""
+    plan = formatted_plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["dsl_match_analyzer", "dsl_match_synonyms",
+             "dsl_match_phrase_analyzer", "quality_model_score"])
+def test_r9_analyzer_family_is_codegen_single_scan(spark, name):
+    """Analyzer predicates and the quality model are higher-order
+    functions over ONE scan — no Python eval node, no join, and the
+    scan reads only the referenced columns."""
+    plan = formatted_plan(spark, name)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+    assert "Join" not in plan, name
+
+
+def test_bpe_encode_stats_single_corpus_pass(spark):
+    """Encoding is 2K replaces inside one projection: exactly one
+    documents scan in the FINAL plan (training runs eagerly inside
+    the builder and does not appear in the returned DAG), one
+    aggregate pair, no join."""
+    plan = formatted_plan(spark, "bpe_encode_stats")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_jpeg_decode_stats_is_one_narrow_pandas_map(spark):
+    """The decode is ONE mapInPandas over the filtered scan: no
+    shuffle before the pandas node (Exchange only for the final
+    orderBy), and the scan carries the doc_id % 7 filter."""
+    plan = formatted_plan(spark, "jpeg_decode_stats")
+    assert "MapInPandas" in plan
+    # exactly ONE exchange in the whole plan — the final orderBy's
+    # range partitioning; the decode itself is shuffle-free
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # and the scan is pruned to the single driving column
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
