@@ -81,7 +81,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # 50-wide window exactly (44 debt keys + 6 = 50, all sampled by
 # CORRECTNESS_r09). Later round-9 additions land PAST the window and
 # are next round's debt — rotate these to the front in round 10:
-#   dsl_match_phrase_analyzer
+#   dsl_match_phrase_analyzer, dsl_multi_match_analyzer
 FRONT_KEYS = [
     # round-8 evidence debt (44 never-driver-sampled keys)
     "dsl_parent_id",

@@ -377,6 +377,7 @@ HEADLINE = [
     "jpeg_decode_stats",
     "quality_model_score",
     "dsl_match_phrase_analyzer",
+    "dsl_multi_match_analyzer",
 ]
 
 

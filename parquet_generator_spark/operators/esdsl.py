@@ -941,7 +941,18 @@ def translate_query(q: dict | None) -> Column:
         # same analyzed-token match ORed across several fields
         val = body["query"]
         fields = body["fields"]
+        analyzer_name = body.get("analyzer")
         acc = F.lit(False)
+        if analyzer_name is not None:
+            from parquet_generator_spark.operators.analyzers import (
+                analyzed_match,
+                get_analyzer,
+            )
+            a = get_analyzer(analyzer_name)
+            for f in fields:
+                acc = acc | (F.col(f).isNotNull()
+                             & analyzed_match(f, val, a))
+            return acc
         for f in fields:
             acc = acc | (F.col(f).isNotNull() & match_any(f, val))
         return acc

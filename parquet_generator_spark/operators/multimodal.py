@@ -182,23 +182,32 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     pos, idat = 8, b""
     w = h = depth = color = None
+    palette = None
     while pos + 8 <= len(b):
         ln, typ = struct.unpack_from(">I4s", b, pos)
         data = b[pos + 8:pos + 8 + ln]
         if typ == b"IHDR":
             w, h, depth, color, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
-            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+            if depth != 8 or interlace != 0 or color not in (0, 2, 3, 6):
                 raise NotImplementedError(
-                    "only 8-bit non-interlaced gray/RGB/RGBA PNG "
-                    f"supported (depth={depth}, color={color})")
+                    "only 8-bit non-interlaced gray/RGB/palette/RGBA "
+                    f"PNG supported (depth={depth}, color={color})")
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
         pos += 12 + ln
-    ch = {0: 1, 2: 3, 6: 4}[color]
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     arr = _png_unfilter(zlib.decompress(idat), w, h, ch)
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        # indexed -> RGB lookup (round 9): web PNGs are commonly
+        # palettized; the index plane unfilters like a 1-channel image
+        return palette[arr.reshape(h, w)]
     return arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
 
 

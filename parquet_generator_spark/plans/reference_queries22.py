@@ -176,3 +176,42 @@ ORDER BY source
 
 QUERIES.update({"dsl_match_phrase_analyzer": dsl_match_phrase_analyzer})
 ORACLES.update({"dsl_match_phrase_analyzer": _phrase_analyzer_oracle()})
+
+
+# --------------------------------------------- dsl_multi_match_analyzer
+
+_MM_QUERY = "sparks tables"
+
+
+def dsl_multi_match_analyzer(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """``multi_match`` with an analyzer: the stemmed OR-match applied
+    across text AND source (plural query tokens stem to the corpus's
+    singular vocabulary; either field hit qualifies — ES
+    best_fields matching semantics). Per-lang counts."""
+    docs = load_table(spark, "documents", sf_dir)
+    pred = translate_query({"multi_match": {
+        "query": _MM_QUERY, "fields": ["text", "source"],
+        "analyzer": "english"}})
+    return (docs.filter(pred)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("lang"))
+
+
+def _mm_analyzer_oracle() -> str:
+    a = get_analyzer("english")
+    t = analyzed_match_duck_sql("text", _MM_QUERY, a)
+    s = analyzed_match_duck_sql("source", _MM_QUERY, a)
+    return f"""
+SELECT lang, count(*) AS doc_count
+FROM documents
+WHERE (text IS NOT NULL AND {t})
+   OR (source IS NOT NULL AND {s})
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES.update({"dsl_multi_match_analyzer": dsl_multi_match_analyzer})
+ORACLES.update({"dsl_multi_match_analyzer": _mm_analyzer_oracle()})

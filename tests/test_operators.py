@@ -520,3 +520,40 @@ def test_jaccard_pairs_quadratic_guard(spark):
     forced = dedup.jaccard_pairs(df, "doc_id", "text", 0.5,
                                  max_rows=None)
     assert under.count() >= 0 and forced.count() >= 0
+
+
+def test_palette_png_decodes_via_plte_lookup():
+    """Indexed (color type 3) PNG: the index plane unfilters like a
+    1-channel image and maps through PLTE to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from parquet_generator_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 9), dtype=np.uint8)
+    # filter 0 on every row (index planes rarely benefit from others)
+    raw = bytearray()
+    for y in range(6):
+        raw.append(0)
+        raw.extend(idx[y].tobytes())
+
+    def chunk(typ, data):
+        body = typ + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 6, 8, 3,
+                                        0, 0, 0))
+           + chunk(b"PLTE", palette.tobytes())
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    got = _decode_png(png)
+    assert got.shape == (6, 9, 3)
+    assert np.array_equal(got, palette[idx])
