@@ -42,6 +42,7 @@ from parquet_generator_spark.plans import llm_queries19 as L19
 from parquet_generator_spark.plans import llm_queries20 as L20
 from parquet_generator_spark.plans import llm_queries21 as L21
 from parquet_generator_spark.plans import llm_queries22 as L22
+from parquet_generator_spark.plans import llm_queries23 as L23
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -81,7 +82,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # 50-wide window exactly (44 debt keys + 6 = 50, all sampled by
 # CORRECTNESS_r09). Later round-9 additions land PAST the window and
 # are next round's debt — rotate these to the front in round 10:
-#   dsl_match_phrase_analyzer, dsl_multi_match_analyzer
+#   dsl_match_phrase_analyzer, dsl_multi_match_analyzer,
+#   source_ngram_overlap, k_anonymity_audit
 FRONT_KEYS = [
     # round-8 evidence debt (44 never-driver-sampled keys)
     "dsl_parent_id",
@@ -173,6 +175,7 @@ def queries() -> dict[str, QueryFn]:
         **L20.QUERIES,
         **L21.QUERIES,
         **L22.QUERIES,
+        **L23.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -237,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         **L20.ORACLES,
         **L21.ORACLES,
         **L22.ORACLES,
+        **L23.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

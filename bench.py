@@ -378,6 +378,8 @@ HEADLINE = [
     "quality_model_score",
     "dsl_match_phrase_analyzer",
     "dsl_multi_match_analyzer",
+    "source_ngram_overlap",
+    "k_anonymity_audit",
 ]
 
 

@@ -1,0 +1,138 @@
+"""LLM-pipeline twenty-third wave: release-gate audits.
+
+- ``source_ngram_overlap`` — shingle-level cross-source leakage.
+  ``source_overlap`` (llm_queries6) counts EXACT shared contents; a
+  benchmark rarely leaks verbatim — it leaks as near-verbatim
+  passages. This measures the partial-leakage matrix: for every
+  source pair, how many DISTINCT 3-token shingles appear in both.
+  Same scale shape as source_overlap: one distinct on
+  (shingle, source), one groupBy whose per-shingle source set is
+  bounded by the source count, pairs generated array-side, one
+  final count shuffle. Never a doc-pair join.
+- ``k_anonymity_audit`` — the privacy gate a corpus/feature release
+  runs before publishing: over the quasi-identifier tuple
+  (nation, market segment, account-balance decile), how many
+  customers sit in equivalence classes smaller than k=5, per class
+  size. One groupBy on the quasi-identifier, one bounded histogram
+  aggregate — the report is class-size-bucketed so the output never
+  enumerates the at-risk individuals themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.operators.text import (
+    shingles_duck,
+    shingles_spark,
+)
+from parquet_generator_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct shared 3-shingles per source pair (upper triangle +
+    diagonal), plus the Jaccard-style overlap coefficient against
+    the smaller side's shingle vocabulary."""
+    docs = load_table(spark, "documents", sf_dir)
+    hs = (docs.select(F.explode(F.expr(shingles_spark("text", 3)))
+                      .alias("sh"), "source")
+          .distinct())
+    per_src = hs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sh"))
+    grouped = (hs.groupBy("sh")
+               .agg(F.array_sort(F.collect_set("source")).alias("ss")))
+    pairs = grouped.select(F.explode(F.expr(
+        "flatten(transform(sequence(0, size(ss) - 1), "
+        "i -> transform(sequence(i, size(ss) - 1), "
+        "j -> struct(ss[i] AS src_a, ss[j] AS src_b))))")).alias("p"))
+    shared = (pairs.groupBy("p.src_a", "p.src_b")
+              .agg(F.count(F.lit(1)).alias("shared_shingles"))
+              .select("src_a", "src_b", "shared_shingles"))
+    a = per_src.select(F.col("source").alias("src_a"),
+                       F.col("n_sh").alias("n_a"))
+    b = per_src.select(F.col("source").alias("src_b"),
+                       F.col("n_sh").alias("n_b"))
+    # per_src is source-cardinality (bounded) — broadcast is safe at
+    # any corpus size
+    return (shared.join(F.broadcast(a), "src_a")
+            .join(F.broadcast(b), "src_b")
+            .select("src_a", "src_b", "shared_shingles",
+                    F.round(F.col("shared_shingles")
+                            / F.least("n_a", "n_b"), 4)
+                    .alias("containment"))
+            .orderBy("src_a", "src_b"))
+
+
+SOURCE_NGRAM_OVERLAP_ORACLE = f"""
+WITH hs AS (
+  SELECT DISTINCT unnest({shingles_duck('text', 3)}) AS sh, source
+  FROM documents),
+per_src AS (SELECT source, count(*) AS n_sh FROM hs GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_shingles
+  FROM hs a JOIN hs b ON a.sh = b.sh AND a.source <= b.source
+  GROUP BY src_a, src_b)
+SELECT s.src_a, s.src_b, s.shared_shingles,
+       round(s.shared_shingles /
+             CAST(least(pa.n_sh, pb.n_sh) AS DOUBLE), 4) AS containment
+FROM shared s
+JOIN per_src pa ON pa.source = s.src_a
+JOIN per_src pb ON pb.source = s.src_b
+ORDER BY s.src_a, s.src_b
+"""
+
+
+K_ANON = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-size histogram over the quasi-identifier
+    (c_nationkey, c_mktsegment, acctbal decile): rows = class size
+    1..k-1 (the at-risk classes) plus a single k+ bucket, with class
+    and customer counts — the release gate that says how many people
+    a joiner could single out."""
+    cust = load_table(spark, "customer", sf_dir)
+    qid = cust.select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long")
+        .alias("bal_bucket"))
+    classes = (qid.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+               .agg(F.count(F.lit(1)).alias("sz")))
+    return (classes.select(
+        F.when(F.col("sz") >= K_ANON, F.lit(K_ANON))
+        .otherwise(F.col("sz")).cast("long").alias("class_size"),
+        "sz")
+        .groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"),
+             F.sum("sz").alias("n_customers"))
+        .orderBy("class_size"))
+
+
+K_ANONYMITY_AUDIT_ORACLE = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+         count(*) AS sz
+  FROM customer
+  GROUP BY 1, 2, 3)
+SELECT CAST(CASE WHEN sz >= {K_ANON} THEN {K_ANON} ELSE sz END
+            AS BIGINT) AS class_size,
+       count(*) AS n_classes, sum(sz) AS n_customers
+FROM classes
+GROUP BY class_size
+ORDER BY class_size
+"""
+
+
+QUERIES.update({
+    "source_ngram_overlap": source_ngram_overlap,
+    "k_anonymity_audit": k_anonymity_audit,
+})
+ORACLES.update({
+    "source_ngram_overlap": SOURCE_NGRAM_OVERLAP_ORACLE,
+    "k_anonymity_audit": K_ANONYMITY_AUDIT_ORACLE,
+})
