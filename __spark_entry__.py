@@ -66,6 +66,7 @@ from parquet_generator_spark.plans import reference_queries19 as R19
 from parquet_generator_spark.plans import reference_queries20 as R20
 from parquet_generator_spark.plans import reference_queries21 as R21
 from parquet_generator_spark.plans import reference_queries22 as R22
+from parquet_generator_spark.plans import reference_queries23 as R23
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -83,7 +84,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CORRECTNESS_r09). Later round-9 additions land PAST the window and
 # are next round's debt — rotate these to the front in round 10:
 #   dsl_match_phrase_analyzer, dsl_multi_match_analyzer,
-#   source_ngram_overlap, k_anonymity_audit
+#   source_ngram_overlap, k_anonymity_audit, dsl_counter_rate
 FRONT_KEYS = [
     # round-8 evidence debt (44 never-driver-sampled keys)
     "dsl_parent_id",
@@ -201,6 +202,7 @@ def queries() -> dict[str, QueryFn]:
         **R20.QUERIES,
         **R21.QUERIES,
         **R22.QUERIES,
+        **R23.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -266,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         **R20.ORACLES,
         **R21.ORACLES,
         **R22.ORACLES,
+        **R23.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

@@ -380,6 +380,7 @@ HEADLINE = [
     "dsl_multi_match_analyzer",
     "source_ngram_overlap",
     "k_anonymity_audit",
+    "dsl_counter_rate",
 ]
 
 
