@@ -582,3 +582,14 @@ def test_jpeg_decode_stats_is_one_narrow_pandas_map(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     # and the scan is pruned to the single driving column
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_counter_rate_windows_partition_on_series_key(spark):
+    """TSDS counter rate: every window in the plan partitions on the
+    series key (user_id) — no unpartitioned global-sort window."""
+    plan = formatted_plan(spark, "dsl_counter_rate")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the per-series lag/cumsum windows"
+    for spec in specs:
+        assert spec.startswith("user_id#"), spec
+    assert "CartesianProduct" not in plan
