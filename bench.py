@@ -381,6 +381,7 @@ HEADLINE = [
     "source_ngram_overlap",
     "k_anonymity_audit",
     "dsl_counter_rate",
+    "dsl_tsds_downsample",
 ]
 
 

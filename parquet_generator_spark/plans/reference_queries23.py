@@ -101,3 +101,66 @@ ORDER BY day
 
 QUERIES.update({"dsl_counter_rate": dsl_counter_rate})
 ORACLES.update({"dsl_counter_rate": DSL_COUNTER_RATE_ORACLE})
+
+
+# ------------------------------------------------------ dsl_tsds_downsample
+
+def dsl_tsds_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.5+ TSDS DOWNSAMPLING: roll the raw series up to 6h
+    buckets keeping, per (series, bucket), the gauge's last value
+    (by event time, id tie-break) plus min/max/sum/count — exactly
+    the stats a downsampled TSDS index persists per dimension tuple.
+    One window for the last-value pick + one grouped pass, both
+    keyed on (series, bucket): the same shuffle key the TSDS index
+    already routes on, so at 100 TB this is a co-partitioned rollup.
+    Output is bucketed per event_type series (user-level rollups
+    would be row-explosive in a report)."""
+    ev = load_table(spark, "events", sf_dir)
+    bucketed = ev.select(
+        "event_type", "value", "ts", "event_id",
+        F.date_format(
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") / 21600).cast("long") * 21600),
+            "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+    w = (Window.partitionBy("event_type", "bucket")
+         .orderBy(F.desc("ts"), F.desc("event_id")))
+    last = (bucketed.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("event_type", "bucket",
+                    F.round("value", 4).alias("last_value")))
+    stats = (bucketed.groupBy("event_type", "bucket")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.min("value"), 4).alias("min_value"),
+                  F.round(F.max("value"), 4).alias("max_value"),
+                  F.round(F.sum("value"), 4).alias("sum_value")))
+    return (stats.join(last, ["event_type", "bucket"])
+            .orderBy("event_type", "bucket"))
+
+
+DSL_TSDS_DOWNSAMPLE_ORACLE = """
+WITH b AS (
+  SELECT event_type, value, ts, event_id,
+         strftime(make_timestamp(
+           CAST(floor(epoch(ts) / 21600) * 21600 * 1000000 AS BIGINT)),
+           '%Y-%m-%d %H:%M:%S') AS bucket
+  FROM events),
+last AS (
+  SELECT event_type, bucket, round(value, 4) AS last_value
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY event_type, bucket
+          ORDER BY ts DESC, event_id DESC) AS rk FROM b)
+  WHERE rk = 1),
+stats AS (
+  SELECT event_type, bucket, count(*) AS n,
+         round(min(value), 4) AS min_value,
+         round(max(value), 4) AS max_value,
+         round(sum(value), 4) AS sum_value
+  FROM b GROUP BY event_type, bucket)
+SELECT s.event_type, s.bucket, s.n, s.min_value, s.max_value,
+       s.sum_value, l.last_value
+FROM stats s JOIN last l USING (event_type, bucket)
+ORDER BY s.event_type, s.bucket
+"""
+
+QUERIES.update({"dsl_tsds_downsample": dsl_tsds_downsample})
+ORACLES.update({"dsl_tsds_downsample": DSL_TSDS_DOWNSAMPLE_ORACLE})
