@@ -273,3 +273,67 @@ def rate_anomalies(df: DataFrame) -> DataFrame:
                 stateStructType=_WELFORD_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------- counter rate
+
+COUNTER_RATE_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("day", T.StringType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("n_resets", T.LongType()),
+    T.StructField("inc", T.LongType()),
+])
+
+_CTR_STATE = T.StructType([T.StructField("last", T.LongType())])
+
+
+def _counter_rate_fn(key: tuple[Any, ...],
+                     pdfs: Iterable[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-series counter-rate with reset reconstruction ACROSS
+    micro-batches: state = the series' last counter value, so the
+    first row of every batch bridges correctly from the previous
+    batch (the semantics a per-batch window cannot express — lag
+    state must survive the batch boundary). Emits one row per
+    (series, day) per batch with that batch's event/reset/increase
+    contributions; each event's increase is emitted exactly once, so
+    any downstream sum over emitted rows equals the batch twin
+    (dsl_counter_rate's rule: inc = delta if delta >= 0 else value)."""
+    last = state.get[0] if state.exists else None
+    days: dict[str, list[int]] = {}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, ctr in zip(pdf["ts"], pdf["ctr"]):
+            ctr = int(ctr)
+            day = str(pd.Timestamp(ts).date())
+            row = days.setdefault(day, [0, 0, 0])
+            row[0] += 1
+            if last is None:
+                inc, reset = 0, 0
+            else:
+                delta = ctr - last
+                inc = delta if delta >= 0 else ctr
+                reset = 1 if delta < 0 else 0
+            row[1] += reset
+            row[2] += inc
+            last = ctr
+    state.update((last,))
+    yield pd.DataFrame(
+        [(key[0], d, n, r, i) for d, (n, r, i) in sorted(days.items())],
+        columns=["user_id", "day", "n_events", "n_resets", "inc"])
+
+
+def counter_rate_stream(df: DataFrame) -> DataFrame:
+    """Streaming twin of plans.reference_queries23.dsl_counter_rate
+    over a stored counter column ``ctr`` (real counters ARRIVE as
+    values; the batch query synthesizes the same column for the
+    oracle). State is one long per series — bounded by series
+    cardinality, the TSDS _tsid posture."""
+    return (df.groupBy("user_id")
+            .applyInPandasWithState(
+                _counter_rate_fn,
+                outputStructType=COUNTER_RATE_OUTPUT,
+                stateStructType=_CTR_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

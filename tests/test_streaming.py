@@ -725,3 +725,61 @@ def test_windowed_topk_update_mode_matches_batch(spark, tmp_path):
                for p in progresses)
     n_keys = 5
     assert peak < n_windows * n_keys * 0.5, (peak, n_windows * n_keys)
+
+
+def test_counter_rate_stream_matches_batch(spark, tmp_path):
+    """The stateful streaming counter-rate (per-series last-value
+    state bridging micro-batches) sums to the batch twin's per-day
+    totals: every event's reconstructed increase is emitted exactly
+    once even when a series' rows split across batches."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from parquet_generator_spark.streaming.stateful import (
+        counter_rate_stream,
+    )
+    import __spark_entry__ as em
+
+    ev = load_table(spark, "events", SF)
+    # the stored-counter column, identical to the batch query's
+    # synthesis (cumsum of a per-event weight, mod 1000)
+    w_cum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    ctr = ev.select(
+        "user_id", "ts", "event_id",
+        (F.sum(F.col("event_id") % 5 + 1).over(w_cum) % 1000)
+        .alias("ctr"))
+
+    src = str(tmp_path / "ctr_src")
+    os.makedirs(src)
+    bounds = ["2024-01-01", "2024-01-11", "2024-01-21", "2024-02-01"]
+    for i in range(3):
+        stage = str(tmp_path / f"c{i}")
+        (ctr.filter((F.col("ts") >= bounds[i])
+                    & (F.col("ts") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, f"{src}/chunk{i}.parquet")
+        os.utime(f"{src}/chunk{i}.parquet", (1700000000 + i * 60,) * 2)
+
+    stream = (spark.readStream.schema(ctr.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (counter_rate_stream(stream)
+         .writeStream.format("memory").queryName("ctr_rate")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+
+    got = (spark.sql("select * from ctr_rate")
+           .groupBy("day")
+           .agg(F.sum("n_events").alias("n_events"),
+                F.sum("n_resets").alias("n_resets"),
+                F.sum("inc").alias("total_increase"))
+           .orderBy("day"))
+    batch = (em.queries()["dsl_counter_rate"](spark, SF)
+             .select("day", "n_events", "n_resets", "total_increase")
+             .orderBy("day"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, batch.collect()))
