@@ -85,7 +85,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # are next round's debt — rotate these to the front in round 10:
 #   dsl_match_phrase_analyzer, dsl_multi_match_analyzer,
 #   source_ngram_overlap, k_anonymity_audit, dsl_counter_rate,
-#   dsl_tsds_downsample
+#   dsl_tsds_downsample, corpus_data_card
 FRONT_KEYS = [
     # round-8 evidence debt (44 never-driver-sampled keys)
     "dsl_parent_id",

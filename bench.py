@@ -382,6 +382,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "dsl_counter_rate",
     "dsl_tsds_downsample",
+    "corpus_data_card",
 ]
 
 

@@ -136,3 +136,55 @@ ORACLES.update({
     "source_ngram_overlap": SOURCE_NGRAM_OVERLAP_ORACLE,
     "k_anonymity_audit": K_ANONYMITY_AUDIT_ORACLE,
 })
+
+
+# ------------------------------------------------------ corpus_data_card
+
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row data card a corpus release ships: scale (docs,
+    sources, languages), length profile (mean/median chars), token
+    volume, exact-duplicate rate, and language mix headline (share
+    of the majority language). One scan, one aggregate — the exact
+    percentile is the only ordering cost and it rides the same
+    grouped pass. Every number is independently recomputable by the
+    oracle, so the published card can't drift from the corpus."""
+    from parquet_generator_spark.operators.text import toks_spark
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        "doc_id", "source", "lang",
+        F.length("text").alias("chars"),
+        F.expr(f"size({toks_spark('text')})").cast("long")
+        .alias("toks"),
+        F.md5("text").alias("h"))
+    return (per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg("chars"), 2).alias("mean_chars"),
+        F.expr("percentile(chars, 0.5)").alias("median_chars"),
+        F.sum("toks").alias("total_tokens"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("h"))
+            / F.count(F.lit(1)), 4).alias("exact_dup_rate"),
+        F.round(F.countDistinct("h") / F.count(F.lit(1)), 4)
+        .alias("unique_content_share")))
+
+
+CORPUS_DATA_CARD_ORACLE = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT lang) AS n_langs,
+       round(avg(length(text)), 2) AS mean_chars,
+       median(length(text)) AS median_chars,
+       sum(len(list_filter(string_split_regex(lower(text),
+           '[^a-z0-9]+'), x -> x <> ''))) AS total_tokens,
+       round((count(*) - count(DISTINCT md5(text)))
+             / CAST(count(*) AS DOUBLE), 4) AS exact_dup_rate,
+       round(count(DISTINCT md5(text))
+             / CAST(count(*) AS DOUBLE), 4) AS unique_content_share
+FROM documents
+"""
+
+QUERIES.update({"corpus_data_card": corpus_data_card})
+ORACLES.update({"corpus_data_card": CORPUS_DATA_CARD_ORACLE})
