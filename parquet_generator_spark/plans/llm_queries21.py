@@ -141,7 +141,7 @@ def bpe_vocab_train_duck_sql(k: int = BPE_TRAIN_MERGES) -> str:
         f"  (SELECT split_part(pair, ' ', 1) FROM b{r}) AS merge_left,\n"
         f"  (SELECT split_part(pair, ' ', 2) FROM b{r}) AS merge_right,\n"
         f"  (SELECT replace(pair, ' ', '') FROM b{r}) AS merged,\n"
-        f"  (SELECT n FROM b{r}) AS n"
+        f"  (SELECT CAST(n AS BIGINT) FROM b{r}) AS n"
         for r in range(1, k + 1))
     return ",\n".join(parts) + "\n" + rows + "\nORDER BY rank"
 
@@ -224,7 +224,8 @@ encw AS (
            AS toks
   FROM words)
 SELECT source, count(DISTINCT doc_id) AS n_docs,
-       sum(chars) AS chars, sum(toks) AS bpe_tokens,
+       CAST(sum(chars) AS BIGINT) AS chars,
+       CAST(sum(toks) AS BIGINT) AS bpe_tokens,
        round(CAST(sum(chars) AS DOUBLE) / sum(toks), 4)
          AS chars_per_token
 FROM encw

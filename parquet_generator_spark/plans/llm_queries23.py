@@ -121,7 +121,8 @@ WITH classes AS (
   GROUP BY 1, 2, 3)
 SELECT CAST(CASE WHEN sz >= {K_ANON} THEN {K_ANON} ELSE sz END
             AS BIGINT) AS class_size,
-       count(*) AS n_classes, sum(sz) AS n_customers
+       count(*) AS n_classes,
+       CAST(sum(sz) AS BIGINT) AS n_customers
 FROM classes
 GROUP BY class_size
 ORDER BY class_size
@@ -177,8 +178,8 @@ SELECT count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
        round(avg(length(text)), 2) AS mean_chars,
        median(length(text)) AS median_chars,
-       sum(len(list_filter(string_split_regex(lower(text),
-           '[^a-z0-9]+'), x -> x <> ''))) AS total_tokens,
+       CAST(sum(len(list_filter(string_split_regex(lower(text),
+           '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
        round((count(*) - count(DISTINCT md5(text)))
              / CAST(count(*) AS DOUBLE), 4) AS exact_dup_rate,
        round(count(DISTINCT md5(text))

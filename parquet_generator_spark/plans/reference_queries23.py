@@ -91,8 +91,8 @@ inc AS (
   FROM d)
 SELECT strftime(day, '%Y-%m-%d') AS day,
        count(*) AS n_events,
-       sum(is_reset) AS n_resets,
-       sum(inc) AS total_increase,
+       CAST(sum(is_reset) AS BIGINT) AS n_resets,
+       CAST(sum(inc) AS BIGINT) AS total_increase,
        round(sum(inc) / 24.0, 4) AS increase_per_hour
 FROM inc
 GROUP BY day

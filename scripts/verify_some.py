@@ -20,8 +20,11 @@ spark = (SparkSession.builder.master("local[8]")
 spark.sparkContext.setLogLevel("ERROR")
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
 import __spark_entry__ as em  # noqa: E402
 from parquet_generator_spark.operators import cache  # noqa: E402
+from _simtypes import (  # noqa: E402
+    oracle_type_problems, type_class_mismatches)
 
 
 def norm(v):
@@ -70,7 +73,16 @@ for name in sys.argv[1:]:
         ok_n = len(srows) == len(drows)
         ok_v = (ok_cols and ok_n
                 and canon(srows, scols) == canon(drows, dcols))
-        if ok_v:
+        # typed-parity layer: the driver's hash is typed, the string
+        # canon above is not (round-9 HUGEINT blind spot)
+        tbad = oracle_type_problems(con, O[name])
+        cbad = (type_class_mismatches(srows, scols, drows, dcols)
+                if ok_cols else [])
+        if tbad or cbad:
+            fails.append(name)
+            print(f"{name}: TYPE-FAIL duck_types={tbad} "
+                  f"classes={cbad}")
+        elif ok_v:
             print(f"{name}: MATCH ({len(srows)} rows, "
                   f"{time.time() - t0:.1f}s)")
         else:

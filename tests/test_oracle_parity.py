@@ -71,6 +71,29 @@ def test_query_matches_oracle(spark, name):
         f"{name}: value mismatch")
 
 
+def test_no_hugeint_oracle_outputs():
+    """Registry-wide typed-hash tripwire (round-5 multimodal_meta,
+    round-9 bpe/k_anonymity/data_card/counter_rate regressions): the
+    driver's value hash is TYPED, and a DuckDB output column typed
+    HUGEINT (uncast integer ``sum()``) hash-fails against Spark's
+    BIGINT even when every value is identical.  DESCRIBE every oracle
+    and reject any output type Spark cannot emit."""
+    forbidden = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+                 "USMALLINT", "UTINYINT")
+    con = _duck()
+    offenders = []
+    for name, sql in sorted(ORACLES.items()):
+        desc = con.execute(
+            f"DESCRIBE SELECT * FROM ({sql}) _q").fetchall()
+        for row in desc:
+            typ = str(row[1]).upper()
+            if any(f in typ for f in forbidden):
+                offenders.append((name, row[0], row[1]))
+    assert not offenders, (
+        f"oracle output columns not Spark-emittable (wrap in "
+        f"CAST(... AS BIGINT)): {offenders}")
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

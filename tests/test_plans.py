@@ -267,15 +267,16 @@ def test_ntile_deciles_has_no_global_window(spark):
 
 def test_front_keys_lead_queries():
     """The driver's correctness sampler reads 50 entries from the
-    front of queries(); FRONT_KEYS pins the round-9 sample to the 44
-    never-driver-sampled round-8 additions (closing the hard ledger
-    at 324/324) followed by the round-9 additions."""
+    front of queries(); FRONT_KEYS pins the round-10 sample to the 9
+    keys still needing driver rows (7 never-sampled round-9 additions
+    + the 2 BPE keys whose oracles were HUGEINT-cast this round),
+    followed by round-10 additions."""
     q = list(entrymod.queries())
     present = [k for k in entrymod.FRONT_KEYS if k in entrymod.queries()]
     assert q[:len(present)] == present
-    assert len(present) >= 44
-    assert present[0] == "dsl_parent_id"
-    assert "hourly_seasonality" in present[:44]
+    assert len(present) >= 9
+    assert present[0] == "dsl_match_phrase_analyzer"
+    assert "bpe_encode_stats" in present[:9]
     # the sampler window is 50 wide: anything past 50 is next round's
     # rotation debt and must be called out in the FRONT_KEYS comment
     assert len(present) <= 50, "rotation debt: update the debt comment"
