@@ -25,27 +25,66 @@ which is exactly the per-query boundary the harnesses use.
 
 from __future__ import annotations
 
-from typing import List
+import contextlib
+import warnings
+from typing import Iterator, List
 
 from pyspark.sql import DataFrame
 
 _TRACKED: List[DataFrame] = []
 
+# A caller that keeps invoking checkpoint-using operators without
+# ever releasing is re-creating the leak this module exists to fix —
+# warn once the registry clearly outgrows any single query's needs.
+_WARN_THRESHOLD = 64
+_warned = False
+
+
+def _register(df: DataFrame) -> DataFrame:
+    global _warned
+    _TRACKED.append(df)
+    if len(_TRACKED) > _WARN_THRESHOLD and not _warned:
+        _warned = True
+        warnings.warn(
+            f"cache registry holds {len(_TRACKED)} tracked "
+            f"checkpoints — a long-lived caller is accumulating "
+            f"storage blocks without releasing. Wrap each query in "
+            f"`with cache.scope(): ...` or call release_all() at "
+            f"query boundaries.", ResourceWarning, stacklevel=3)
+    return df
+
 
 def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """``df.localCheckpoint(eager)`` + registration for later
     deterministic release via :func:`release_all`."""
-    out = df.localCheckpoint(eager)
-    _TRACKED.append(out)
-    return out
+    return _register(df.localCheckpoint(eager))
 
 
 def track(df: DataFrame) -> DataFrame:
     """Register an already-checkpointed frame for release; returns it
     unchanged, so chained sites read
     ``expr.localCheckpoint().transform(cache.track)``."""
-    _TRACKED.append(df)
-    return df
+    return _register(df)
+
+
+@contextlib.contextmanager
+def scope() -> Iterator[None]:
+    """Structural release: drop every checkpoint REGISTERED INSIDE
+    the block when it exits (success or error) — the per-query
+    boundary as a context manager, so long-lived callers don't have
+    to adopt the harnesses' manual release discipline.
+
+    Checkpoints tracked before entry are left untouched; the usual
+    contract applies — everything derived from in-scope checkpoints
+    must be collected/written before the block ends."""
+    mark = len(_TRACKED)
+    try:
+        yield
+    finally:
+        global _warned
+        while len(_TRACKED) > mark:
+            _drop_blocks(_TRACKED.pop())
+        _warned = False
 
 
 def tracked_count() -> int:
@@ -76,10 +115,12 @@ def release_all(spark=None) -> int:
     """Drop storage blocks of every tracked checkpoint; returns the
     number released. Call AFTER the consuming query's results are
     materialized (the frames are not recomputable afterwards)."""
+    global _warned
     n = 0
     while _TRACKED:
         if _drop_blocks(_TRACKED.pop()):
             n += 1
+    _warned = False
     return n
 
 

@@ -14,14 +14,21 @@ Spark-first shape (the kmeans/pagerank iterative-join posture):
   by word frequency) + a single-row collect (the argmax pair becomes
   a PLAN LITERAL, exactly like the quantized k-means centroids);
 - the merge applies as a double-pass plain string ``replace`` over
-  the space-delimited symbol string — two passes make leftmost
-  non-overlapping replacement equal to greedy left-to-right BPE
-  merging (a single pass misses every second adjacent occurrence
-  because the shared delimiter space is consumed; the missed ones
-  are never adjacent, so pass 2 gets them all). Plain ``replace`` is
-  leftmost non-overlapping in BOTH engines, so the DuckDB oracle
-  replays the identical K rounds as unrolled CTEs with scalar
-  subqueries — no Spark-result leakage into the oracle.
+  the space-delimited symbol string — for left != right two passes
+  make leftmost non-overlapping replacement equal to greedy
+  left-to-right BPE merging (a single pass misses every second
+  adjacent occurrence because the shared delimiter space is
+  consumed; the missed ones are never adjacent, so pass 2 gets them
+  all).  KNOWN DEVIATION from Sennrich-greedy BPE: for
+  SELF-OVERLAPPING pairs (left == right) on symbol runs >= 5 the
+  double replace groups differently (['a']*5 -> ['aa','a','aa'] vs
+  greedy ['aa','aa','a']; runs >= 6 differ in token count) — pinned
+  as an expected-divergence regression in tests/test_bpe_property.py.
+  Both engines run the IDENTICAL double replace, so oracle parity is
+  unaffected.  Plain ``replace`` is leftmost non-overlapping in BOTH
+  engines, so the DuckDB oracle replays the identical K rounds as
+  unrolled CTEs with scalar subqueries — no Spark-result leakage
+  into the oracle.
 - per-round lineage is cut with a TRACKED localCheckpoint (the
   cache-hygiene registry), so K rounds cost K passes, not K^2.
 
@@ -92,8 +99,10 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right = pair.split(" ")
         merged = left + right
         pat, rep = f" {pair} ", f" {merged} "
-        # double-pass leftmost replace == greedy BPE merge (see
-        # module docstring); the merge pair is a plan literal
+        # double-pass leftmost replace == greedy BPE merge for
+        # left != right; self-pairs on runs >= 5 deviate (see module
+        # docstring) — identically in both engines; the merge pair
+        # is a plan literal
         vocab = _cache.checkpoint(vocab.select(
             F.replace(F.replace("s", F.lit(pat), F.lit(rep)),
                       F.lit(pat), F.lit(rep)).alias("s"),
@@ -155,7 +164,9 @@ ORACLES.update({"bpe_vocab_train": bpe_vocab_train_duck_sql()})
 def _apply_merges_sql(inner: str, merges: list[tuple]) -> str:
     """SQL expression applying the trained merge sequence to the
     delimited symbol string ``inner`` (double-pass replace per merge,
-    the same greedy semantics as training; portable to DuckDB)."""
+    the same double-replace semantics as training — greedy-equal for
+    left != right, self-pair runs >= 5 deviate identically in both
+    engines; portable to DuckDB)."""
     expr = inner
     for _r, left, right, merged, _n in merges:
         pat = f"' {left} {right} '"

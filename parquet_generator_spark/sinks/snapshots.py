@@ -113,8 +113,17 @@ def _write_data_files(df: DataFrame, path: str,
                     maxs.append(s.max)
                 if mins:
                     stats[c] = [min(mins), max(maxs)]
-            entry["stats"] = {k: [_plain(v[0]), _plain(v[1])]
-                              for k, v in stats.items()}
+            json_stats = {}
+            for k, v in stats.items():
+                try:
+                    json_stats[k] = [_plain(v[0]), _plain(v[1])]
+                except UnicodeDecodeError:
+                    # non-UTF8 bytes don't JSON-roundtrip losslessly;
+                    # a lossy min/max could wrongly CARRY a file that
+                    # holds matching keys. No stats entry = the file
+                    # always rewrites (correct, just more IO).
+                    continue
+            entry["stats"] = json_stats
         entries.append(entry)
     shutil.rmtree(staging)
     return entries
@@ -122,7 +131,9 @@ def _write_data_files(df: DataFrame, path: str,
 
 def _plain(v):
     if isinstance(v, bytes):
-        return v.decode("utf-8", "replace")
+        # strict: raising on non-UTF8 makes the caller drop the
+        # stats entry instead of recording a lossy U+FFFD bound
+        return v.decode("utf-8")
     if hasattr(v, "item"):
         return v.item()
     return v

@@ -13,6 +13,40 @@ WINDOW = "6 hours"
 WINDOW_SECONDS = 6 * 3600
 
 
+def _recover_swap(path: str) -> None:
+    """Heal a crash inside :func:`_swap`: if the published directory
+    is missing but its renamed-aside predecessor survives, restore
+    it so readers see the last complete version instead of nothing
+    (which would undercount every later in-watermark merge)."""
+    import os
+
+    old = path + "_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.replace(old, path)
+
+
+def _swap(df: DataFrame, path: str) -> None:
+    """Publish ``df`` at ``path`` without a lost-table crash window:
+    write to staging, rename the current version ASIDE (atomic),
+    promote staging (atomic), delete the aside copy LAST. A crash at
+    any step leaves either the old or the new complete version
+    recoverable — never neither (the old delete-then-rename protocol
+    had exactly that hole between rmtree and replace)."""
+    import os
+    import shutil
+
+    staging = path + "_staging"
+    old = path + "_old"
+    df.write.mode("overwrite").parquet(staging)
+    if os.path.exists(old):  # leftover from an interrupted swap
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.replace(path, old)
+    os.replace(staging, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def windowed_event_counts(df: DataFrame, watermark: str | None = None,
                           ts_col: str = "ts",
                           key_col: str = "event_type") -> DataFrame:
@@ -193,7 +227,6 @@ def run_topk_stream_update(stream_df: DataFrame, counts_path: str,
     disk, not in state. On a table format the two staging swaps
     become native MERGEs (see upsert.py)."""
     import os
-    import shutil
 
     from pyspark.sql import Window
 
@@ -202,17 +235,15 @@ def run_topk_stream_update(stream_df: DataFrame, counts_path: str,
 
     agg = windowed_event_counts(stream_df, watermark=watermark)
 
-    def _swap(df: DataFrame, path: str) -> None:
-        staging = path + "_staging"
-        df.write.mode("overwrite").parquet(staging)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(staging, path)
-
     def merge_topk(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
         spark = batch_df.sparkSession
+        # a crash inside a previous swap may have left the published
+        # table renamed aside — restore before reading, or the replay
+        # would see existing=None and silently discard all history
+        _recover_swap(counts_path)
+        _recover_swap(topk_path)
         b = batch_df.withColumn("_batch", F.lit(batch_id))
         existing = (spark.read.parquet(counts_path)
                     if os.path.exists(counts_path) else None)

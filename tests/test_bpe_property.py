@@ -1,15 +1,23 @@
-"""Property pins for the BPE training kernel's novel cross-engine
-trick: DOUBLE-pass leftmost non-overlapping string replace over a
-space-delimited symbol string equals greedy left-to-right pair
-merging (the semantics both engines must share for bpe_vocab_train /
-bpe_encode_stats to stay oracle-exact). Hypothesis drives adversarial
-symbol streams (runs, overlaps, near-miss prefixes); DuckDB executes
-the same replace to pin the third engine."""
+"""Property pins for the BPE training kernel's cross-engine trick:
+DOUBLE-pass leftmost non-overlapping string replace over a
+space-delimited symbol string.  The load-bearing property is
+CROSS-ENGINE PARITY of the implemented semantics (Python replace ==
+Spark replace == DuckDB replace) — that is what keeps
+bpe_vocab_train / bpe_encode_stats oracle-exact.
+
+The double replace additionally EQUALS greedy left-to-right pair
+merging whenever left != right.  For SELF-OVERLAPPING pairs
+(left == right) on symbol runs >= 5 it deviates from Sennrich-greedy
+BPE: ['a']*5 with merge (a,a) gives ['aa','a','aa'] via double
+replace vs greedy ['aa','aa','a'], and runs >= 6 differ in token
+count (4 vs 3).  That deviation is identical in all three engines
+(parity holds); it is pinned below as an expected-divergence
+regression, not hidden."""
 
 from __future__ import annotations
 
 import duckdb
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from parquet_generator_spark.operators.analyzers import s_stem
@@ -42,9 +50,42 @@ def double_replace(tokens: list[str], left: str, right: str) -> list[str]:
 @settings(max_examples=300, deadline=None)
 @given(st.lists(st.sampled_from(SYMS), min_size=0, max_size=14),
        st.sampled_from(SYMS), st.sampled_from(SYMS))
-def test_double_replace_equals_greedy_merge(tokens, left, right):
+def test_double_replace_equals_greedy_merge_distinct_pair(
+        tokens, left, right):
+    """Greedy equivalence holds for left != right (non-self-
+    overlapping patterns): pass one takes every other match of an
+    adjacent chain, pass two takes the rest, and the merged token
+    can never seed a new occurrence of the fixed pattern."""
+    assume(left != right)
     assert double_replace(tokens, left, right) == \
         greedy_merge(tokens, left, right)
+
+
+def test_double_replace_self_pair_divergence_pinned():
+    """EXPECTED DIVERGENCE (not a bug to 'fix' silently): for
+    left == right the double replace deviates from greedy BPE on
+    runs >= 5 — a replaced occurrence consumes the shared boundary
+    space, so the scan skips the middle of an odd run and the second
+    pass finds nothing new.  All three engines implement the SAME
+    double-replace semantics, so oracle parity is unaffected; this
+    test pins the deviation so it stays documented."""
+    # run of 5: same token count, different grouping
+    assert double_replace(["a"] * 5, "a", "a") == ["aa", "a", "aa"]
+    assert greedy_merge(["a"] * 5, "a", "a") == ["aa", "aa", "a"]
+    # run of 6: token counts differ (4 vs 3)
+    assert double_replace(["a"] * 6, "a", "a") == \
+        ["aa", "a", "aa", "a"]
+    assert greedy_merge(["a"] * 6, "a", "a") == ["aa", "aa", "aa"]
+    # runs <= 4 agree even for self-pairs
+    for n in range(5):
+        assert double_replace(["a"] * n, "a", "a") == \
+            greedy_merge(["a"] * n, "a", "a")
+    # and DuckDB shares the divergent double-replace output exactly
+    s = " " + " ".join(["a"] * 6) + " "
+    dk = duckdb.sql(
+        "SELECT replace(replace(?, ' a a ', ' aa '), ' a a ', ' aa ')",
+        params=[s]).fetchone()[0]
+    assert dk.split() == ["aa", "a", "aa", "a"]
 
 
 @settings(max_examples=50, deadline=None)

@@ -46,3 +46,44 @@ def test_release_is_idempotent_and_safe_when_empty(spark):
     cache.release_all(spark)
     assert cache.release_all(spark) == 0
     assert cache.tracked_count() == 0
+
+
+def test_scope_releases_only_inner_checkpoints(spark):
+    """`with cache.scope():` is the structural per-query boundary:
+    checkpoints registered inside release on exit (success or error);
+    pre-existing tracked frames are untouched."""
+    cache.release_all(spark)
+    outer = cache.checkpoint(spark.range(10))
+    assert cache.tracked_count() == 1
+    with cache.scope():
+        inner = cache.checkpoint(spark.range(20))
+        assert inner.count() == 20
+        assert cache.tracked_count() == 2
+    assert cache.tracked_count() == 1  # inner released, outer kept
+    assert outer.count() == 10  # outer blocks still alive
+    # release on error paths too
+    try:
+        with cache.scope():
+            cache.checkpoint(spark.range(5)).count()
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert cache.tracked_count() == 1
+    cache.release_all(spark)
+
+
+def test_unreleased_accumulation_warns(spark):
+    """A long-lived caller that never releases gets an explicit
+    ResourceWarning once the registry outgrows any single query."""
+    import warnings as _w
+
+    cache.release_all(spark)
+    df = spark.range(1).localCheckpoint()
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        for _ in range(cache._WARN_THRESHOLD + 1):
+            cache.track(df)
+        msgs = [r for r in rec if issubclass(r.category, ResourceWarning)]
+    assert len(msgs) == 1, "warn exactly once per accumulation episode"
+    assert "release_all" in str(msgs[0].message)
+    cache.release_all(spark)

@@ -129,6 +129,31 @@ def test_empty_overwrite_reads_back_empty(spark, tmp_path):
     assert empty.columns == df.columns
 
 
+def test_merge_upsert_non_utf8_key_stats_never_prune(spark, tmp_path):
+    """Stats pruning must not trust lossy bounds: a binary key whose
+    parquet min/max bytes are not valid UTF-8 used to be stored with
+    U+FFFD substitution, which could inflate the recorded min above
+    the source hi and wrongly CARRY a file holding matching keys.
+    Now such stats are dropped entirely, so the file always rewrites
+    and the MERGE replaces the matching row."""
+    t = str(tmp_path / "tbl_bin")
+    df = spark.createDataFrame(
+        [(bytearray(b"\xff\x01"), "v1"), (bytearray(b"\xfe\x02"), "v1")],
+        "k binary, payload string")
+    snap.create_table(spark, t, df, stat_cols=["k"])
+    # no stats entry may survive for the non-UTF8 binary key
+    for f in snap.read_manifest(t)["files"]:
+        assert "k" not in f.get("stats", {})
+    source = spark.createDataFrame(
+        [(bytearray(b"\xff\x01"), "v2")], "k binary, payload string")
+    snap.merge_upsert(spark, t, source, key_cols=["k"],
+                      order_cols=["payload"])
+    cur = snap.read_snapshot(spark, t)
+    assert cur.count() == 2
+    rows = {bytes(r["k"]): r["payload"] for r in cur.collect()}
+    assert rows[b"\xff\x01"] == "v2" and rows[b"\xfe\x02"] == "v1"
+
+
 def test_streaming_upsert_commits_versions(spark, tmp_path):
     """Each micro-batch is one snapshot commit: the final version
     equals the batch latest-wins merge, and earlier versions remain

@@ -727,6 +727,50 @@ def test_windowed_topk_update_mode_matches_batch(spark, tmp_path):
     assert peak < n_windows * n_keys * 0.5, (peak, n_windows * n_keys)
 
 
+def test_swap_crash_recovery_never_loses_table(spark, tmp_path):
+    """The keyed-sink publish protocol must not have a lost-table
+    crash window: the old delete-then-rename left the path missing
+    between rmtree and replace, so a micro-batch replay would read
+    existing=None and silently discard all accumulated counts. The
+    rename-aside protocol leaves either the old or the new complete
+    version recoverable at every step."""
+    import os
+    import shutil
+
+    from parquet_generator_spark.streaming.windowed import (
+        _recover_swap,
+        _swap,
+    )
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.range(3).withColumnRenamed("id", "n")
+    _swap(v1, path)
+    assert spark.read.parquet(path).count() == 3
+    assert not os.path.exists(path + "_old")
+
+    # normal re-publish replaces content and leaves no aside copy
+    _swap(spark.range(5).withColumnRenamed("id", "n"), path)
+    assert spark.read.parquet(path).count() == 5
+    assert not os.path.exists(path + "_old")
+
+    # crash between rename-aside and promote: path missing, _old has
+    # the last complete version -> recovery restores it
+    os.replace(path, path + "_old")
+    assert not os.path.exists(path)
+    _recover_swap(path)
+    assert spark.read.parquet(path).count() == 5
+
+    # crash after promote, before the final delete: both exist ->
+    # recovery keeps the published version, next swap cleans up
+    shutil.copytree(path, path + "_old")
+    _recover_swap(path)
+    assert spark.read.parquet(path).count() == 5
+    _swap(spark.range(2).withColumnRenamed("id", "n"), path)
+    assert spark.read.parquet(path).count() == 2
+    assert not os.path.exists(path + "_old")
+    assert not os.path.exists(path + "_staging")
+
+
 def test_counter_rate_stream_matches_batch(spark, tmp_path):
     """The stateful streaming counter-rate (per-series last-value
     state bridging micro-batches) sums to the batch twin's per-day
