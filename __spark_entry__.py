@@ -67,6 +67,7 @@ from parquet_generator_spark.plans import reference_queries20 as R20
 from parquet_generator_spark.plans import reference_queries21 as R21
 from parquet_generator_spark.plans import reference_queries22 as R22
 from parquet_generator_spark.plans import reference_queries23 as R23
+from parquet_generator_spark.plans import reference_queries24 as R24
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -97,6 +98,7 @@ FRONT_KEYS = [
     "bpe_vocab_train",
     "bpe_encode_stats",
     # round-10 additions append here as they land (window is 50 wide)
+    "dsl_date_math_now",
 ]
 
 
@@ -162,6 +164,7 @@ def queries() -> dict[str, QueryFn]:
         **R21.QUERIES,
         **R22.QUERIES,
         **R23.QUERIES,
+        **R24.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -228,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         **R21.ORACLES,
         **R22.ORACLES,
         **R23.ORACLES,
+        **R24.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

@@ -383,6 +383,8 @@ HEADLINE = [
     "dsl_counter_rate",
     "dsl_tsds_downsample",
     "corpus_data_card",
+    # round 10
+    "dsl_date_math_now",
 ]
 
 

@@ -15,6 +15,7 @@ lowercase alphanumeric tokenization ([a-z0-9]+), which makes
 from __future__ import annotations
 
 import calendar
+import contextlib
 import datetime
 import re
 
@@ -456,9 +457,12 @@ def terms_lookup_filter(df: DataFrame, field: str,
 # `"2024-01-31||-2w/d"`: an anchor date, then +/-N unit steps, then an
 # optional trailing /unit rounding. Resolution happens at PLAN time
 # (the literal reaches the parquet scan as a plain timestamp bound, so
-# row-group pruning still applies). `now`-anchored math is refused:
-# a plan whose pruning bound silently depends on wall-clock produces
-# unreproducible scans — callers pass an explicit anchor instead.
+# row-group pruning still applies). `now`-anchored math ("now-7d/d",
+# the shape nearly every real Kibana/alerting query uses) resolves
+# against an INJECTABLE plan-time clock (`with plan_clock(anchor):`)
+# so the scan bound is still a deterministic literal; with no clock
+# injected it is refused — a plan whose pruning bound silently
+# depends on wall-clock produces unreproducible scans.
 
 _DATE_MATH_RE = re.compile(
     r"^(\d{4}-\d{2}-\d{2}(?:[T ]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?)?)"
@@ -466,18 +470,46 @@ _DATE_MATH_RE = re.compile(
 _DM_STEP_RE = re.compile(r"([+-]\d+)([yMwdhms])")
 _DM_ROUND_RE = re.compile(r"/([yMwdhms])$")
 
+_NOW_ANCHOR: datetime.datetime | None = None
+
+
+@contextlib.contextmanager
+def plan_clock(now: datetime.datetime | str):
+    """Pin `now` for date-math resolution inside the block. The
+    caller-supplied anchor becomes a plain timestamp literal at plan
+    time (row-group pruning intact, plans reproducible); nesting
+    restores the previous anchor on exit."""
+    global _NOW_ANCHOR
+    if isinstance(now, str):
+        now = datetime.datetime.fromisoformat(now.replace("T", " "))
+    prev = _NOW_ANCHOR
+    _NOW_ANCHOR = now
+    try:
+        yield now
+    finally:
+        _NOW_ANCHOR = prev
+
+
+def _is_now_math(v: str) -> bool:
+    # only date-math-SHAPED now anchors ("now", "now-7d/d") count —
+    # a plain string value that happens to start with the letters
+    # 'now' ("nowhere") is not date math at all
+    return v == "now" or bool(re.match(r"^now[+\-/]", v))
+
 
 def is_date_math(v) -> bool:
     if not isinstance(v, str):
         return False
-    # only date-math-SHAPED now anchors ("now", "now-7d/d") are
-    # refused — a plain string value that happens to start with the
-    # letters 'now' ("nowhere") is not date math at all
-    if v == "now" or re.match(r"^now[+\-/]", v):
-        raise ValueError(
-            "now-anchored date math is not supported: the resolved "
-            "scan bound would depend on wall-clock; use an explicit "
-            "anchor like '2024-01-31||-7d/d'")
+    if _is_now_math(v):
+        if _NOW_ANCHOR is None:
+            raise ValueError(
+                "now-anchored date math needs an injected plan-time "
+                "clock: wrap the query build in "
+                "`with plan_clock(anchor):` (or use an explicit "
+                "anchor like '2024-01-31||-7d/d') — resolving "
+                "against wall-clock would make the scan bound "
+                "unreproducible")
+        return True
     return _DATE_MATH_RE.match(v) is not None
 
 
@@ -527,10 +559,17 @@ def resolve_date_math(v: str, op: str) -> datetime.datetime:
     microsecond (so `gt` excludes and `lte` includes the whole
     rounded unit)."""
     m = _DATE_MATH_RE.match(v)
-    if not m:
+    if m:
+        anchor, expr = m.groups()
+        dt = datetime.datetime.fromisoformat(anchor.replace("T", " "))
+    elif _is_now_math(v):
+        if _NOW_ANCHOR is None:
+            raise ValueError(
+                "now-anchored date math needs an injected plan-time "
+                "clock (`with plan_clock(anchor): ...`)")
+        dt, expr = _NOW_ANCHOR, v[3:]
+    else:
         raise ValueError(f"not a date-math literal: {v!r}")
-    anchor, expr = m.groups()
-    dt = datetime.datetime.fromisoformat(anchor.replace("T", " "))
     rnd = _DM_ROUND_RE.search(expr)
     if rnd:
         expr = expr[:rnd.start()]

@@ -1,0 +1,73 @@
+"""ES-DSL twenty-fourth tranche: `now`-anchored date math via an
+injectable plan-time clock.
+
+Nearly every real Kibana/alerting query bounds its scan with
+``now``-anchored math ("now-14d/d"); the anchored-only resolver
+(reference_queries16.dsl_date_math) deliberately refused those
+because a wall-clock-dependent pruning bound is unreproducible. The
+generalization keeps determinism AND serves the user: the caller
+injects the clock (``with plan_clock(anchor):``), and resolution
+happens at PLAN time exactly like the anchored form — the bound
+reaches the parquet scan as a plain timestamp literal, so row-group
+pruning and the oracle contract both survive.
+
+Reference parity: ES date-math grammar per the `range` query docs
+(Bootstrap.java's reference surface has no query engine; the DSL
+translation generalizes the ES semantics the reference's ETL feeds).
+
+Scale: identical to any literal-bounded range scan — the filter is
+pushed to the parquet reader, no shuffle added.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# the injected plan-time clock: a mid-day instant inside the events
+# range so `now-14d/d` (floored) and the un-floored `lt now` bound
+# exercise both resolution paths
+NOW_ANCHOR = "2024-01-22 09:30:00"
+NOW_GTE = "now-14d/d"   # -> 2024-01-08 00:00:00 (floor to day start)
+NOW_LT = "now"          # -> 2024-01-22 09:30:00 (no rounding)
+
+
+def dsl_date_math_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`range` with now-anchored bounds under an injected clock:
+    daily doc counts for the trailing 14 whole days plus the partial
+    current day. Both bounds resolve inside ``plan_clock`` to plain
+    literals; outside the context the same body raises (pinned in
+    tests/test_esdsl_modern.py)."""
+    from parquet_generator_spark.operators.esdsl import (
+        plan_clock,
+        translate_query,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    with plan_clock(NOW_ANCHOR):
+        cond = translate_query(
+            {"range": {"ts": {"gte": NOW_GTE, "lt": NOW_LT}}})
+    return (ev.filter(cond)
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("day"))
+
+
+# the oracle re-derives both bounds from the SAME literal anchor in
+# SQL (no Spark-resolved value leaks into the oracle)
+DATE_MATH_NOW_ORACLE = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS doc_count
+FROM events
+WHERE ts >= date_trunc('day',
+        TIMESTAMP '{NOW_ANCHOR}' - INTERVAL 14 DAY)
+  AND ts < TIMESTAMP '{NOW_ANCHOR}'
+GROUP BY day ORDER BY day
+"""
+
+QUERIES.update({"dsl_date_math_now": dsl_date_math_now})
+ORACLES.update({"dsl_date_math_now": DATE_MATH_NOW_ORACLE})

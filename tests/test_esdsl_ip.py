@@ -140,12 +140,45 @@ def test_date_math_rejects_now_and_garbage():
         resolve_date_math,
     )
 
+    # without an injected clock, now-anchors are still refused
     with pytest.raises(ValueError, match="now-anchored"):
         is_date_math("now-7d/d")
+    with pytest.raises(ValueError, match="now-anchored"):
+        resolve_date_math("now-7d/d", "gte")
     with pytest.raises(ValueError, match="bad date-math"):
         resolve_date_math("2024-01-01||+7x", "gte")
     assert not is_date_math("2024-01-01")       # plain date: untouched
     assert not is_date_math(5)
+
+
+def test_date_math_now_with_injected_plan_clock():
+    from datetime import datetime as DT
+
+    from parquet_generator_spark.operators.esdsl import (
+        is_date_math,
+        plan_clock,
+        resolve_date_math,
+    )
+
+    with plan_clock("2024-01-22 09:30:00"):
+        assert is_date_math("now")
+        assert is_date_math("now-14d/d")
+        # same grammar as the post-|| expression, anchored at `now`
+        assert resolve_date_math("now", "lt") == DT(2024, 1, 22, 9, 30)
+        assert resolve_date_math("now-14d/d", "gte") == DT(2024, 1, 8)
+        assert (resolve_date_math("now-1d/d", "lte")
+                == DT(2024, 1, 21, 23, 59, 59, 999999))
+        assert resolve_date_math("now+2h", "gte") == \
+            DT(2024, 1, 22, 11, 30)
+        # nesting shadows, exit restores
+        with plan_clock(DT(2020, 6, 1)):
+            assert resolve_date_math("now/d", "gte") == DT(2020, 6, 1)
+        assert resolve_date_math("now/d", "gte") == DT(2024, 1, 22)
+        # a plain word starting with 'now' is still not date math
+        assert not is_date_math("nowhere")
+    # the clock does not leak out of the context
+    with pytest.raises(ValueError, match="now-anchored"):
+        is_date_math("now")
 
 
 def test_ids_query_requires_field_and_matches(ips):

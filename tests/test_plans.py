@@ -265,6 +265,15 @@ def test_ntile_deciles_has_no_global_window(spark):
         assert spec.startswith("pid#"), spec
 
 
+def test_date_math_now_bounds_reach_scan(spark):
+    """now-anchored bounds must resolve to plain literals at plan
+    time: the scan shows pushed ts range filters (wall-clock never
+    enters the plan, row-group pruning applies)."""
+    plan = formatted_plan(spark, "dsl_date_math_now")
+    pushed = pushed_filters(plan)
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
+
+
 def test_front_keys_lead_queries():
     """The driver's correctness sampler reads 50 entries from the
     front of queries(); FRONT_KEYS pins the round-10 sample to the 9
