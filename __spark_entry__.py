@@ -43,6 +43,7 @@ from parquet_generator_spark.plans import llm_queries20 as L20
 from parquet_generator_spark.plans import llm_queries21 as L21
 from parquet_generator_spark.plans import llm_queries22 as L22
 from parquet_generator_spark.plans import llm_queries23 as L23
+from parquet_generator_spark.plans import llm_queries24 as L24
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -99,6 +100,7 @@ FRONT_KEYS = [
     "bpe_encode_stats",
     # round-10 additions append here as they land (window is 50 wide)
     "dsl_date_math_now",
+    "ann_ivfpq",
 ]
 
 
@@ -138,6 +140,7 @@ def queries() -> dict[str, QueryFn]:
         **L21.QUERIES,
         **L22.QUERIES,
         **L23.QUERIES,
+        **L24.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -205,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         **L21.ORACLES,
         **L22.ORACLES,
         **L23.ORACLES,
+        **L24.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

@@ -385,6 +385,7 @@ HEADLINE = [
     "corpus_data_card",
     # round 10
     "dsl_date_math_now",
+    "ann_ivfpq",
 ]
 
 

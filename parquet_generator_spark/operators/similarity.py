@@ -1160,3 +1160,117 @@ ranked AS (
 SELECT qid, nid, cos, rank FROM ranked WHERE rank <= {k}
 ORDER BY qid, rank
 """
+
+
+# ------------------------------------------------------------------
+# IVF-PQ asymmetric-distance (ADC) search — Jegou et al. 2011
+# ------------------------------------------------------------------
+
+def ivfpq_topk(corpus: DataFrame, query_vector: list[float], k: int,
+               centroids: np.ndarray, sub_books: np.ndarray,
+               n_probe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Memory-bounded ANN for ONE literal query vector: IVF cells
+    pick the candidates, PQ codes + an asymmetric-distance table
+    score them — the FAISS IVFPQ shape. ``sub_books`` is [M, K, d]
+    (M subspaces x K codewords). The query's probe cells AND its
+    M x K ADC table are computed on the driver at plan time (one
+    vector x tiny matrices); executors run one narrow mapInPandas
+    over the probe-filtered corpus (PQ-encode candidate, sum its M
+    table entries SEQUENTIALLY — the engine-identical order
+    embedding_pq pinned), then TakeOrderedAndProject. No join, no
+    shuffle of anything data-sized; with ingest-time codes stored as
+    a byte column the scoring pass never reads the raw vectors.
+
+    Recall caveat (measured, tests/test_llm_queries24.py): ADC
+    fidelity needs cluster structure. On the uniform-random
+    synthetic corpus quantization error is the same size as the
+    spread between true neighbors, so recall@10 sits at 0.2-0.3
+    regardless of K; on separable data the identical plan scores
+    >= 0.8. Codebook quality moves recall only — the plan is
+    invariant (the ann_ivf precedent)."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    M, K, d = sub_books.shape
+    qv = np.asarray(query_vector, dtype=np.float64)
+    cm = centroids.astype(np.float64)
+    cm = cm / np.sqrt((cm * cm).sum(axis=1))[:, None]
+    sims = cm @ qv  # query norm is rank-constant for cell choice
+    probes = [int(c) for c in
+              np.argsort(-sims, kind="stable")[:min(n_probe, len(cm))]]
+
+    qsub = qv.reshape(M, d)
+    q2 = np.einsum("md,md->m", qsub, qsub)
+    qc = np.einsum("md,mkd->mk", qsub, sub_books)
+    c2 = np.einsum("mkd,mkd->mk", sub_books, sub_books)
+    adc_table = q2[:, None] - 2.0 * qc + c2             # [M, K]
+
+    bc_books = spark.sparkContext.broadcast(sub_books)
+    bc_table = spark.sparkContext.broadcast(adc_table)
+
+    def encode_score(batches):
+        sb = bc_books.value
+        tab = bc_table.value
+        cb2 = np.einsum("mkd,mkd->mk", sb, sb)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()) \
+                .astype(np.float64).reshape(-1, M, d)
+            v2 = np.einsum("nmd,nmd->nm", vecs, vecs)
+            cross = np.einsum("nmd,mkd->nmk", vecs, sb)
+            dists = v2[:, :, None] - 2.0 * cross + cb2[None]
+            codes = dists.argmin(axis=2)
+            looked = np.take_along_axis(
+                tab[None].repeat(len(codes), axis=0),
+                codes[:, :, None], axis=2)[:, :, 0]
+            adc = looked[:, 0].copy()
+            for m in range(1, M):
+                adc += looked[:, m]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "adc": np.round(adc, 4),
+            })
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("adc", T.DoubleType()),
+    ])
+    cand = (ivf_assign_cells(corpus, centroids, 1, id_col, vec_col)
+            .filter(F.col("cell").isin(probes))
+            .select(id_col, vec_col))
+    top = (cand.mapInPandas(encode_score, schema=schema)
+           .orderBy(F.asc("adc"), F.asc(id_col))
+           .limit(k))
+    w = Window.orderBy(F.asc("adc"), F.asc(id_col))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select(F.col("rank").cast("int").alias("rank"),
+                    id_col, "adc")
+            .orderBy("rank"))
+
+
+def make_pq_codebooks_kmeans(df: DataFrame, n_sub: int, n_codes: int,
+                             n_iter: int = 10, sample_size: int = 4096,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> np.ndarray:
+    """Per-subspace Lloyd k-means codebooks [M, K, d] trained on a
+    deterministic bounded sample (smallest ids) — the production
+    quantizer; driver-side numpy on sample_size rows only."""
+    rows = (df.orderBy(id_col).limit(sample_size)
+            .select(vec_col).collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    d = dim // n_sub
+    books = []
+    for m in range(n_sub):
+        S = X[:, m * d:(m + 1) * d]
+        C = S[:n_codes].copy()
+        for _ in range(n_iter):
+            a = ((S[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+            for kk in range(n_codes):
+                pts = S[a == kk]
+                if len(pts):
+                    C[kk] = pts.mean(0)
+        books.append(C)
+    return np.stack(books)

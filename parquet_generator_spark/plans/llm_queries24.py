@@ -1,0 +1,167 @@
+"""LLM-pipeline twenty-fourth tranche: IVF-PQ ADC search.
+
+``ann_ivfpq`` — the memory-bounded ANN shape a real 100 TB corpus
+runs (the FAISS IVFPQ index): candidates come from probing the
+query's nearest IVF cells, and scoring never touches the full
+vectors — each candidate is represented by its 8-byte PQ code and
+scored with ASYMMETRIC DISTANCE (ADC, Jegou et al. 2011): the query
+precomputes one M x K table of subspace distances to every codeword
+(driver-side, 8 x 16 doubles), and a candidate's distance is the sum
+of 8 table lookups selected by its code.
+
+Spark-first shape:
+- coarse quantizer + PQ codebooks are the smallest-id corpus rows
+  (the reproducible-quantizer trick shared by ann_ivf/embedding_pq —
+  a k-means codebook swaps in at scale without changing the plan);
+- the query's probe cells AND its ADC table are computed on the
+  driver at plan time (one vector x tiny matrices, no Spark job);
+- executors do one narrow mapInPandas over the probe-filtered
+  corpus: PQ-encode the candidate (per-subspace argmin, the proven
+  engine-identical decomposed-dot order from embedding_pq) and sum
+  its 8 ADC table entries SEQUENTIALLY — then TakeOrderedAndProject
+  for the top-k. No join, no shuffle of anything data-sized.
+- at ingest-time-encoded scale the codes are a stored 8-byte column
+  and this query never reads `embedding` at all; here encoding fuses
+  into the scoring pass because the synthetic table stores only raw
+  vectors.
+
+The DuckDB oracle rebuilds EVERYTHING from the same literals —
+centroids, probe ranking, per-subspace codebooks, encoding argmin,
+ADC table, sequential sum — so the driver hash-checks the whole
+index path like any exact query.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_generator_spark.plans.llm_queries15 import (
+    PQ_DIM,
+    PQ_K,
+    PQ_M,
+)
+from parquet_generator_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+IVFPQ_CELLS = 16
+IVFPQ_PROBE = 4
+IVFPQ_TOPK = 10
+
+# fixed literal query vector (shared by plan and oracle; rounded so
+# the SQL literal round-trips the exact double)
+IVFPQ_QUERY = [round(math.sin(i + 1), 6) for i in range(PQ_DIM)]
+
+
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by IVF-probe + PQ-ADC for one literal query vector:
+    (rank, vec_id, adc) ordered by ascending asymmetric L2. The
+    headline uses the smallest-id quantizers so the oracle can
+    rebuild both codebooks in SQL; the production k-means codebook
+    (similarity.make_pq_codebooks_kmeans) swaps in without changing
+    the plan and is recall-tested in tests/test_llm_queries24.py."""
+    import numpy as np
+
+    from parquet_generator_spark.operators.similarity import (
+        ivfpq_topk,
+        make_centroids_from_corpus,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    d = PQ_DIM // PQ_M
+    cents = make_centroids_from_corpus(emb, IVFPQ_CELLS)
+    base = (emb.orderBy("vec_id").limit(PQ_K)
+            .select("embedding").collect())
+    books = np.array([r["embedding"] for r in base], dtype=np.float64)
+    sub_books = books.reshape(PQ_K, PQ_M, d).transpose(1, 0, 2)
+    return ivfpq_topk(emb, IVFPQ_QUERY, IVFPQ_TOPK, cents, sub_books,
+                      n_probe=IVFPQ_PROBE)
+
+
+def _ivfpq_oracle() -> str:
+    d = PQ_DIM // PQ_M
+    qlit = "[" + ", ".join(f"{x!r}" for x in IVFPQ_QUERY) + "]::DOUBLE[]"
+    sub_sel = ", ".join(
+        f"e[{m * d + 1}:{(m + 1) * d}] AS s{m}" for m in range(PQ_M))
+    qsub_sel = ", ".join(
+        f"q[{m * d + 1}:{(m + 1) * d}] AS q{m}" for m in range(PQ_M))
+    # per-subspace: ADC table from the query literal, encoding
+    # argmin over candidates (embedding_pq's proven pattern,
+    # restricted to the probe-filtered corpus), table lookup by code
+    per_sub = []
+    for m in range(PQ_M):
+        per_sub.append(f"""
+t{m} AS (
+  SELECT c.k,
+         list_dot_product(qs.q{m}, qs.q{m})
+         - 2.0 * list_dot_product(qs.q{m}, c.s{m})
+         + list_dot_product(c.s{m}, c.s{m}) AS dist
+  FROM books c, qs),
+d{m} AS (
+  SELECT v.vec_id, c.k,
+         list_dot_product(v.s{m}, v.s{m})
+         - 2.0 * list_dot_product(v.s{m}, c.s{m})
+         + list_dot_product(c.s{m}, c.s{m}) AS dist
+  FROM cand v JOIN books c ON TRUE),
+b{m} AS (
+  SELECT vec_id, k AS code,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, k ASC) AS rn
+  FROM d{m}),
+a{m} AS (
+  SELECT b.vec_id, t.dist
+  FROM b{m} b JOIN t{m} t ON t.k = b.code
+  WHERE b.rn = 1)""")
+    adc_sum = " + ".join(f"a{m}.dist" for m in range(PQ_M))
+    adc_joins = " ".join(f"JOIN a{m} USING (vec_id)"
+                         for m in range(1, PQ_M))
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+qs AS (SELECT {qsub_sel} FROM (SELECT {qlit} AS q)),
+cent AS (
+  SELECT rn - 1 AS cell,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ce
+  FROM (SELECT e, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+  WHERE rn <= {IVFPQ_CELLS}),
+probe AS (
+  SELECT cell FROM (
+    SELECT cell,
+           row_number() OVER (
+             ORDER BY list_dot_product({qlit}, ce) DESC, cell ASC)
+             AS pr
+    FROM cent)
+  WHERE pr <= {IVFPQ_PROBE}),
+assign AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, cent.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, cent.ce)
+                      / sqrt(list_dot_product(v.e, v.e)) DESC,
+                      cent.cell ASC) AS pr
+    FROM v CROSS JOIN cent)
+  WHERE pr = 1),
+cand AS (
+  SELECT vec_id, {sub_sel}
+  FROM assign WHERE cell IN (SELECT cell FROM probe)),
+books AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, {sub_sel}
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {PQ_K})),
+{",".join(per_sub)},
+scored AS (
+  SELECT a0.vec_id, round({adc_sum}, 4) AS adc
+  FROM a0 {adc_joins})
+SELECT CAST(row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS INT)
+         AS rank,
+       vec_id, adc
+FROM (SELECT * FROM scored ORDER BY adc ASC, vec_id ASC
+      LIMIT {IVFPQ_TOPK})
+ORDER BY rank
+"""
+
+
+QUERIES.update({"ann_ivfpq": ann_ivfpq})
+ORACLES.update({"ann_ivfpq": _ivfpq_oracle()})
