@@ -101,6 +101,7 @@ FRONT_KEYS = [
     # round-10 additions append here as they land (window is 50 wide)
     "dsl_date_math_now",
     "ann_ivfpq",
+    "dsl_match_porter",
 ]
 
 

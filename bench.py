@@ -386,6 +386,7 @@ HEADLINE = [
     # round 10
     "dsl_date_math_now",
     "ann_ivfpq",
+    "dsl_match_porter",
 ]
 
 

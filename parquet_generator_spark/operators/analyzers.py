@@ -16,12 +16,14 @@ module keeps the whole thing plan-time + codegen:
   length/|| behave identically in Spark SQL and DuckDB), so the two
   engines cannot drift.
 
-Stemmer: Harman's S-stemmer ("How Effective Is Suffixing?", JASIS
-1991) — the three plural rules (ies->y, es->e-drop-s, s->drop) with
-the published exception lists. Deliberately smaller than Porter but
-deterministic, public, and expressible as one CASE expression in
-both engines; the analyzer registry is the extension point for a
-fuller snowball port.
+Stemmers: Harman's S-stemmer ("How Effective Is Suffixing?", JASIS
+1991) — the three plural rules with the published exception lists,
+one CASE expression in both engines — and the full Porter 1980
+algorithm (operators/porter.py, the ES ``porter_stem`` filter),
+selected per analyzer via ``stemmer="s"|"porter"``. ``english``
+keeps the S-stemmer (cheap, stable); ``english_porter`` is the
+ES-fidelity chain (stop + Porter) for the verb-form/derivational
+vocabulary the S-stemmer misses (running->run, relational->relat).
 
 Stopword list: Lucene's EnglishAnalyzer default stop set (public,
 org.apache.lucene.analysis.en.EnglishAnalyzer#ENGLISH_STOP_WORDS_SET).
@@ -34,6 +36,11 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+from parquet_generator_spark.operators.porter import (
+    porter_stem,
+    porter_stem_sql,
+)
 
 # Lucene EnglishAnalyzer default stop words (public constant)
 LUCENE_ENGLISH_STOPWORDS = frozenset("""
@@ -80,6 +87,23 @@ def s_stem_sql(ref: str) -> str:
         f"ELSE {ref} END")
 
 
+def _stem_py(kind, w: str) -> str:
+    if kind is None:
+        return w
+    return porter_stem(w) if kind == "porter" else s_stem(w)
+
+
+def _stem_expr(kind, ref: str, engine: str) -> str:
+    """Field-side stemmer expression for ``engine`` in
+    {'spark', 'duck'} (the S-stemmer renders identically in both;
+    Porter needs per-engine regexp/binding syntax)."""
+    if kind is None:
+        return ref
+    if kind == "porter":
+        return porter_stem_sql(ref, engine)
+    return s_stem_sql(ref)
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """Plan-time analyzer spec: applied to query strings in Python
@@ -88,6 +112,11 @@ class Analyzer:
     stopwords: frozenset = frozenset()
     synonyms: dict = field(default_factory=dict)  # token -> [token...]
     stem: bool = False
+    stemmer: str = "s"  # "s" (Harman) or "porter" (Porter 1980)
+
+    @property
+    def stem_kind(self):
+        return self.stemmer if self.stem else None
 
     def analyze(self, query: str) -> list[list[str]]:
         """Query string -> token GROUPS: stopwords dropped, each
@@ -103,7 +132,8 @@ class Analyzer:
             variants = [tok] + [v.lower() for v in
                                 self.synonyms.get(tok, [])]
             if self.stem:
-                variants = [s_stem(v) for v in variants]
+                variants = [_stem_py(self.stemmer, v)
+                            for v in variants]
             # dedupe, keep order for deterministic SQL rendering
             seen: list[str] = []
             for v in variants:
@@ -135,18 +165,20 @@ register_analyzer(Analyzer("stop", stopwords=LUCENE_ENGLISH_STOPWORDS))
 register_analyzer(Analyzer("english",
                            stopwords=LUCENE_ENGLISH_STOPWORDS,
                            stem=True))
+register_analyzer(Analyzer("english_porter",
+                           stopwords=LUCENE_ENGLISH_STOPWORDS,
+                           stem=True, stemmer="porter"))
+register_analyzer(Analyzer("porter", stem=True, stemmer="porter"))
 
 
 def _quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def _group_pred_sql(tokens_ref: str, group: list[str],
-                    stem: bool) -> str:
+def _group_pred_sql(group: list[str], kind, engine: str) -> str:
     """EXISTS-style test: any element of the tokenized field, after
-    stemming, equals any group member. ``tokens_ref`` names an array
-    expression; rendered per engine by the callers below."""
-    elem = s_stem_sql("t") if stem else "t"
+    stemming, equals any group member."""
+    elem = _stem_expr(kind, "t", engine)
     lits = ", ".join(_quote(g) for g in group)
     return f"t -> ({elem}) IN ({lits})"
 
@@ -161,15 +193,51 @@ def _duck_tokens_expr(col: str) -> str:
 
 
 def analyzed_group_present(col: str, group: list[str],
-                           stem: bool) -> Column:
-    lam = _group_pred_sql("t", group, stem)
+                           kind) -> Column:
+    lam = _group_pred_sql(group, kind, "spark")
     return F.expr(f"exists({_spark_tokens_expr(col)}, {lam})")
 
 
 def analyzed_group_present_duck_sql(col: str, group: list[str],
-                                    stem: bool) -> str:
-    lam = _group_pred_sql("t", group, stem)
+                                    kind) -> str:
+    lam = _group_pred_sql(group, kind, "duck")
     return f"len(list_filter({_duck_tokens_expr(col)}, {lam})) > 0"
+
+
+def _match_algebra_sql(hits: list[str], operator: str,
+                       minimum_should_match: int | None) -> str:
+    if operator == "and":
+        return "(" + " AND ".join(hits) + ")"
+    if minimum_should_match is not None:
+        total = " + ".join(f"(CASE WHEN {h} THEN 1 ELSE 0 END)"
+                           for h in hits)
+        return f"(({total}) >= {int(minimum_should_match)})"
+    return "(" + " OR ".join(hits) + ")"
+
+
+def _stemmed_match_sql(col: str, groups: list[list[str]], kind,
+                       engine: str, operator: str,
+                       minimum_should_match: int | None) -> str:
+    """Stem-once match rendering: bind ``transform(tokens, stem)``
+    to a single variable and test every group against it — for an
+    expensive stemmer (Porter) this cuts the per-document stemming
+    cost by the number of query groups vs the per-group exists()
+    path."""
+    stem = _stem_expr(kind, "t", engine)
+    if engine == "spark":
+        stemmed = f"transform({_spark_tokens_expr(col)}, t -> {stem})"
+        hits = [
+            f"exists(S, e -> e IN ({', '.join(_quote(g) for g in grp)}))"
+            for grp in groups]
+        body = _match_algebra_sql(hits, operator, minimum_should_match)
+        return f"element_at(transform(array({stemmed}), S -> {body}), 1)"
+    stemmed = f"list_transform({_duck_tokens_expr(col)}, t -> {stem})"
+    hits = [
+        f"len(list_filter(S, e -> e IN "
+        f"({', '.join(_quote(g) for g in grp)}))) > 0"
+        for grp in groups]
+    body = _match_algebra_sql(hits, operator, minimum_should_match)
+    return f"(list_transform([{stemmed}], S -> {body}))[1]"
 
 
 def analyzed_match(col: str, query: str, analyzer: Analyzer,
@@ -182,7 +250,16 @@ def analyzed_match(col: str, query: str, analyzer: Analyzer,
     groups = analyzer.analyze(query)
     if not groups:
         return F.lit(True)  # all-stopword query matches everything
-    hits = [analyzed_group_present(col, g, analyzer.stem)
+    if (minimum_should_match is not None
+            and int(minimum_should_match) > len(groups)):
+        return F.lit(False)
+    if analyzer.stem_kind == "porter":
+        # stem once per document, not once per group (the Porter
+        # expression is ~100x the S-stemmer's CASE)
+        return F.expr(_stemmed_match_sql(
+            col, groups, analyzer.stem_kind, "spark", operator,
+            minimum_should_match))
+    hits = [analyzed_group_present(col, g, analyzer.stem_kind)
             for g in groups]
     if operator == "and":
         out = F.lit(True)
@@ -214,17 +291,22 @@ def analyzed_match_duck_sql(col: str, query: str, analyzer: Analyzer,
     groups = analyzer.analyze(query)
     if not groups:
         return "TRUE"
-    hits = [analyzed_group_present_duck_sql(col, g, analyzer.stem)
+    if (minimum_should_match is not None
+            and int(minimum_should_match) > len(groups)):
+        return "FALSE"
+    if analyzer.stem_kind == "porter":
+        return _stemmed_match_sql(
+            col, groups, analyzer.stem_kind, "duck", operator,
+            minimum_should_match)
+    hits = [analyzed_group_present_duck_sql(col, g,
+                                            analyzer.stem_kind)
             for g in groups]
     if operator == "and":
         return "(" + " AND ".join(hits) + ")"
     if minimum_should_match is not None:
-        msm = int(minimum_should_match)
-        if msm > len(hits):
-            return "FALSE"
         total = " + ".join(f"(CASE WHEN {h} THEN 1 ELSE 0 END)"
                            for h in hits)
-        return f"(({total}) >= {msm})"
+        return f"(({total}) >= {int(minimum_should_match)})"
     return "(" + " OR ".join(hits) + ")"
 
 
@@ -269,7 +351,7 @@ def analyzed_match_phrase(col: str, phrase: str,
     scan is exists() over the k-windows — codegen, no UDF."""
     groups = _phrase_groups(phrase, analyzer)
     k = len(groups)
-    elem = s_stem_sql("t") if analyzer.stem else "t"
+    elem = _stem_expr(analyzer.stem_kind, "t", "spark")
     toks = _spark_tokens_expr(col)
     lam = _phrase_lambda(groups,
                          lambda j: f"element_at(x.s, i + {j})")
@@ -286,7 +368,7 @@ def analyzed_match_phrase_duck_sql(col: str, phrase: str,
     adjacency windows (DuckDB list indexing is 1-based natively)."""
     groups = _phrase_groups(phrase, analyzer)
     k = len(groups)
-    elem = s_stem_sql("t") if analyzer.stem else "t"
+    elem = _stem_expr(analyzer.stem_kind, "t", "duck")
     toks = _duck_tokens_expr(col)
     stemmed = f"list_transform({toks}, t -> {elem})"
     lam = _phrase_lambda(groups, lambda j: f"({stemmed})[i + {j}]")

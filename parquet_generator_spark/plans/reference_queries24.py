@@ -71,3 +71,55 @@ GROUP BY day ORDER BY day
 
 QUERIES.update({"dsl_date_math_now": dsl_date_math_now})
 ORACLES.update({"dsl_date_math_now": DATE_MATH_NOW_ORACLE})
+
+
+# ----------------------------------------------- dsl_match_porter
+
+_PORTER_QUERY = "sorting merged tables"
+
+
+def dsl_match_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``match`` with ``analyzer: english_porter`` (stop + full
+    Porter 1980, operators/porter.py — the ES ``english`` chain's
+    stemmer fidelity): verb forms and derivations match their stems
+    (sorting->sort, merged->merg==merge's stem, tables->tabl), the
+    cases the S-stemmer `english` analyzer misses entirely — its
+    twin of this query matches zero documents (pinned in
+    tests/test_porter.py). Per-source doc counts under operator AND.
+
+    Scale: the field-side stemmer is ONE plan-time-generated codegen
+    expression per token (a short regexp chain builds the CV
+    skeleton once; every measure test is substr/instr on it) — no
+    UDF, no shuffle beyond the final aggregate."""
+    from parquet_generator_spark.operators.esdsl import translate_query
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = translate_query({"match": {"text": {
+        "query": _PORTER_QUERY, "operator": "and",
+        "analyzer": "english_porter"}}})
+    return (docs.filter(pred)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("source"))
+
+
+def _porter_oracle() -> str:
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match_duck_sql,
+        get_analyzer,
+    )
+
+    pred = analyzed_match_duck_sql(
+        "text", _PORTER_QUERY, get_analyzer("english_porter"),
+        operator="and")
+    return f"""
+SELECT source, count(*) AS doc_count
+FROM documents
+WHERE text IS NOT NULL AND {pred}
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES.update({"dsl_match_porter": dsl_match_porter})
+ORACLES.update({"dsl_match_porter": _porter_oracle()})

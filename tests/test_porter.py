@@ -1,0 +1,138 @@
+"""Porter stemmer: paper vectors, three-way engine parity
+(Python twin == Spark SQL == DuckDB SQL), and the ES-fidelity gain
+over the S-stemmer that dsl_match_porter demonstrates."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parquet_generator_spark.operators.porter import (
+    cv_form,
+    porter_stem,
+    porter_stem_sql,
+)
+
+# canonical examples from Porter 1980 (plus porter.c's bli/logi
+# revisions), each exercising a specific step
+VECTORS = {
+    # 1a
+    "caresses": "caress", "ponies": "poni", "ties": "ti",
+    "caress": "caress", "cats": "cat",
+    # 1b + post
+    "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing",
+    "conflated": "conflat", "troubled": "troubl", "sized": "size",
+    "hopping": "hop", "tanned": "tan", "falling": "fall",
+    "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file", "running": "run",
+    # 1c
+    "happy": "happi", "sky": "sky",
+    # 2 (first-match-wins: rational matches 'ational', m=0, stops)
+    "relational": "relat", "conditional": "condit",
+    "rational": "ration", "valenci": "valenc", "hesitanci": "hesit",
+    "digitizer": "digit", "radicalli": "radic",
+    "differentli": "differ", "vileli": "vile",
+    "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper",
+    "feudalism": "feudal", "decisiveness": "decis",
+    "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit",
+    "sensibiliti": "sensibl",
+    # 3
+    "triplicate": "triplic", "formative": "form",
+    "formalize": "formal", "electriciti": "electr",
+    "electrical": "electr", "hopeful": "hope", "goodness": "good",
+    # 4
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens",
+    "irritant": "irrit", "replacement": "replac",
+    "adjustment": "adjust", "dependent": "depend",
+    "adoption": "adopt", "homologou": "homolog",
+    "communism": "commun", "activate": "activ",
+    "angulariti": "angular", "homologous": "homolog",
+    "effective": "effect", "bowdlerize": "bowdler",
+    # 5
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+    "controll": "control", "roll": "roll",
+    # whole pipeline
+    "generalizations": "gener", "oscillators": "oscil",
+    "syzygy": "syzygi",
+}
+
+
+def test_paper_vectors():
+    for w, want in VECTORS.items():
+        assert porter_stem(w) == want, (w, porter_stem(w), want)
+
+
+def test_cv_form_y_rules():
+    # y: consonant at start, vowel after consonant, consonant after
+    # vowel — alternating within runs
+    assert cv_form("syzygy") == "bababa"
+    assert cv_form("toy") == "bab"
+    assert cv_form("yes") == "bab"
+    assert cv_form("crying") == "bbaabb"  # y after r is a vowel
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def _duck_stem(con, w: str) -> str:
+    sql = porter_stem_sql("w", "duck")
+    return con.execute(f"SELECT {sql} FROM (SELECT ? AS w)",
+                       [w]).fetchone()[0]
+
+
+def test_duckdb_matches_python_on_vectors(duck):
+    for w in VECTORS:
+        assert _duck_stem(duck, w) == porter_stem(w), w
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="abcdefghilmnoprstuvy", min_size=0,
+               max_size=14))
+def test_duckdb_matches_python_random(w):
+    con = duckdb.connect()
+    assert _duck_stem(con, w) == porter_stem(w)
+
+
+def test_spark_matches_python(spark):
+    words = list(VECTORS) + ["", "a", "yy", "ayyyby", "enjoyed",
+                             "crying", "toy", "x1000", "agg",
+                             "batches", "windows", "queries"]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    sql = porter_stem_sql("w", "spark")
+    got = {r["w"]: r["s"]
+           for r in df.select("w", F.expr(sql).alias("s")).collect()}
+    for w in words:
+        assert got[w] == porter_stem(w), (w, got[w], porter_stem(w))
+
+
+def test_porter_catches_what_s_stemmer_misses(spark):
+    """The S-twin of dsl_match_porter matches ZERO documents: the
+    corpus vocabulary is base forms (sort/merge/table), the query is
+    verb forms — only Porter folds them together."""
+    from parquet_generator_spark.operators.esdsl import translate_query
+    from parquet_generator_spark.plans.reference_queries24 import (
+        _PORTER_QUERY,
+        dsl_match_porter,
+    )
+    from parquet_generator_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    porter_rows = dsl_match_porter(spark, sf).collect()
+    assert sum(r["doc_count"] for r in porter_rows) > 0
+
+    docs = load_table(spark, "documents", sf)
+    s_pred = translate_query({"match": {"text": {
+        "query": _PORTER_QUERY, "operator": "and",
+        "analyzer": "english"}}})
+    assert docs.filter(s_pred).count() == 0
