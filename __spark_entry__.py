@@ -102,6 +102,7 @@ FRONT_KEYS = [
     "dsl_date_math_now",
     "ann_ivfpq",
     "dsl_match_porter",
+    "text_tokens_cjk",
 ]
 
 

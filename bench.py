@@ -387,6 +387,7 @@ HEADLINE = [
     "dsl_date_math_now",
     "ann_ivfpq",
     "dsl_match_porter",
+    "text_tokens_cjk",
 ]
 
 

@@ -29,6 +29,40 @@ def toks_duck(c: str) -> str:
 # BPE-ish pre-tokenizer: letter runs, single digits, single symbols
 BPE_RE = r"[a-z]+|[0-9]|[^a-z0-9\s]"
 
+
+# --- CJK-aware tokenization (bigram fallback) ----------------------
+# A real web corpus is heavily CJK/multilingual, and the plain
+# [a-z0-9]+ analyzer silently drops those scripts (token counts,
+# shingles, dedup and langid all degrade). The standard fallback for
+# unsegmented scripts is CHARACTER BIGRAMS (Lucene's CJKAnalyzer):
+# Latin alnum runs tokenize as before, and each CJK run of length n
+# contributes its n-1 overlapping bigrams (a lone char stands as its
+# own token). The script ranges are written as LITERAL characters so
+# one pattern is valid in both Java regex (Spark) and RE2 (DuckDB):
+# CJK Unified Ideographs, Hiragana, Katakana, Hangul syllables.
+CJK_RANGES = "\u4e00-\u9fff\u3041-\u309f\u30a0-\u30ff\uac00-\ud7a3"
+_MIXED_PAT = f"[a-z0-9]+|[{CJK_RANGES}]+"
+
+
+def toks_cjk_spark(c: str) -> str:
+    return (
+        f"flatten(transform("
+        f"regexp_extract_all(lower({c}), '{_MIXED_PAT}', 0), "
+        f"r -> CASE WHEN r rlike '^[a-z0-9]' THEN array(r) "
+        f"WHEN length(r) = 1 THEN array(r) "
+        f"ELSE transform(sequence(1, length(r) - 1), "
+        f"i -> substr(r, i, 2)) END))")
+
+
+def toks_cjk_duck(c: str) -> str:
+    return (
+        f"flatten(list_transform("
+        f"regexp_extract_all(lower({c}), '{_MIXED_PAT}'), "
+        f"r -> CASE WHEN regexp_matches(r, '^[a-z0-9]') THEN [r] "
+        f"WHEN length(r) = 1 THEN [r] "
+        f"ELSE list_transform(generate_series(1, length(r) - 1), "
+        f"i -> substr(r, i, 2)) END))")
+
 # language marker (stopword) sets for the n-gram/stopword language-ID
 # heuristic; deterministic tie-break order en > de > fr > es
 LANG_MARKERS = {

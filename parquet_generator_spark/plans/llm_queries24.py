@@ -165,3 +165,82 @@ ORDER BY rank
 
 QUERIES.update({"ann_ivfpq": ann_ivfpq})
 ORACLES.update({"ann_ivfpq": _ivfpq_oracle()})
+
+
+# -------------------------------------------------- text_tokens_cjk
+
+# the synthetic corpus is ASCII-only, so the zh documents get a
+# deterministic planted Chinese payload (literal constants shared by
+# plan and oracle) — the honest simulation of a multilingual crawl
+_CJK_SNIPPETS = ["数据处理引擎分析", "分散式数据流计算", "向量检索与排序"]
+
+
+def text_tokens_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK-aware token accounting (the bigram fallback every text op
+    can opt into): zh documents carry planted Chinese payloads; the
+    tokenizer (operators/text.toks_cjk_spark) emits Latin alnum runs
+    as-is and character BIGRAMS for CJK runs (Lucene CJKAnalyzer
+    semantics), so token counts stop silently dropping non-Latin
+    scripts. Per language: docs, total tokens, CJK-bigram tokens,
+    Latin tokens — the zh rows are the proof the fallback engages
+    (the plain analyzer counts 0 of the planted payload).
+
+    Scale: one narrow projection + one grouped aggregate, identical
+    shape to text_tokens."""
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.operators import text as tx
+
+    docs = load_table(spark, "documents", sf_dir)
+    snip = ("CASE CAST(doc_id % 3 AS INT) "
+            + " ".join(f"WHEN {i} THEN '{s}'"
+                       for i, s in enumerate(_CJK_SNIPPETS))
+            + " END")
+    mixed = (f"CASE WHEN lang = 'zh' THEN "
+             f"concat({snip}, ' ', substr(text, 1, 60)) "
+             f"ELSE substr(text, 1, 60) END")
+    toks = tx.toks_cjk_spark("mixed")
+    cjk_pat = f"^[{tx.CJK_RANGES}]"
+    return (docs.select("lang", F.expr(mixed).alias("mixed"))
+            .select(
+                "lang",
+                F.expr(f"size({toks})").alias("n_toks"),
+                F.expr(f"size(filter({toks}, "
+                       f"t -> t rlike '{cjk_pat}'))").alias("n_cjk"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_toks").cast("long").alias("total_tokens"),
+                 F.sum("n_cjk").cast("long").alias("cjk_tokens"),
+                 (F.sum("n_toks") - F.sum("n_cjk")).cast("long")
+                 .alias("latin_tokens"))
+            .orderBy("lang"))
+
+
+def _cjk_oracle() -> str:
+    from parquet_generator_spark.operators import text as tx
+
+    snip = ("CASE CAST(doc_id % 3 AS INT) "
+            + " ".join(f"WHEN {i} THEN '{s}'"
+                       for i, s in enumerate(_CJK_SNIPPETS))
+            + " END")
+    mixed = (f"CASE WHEN lang = 'zh' THEN "
+             f"concat({snip}, ' ', substr(text, 1, 60)) "
+             f"ELSE substr(text, 1, 60) END")
+    toks = tx.toks_cjk_duck("mixed")
+    cjk_pat = f"^[{tx.CJK_RANGES}]"
+    return f"""
+WITH m AS (SELECT lang, {mixed} AS mixed FROM documents),
+t AS (SELECT lang, len({toks}) AS n_toks,
+             len(list_filter({toks},
+                 t -> regexp_matches(t, '{cjk_pat}'))) AS n_cjk
+      FROM m)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(n_cjk) AS BIGINT) AS cjk_tokens,
+       CAST(sum(n_toks) - sum(n_cjk) AS BIGINT) AS latin_tokens
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES.update({"text_tokens_cjk": text_tokens_cjk})
+ORACLES.update({"text_tokens_cjk": _cjk_oracle()})

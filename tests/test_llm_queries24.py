@@ -102,3 +102,76 @@ def test_headline_recall_documented_data_limited(spark):
     got = {r["vec_id"] for r in ann_ivfpq(spark, SF).collect()}
     recall = len(got & exact) / IVFPQ_TOPK
     assert recall >= 0.2, recall
+
+
+def test_cjk_tokenizer_bigrams_both_engines(spark):
+    """toks_cjk: Latin runs unchanged, CJK runs as character
+    bigrams (lone char stands alone) — identical output in Spark
+    and DuckDB for Chinese, Japanese kana, Hangul, and mixed."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.operators import text as tx
+
+    cases = {
+        "Spark引擎测试 fast!": ["spark", "引擎", "擎测", "测试", "fast"],
+        "数": ["数"],
+        "こんにちはworld": ["こん", "んに", "にち", "ちは", "world"],
+        "한국어 텍스트 data": ["한국", "국어", "텍스", "스트", "data"],
+        "plain ascii only": ["plain", "ascii", "only"],
+        "": [],
+    }
+    df = spark.createDataFrame([(t,) for t in cases], ["t"])
+    got = {r["t"]: r["toks"] for r in df.select(
+        "t", F.expr(tx.toks_cjk_spark("t")).alias("toks")).collect()}
+    con = duckdb.connect()
+    for t, want in cases.items():
+        assert got[t] == want, (t, got[t])
+        dk = con.execute(
+            f"SELECT {tx.toks_cjk_duck('t')} FROM (SELECT ? AS t)",
+            [t]).fetchone()[0]
+        assert dk == want, (t, dk)
+
+
+def test_cjk_dedup_shingles_format_invariant(spark):
+    """Mixed-script near-dup: the same CJK content reformatted with
+    different whitespace/punctuation yields the IDENTICAL bigram
+    token multiset, so shingle-based dedup folds the pair — while
+    the plain [a-z0-9] analyzer sees both as the same EMPTY set as
+    any other CJK doc (no signal at all)."""
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.operators import text as tx
+
+    a = "数据处理引擎,非常快。"
+    b = "数据处理引擎 —— 非常快!"
+    c = "完全不同的文档内容在这里"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)],
+                               ["id", "t"])
+    rows = {r["id"]: (sorted(r["cjk"]), sorted(r["plain"]))
+            for r in df.select(
+                "id",
+                F.expr(tx.toks_cjk_spark("t")).alias("cjk"),
+                F.expr(f"{tx.toks_spark('t')}").alias("plain"))
+            .collect()}
+    assert rows[1][0] == rows[2][0]          # reformatting folds
+    assert rows[1][0] != rows[3][0]          # distinct content splits
+    assert rows[1][0], "bigram set must be non-empty"
+    # the plain analyzer is blind: all three collapse to empty
+    assert rows[1][1] == rows[2][1] == rows[3][1] == []
+
+
+def test_text_tokens_cjk_counts_planted_payload(spark):
+    from parquet_generator_spark.plans.llm_queries24 import (
+        text_tokens_cjk,
+    )
+
+    rows = {r["lang"]: r for r in text_tokens_cjk(spark, SF).collect()}
+    assert rows["zh"]["cjk_tokens"] > 0
+    # each planted snippet is one run of 7-8 chars -> 6-7 bigrams
+    assert (rows["zh"]["n_docs"] * 6 <= rows["zh"]["cjk_tokens"]
+            <= rows["zh"]["n_docs"] * 7)
+    for lang in ("en", "de", "fr", "es"):
+        assert rows[lang]["cjk_tokens"] == 0
+        assert rows[lang]["latin_tokens"] > 0
