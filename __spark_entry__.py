@@ -103,6 +103,10 @@ FRONT_KEYS = [
     "ann_ivfpq",
     "dsl_match_porter",
     "text_tokens_cjk",
+    "dsl_match_phrase_porter",
+    "langid_margin",
+    "domain_cap_sample",
+    "epoch_plan",
 ]
 
 

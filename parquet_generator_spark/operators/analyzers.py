@@ -371,6 +371,11 @@ def analyzed_match_phrase_duck_sql(col: str, phrase: str,
     elem = _stem_expr(analyzer.stem_kind, "t", "duck")
     toks = _duck_tokens_expr(col)
     stemmed = f"list_transform({toks}, t -> {elem})"
-    lam = _phrase_lambda(groups, lambda j: f"({stemmed})[i + {j}]")
-    return (f"(len({toks}) >= {k} AND len(list_filter("
-            f"generate_series(1, len({toks}) - {k} + 1), {lam})) > 0)")
+    # bind the stemmed array ONCE per document: inlining it into the
+    # window lambda re-stems the whole array per start position
+    # (O(windows x tokens x stemmer) — measured 30x slower with the
+    # Porter stemmer)
+    lam = _phrase_lambda(groups, lambda j: f"S[i + {j}]")
+    body = (f"(len(S) >= {k} AND len(list_filter("
+            f"generate_series(1, len(S) - {k} + 1), {lam})) > 0)")
+    return f"(list_transform([{stemmed}], S -> {body}))[1]"

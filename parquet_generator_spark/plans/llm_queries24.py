@@ -244,3 +244,192 @@ FROM t GROUP BY lang ORDER BY lang
 
 QUERIES.update({"text_tokens_cjk": text_tokens_cjk})
 ORACLES.update({"text_tokens_cjk": _cjk_oracle()})
+
+
+# --------------------------------------------------- langid_margin
+
+# confidence-margin cutoffs on the (top1 - top2) marker-hit ratio
+_MARGIN_HI = 0.05
+_MARGIN_LO = 0.02
+
+
+def langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFIDENCE accounting (the CCNet-style gate: docs
+    whose language call is ambiguous get quarantined, not mislabeled):
+    per doc the four marker-hit counts, margin = (top1 - top2) /
+    tokens, bucketed high/medium/low. Per (pred_lang, bucket):
+    doc count + mean margin. Pure codegen — the sorted-hits trick
+    (sort_array / list_sort) gives top-2 without branching."""
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.operators import text as tx
+
+    docs = load_table(spark, "documents", sf_dir)
+    hits = {lg: tx.lang_hits_spark("text", lg)
+            for lg in ("en", "de", "fr", "es")}
+    arr = "array(" + ", ".join(
+        f"CAST({hits[lg]} AS DOUBLE)" for lg in
+        ("en", "de", "fr", "es")) + ")"
+    ntok = f"greatest(size({tx.toks_spark('text')}), 1)"
+    margin = (f"round((sort_array({arr})[3] - sort_array({arr})[2])"
+              f" / {ntok}, 6)")
+    bucket = (f"CASE WHEN {margin} >= {_MARGIN_HI} THEN 'high' "
+              f"WHEN {margin} >= {_MARGIN_LO} THEN 'medium' "
+              f"ELSE 'low' END")
+    return (docs.select(
+        tx.langid_spark("text").alias("pred_lang"),
+        F.expr(margin).alias("margin"),
+        F.expr(bucket).alias("confidence"))
+        .groupBy("pred_lang", "confidence")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("margin"), 6).alias("avg_margin"))
+        .orderBy("pred_lang", "confidence"))
+
+
+def _langid_margin_oracle() -> str:
+    from parquet_generator_spark.operators import text as tx
+
+    hits = {lg: tx.lang_hits_duck("text", lg)
+            for lg in ("en", "de", "fr", "es")}
+    arr = "[" + ", ".join(
+        f"CAST({hits[lg]} AS DOUBLE)" for lg in
+        ("en", "de", "fr", "es")) + "]"
+    ntok = f"greatest(len({tx.toks_duck('text')}), 1)"
+    margin = (f"round((list_sort({arr})[4] - list_sort({arr})[3])"
+              f" / {ntok}, 6)")
+    bucket = (f"CASE WHEN {margin} >= {_MARGIN_HI} THEN 'high' "
+              f"WHEN {margin} >= {_MARGIN_LO} THEN 'medium' "
+              f"ELSE 'low' END")
+    return f"""
+WITH d AS (
+  SELECT {tx.langid_duck('text')} AS pred_lang,
+         {margin} AS margin, {bucket} AS confidence
+  FROM documents)
+SELECT pred_lang, confidence, count(*) AS n_docs,
+       round(avg(margin), 6) AS avg_margin
+FROM d GROUP BY pred_lang, confidence
+ORDER BY pred_lang, confidence
+"""
+
+
+QUERIES.update({"langid_margin": langid_margin})
+ORACLES.update({"langid_margin": _langid_margin_oracle()})
+
+
+# ----------------------------------------------- domain_cap_sample
+
+DOMAIN_CAP = 10  # max docs kept per source (domain rate limiting)
+
+
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs-per-domain cap (the crawl-balance op every web pipeline
+    runs so one hub domain cannot dominate the mix): keep at most
+    DOMAIN_CAP docs per source, deterministically the LONGEST first
+    (doc_id tie-break). Per-source report: available, kept, kept
+    characters, and the kept-id sum (proves the exact same docs were
+    selected in any engine). The rank window partitions on source —
+    parallel across domains, frame bounded by the domain's own
+    docs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.desc(F.length("text")), F.asc("doc_id"))
+    ranked = docs.select(
+        "source", "doc_id", F.length("text").alias("chars"),
+        F.row_number().over(w).alias("rk"))
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_available"),
+                 F.sum(F.when(F.col("rk") <= DOMAIN_CAP, 1)
+                       .otherwise(0)).cast("long").alias("n_kept"),
+                 F.sum(F.when(F.col("rk") <= DOMAIN_CAP,
+                              F.col("chars")).otherwise(0))
+                 .cast("long").alias("kept_chars"),
+                 F.sum(F.when(F.col("rk") <= DOMAIN_CAP,
+                              F.col("doc_id")).otherwise(0))
+                 .cast("long").alias("kept_id_sum"))
+            .orderBy("source"))
+
+
+DOMAIN_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, doc_id, length(text) AS chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY length(text) DESC, doc_id ASC)
+           AS rk
+  FROM documents)
+SELECT source, count(*) AS n_available,
+       CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN chars ELSE 0 END)
+            AS BIGINT) AS kept_chars,
+       CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN doc_id ELSE 0 END)
+            AS BIGINT) AS kept_id_sum
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+QUERIES.update({"domain_cap_sample": domain_cap_sample})
+ORACLES.update({"domain_cap_sample": DOMAIN_CAP_ORACLE})
+
+
+# -------------------------------------------------------- epoch_plan
+
+EPOCH_BUDGET = 1_000_000  # target training tokens
+EPOCH_ALPHA = 0.6         # mixture temperature (<1 upweights small)
+
+
+def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epochs-per-source plan (the data-mixture table a training run
+    is configured from): source s holds c_s tokens and receives a
+    temperature share w_s = c_s^alpha / sum(c^alpha) of the token
+    budget; epochs_s = alloc_s / c_s says how many times the source
+    repeats (>1 = upsampled). One grouped pass + a one-row scalar
+    aggregate attached as plan literals (broadcast_scalars — no
+    unpartitioned window)."""
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.operators import text as tx
+    from parquet_generator_spark.operators.util import broadcast_scalars
+
+    docs = load_table(spark, "documents", sf_dir)
+    per = (docs.groupBy("source")
+           .agg(F.sum(F.expr(f"size({tx.toks_spark('text')})"))
+                .cast("long").alias("n_tokens")))
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(EPOCH_ALPHA))
+    tot = per.agg(F.sum(w).alias("w_sum"))
+    return (broadcast_scalars(per, tot)
+            .select(
+                "source", "n_tokens",
+                F.round(w / F.col("w_sum"), 6).alias("share"),
+                F.floor(F.lit(EPOCH_BUDGET) * w / F.col("w_sum"))
+                .cast("long").alias("alloc_tokens"),
+                F.round(F.floor(F.lit(EPOCH_BUDGET) * w
+                                / F.col("w_sum"))
+                        / F.col("n_tokens"), 4).alias("epochs"))
+            .orderBy("source"))
+
+
+def _epoch_plan_oracle() -> str:
+    from parquet_generator_spark.operators import text as tx
+
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len({tx.toks_duck('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), {EPOCH_ALPHA}))
+          AS w_sum FROM per)
+SELECT source, n_tokens,
+       round(pow(CAST(n_tokens AS DOUBLE), {EPOCH_ALPHA}) / w_sum, 6)
+         AS share,
+       CAST(floor({EPOCH_BUDGET} * pow(CAST(n_tokens AS DOUBLE),
+            {EPOCH_ALPHA}) / w_sum) AS BIGINT) AS alloc_tokens,
+       round(floor({EPOCH_BUDGET} * pow(CAST(n_tokens AS DOUBLE),
+            {EPOCH_ALPHA}) / w_sum) / n_tokens, 4) AS epochs
+FROM per, tot ORDER BY source
+"""
+
+
+QUERIES.update({"epoch_plan": epoch_plan})
+ORACLES.update({"epoch_plan": _epoch_plan_oracle()})

@@ -123,3 +123,52 @@ ORDER BY source
 
 QUERIES.update({"dsl_match_porter": dsl_match_porter})
 ORACLES.update({"dsl_match_porter": _porter_oracle()})
+
+
+# ---------------------------------------- dsl_match_phrase_porter
+
+_PHRASE_PORTER = "merging tables"
+
+
+def dsl_match_phrase_porter(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """``match_phrase`` with the stem-only ``porter`` analyzer:
+    "merging tables" requires ADJACENT field tokens stemming to
+    (merg, tabl) — matching every "... merge table ..." in the
+    corpus, a phrase the S-stemmer can never connect to this query
+    (merging stays merging). Stemmed token array is bound ONCE per
+    document (the struct-pinning trick), the adjacency scan is
+    exists() over k-windows — codegen, no UDF. Per-lang doc counts
+    + mean length."""
+    from parquet_generator_spark.operators.esdsl import translate_query
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = translate_query({"match_phrase": {"text": {
+        "query": _PHRASE_PORTER, "analyzer": "porter"}}})
+    return (docs.filter(pred)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 F.round(F.avg(F.length("text")), 2).alias("avg_len"))
+            .orderBy("lang"))
+
+
+def _phrase_porter_oracle() -> str:
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match_phrase_duck_sql,
+        get_analyzer,
+    )
+
+    pred = analyzed_match_phrase_duck_sql(
+        "text", _PHRASE_PORTER, get_analyzer("porter"))
+    return f"""
+SELECT lang, count(*) AS doc_count,
+       round(avg(length(text)), 2) AS avg_len
+FROM documents
+WHERE text IS NOT NULL AND {pred}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES.update({"dsl_match_phrase_porter": dsl_match_phrase_porter})
+ORACLES.update({"dsl_match_phrase_porter": _phrase_porter_oracle()})
