@@ -107,6 +107,8 @@ FRONT_KEYS = [
     "langid_margin",
     "domain_cap_sample",
     "epoch_plan",
+    "dsl_time_series",
+    "dsl_range_field",
 ]
 
 

@@ -392,6 +392,8 @@ HEADLINE = [
     "langid_margin",
     "domain_cap_sample",
     "epoch_plan",
+    "dsl_time_series",
+    "dsl_range_field",
 ]
 
 

@@ -172,3 +172,97 @@ ORDER BY lang
 
 QUERIES.update({"dsl_match_phrase_porter": dsl_match_phrase_porter})
 ORACLES.update({"dsl_match_phrase_porter": _phrase_porter_oracle()})
+
+
+# ------------------------------------------------- dsl_time_series
+
+def dsl_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.7 TSDS ``time_series`` bucket agg: one bucket per _tsid
+    (the dimension tuple — here (event_type, user group)), carrying
+    the series' sub-aggs: doc count, value stats, time span. The
+    grouping key IS the TSDS routing key, so at 100 TB this is the
+    co-partitioned aggregation the index layout already paid for —
+    one shuffle, no window."""
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.select(
+        "event_type",
+        (F.col("user_id") % 10).cast("int").alias("user_group"),
+        "value", "ts")
+        .groupBy("event_type", "user_group")
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             F.round(F.avg("value"), 4).alias("avg_value"),
+             F.round(F.max("value"), 4).alias("max_value"),
+             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+             .alias("first_ts"),
+             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+             .alias("last_ts"))
+        .orderBy("event_type", "user_group"))
+
+
+DSL_TIME_SERIES_ORACLE = """
+SELECT event_type,
+       CAST(user_id % 10 AS INT) AS user_group,
+       count(*) AS doc_count,
+       round(avg(value), 4) AS avg_value,
+       round(max(value), 4) AS max_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events
+GROUP BY event_type, user_group
+ORDER BY event_type, user_group
+"""
+
+QUERIES.update({"dsl_time_series": dsl_time_series})
+ORACLES.update({"dsl_time_series": DSL_TIME_SERIES_ORACLE})
+
+
+# ------------------------------------------------- dsl_range_field
+
+# literal query interval (the search body's gte/lte)
+RF_LO, RF_HI = 50.0, 80.0
+
+
+def dsl_range_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range FIELD types (double_range et al.) with the
+    ``relation`` parameter: each event carries a runtime interval
+    [value, value + spread], and the query interval [50, 80] is
+    tested under all three documented relations —
+    INTERSECTS (lo <= qhi AND hi >= qlo, the default),
+    WITHIN (the field interval inside the query),
+    CONTAINS (the field interval covering the query).
+    One scan, three CASE sums per event_type — interval algebra is
+    pure codegen, no UDF, pushdown-friendly."""
+    ev = load_table(spark, "events", sf_dir)
+    lo = F.col("value")
+    hi = F.col("value") + (F.col("event_id") % 5 + 1).cast("double")
+    inter = (lo <= RF_HI) & (hi >= RF_LO)
+    within = (lo >= RF_LO) & (hi <= RF_HI)
+    contains = (lo <= RF_LO) & (hi >= RF_HI)
+    return (ev.select("event_type",
+                      inter.cast("long").alias("i"),
+                      within.cast("long").alias("w"),
+                      contains.cast("long").alias("c"))
+            .groupBy("event_type")
+            .agg(F.sum("i").cast("long").alias("n_intersects"),
+                 F.sum("w").cast("long").alias("n_within"),
+                 F.sum("c").cast("long").alias("n_contains"))
+            .orderBy("event_type"))
+
+
+DSL_RANGE_FIELD_ORACLE = f"""
+WITH r AS (
+  SELECT event_type, value AS lo,
+         value + CAST(event_id % 5 + 1 AS DOUBLE) AS hi
+  FROM events)
+SELECT event_type,
+       CAST(sum(CASE WHEN lo <= {RF_HI} AND hi >= {RF_LO}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_intersects,
+       CAST(sum(CASE WHEN lo >= {RF_LO} AND hi <= {RF_HI}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+       CAST(sum(CASE WHEN lo <= {RF_LO} AND hi >= {RF_HI}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_contains
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES.update({"dsl_range_field": dsl_range_field})
+ORACLES.update({"dsl_range_field": DSL_RANGE_FIELD_ORACLE})
