@@ -109,6 +109,7 @@ FRONT_KEYS = [
     "epoch_plan",
     "dsl_time_series",
     "dsl_range_field",
+    "decontaminate_bloom",
 ]
 
 

@@ -394,6 +394,7 @@ HEADLINE = [
     "epoch_plan",
     "dsl_time_series",
     "dsl_range_field",
+    "decontaminate_bloom",
 ]
 
 

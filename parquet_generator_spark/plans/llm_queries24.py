@@ -433,3 +433,144 @@ FROM per, tot ORDER BY source
 
 QUERIES.update({"epoch_plan": epoch_plan})
 ORACLES.update({"epoch_plan": _epoch_plan_oracle()})
+
+
+# ------------------------------------------------ decontaminate_bloom
+
+BLOOM_M = 1 << 16          # bits (1024 packed longs as plan literals)
+BLOOM_K = 4                # double-hashed probes per shingle
+_BLOOM_WORDS = BLOOM_M // 64
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-bounded benchmark decontamination — the 100 TB shape:
+    instead of broadcasting the full benchmark shingle SET (the
+    decontaminate query), the bench shingles insert into a FIXED
+    m-bit Bloom filter (double hashing, Kirsch-Mitzenmacher: probe j
+    hits (a + j*b) mod m with a, b the two md5 halves), shipped as
+    1024 packed-long PLAN LITERALS — constant memory no matter how
+    the eval suite grows. Per source: corpus docs, exact-flagged
+    docs, bloom-flagged docs, and the false-positive overcount
+    (bloom - exact >= 0 always; the filter never misses).
+
+    The oracle rebuilds the SAME filter in SQL as the distinct
+    inserted-position set (a Bloom bitset IS that union, so
+    membership = all k probe positions present) — no Spark value
+    leaks into it. Size m to the deployed eval suite: at the gate
+    SFs the FP term is ~0; headroom shrinks as n/m grows
+    (documented, not hidden)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.operators.text import shingles_spark
+    from parquet_generator_spark.plans.llm_queries3 import (
+        BENCH_SOURCE,
+        DECON_K,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = F.expr(shingles_spark("text", DECON_K))
+    bench = (docs.filter(F.col("source") == BENCH_SOURCE)
+             .select(F.explode(sh).alias("s")).distinct())
+
+    # build the filter driver-side from the (bounded) eval suite
+    words = [0] * _BLOOM_WORDS
+    for row in bench.collect():
+        h = hashlib.md5(row["s"].encode()).hexdigest()
+        a, b = int(h[:8], 16), int(h[8:16], 16)
+        for j in range(BLOOM_K):
+            pos = (a + j * b) % BLOOM_M
+            words[pos // 64] |= 1 << (pos % 64)
+    # Spark longs are signed 64-bit: wrap to two's complement
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    corpus = (docs.filter(F.col("source") != BENCH_SOURCE)
+              .select("doc_id", "source", F.explode(sh).alias("s")))
+    # the words array and the (a, b) hash pair each bind ONCE via
+    # single-element transform; F.shiftright only takes literal
+    # shift counts, so the bit test renders as SQL
+    warr_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    hit_body = " AND ".join(
+        f"((shiftright(element_at(W, CAST(((h.a + {j} * h.b) "
+        f"% {BLOOM_M}) / 64 AS INT) + 1), "
+        f"CAST((h.a + {j} * h.b) % 64 AS INT)) & 1) = 1)"
+        for j in range(BLOOM_K))
+    hit = F.expr(
+        f"element_at(transform(array({warr_sql}), W -> "
+        f"element_at(transform(array(named_struct("
+        f"'a', CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT), "
+        f"'b', CAST(conv(substr(md5(s), 9, 8), 16, 10) AS BIGINT)"
+        f")), h -> {hit_body}), 1)), 1)")
+    probed = corpus.withColumn("bloom_hit", hit.cast("int"))
+    exact = (corpus.join(F.broadcast(bench), "s")
+             .select("doc_id").distinct()
+             .withColumn("exact_hit", F.lit(1)))
+    per_doc = (probed.groupBy("doc_id", "source")
+               .agg(F.max("bloom_hit").alias("bloom"))
+               .join(exact, "doc_id", "left")
+               .fillna(0, ["exact_hit"]))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("exact_hit").cast("long").alias("n_exact"),
+                 F.sum("bloom").cast("long").alias("n_bloom"),
+                 (F.sum("bloom") - F.sum("exact_hit")).cast("long")
+                 .alias("n_false_pos"))
+            .orderBy("source"))
+
+
+def _bloom_oracle() -> str:
+    from parquet_generator_spark.operators.text import shingles_duck
+    from parquet_generator_spark.plans.llm_queries3 import (
+        BENCH_SOURCE,
+        DECON_K,
+    )
+
+    probes = ", ".join(str(j) for j in range(BLOOM_K))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, source, {shingles_duck('text', DECON_K)} AS shs
+  FROM documents),
+bench AS (
+  SELECT DISTINCT unnest(shs) AS s FROM sh
+  WHERE source = '{BENCH_SOURCE}'),
+bh AS (
+  SELECT CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS a,
+         CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT) AS b
+  FROM bench),
+bits AS (
+  SELECT DISTINCT (a + j * b) % {BLOOM_M} AS pos
+  FROM bh CROSS JOIN (SELECT unnest([{probes}]) AS j)),
+corpus AS (
+  SELECT doc_id, source, unnest(shs) AS s FROM sh
+  WHERE source <> '{BENCH_SOURCE}'),
+ch AS (
+  SELECT doc_id, source, s,
+         CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS a,
+         CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT) AS b
+  FROM corpus),
+cprobe AS (
+  SELECT doc_id, source, s, (a + j * b) % {BLOOM_M} AS pos
+  FROM ch CROSS JOIN (SELECT unnest([{probes}]) AS j)),
+cpos AS (
+  SELECT doc_id, source, s,
+         count(*) FILTER (pos IN (SELECT pos FROM bits)) AS n_in
+  FROM cprobe GROUP BY doc_id, source, s),
+per_doc AS (
+  SELECT c.doc_id, any_value(c.source) AS source,
+         max(CASE WHEN c.n_in = {BLOOM_K} THEN 1 ELSE 0 END)
+           AS bloom,
+         max(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+           AS exact_hit
+  FROM cpos c LEFT JOIN bench b ON c.s = b.s
+  GROUP BY c.doc_id)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(exact_hit) AS BIGINT) AS n_exact,
+       CAST(sum(bloom) AS BIGINT) AS n_bloom,
+       CAST(sum(bloom) - sum(exact_hit) AS BIGINT) AS n_false_pos
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+QUERIES.update({"decontaminate_bloom": decontaminate_bloom})
+ORACLES.update({"decontaminate_bloom": _bloom_oracle()})
