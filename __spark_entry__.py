@@ -110,6 +110,7 @@ FRONT_KEYS = [
     "dsl_time_series",
     "dsl_range_field",
     "decontaminate_bloom",
+    "dsl_variable_width_histogram",
 ]
 
 

@@ -395,6 +395,7 @@ HEADLINE = [
     "dsl_time_series",
     "dsl_range_field",
     "decontaminate_bloom",
+    "dsl_variable_width_histogram",
 ]
 
 

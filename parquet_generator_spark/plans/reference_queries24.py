@@ -266,3 +266,110 @@ FROM r GROUP BY event_type ORDER BY event_type
 
 QUERIES.update({"dsl_range_field": dsl_range_field})
 ORACLES.update({"dsl_range_field": DSL_RANGE_FIELD_ORACLE})
+
+
+# ------------------------------------- dsl_variable_width_histogram
+
+VWH_K = 6       # buckets
+VWH_ITERS = 3   # assignment rounds (2 centroid updates + final)
+VWH_QUANT = 6   # per-round centroid quantization (engine-parity grid)
+
+
+def _vwh_case(cents: list[float]) -> str:
+    """Lowest-index-wins nearest-centroid CASE over literal
+    centroids (CASE order itself resolves ties, so each condition is
+    plain <= against every other centroid)."""
+    whens = []
+    for i in range(len(cents)):
+        conds = " AND ".join(
+            f"abs(v - {cents[i]!r}) <= abs(v - {cents[j]!r})"
+            for j in range(len(cents)) if j != i)
+        whens.append(f"WHEN {conds} THEN {i}")
+    return "CASE " + " ".join(whens[:-1]) + \
+        f" ELSE {len(cents) - 1} END"
+
+
+def dsl_variable_width_histogram(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """ES 8.x ``variable_width_histogram``: K buckets whose bounds
+    adapt to the data (clusters, not fixed steps). ES's streaming
+    collector is order-dependent and unreproducible; the engine
+    keeps the agg's CONTRACT (K adaptive buckets with min/max/avg/
+    count) deterministic via the kmeans posture: value-range init,
+    VWH_ITERS rounds of 1-D Lloyd with centroids as PLAN LITERALS
+    (one grouped pass + one K-row collect per round, quantized to
+    the shared 1e-6 grid), assignment a nearest-centroid CASE — in
+    codegen, no join, no window over the data.
+
+    Scale: per round = one map + one K-group aggregate; driver
+    traffic = K floats per round."""
+    orders = load_table(spark, "orders", sf_dir)
+    vals = orders.select(F.col("o_totalprice").alias("v"))
+    mm = vals.agg(F.min("v").alias("m"), F.max("v").alias("M")) \
+        .collect()[0]
+    m, mx = float(mm["m"]), float(mm["M"])
+    cents = [round(m + ((2 * i + 1) * (mx - m)) / (2 * VWH_K),
+                   VWH_QUANT) for i in range(VWH_K)]
+    for _ in range(VWH_ITERS - 1):
+        upd = (vals.withColumn("cid", F.expr(_vwh_case(cents)))
+               .groupBy("cid")
+               .agg(F.round(F.avg("v"), VWH_QUANT).alias("c"))
+               .collect())
+        got = {int(r["cid"]): float(r["c"]) for r in upd}
+        cents = [got.get(i, cents[i]) for i in range(VWH_K)]
+    return (vals.withColumn("cid", F.expr(_vwh_case(cents)))
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 F.round(F.min("v"), 2).alias("min_price"),
+                 F.round(F.max("v"), 2).alias("max_price"),
+                 F.round(F.avg("v"), 4).alias("avg_price"))
+            .select(F.col("cid").cast("int").alias("bucket"),
+                    "doc_count", "min_price", "max_price",
+                    "avg_price")
+            .orderBy("bucket"))
+
+
+def _vwh_oracle() -> str:
+    idx = ", ".join(str(i) for i in range(VWH_K))
+    sql = [f"""
+WITH vals AS MATERIALIZED (
+  SELECT o_orderkey AS id, o_totalprice AS v FROM orders),
+st AS MATERIALIZED (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+c0 AS MATERIALIZED (
+  SELECT i AS cid,
+         round(lo + ((2 * i + 1) * (hi - lo)) / {2 * VWH_K}, {VWH_QUANT})
+           AS c
+  FROM st CROSS JOIN (SELECT unnest([{idx}]) AS i)),"""]
+    prev = "c0"
+    for r in range(1, VWH_ITERS):
+        sql.append(f"""
+d{r} AS (SELECT v.id, v.v, c.cid, abs(v.v - c.c) AS d
+         FROM vals v CROSS JOIN {prev} c),
+a{r} AS MATERIALIZED (
+  SELECT id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY d, cid) AS rn FROM d{r})
+  WHERE rn = 1),
+u{r} AS (SELECT cid, round(avg(v), {VWH_QUANT}) AS c
+         FROM a{r} GROUP BY cid),
+c{r} AS MATERIALIZED (
+  SELECT p.cid, coalesce(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN u{r} u USING (cid)),""")
+        prev = f"c{r}"
+    sql.append(f"""
+df AS (SELECT v.id, v.v, c.cid, abs(v.v - c.c) AS d
+       FROM vals v CROSS JOIN {prev} c),
+af AS (SELECT id, v, cid FROM (
+  SELECT *, row_number() OVER (PARTITION BY id
+                               ORDER BY d, cid) AS rn FROM df)
+  WHERE rn = 1)
+SELECT CAST(cid AS INT) AS bucket, count(*) AS doc_count,
+       round(min(v), 2) AS min_price, round(max(v), 2) AS max_price,
+       round(avg(v), 4) AS avg_price
+FROM af GROUP BY cid ORDER BY bucket""")
+    return "\n".join(sql)
+
+
+QUERIES.update(
+    {"dsl_variable_width_histogram": dsl_variable_width_histogram})
+ORACLES.update({"dsl_variable_width_histogram": _vwh_oracle()})
