@@ -111,6 +111,7 @@ FRONT_KEYS = [
     "dsl_range_field",
     "decontaminate_bloom",
     "dsl_variable_width_histogram",
+    "dsl_script_score_painless",
 ]
 
 

@@ -396,6 +396,7 @@ HEADLINE = [
     "dsl_range_field",
     "decontaminate_bloom",
     "dsl_variable_width_histogram",
+    "dsl_script_score_painless",
 ]
 
 

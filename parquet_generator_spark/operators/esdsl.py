@@ -1525,19 +1525,34 @@ def _pct_label(p: float) -> str:
 # sum/max/min fold; arbitrary stateful scripts raise ValueError.
 
 _DOC_REF_RE = re.compile(r"doc(?:\['(\w+)'\]|\.(\w+))(?:\.value\b)?")
+_PARAM_REF_RE = re.compile(r"params(?:\['(\w+)'\]|\.(\w+))")
 _MATH_FNS = {"Math.round": "round", "Math.abs": "abs",
-             "Math.sqrt": "sqrt", "Math.log": "ln",
+             "Math.sqrt": "sqrt", "Math.log10": "log10",
+             "Math.log": "ln", "Math.exp": "exp",
              "Math.floor": "floor", "Math.ceil": "ceiling",
              "Math.max": "greatest", "Math.min": "least",
              "Math.pow": "power"}
 
 
-def _painless_expr_sql(expr: str) -> str:
+def _param_literal(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise ValueError(f"unsupported painless param type: {v!r}")
+
+
+def _painless_expr_sql(expr: str, params: dict | None = None) -> str:
     """Painless value expression -> engine-neutral SQL text.
 
-    Handles ``doc['f'].value`` / ``doc.f.value`` field refs, Math.*
-    calls, ``==``/``!=``/``&&``/``||``, string literals, and the
-    ternary ``cond ? a : b`` (recursively) -> CASE WHEN.
+    Handles ``doc['f'].value`` / ``doc.f.value`` field refs,
+    ``params.x`` / ``params['x']`` references (resolved to PLAN
+    LITERALS from the script body's params map — how every reusable
+    painless script is parameterized), Math.* calls, ``==``/``!=``/
+    ``&&``/``||``, string literals, and the ternary ``cond ? a : b``
+    (recursively) -> CASE WHEN.
     """
     expr = expr.strip()
     # strip fully-enclosing parens so a parenthesized ternary (the
@@ -1562,6 +1577,52 @@ def _painless_expr_sql(expr: str) -> str:
         if not enclosing:
             break
         expr = expr[1:-1].strip()
+    # ternaries nested inside parenthesized SUBEXPRESSIONS convert
+    # first: locate the innermost '(' enclosing the first '?', splice
+    # in the recursive translation of that group, repeat (the
+    # CASE text it leaves behind contains no painless tokens, so the
+    # later rewrites pass over it unchanged)
+    while True:
+        stack: list[int] = []
+        q_at, in_s2 = -1, None
+        for i, ch in enumerate(expr):
+            if in_s2:
+                if ch == in_s2:
+                    in_s2 = None
+                continue
+            if ch in "'\"":
+                in_s2 = ch
+            elif ch == "(":
+                stack.append(i)
+            elif ch == ")":
+                stack.pop()
+            elif ch == "?" and stack:
+                q_at = i
+                break
+        if q_at < 0:
+            break
+        p = stack[-1]
+        depth, in_s2 = 0, None
+        close = -1
+        for j in range(p, len(expr)):
+            ch = expr[j]
+            if in_s2:
+                if ch == in_s2:
+                    in_s2 = None
+                continue
+            if ch in "'\"":
+                in_s2 = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close < 0:
+            raise ValueError(f"unbalanced parens in script: {expr!r}")
+        inner = _painless_expr_sql(expr[p + 1:close], params)
+        expr = expr[:p] + "(" + inner + ")" + expr[close + 1:]
     # ternary first, structurally: find a top-level '?', then its
     # matching top-level ':' (quotes and parens respected)
     depth, q_pos = 0, -1
@@ -1595,9 +1656,9 @@ def _painless_expr_sql(expr: str) -> str:
             elif ch in ")]":
                 depth -= 1
             elif ch == ":" and depth == 0:
-                cond = _painless_expr_sql(expr[:q_pos])
-                then = _painless_expr_sql(expr[q_pos + 1:j])
-                other = _painless_expr_sql(expr[j + 1:])
+                cond = _painless_expr_sql(expr[:q_pos], params)
+                then = _painless_expr_sql(expr[q_pos + 1:j], params)
+                other = _painless_expr_sql(expr[j + 1:], params)
                 return f"CASE WHEN {cond} THEN {then} ELSE {other} END"
         raise ValueError(f"unterminated ternary in script: {expr!r}")
     # doc refs first, over the WHOLE string: the quotes in
@@ -1605,6 +1666,14 @@ def _painless_expr_sql(expr: str) -> str:
     # string literal containing the text "doc['x'].value" is not
     # supported — document over contort)
     expr = _DOC_REF_RE.sub(lambda m: m.group(1) or m.group(2), expr)
+    if params:
+        def _sub_param(m):
+            name = m.group(1) or m.group(2)
+            if name not in params:
+                raise ValueError(f"script references undefined "
+                                 f"params.{name}")
+            return _param_literal(params[name])
+        expr = _PARAM_REF_RE.sub(_sub_param, expr)
     # remaining token replacements must not touch STRING LITERALS
     # ('a==b' stays 'a==b'): split on quoted segments, rewrite only
     # the code between them
@@ -1618,6 +1687,15 @@ def _painless_expr_sql(expr: str) -> str:
         out = re.sub(r"\s*\|\|\s*", " OR ", out)
         parts[i] = out
     return "".join(parts)
+
+
+def painless_score_sql(script: dict) -> str:
+    """ES ``script`` object ({"source": ..., "params": {...}}) ->
+    engine-neutral SQL text: ONE generator feeds the Spark plan and
+    the DuckDB oracle (the s_stem_sql precedent), with params
+    resolved to plan literals."""
+    return _painless_expr_sql(script["source"],
+                              script.get("params") or {})
 
 
 # [^;]* keeps multi-STATEMENT scripts out of the fold gate: a second

@@ -21,7 +21,7 @@ pushed to the parquet reader, no shuffle added.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_generator_spark.sources.catalog import load_table
@@ -373,3 +373,68 @@ FROM af GROUP BY cid ORDER BY bucket""")
 QUERIES.update(
     {"dsl_variable_width_histogram": dsl_variable_width_histogram})
 ORACLES.update({"dsl_variable_width_histogram": _vwh_oracle()})
+
+
+# ------------------------------------------- dsl_script_score_painless
+
+# a real painless script body: params, doc refs, Math.*, ternary,
+# string equality — the reusable-script shape Kibana templates ship
+SCRIPT_PAINLESS = {
+    "source": ("Math.log(params.base + doc['value'].value) * "
+               "(doc['event_type'].value == params.boosted "
+               "? params.boost : 1.0) + "
+               "Math.sqrt(doc['user_id'].value % params.mod)"),
+    "params": {"base": 1.0, "boosted": "purchase",
+               "boost": 2.5, "mod": 50},
+}
+SCRIPT_PAINLESS_K = 15
+
+
+def dsl_script_score_painless(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """``script_score`` fed an ACTUAL painless source (not a
+    hand-written Column): the translator resolves params.* to plan
+    literals, doc refs to columns, Math.* to SQL functions, and the
+    ternary to CASE — one generated expression feeds BOTH engines
+    (dsl_script_score's hand-built twin pins the translation target).
+    One projection + TakeOrderedAndProject."""
+    from parquet_generator_spark.operators.esdsl import (
+        painless_score_sql,
+        translate_query,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    matched = ev.filter(translate_query(
+        {"range": {"value": {"gte": 10}}}))
+    score = F.round(F.expr(painless_score_sql(SCRIPT_PAINLESS)), 4)
+    top = (matched.select("event_id", score.alias("score"))
+           .orderBy(F.desc("score"), F.asc("event_id"))
+           .limit(SCRIPT_PAINLESS_K))
+    w = Window.orderBy(F.desc("score"), F.asc("event_id"))
+    return (top.withColumn("rank",
+                           F.row_number().over(w).cast("int"))
+            .select("rank", "event_id", "score").orderBy("rank"))
+
+
+def _script_painless_oracle() -> str:
+    from parquet_generator_spark.operators.esdsl import (
+        painless_score_sql,
+    )
+
+    expr = painless_score_sql(SCRIPT_PAINLESS)
+    return f"""
+WITH scored AS (
+  SELECT event_id, round({expr}, 4) AS score
+  FROM events WHERE value >= 10)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, event_id) AS INT)
+         AS rank,
+       event_id, score
+FROM scored ORDER BY score DESC, event_id
+LIMIT {SCRIPT_PAINLESS_K}
+"""
+
+
+QUERIES.update(
+    {"dsl_script_score_painless": dsl_script_score_painless})
+ORACLES.update(
+    {"dsl_script_score_painless": _script_painless_oracle()})

@@ -114,3 +114,34 @@ def test_rejects_multi_statement_map_script():
         _scripted_metric_col("m", {
             "map_script":
                 "state.t.add(doc.a.value); state.u.add(doc.b.value)"})
+
+
+def test_painless_params_resolve_to_literals():
+    assert _painless_expr_sql("doc.v.value * params.w",
+                              {"w": 2.5}) == "v * 2.5"
+    assert _painless_expr_sql("params['tag'] == doc.k.value",
+                              {"tag": "a'b"}) == "'a''b' = k"
+    assert _painless_expr_sql("params.on ? 1 : 0", {"on": True}) \
+        == "CASE WHEN TRUE THEN 1 ELSE 0 END"
+    with pytest.raises(ValueError, match="params.missing"):
+        _painless_expr_sql("params.missing + 1", {"w": 1})
+
+
+def test_painless_nested_parenthesized_ternary():
+    got = _painless_expr_sql(
+        "Math.log(1 + doc.v.value) * "
+        "(doc.k.value == 'x' ? 2.0 : 1.0)")
+    assert got == ("ln(1 + v) * "
+                   "(CASE WHEN k = 'x' THEN 2.0 ELSE 1.0 END)")
+    # two nested groups, each with its own ternary
+    got = _painless_expr_sql("(doc.a.value > 1 ? 1 : 0) + "
+                             "(doc.b.value > 2 ? 10 : 0)")
+    assert got == ("(CASE WHEN a > 1 THEN 1 ELSE 0 END) + "
+                   "(CASE WHEN b > 2 THEN 10 ELSE 0 END)")
+
+
+def test_painless_exp_log10():
+    assert _painless_expr_sql("Math.exp(doc.v.value)") == "exp(v)"
+    assert _painless_expr_sql("Math.log10(doc.v.value)") == "log10(v)"
+    # Math.log still maps to ln, not log10's prefix
+    assert _painless_expr_sql("Math.log(doc.v.value)") == "ln(v)"
