@@ -265,6 +265,27 @@ def test_ntile_deciles_has_no_global_window(spark):
         assert spec.startswith("pid#"), spec
 
 
+def test_ivfpq_plan_no_join_no_cartesian(spark):
+    """ann_ivfpq is probe-filter -> narrow mapInPandas ->
+    TakeOrderedAndProject: no join of anything data-sized, no
+    cartesian product, and the final top-k never sorts the whole
+    candidate set."""
+    plan = formatted_plan(spark, "ann_ivfpq")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_domain_cap_window_is_partitioned(spark):
+    """The per-domain rank window must partition on source (parallel
+    across domains) — never an empty partition spec."""
+    plan = formatted_plan(spark, "domain_cap_sample")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the per-source row_number window"
+    for spec in specs:
+        assert spec.startswith("source#"), spec
+
+
 def test_date_math_now_bounds_reach_scan(spark):
     """now-anchored bounds must resolve to plain literals at plan
     time: the scan shows pushed ts range filters (wall-clock never
