@@ -215,6 +215,30 @@ def _match_algebra_sql(hits: list[str], operator: str,
     return "(" + " OR ".join(hits) + ")"
 
 
+def _prefix_guarded_stem(kind, ref: str, engine: str,
+                         groups: list[list[str]]) -> str:
+    """Skip the (expensive) Porter expression for tokens that cannot
+    stem into any query group. SOUND because Porter only edits
+    suffixes and every replacement rule requires m(stem) > 0 — a
+    kept prefix of >= 2 chars — so any word whose stem has >= 3
+    chars shares its first 2 chars with the stem (pinned by a
+    Hypothesis property in tests/test_porter.py). Tokens outside the
+    prefix set pass through unstemmed; they can never equal a group
+    member, so match semantics are unchanged. Falls back to
+    unconditional stemming when any group stem is shorter than 3
+    chars (the invariant doesn't cover those)."""
+    stem = _stem_expr(kind, ref, engine)
+    if kind != "porter":
+        return stem
+    stems = [g for grp in groups for g in grp]
+    if not stems or any(len(g) < 3 for g in stems):
+        return stem
+    lits = ", ".join(_quote(g[:2]) for g in sorted({g[:2]
+                                                    for g in stems}))
+    return (f"CASE WHEN substr({ref}, 1, 2) IN ({lits}) "
+            f"THEN {stem} ELSE {ref} END")
+
+
 def _stemmed_match_sql(col: str, groups: list[list[str]], kind,
                        engine: str, operator: str,
                        minimum_should_match: int | None) -> str:
@@ -223,7 +247,7 @@ def _stemmed_match_sql(col: str, groups: list[list[str]], kind,
     expensive stemmer (Porter) this cuts the per-document stemming
     cost by the number of query groups vs the per-group exists()
     path."""
-    stem = _stem_expr(kind, "t", engine)
+    stem = _prefix_guarded_stem(kind, "t", engine, groups)
     if engine == "spark":
         stemmed = f"transform({_spark_tokens_expr(col)}, t -> {stem})"
         hits = [
@@ -351,7 +375,8 @@ def analyzed_match_phrase(col: str, phrase: str,
     scan is exists() over the k-windows — codegen, no UDF."""
     groups = _phrase_groups(phrase, analyzer)
     k = len(groups)
-    elem = _stem_expr(analyzer.stem_kind, "t", "spark")
+    elem = _prefix_guarded_stem(analyzer.stem_kind, "t", "spark",
+                                groups)
     toks = _spark_tokens_expr(col)
     lam = _phrase_lambda(groups,
                          lambda j: f"element_at(x.s, i + {j})")
@@ -368,7 +393,8 @@ def analyzed_match_phrase_duck_sql(col: str, phrase: str,
     adjacency windows (DuckDB list indexing is 1-based natively)."""
     groups = _phrase_groups(phrase, analyzer)
     k = len(groups)
-    elem = _stem_expr(analyzer.stem_kind, "t", "duck")
+    elem = _prefix_guarded_stem(analyzer.stem_kind, "t", "duck",
+                                groups)
     toks = _duck_tokens_expr(col)
     stemmed = f"list_transform({toks}, t -> {elem})"
     # bind the stemmed array ONCE per document: inlining it into the

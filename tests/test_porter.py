@@ -136,3 +136,16 @@ def test_porter_catches_what_s_stemmer_misses(spark):
         "query": _PORTER_QUERY, "operator": "and",
         "analyzer": "english"}}})
     assert docs.filter(s_pred).count() == 0
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet="abcdefghilmnoprstuvwxyz", min_size=0,
+               max_size=14))
+def test_prefix2_invariant_for_long_stems(w):
+    """The prefilter's soundness pin: Porter only edits suffixes and
+    every replacement requires m(stem) > 0 (a >= 2-char kept
+    prefix), so any word whose stem has >= 3 chars shares its first
+    2 chars with the stem."""
+    s = porter_stem(w)
+    if len(s) >= 3:
+        assert s[:2] == w[:2], (w, s)
