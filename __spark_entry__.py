@@ -84,8 +84,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # oracles. A green CORRECTNESS_r10 row for each closes the hard ledger
 # at 337/337 with zero rotation debt.
 #
-# ROUND-11 ROTATION DEBT: round-10 additions append below as they
-# land; any that overflow the 50-wide window go on this list.
+# ROUND-11 ROTATION DEBT: none — all 13 round-10 additions sit
+# inside the 50-wide window (22 FRONT keys total).
 FRONT_KEYS = [
     # round-9 evidence debt (7 never-driver-sampled keys)
     "dsl_match_phrase_analyzer",
