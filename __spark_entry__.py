@@ -112,6 +112,7 @@ FRONT_KEYS = [
     "decontaminate_bloom",
     "dsl_variable_width_histogram",
     "dsl_script_score_painless",
+    "esql_pipeline",
 ]
 
 

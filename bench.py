@@ -397,6 +397,7 @@ HEADLINE = [
     "decontaminate_bloom",
     "dsl_variable_width_histogram",
     "dsl_script_score_painless",
+    "esql_pipeline",
 ]
 
 

@@ -438,3 +438,48 @@ QUERIES.update(
     {"dsl_script_score_painless": dsl_script_score_painless})
 ORACLES.update(
     {"dsl_script_score_painless": _script_painless_oracle()})
+
+
+# ------------------------------------------------------ esql_pipeline
+
+ESQL_QUERY = """
+FROM events
+| WHERE value >= 10 AND NOT (event_type == "view")
+| EVAL bucket = user_id % 5, tag = UPPER(event_type)
+| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id),
+        minv = MIN(value), maxv = MAX(value) BY tag, bucket
+| SORT tag, bucket
+| LIMIT 100
+"""
+
+
+def esql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL (ES 8.11+ piped query language): the full pipeline shape
+    a Kibana ES|QL panel ships — WHERE / EVAL / STATS ... BY / SORT /
+    LIMIT — parsed ONCE (operators/esql.py, bounded subset fenced
+    with loud errors) and rendered to DataFrame ops; the oracle
+    renders the SAME parse to one SQL statement, so the two engines
+    share the pipeline semantics structurally. Aggregates chosen
+    engine-exact (counts, distinct counts, min/max selection — no
+    float accumulation)."""
+    from parquet_generator_spark.operators.esql import (
+        esql_df,
+        parse_esql,
+    )
+
+    plan = parse_esql(ESQL_QUERY)
+    ev = load_table(spark, plan.table, sf_dir)
+    return esql_df(ev, plan)
+
+
+def _esql_oracle() -> str:
+    from parquet_generator_spark.operators.esql import (
+        esql_duck_sql,
+        parse_esql,
+    )
+
+    return esql_duck_sql(parse_esql(ESQL_QUERY))
+
+
+QUERIES.update({"esql_pipeline": esql_pipeline})
+ORACLES.update({"esql_pipeline": _esql_oracle()})
