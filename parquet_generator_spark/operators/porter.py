@@ -102,9 +102,14 @@ def _cvc(w: str, cv: str) -> bool:
             and w[-1] not in "wxy")
 
 
-def _doublec(w: str) -> bool:
-    return (len(w) >= 2 and w[-1] == w[-2]
-            and w[-1] not in "aeiouy")
+def _doublec(w: str, cv: str) -> bool:
+    # porter.c doublec(j): w[j] == w[j-1] AND cons(j) — the trailing
+    # char's consonant status is CONTEXT-DEPENDENT for 'y' (a 'y'
+    # after a consonant is a vowel, after a vowel a consonant), and
+    # the carried skeleton already resolved it: read cv[-1] instead
+    # of a fixed vowel set so consonant+'yy' counts as a true double
+    # consonant exactly as ES/Lucene's porter_stem does.
+    return len(w) >= 2 and w[-1] == w[-2] and cv[-1] == "b"
 
 
 def porter_stem(word: str) -> str:
@@ -144,7 +149,7 @@ def porter_stem(word: str) -> str:
         if post:
             if w.endswith(("at", "bl", "iz")):
                 cut(0, "e")
-            elif _doublec(w) and w[-1] not in "lsz":
+            elif _doublec(w, c) and w[-1] not in "lsz":
                 cut(1)
             elif (not _m_gt1(c)) and _m_gt0(c) and _cvc(w, c):
                 cut(0, "e")
@@ -179,7 +184,7 @@ def porter_stem(word: str) -> str:
             cut(1)
 
     # step 5b
-    if w.endswith("l") and _doublec(w) and _m_gt1(c):
+    if w.endswith("l") and _doublec(w, c) and _m_gt1(c):
         cut(1)
     return w
 
@@ -253,10 +258,11 @@ class _Frag:
         return f"instr({self.stem_cv(n)}, 'a') > 0"
 
     def doublec(self) -> str:
+        # consonant status of the last char comes from the carried
+        # skeleton (context-dependent 'y' rule, mirrors _doublec)
         return (f"({self.ln} >= 2 AND right({self.w}, 1) = "
                 f"substr({self.w}, {self.ln} - 1, 1) AND "
-                f"right({self.w}, 1) NOT IN "
-                f"({_quote_list('aeiouy')}))")
+                f"right({self.c}, 1) = 'b')")
 
     def cvc(self, n: int) -> str:
         """c-v-c test at the end of the word minus n chars (final

@@ -10,8 +10,15 @@ What the adapter owns (all testable without a broker):
   ``startingOffsets`` as the connector's per-topic-partition JSON
   (rendered FROM the contract's committed-offset ledger, so a
   restart resumes exactly where the directory-broker consumer or a
-  previous Kafka run left off), ``maxOffsetsPerTrigger`` (the
-  contract's max_records_per_partition bound), and
+  previous Kafka run left off), ``maxOffsetsPerTrigger`` (an
+  APPROXIMATE rendering of the contract's max_records_per_partition
+  bound: the connector distributes one per-trigger budget across
+  partitions in proportion to their lag, so under skewed lag a
+  single hot partition can receive more than the contract's
+  per-partition bound within one trigger — the total per trigger is
+  still capped at bound × partition count, but the per-partition
+  guarantee the directory broker enforces exactly is only
+  approximate here), and
   ``failOnDataLoss`` pinned false for retention-expired replays;
 - frame normalization: Kafka's wire schema (binary key/value,
   topic/partition/offset/timestamp) -> the contract's
@@ -74,7 +81,11 @@ def kafka_options(bootstrap_servers: str, topic: str,
     }
     if max_records_per_partition is not None:
         # the connector's bound is per TRIGGER across partitions;
-        # the contract bound is per partition — scale by the fan-out
+        # the contract bound is per partition — scale by the fan-out.
+        # The connector then splits the budget proportionally to
+        # per-partition LAG, not evenly: under skew one partition may
+        # exceed the contract's per-partition bound in a trigger
+        # (only the trigger TOTAL is hard). See the module docstring.
         opts["maxOffsetsPerTrigger"] = str(
             max_records_per_partition * max(1, len(partitions)))
     return opts

@@ -69,6 +69,15 @@ def test_paper_vectors():
         assert porter_stem(w) == want, (w, porter_stem(w), want)
 
 
+def test_trailing_yy_is_double_consonant():
+    """porter.c cons(): a 'y' after a vowel is a consonant, so
+    consonant+'yy' ends in a TRUE double consonant — the step-1b
+    post-pass must undouble it (the fixed-vowel-set shortcut missed
+    this; the carried CV skeleton resolves it)."""
+    assert cv_form("flyy") == "bbab"      # f=b l=b y1=vowel y2=cons
+    assert porter_stem("flyying") == "fly"  # ing cut -> flyy -> fly
+
+
 def test_cv_form_y_rules():
     # y: consonant at start, vowel after consonant, consonant after
     # vowel — alternating within runs
