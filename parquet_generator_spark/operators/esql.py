@@ -1,60 +1,243 @@
 """ES|QL (the Elasticsearch piped query language, ES 8.11+) over
 DataFrames: a bounded, loudly-fenced subset of the public grammar —
-the pipeline shape every Kibana ES|QL panel ships:
+the pipeline shapes Kibana ES|QL panels ship:
 
     FROM <index>
       | WHERE <boolean expr>
       | EVAL <name> = <expr> [, ...]
-      | STATS <name> = <AGG>(<expr>) [, ...] [BY <col> [, ...]]
+      | DISSECT <col> "<pattern with %{key}s>"
+      | MV_EXPAND <col>
+      | STATS <name> = <AGG>(<expr>) [, ...]
+              [BY <col> | <name> = <expr> [, ...]]
       | SORT <col> [ASC|DESC] [, ...]
       | KEEP <col> [, ...]
       | LIMIT <n>
 
-One parse produces one command list; two renderers consume it — a
-DataFrame builder (filter/withColumn/groupBy/agg/orderBy/limit, all
-codegen) and a DuckDB SQL string — so the Spark plan and the oracle
-cannot drift (the painless/s_stem shared-generator pattern).
+Commands are recorded as an ORDERED list and both renderers apply
+them SEQUENTIALLY — `SORT v | LIMIT 10 | WHERE v > 5` filters the
+top 10 (not the whole table), a second LIMIT takes a prefix of the
+first, a second SORT re-orders, and WHERE/EVAL after STATS operate
+on the aggregated relation (ES|QL's actual semantics). One parse
+produces one command list; two renderers consume it — a DataFrame
+builder (filter/withColumn/groupBy/agg/orderBy/limit, all codegen)
+and a DuckDB SQL string built by wrapping one subquery per command —
+so the Spark plan and the oracle cannot drift structurally.
 
 Expression subset (validated token-by-token, unsupported syntax
 raises): column refs, numeric/string literals, + - * / %,
-comparisons (== != > >= < <=), NOT/AND/OR, parentheses, and the
-functions ABS/ROUND/SQRT/LENGTH/LOWER/UPPER/CONCAT. ES|QL's ``==``
+comparisons (== != > >= < <=), NOT/AND/OR, parentheses, temporal
+amounts (``7 day``/``1 hour`` → INTERVAL), and the functions
+ABS/ROUND/SQRT/LENGTH/LOWER/UPPER/CONCAT/SPLIT/NOW/BUCKET/
+DATE_TRUNC/TO_LONG/TO_INTEGER/TO_DOUBLE/TO_STRING. ES|QL's ``==``
 becomes SQL ``=``, ``!=`` becomes ``<>``. Aggregates: COUNT(*) /
 COUNT / SUM / AVG / MIN / MAX / COUNT_DISTINCT.
 
-Deliberate fences (documented, raise ValueError): WHERE after
-STATS, nested STATS, DISSECT/GROK/ENRICH/MV_* (no runtime lookup
-surface here), and date functions (use the date-math translator's
-plan_clock path instead).
+Engine-specific renderings (everything else is engine-neutral text):
+
+- CONCAT is NULL-PROPAGATING in ES|QL; Spark ``concat`` already is,
+  DuckDB's is not — the DuckDB renderer emits a ``||`` chain.
+- SPLIT: Spark ``split`` (regex; the separator is fenced to plain
+  literal chars), DuckDB ``string_split``.
+- TO_STRING: Spark ``CAST(x AS STRING)``, DuckDB ``AS VARCHAR``.
+- NOW() resolves AT PARSE TIME to a timestamp literal from the
+  injected plan clock (``with plan_clock(anchor):`` —
+  operators/esdsl.py); with no clock injected it refuses, because a
+  scan bound that silently depends on wall-clock is unreproducible.
+  The literal reaches the parquet scan, so row-group pruning holds.
+- BUCKET(col, 1 <unit>) / DATE_TRUNC(1 <unit>, col) render as
+  ``date_trunc('<unit>', col)`` (identical in both engines;
+  calendar units minute/hour/day/week/month/quarter/year, count
+  fixed at 1 — multi-unit fixed buckets are fenced).
+
+Deliberate fences (documented, raise ValueError): GROK (needs the
+pattern library), ENRICH/LOOKUP (no runtime lookup surface here),
+RENAME/DROP/ROW/SHOW, aggregates outside STATS, EVAL names that
+shadow an input column (cannot be detected without a schema — the
+engines fail loudly instead), multi-unit BUCKET widths, and SPLIT
+separators containing regex metacharacters.
+
+Known divergence from ES (documented, parity-safe): a DISSECT
+pattern that does not match yields '' (empty string) keys in both
+engines — ES yields null and drops the row from later null-checks.
+MV_EXPAND drops rows whose array is empty or NULL in both engines
+(Spark explode == DuckDB unnest); ES keeps a null row for null.
 """
 
 from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _FUNCS = {"ABS": "abs", "ROUND": "round", "SQRT": "sqrt",
-          "LENGTH": "length", "LOWER": "lower", "UPPER": "upper",
-          "CONCAT": "concat"}
+          "LENGTH": "length", "LOWER": "lower", "UPPER": "upper"}
 _AGGS = {"COUNT": "count", "SUM": "sum", "AVG": "avg",
          "MIN": "min", "MAX": "max",
-         "COUNT_DISTINCT": "count(DISTINCT {})"}
+         "COUNT_DISTINCT": None}  # None: rendered specially
+
+_CASTS = {"TO_LONG": ("BIGINT", "BIGINT"),
+          "TO_INTEGER": ("INT", "INT"),
+          "TO_DOUBLE": ("DOUBLE", "DOUBLE"),
+          "TO_STRING": ("STRING", "VARCHAR")}
+
+_UNITS = {"second": "second", "seconds": "second",
+          "minute": "minute", "minutes": "minute",
+          "hour": "hour", "hours": "hour",
+          "day": "day", "days": "day",
+          "week": "week", "weeks": "week",
+          "month": "month", "months": "month",
+          "quarter": "quarter", "quarters": "quarter",
+          "year": "year", "years": "year"}
 
 _TOKEN_RE = re.compile(
     r"\s*(>=|<=|!=|==|[()+\-*/%,<>]|\"(?:[^\"\\]|\\.)*\"|"
     r"'(?:[^'\\]|\\.)*'|[A-Za-z_][A-Za-z0-9_]*|\d+\.\d+|\d+)")
 
-_UNSUPPORTED = ("DISSECT", "GROK", "ENRICH", "MV_EXPAND", "RENAME",
-                "DROP", "ROW", "SHOW", "LOOKUP")
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+_INT_RE = re.compile(r"\d+\Z")
+
+_UNSUPPORTED = ("GROK", "ENRICH", "RENAME", "DROP", "ROW", "SHOW",
+                "LOOKUP")
 
 
-def _render_expr(expr: str) -> str:
+class _E(NamedTuple):
+    """One expression rendered for both engines."""
+    spark: str
+    duck: str
+
+
+def _both(t: str) -> _E:
+    return _E(t, t)
+
+
+def _find_close(expr: str, open_pos: int) -> int:
+    """Index of the ')' matching the '(' at open_pos."""
+    depth, i, in_s = 0, open_pos, None
+    while i < len(expr):
+        ch = expr[i]
+        if in_s:
+            if ch == "\\":
+                i += 1
+            elif ch == in_s:
+                in_s = None
+        elif ch in "'\"":
+            in_s = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError(f"esql: unbalanced parentheses in {expr!r}")
+
+
+def _now_literal() -> str:
+    from parquet_generator_spark.operators import esdsl
+    anchor = esdsl._NOW_ANCHOR
+    if anchor is None:
+        raise ValueError(
+            "esql: NOW() needs an injected plan-time clock — wrap "
+            "the parse in `with plan_clock(anchor):` "
+            "(operators/esdsl.py); resolving against wall-clock "
+            "would make the scan bound unreproducible")
+    return f"TIMESTAMP '{anchor.strftime('%Y-%m-%d %H:%M:%S')}'"
+
+
+def _parse_amount(text: str, what: str) -> str:
+    """'1 day' -> canonical date_trunc unit; count fenced to 1."""
+    m = re.fullmatch(r"\s*(\d+)\s+([A-Za-z]+)\s*", text)
+    if not m or m.group(2).lower() not in _UNITS:
+        raise ValueError(f"esql: {what} needs '<n> <unit>', got "
+                         f"{text!r}")
+    if m.group(1) != "1":
+        raise ValueError(
+            f"esql: {what} supports calendar units with count 1 "
+            f"(date_trunc semantics); multi-unit fixed buckets are "
+            f"not supported, got {text!r}")
+    unit = _UNITS[m.group(2).lower()]
+    if unit == "second":
+        raise ValueError(f"esql: {what} unit must be >= minute")
+    return unit
+
+
+def _string_literal(tok: str) -> str:
+    """ES|QL double-quoted string token -> SQL single-quoted."""
+    inner = tok[1:-1].replace('\\"', '"')
+    return "'" + inner.replace("'", "''") + "'"
+
+
+def _render_call(name: str, args: list[str]) -> _E:
+    """Render one special function call; args are raw ES|QL texts."""
+    rendered = [_render_expr(a) for a in args]
+    if name == "CONCAT":
+        if len(rendered) < 2:
+            raise ValueError("esql: CONCAT needs >= 2 arguments")
+        sp = "concat(" + ", ".join(r.spark for r in rendered) + ")"
+        # DuckDB concat() skips NULLs; ES|QL (and Spark concat) are
+        # NULL-propagating — render the oracle as a || chain
+        du = "(" + " || ".join(r.duck for r in rendered) + ")"
+        return _E(sp, du)
+    if name in _CASTS:
+        if len(rendered) != 1:
+            raise ValueError(f"esql: {name} takes one argument")
+        sp_t, du_t = _CASTS[name]
+        return _E(f"CAST({rendered[0].spark} AS {sp_t})",
+                  f"CAST({rendered[0].duck} AS {du_t})")
+    if name == "SPLIT":
+        if len(args) != 2:
+            raise ValueError("esql: SPLIT takes (value, separator)")
+        sep_raw = args[1].strip()
+        if not (sep_raw.startswith('"') and sep_raw.endswith('"')):
+            raise ValueError("esql: SPLIT separator must be a "
+                             "string literal")
+        sep = _string_literal(sep_raw)
+        if re.search(r"[\\.^$*+?()\[\]{}|]", sep[1:-1]):
+            # Spark split() is regex-based, DuckDB string_split is
+            # literal — only plain separators mean the same thing
+            raise ValueError("esql: SPLIT separator must not "
+                             "contain regex metacharacters")
+        return _E(f"split({rendered[0].spark}, {sep})",
+                  f"string_split({rendered[0].duck}, {sep})")
+    if name == "NOW":
+        if args:
+            raise ValueError("esql: NOW() takes no arguments")
+        return _both(_now_literal())
+    if name in ("BUCKET", "DATE_TRUNC"):
+        if len(args) != 2:
+            raise ValueError(f"esql: {name} takes "
+                             f"{'(expr, 1 <unit>)' if name == 'BUCKET' else '(1 <unit>, expr)'}")
+        amt, val = (args[1], rendered[0]) if name == "BUCKET" \
+            else (args[0], rendered[1])
+        unit = _parse_amount(amt, name)
+        # DuckDB date_trunc returns DATE at >= day granularity,
+        # Spark always TIMESTAMP — the cast is a no-op for Spark
+        # and aligns the oracle's type
+        return _E(
+            f"CAST(date_trunc('{unit}', {val.spark}) AS TIMESTAMP)",
+            f"CAST(date_trunc('{unit}', {val.duck}) AS TIMESTAMP)")
+    raise AssertionError(name)
+
+
+_SPECIAL = ("CONCAT", "SPLIT", "NOW", "BUCKET", "DATE_TRUNC",
+            *_CASTS)
+
+
+def _render_expr(expr: str) -> _E:
     """Validate + translate one ES|QL value/boolean expression into
-    engine-neutral SQL text."""
-    out, pos = [], 0
+    per-engine SQL text (identical for everything except the
+    engine-specific functions; see module docstring)."""
+    sp: list[str] = []
+    du: list[str] = []
+
+    def emit(s: str, d: str | None = None) -> None:
+        sp.append(s)
+        du.append(s if d is None else d)
+
+    pos = 0
     while pos < len(expr):
         if expr[pos].isspace():
             pos += 1
@@ -66,37 +249,53 @@ def _render_expr(expr: str) -> str:
         tok = m.group(1)
         pos = m.end()
         if tok == "==":
-            out.append("=")
+            emit("=")
         elif tok == "!=":
-            out.append("<>")
+            emit("<>")
         elif tok.startswith('"'):
-            # ES|QL strings are double-quoted; SQL wants single
-            inner = tok[1:-1].replace("\\\"", "\"")
-            out.append("'" + inner.replace("'", "''") + "'")
-        elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tok):
+            emit(_string_literal(tok))
+        elif _IDENT_RE.fullmatch(tok):
             up = tok.upper()
-            if up in _FUNCS:
-                out.append(_FUNCS[up])
+            if up in _SPECIAL:
+                # capture the balanced argument list and recurse
+                j = pos
+                while j < len(expr) and expr[j].isspace():
+                    j += 1
+                if j >= len(expr) or expr[j] != "(":
+                    raise ValueError(f"esql: {up} needs (...)")
+                close = _find_close(expr, j)
+                args = _split_top(expr[j + 1:close])
+                r = _render_call(up, args)
+                emit(r.spark, r.duck)
+                pos = close + 1
+            elif up in _FUNCS:
+                emit(_FUNCS[up])
             elif up in ("AND", "OR", "NOT", "IS", "NULL", "IN",
                         "LIKE", "TRUE", "FALSE"):
-                out.append(up)
+                emit(up)
             elif up in _AGGS:
                 raise ValueError(
                     f"esql: aggregate {tok} outside STATS")
+            elif (tok.lower() in _UNITS and sp
+                  and _INT_RE.fullmatch(sp[-1])):
+                # temporal amount: '7 day' -> INTERVAL 7 DAY
+                n = sp.pop()
+                du.pop()
+                emit(f"INTERVAL {n} {_UNITS[tok.lower()].upper()}")
             else:
-                out.append(tok)  # column reference
+                emit(tok)  # column reference
         else:
-            out.append(tok)
-    return " ".join(out)
+            emit(tok)
+    return _E(" ".join(sp), " ".join(du))
 
 
 @dataclass
 class _Stats:
-    aggs: list = field(default_factory=list)  # (alias, sql_text)
-    by: list = field(default_factory=list)
+    aggs: list = field(default_factory=list)  # (alias, _E)
+    by: list = field(default_factory=list)    # (alias, _E)
 
 
-def _render_agg(alias: str, call: str) -> str:
+def _render_agg(call: str) -> _E:
     m = re.fullmatch(r"\s*([A-Za-z_]+)\s*\((.*)\)\s*", call, re.S)
     if not m:
         raise ValueError(f"esql: STATS needs AGG(expr), got {call!r}")
@@ -104,27 +303,71 @@ def _render_agg(alias: str, call: str) -> str:
     if name not in _AGGS:
         raise ValueError(f"esql: unsupported aggregate {name}")
     if name == "COUNT" and (arg == "*" or arg == ""):
-        return f"count(*) AS {alias}"
+        return _both("count(*)")
     inner = _render_expr(arg)
     if name == "COUNT_DISTINCT":
-        return f"count(DISTINCT {inner}) AS {alias}"
-    return f"{_AGGS[name]}({inner}) AS {alias}"
+        return _E(f"count(DISTINCT {inner.spark})",
+                  f"count(DISTINCT {inner.duck})")
+    fn = _AGGS[name]
+    return _E(f"{fn}({inner.spark})", f"{fn}({inner.duck})")
+
+
+def _rx_escape(lit: str) -> str:
+    """Escape regex metachars portably (Java regex + RE2)."""
+    return re.sub(r"([\\.^$*+?()\[\]{}|])", r"\\\1", lit)
+
+
+def _dissect_pattern(pattern: str) -> tuple[str, list[str]]:
+    """Dissect pattern -> (anchored regex, ordered key names).
+    %{key} segments become lazy capture groups between escaped
+    literals; %{} skips. Non-matching rows yield '' keys (see the
+    module docstring's divergence note)."""
+    keys, rx, pos = [], ["^"], 0
+    for m in re.finditer(r"%\{([A-Za-z_][A-Za-z0-9_]*)?\}", pattern):
+        rx.append(_rx_escape(pattern[pos:m.start()]))
+        rx.append("(.*?)" if m.group(1) else ".*?")
+        if m.group(1):
+            keys.append(m.group(1))
+        pos = m.end()
+    rx.append(_rx_escape(pattern[pos:]))
+    rx.append("$")
+    if not keys:
+        raise ValueError("esql: DISSECT pattern needs at least one "
+                         "%{key}")
+    return "".join(rx), keys
 
 
 @dataclass
 class EsqlPlan:
-    """Parsed pipeline: table + ordered command list."""
+    """Parsed pipeline: table + ORDERED command list. Each command
+    is (kind, payload); renderers apply them sequentially."""
     table: str
-    wheres: list = field(default_factory=list)
-    evals: list = field(default_factory=list)   # (name, sql)
-    stats: _Stats | None = None
-    sorts: list = field(default_factory=list)   # (col, asc)
-    keeps: list | None = None
-    limit: int | None = None
+    commands: list = field(default_factory=list)
+
+
+def _split_pipes(q: str) -> list[str]:
+    """Split the pipeline on '|' outside string literals (DISSECT
+    patterns may contain '|')."""
+    out, start, in_s, i = [], 0, None, 0
+    while i < len(q):
+        ch = q[i]
+        if in_s:
+            if ch == "\\":
+                i += 1
+            elif ch == in_s:
+                in_s = None
+        elif ch in "'\"":
+            in_s = ch
+        elif ch == "|":
+            out.append(q[start:i])
+            start = i + 1
+        i += 1
+    out.append(q[start:])
+    return [p.strip() for p in out]
 
 
 def parse_esql(query: str) -> EsqlPlan:
-    parts = [p.strip() for p in query.strip().split("|")]
+    parts = _split_pipes(query.strip())
     head = parts[0]
     m = re.fullmatch(r"FROM\s+([A-Za-z_][A-Za-z0-9_]*)", head, re.I)
     if not m:
@@ -137,46 +380,78 @@ def parse_esql(query: str) -> EsqlPlan:
             raise ValueError(f"esql: {kw} is not supported (bounded "
                              f"subset; see operators/esql.py)")
         if kw == "WHERE":
-            if plan.stats:
-                raise ValueError("esql: WHERE after STATS is not "
-                                 "supported — filter before STATS")
-            plan.wheres.append(_render_expr(body))
+            plan.commands.append(("where", _render_expr(body)))
         elif kw == "EVAL":
-            if plan.stats:
-                raise ValueError("esql: EVAL after STATS unsupported")
+            assigns = []
             for assign in _split_top(body):
-                name, _, rhs = assign.partition("=")
-                if not _:
+                name, eq, rhs = assign.partition("=")
+                if not eq:
                     raise ValueError(f"esql: EVAL needs name = expr, "
                                      f"got {assign!r}")
-                plan.evals.append((name.strip(), _render_expr(rhs)))
+                assigns.append((name.strip(), _render_expr(rhs)))
+            plan.commands.append(("eval", assigns))
         elif kw == "STATS":
-            if plan.stats:
-                raise ValueError("esql: nested STATS unsupported")
             st = _Stats()
-            agg_part, _, by_part = body.partition(" BY ")
-            if not _:
-                agg_part, _, by_part = body.partition(" by ")
+            agg_part, sep, by_part = body.partition(" BY ")
+            if not sep:
+                agg_part, sep, by_part = body.partition(" by ")
             for assign in _split_top(agg_part):
                 name, eq, rhs = assign.partition("=")
                 if not eq:
                     raise ValueError("esql: STATS needs name = "
                                      "AGG(expr)")
                 st.aggs.append((name.strip(),
-                                _render_agg(name.strip(),
-                                            rhs.strip())))
-            if by_part:
-                st.by = [c.strip() for c in by_part.split(",")]
-            plan.stats = st
+                                _render_agg(rhs.strip())))
+            for item in _split_top(by_part) if by_part else []:
+                name, eq, rhs = item.partition("=")
+                if eq:
+                    st.by.append((name.strip(), _render_expr(rhs)))
+                else:
+                    col = item.strip()
+                    if not _IDENT_RE.fullmatch(col):
+                        raise ValueError(
+                            f"esql: STATS BY needs a column or "
+                            f"name = expr, got {item!r}")
+                    st.by.append((col, _both(col)))
+            plan.commands.append(("stats", st))
         elif kw == "SORT":
+            sorts = []
             for c in body.split(","):
                 bits = c.split()
-                asc = not (len(bits) > 1 and bits[1].upper() == "DESC")
-                plan.sorts.append((bits[0], asc))
+                if not bits or not _IDENT_RE.fullmatch(bits[0]):
+                    raise ValueError(f"esql: SORT needs column "
+                                     f"names, got {c!r}")
+                asc = not (len(bits) > 1
+                           and bits[1].upper() == "DESC")
+                sorts.append((bits[0], asc))
+            plan.commands.append(("sort", sorts))
         elif kw == "KEEP":
-            plan.keeps = [c.strip() for c in body.split(",")]
+            keeps = [c.strip() for c in body.split(",")]
+            if not all(_IDENT_RE.fullmatch(c) for c in keeps):
+                raise ValueError(f"esql: KEEP needs column names, "
+                                 f"got {body!r}")
+            plan.commands.append(("keep", keeps))
         elif kw == "LIMIT":
-            plan.limit = int(body)
+            plan.commands.append(("limit", int(body)))
+        elif kw == "MV_EXPAND":
+            if not _IDENT_RE.fullmatch(body):
+                raise ValueError(f"esql: MV_EXPAND needs one column "
+                                 f"name, got {body!r}")
+            plan.commands.append(("mv_expand", body))
+        elif kw == "DISSECT":
+            dm = re.fullmatch(
+                r'([A-Za-z_][A-Za-z0-9_]*)\s+"((?:[^"\\]|\\.)*)"',
+                body)
+            if not dm:
+                if "APPEND_SEPARATOR" in body.upper():
+                    raise ValueError("esql: DISSECT "
+                                     "APPEND_SEPARATOR unsupported")
+                raise ValueError(f"esql: DISSECT needs <col> "
+                                 f'"<pattern>", got {body!r}')
+            col = dm.group(1)
+            pattern = dm.group(2).replace('\\"', '"')
+            rx, keys = _dissect_pattern(pattern)
+            plan.commands.append(("dissect", (col, rx, keys)))
         else:
             raise ValueError(f"esql: unknown command {kw!r}")
     return plan
@@ -205,50 +480,92 @@ def _split_top(s: str) -> list[str]:
 
 def esql_df(df: DataFrame, plan: EsqlPlan) -> DataFrame:
     """Render the parsed pipeline over an already-loaded DataFrame
-    (the FROM resolution stays with the caller's catalog)."""
-    for w in plan.wheres:
-        df = df.filter(F.expr(w))
-    for name, sql in plan.evals:
-        df = df.withColumn(name, F.expr(sql))
-    if plan.stats:
-        aggs = [F.expr(a.rsplit(" AS ", 1)[0]).alias(n)
-                for n, a in plan.stats.aggs]
-        df = (df.groupBy(*plan.stats.by).agg(*aggs)
-              if plan.stats.by else df.agg(*aggs))
-    if plan.sorts:
-        df = df.orderBy(*[F.asc(c) if asc else F.desc(c)
-                          for c, asc in plan.sorts])
-    if plan.keeps:
-        df = df.select(*plan.keeps)
-    if plan.limit is not None:
-        df = df.limit(plan.limit)
+    (the FROM resolution stays with the caller's catalog), applying
+    commands in pipeline order."""
+    for kind, p in plan.commands:
+        if kind == "where":
+            df = df.filter(F.expr(p.spark))
+        elif kind == "eval":
+            for name, e in p:
+                df = df.withColumn(name, F.expr(e.spark))
+        elif kind == "stats":
+            aggs = [F.expr(e.spark).alias(n) for n, e in p.aggs]
+            if p.by:
+                bys = [F.expr(e.spark).alias(n) for n, e in p.by]
+                df = df.groupBy(*bys).agg(*aggs)
+            else:
+                df = df.agg(*aggs)
+        elif kind == "sort":
+            df = df.orderBy(*[F.asc(c) if asc else F.desc(c)
+                              for c, asc in p])
+        elif kind == "keep":
+            df = df.select(*p)
+        elif kind == "limit":
+            df = df.limit(p)
+        elif kind == "mv_expand":
+            df = df.withColumn(p, F.explode(F.col(p)))
+        elif kind == "dissect":
+            col, rx, keys = p
+            for i, k in enumerate(keys, start=1):
+                df = df.withColumn(
+                    k, F.regexp_extract(F.col(col), rx, i))
     return df
 
 
+def _order_by(order: list) -> str:
+    return ", ".join(f"{c} {'ASC' if asc else 'DESC'}"
+                     for c, asc in order)
+
+
 def esql_duck_sql(plan: EsqlPlan) -> str:
-    """Render the same pipeline as one DuckDB SQL statement."""
-    base = plan.table
-    where = (" WHERE " + " AND ".join(f"({w})" for w in plan.wheres)
-             if plan.wheres else "")
-    evals = "".join(f", {sql} AS {name}" for name, sql in plan.evals)
-    inner = f"SELECT *{evals} FROM {base}{where}"
-    if plan.stats:
-        sel = ", ".join(plan.stats.by
-                        + [a for _, a in plan.stats.aggs])
-        group = (" GROUP BY " + ", ".join(plan.stats.by)
-                 if plan.stats.by else "")
-        sql = f"SELECT {sel} FROM ({inner}) _e{group}"
-    else:
-        sql = inner
-    if plan.sorts:
-        sql += " ORDER BY " + ", ".join(
-            f"{c} {'ASC' if asc else 'DESC'}" for c, asc in plan.sorts)
-    if plan.keeps:
-        sql = (f"SELECT {', '.join(plan.keeps)} FROM ({sql}) _k"
-               + (" ORDER BY " + ", ".join(
-                   f"{c} {'ASC' if asc else 'DESC'}"
-                   for c, asc in plan.sorts if c in plan.keeps)
-                  if plan.sorts else ""))
-    if plan.limit is not None:
-        sql += f" LIMIT {plan.limit}"
+    """Render the same pipeline as one DuckDB SQL statement by
+    wrapping one subquery per command in pipeline order. SORT is
+    recorded as the ACTIVE order and consumed by every later LIMIT
+    (so `SORT | KEEP | LIMIT` takes the same rows as the DataFrame
+    renderer even when KEEP drops a sort column — the sort columns
+    are projected THROUGH the KEEP subquery and dropped at the
+    end)."""
+    sql = f"SELECT * FROM {plan.table}"
+    order: list | None = None   # active SORT
+    final_keep: list | None = None  # re-projection after passthrough
+    for kind, p in plan.commands:
+        if kind == "where":
+            sql = f"SELECT * FROM ({sql}) _w WHERE {p.duck}"
+        elif kind == "eval":
+            cols = ", ".join(f"{e.duck} AS {n}" for n, e in p)
+            sql = f"SELECT *, {cols} FROM ({sql}) _e"
+        elif kind == "stats":
+            sel = ([f"{e.duck} AS {n}" for n, e in p.by]
+                   + [f"{e.duck} AS {n}" for n, e in p.aggs])
+            grp = (" GROUP BY " + ", ".join(e.duck for _, e in p.by)
+                   if p.by else "")
+            sql = f"SELECT {', '.join(sel)} FROM ({sql}) _s{grp}"
+            order, final_keep = None, None  # aggregation resets both
+        elif kind == "sort":
+            order = p
+        elif kind == "keep":
+            passthru = [c for c, _ in (order or []) if c not in p]
+            sql = (f"SELECT {', '.join(p + passthru)} "
+                   f"FROM ({sql}) _k")
+            final_keep = p if passthru else None
+        elif kind == "limit":
+            ob = f" ORDER BY {_order_by(order)}" if order else ""
+            sql = f"SELECT * FROM ({sql}) _l{ob} LIMIT {p}"
+        elif kind == "mv_expand":
+            sql = (f"SELECT * EXCLUDE ({p}), unnest({p}) AS {p} "
+                   f"FROM ({sql}) _m")
+        elif kind == "dissect":
+            col, rx, keys = p
+            rxq = rx.replace("'", "''")
+            cols = ", ".join(
+                f"regexp_extract({col}, '{rxq}', {i}) AS {k}"
+                for i, k in enumerate(keys, start=1))
+            sql = f"SELECT *, {cols} FROM ({sql}) _d"
+    if final_keep is not None:
+        # drop the passthrough sort columns; ORDER BY may still
+        # reference them through the subquery scope
+        ob = f" ORDER BY {_order_by(order)}" if order else ""
+        sql = f"SELECT {', '.join(final_keep)} FROM ({sql}) _f{ob}"
+    elif order:
+        sql = f"SELECT * FROM ({sql}) _o ORDER BY {_order_by(order)}"
     return sql

@@ -1,11 +1,13 @@
-"""ES|QL subset: parse/render parity, expression fences, and
-command fences."""
+"""ES|QL subset: parse/render parity, SEQUENTIAL command semantics
+(order is honored, not hoisted), the new DISSECT / MV_EXPAND /
+BUCKET / NOW surface, and the fences."""
 
 from __future__ import annotations
 
 import duckdb
 import pytest
 
+from parquet_generator_spark.operators.esdsl import plan_clock
 from parquet_generator_spark.operators.esql import (
     esql_df,
     esql_duck_sql,
@@ -58,24 +60,159 @@ def test_global_stats_without_by(spark):
     assert s == d and len(s) == 1
 
 
+# ---------------------------------------------- sequential semantics
+
+def test_where_after_limit_filters_the_top_n(spark):
+    """'SORT v | LIMIT n | WHERE p' filters the top-n slice, NOT the
+    whole table (the hoisting bug the ordered command list fixes)."""
+    q = ("FROM events | SORT value DESC, event_id | LIMIT 100 "
+         "| WHERE event_type == \"click\" | STATS n = COUNT(*)")
+    s, d, _ = _run_both(spark, q)
+    assert s == d
+    top_n = s[0][0]
+    # vs the hoisted reading: clicks in the WHOLE table
+    all_clicks = _duck().execute(
+        "SELECT count(*) FROM events WHERE event_type = 'click'"
+    ).fetchone()[0]
+    assert 0 < top_n < all_clicks
+
+
+def test_duplicate_limit_takes_prefix(spark):
+    q = ("FROM events | SORT event_id | LIMIT 20 "
+         "| SORT value DESC, event_id | LIMIT 5 "
+         "| KEEP event_id, value")
+    s, d, _ = _run_both(spark, q)
+    assert s == d and len(s) == 5
+    # the 5 rows come from the 20 smallest event_ids
+    ids = _duck().execute(
+        "SELECT event_id FROM events ORDER BY event_id LIMIT 20"
+    ).fetchall()
+    assert {r[0] for r in s} <= {i[0] for i in ids}
+
+
+def test_where_and_eval_after_stats(spark):
+    q = ("FROM events | STATS n = COUNT(*), mx = MAX(value) "
+         "BY event_type | WHERE n >= 5 | EVAL big = n * 2 "
+         "| SORT event_type")
+    s, d, cols = _run_both(spark, q)
+    assert s == d and len(s) > 0
+    assert cols == ["event_type", "n", "mx", "big"]
+    assert all(r[3] == r[1] * 2 for r in s)
+
+
+def test_second_stats_aggregates_the_aggregate(spark):
+    q = ("FROM events | STATS n = COUNT(*) BY event_type, user_id "
+         "| STATS users = COUNT(*), mx = MAX(n) BY event_type "
+         "| SORT event_type")
+    s, d, _ = _run_both(spark, q)
+    assert s == d and len(s) > 0
+
+
+def test_keep_dropping_sort_column_before_limit(spark):
+    """KEEP drops the sort column, then LIMIT must still take the
+    value-ordered prefix (passthrough projection in the oracle)."""
+    q = ("FROM events | SORT value DESC, event_id "
+         "| KEEP event_type | LIMIT 7")
+    s, d, cols = _run_both(spark, q)
+    assert sorted(s) == sorted(d) and len(s) == 7
+    assert cols == ["event_type"]
+    want = _duck().execute(
+        "SELECT event_type FROM events "
+        "ORDER BY value DESC, event_id LIMIT 7").fetchall()
+    assert sorted(s) == sorted(tuple(r) for r in want)
+
+
+# ------------------------------------------------- new ES|QL surface
+
+def test_bucket_and_now_time_series(spark):
+    with plan_clock("2024-01-25 00:00:00"):
+        q = ("FROM events | WHERE ts >= NOW() - 14 day "
+             "| STATS n = COUNT(*) BY day = BUCKET(ts, 1 day) "
+             "| WHERE n >= 1 | SORT day")
+        s, d, _ = _run_both(spark, q)
+    assert s == d
+    # anchor 01-25 minus 14d = 01-11; data runs through 01-30
+    assert s[0][0].strftime("%Y-%m-%d") == "2024-01-11"
+    assert len(s) == 20
+
+
+def test_date_trunc_form_matches_bucket(spark):
+    with plan_clock("2024-01-25 00:00:00"):
+        q1 = ("FROM events | STATS n = COUNT(*) "
+              "BY w = BUCKET(ts, 1 week) | SORT w")
+        q2 = ("FROM events | EVAL w = DATE_TRUNC(1 week, ts) "
+              "| STATS n = COUNT(*) BY w | SORT w")
+        s1, d1, _ = _run_both(spark, q1)
+        s2, d2, _ = _run_both(spark, q2)
+    assert s1 == d1 == s2 == d2
+
+
+def test_now_without_plan_clock_refuses():
+    with pytest.raises(ValueError, match="plan-time clock"):
+        parse_esql("FROM events | WHERE ts >= NOW() - 1 day")
+
+
+def test_mv_expand_split_wordcount(spark):
+    q = ("FROM documents | EVAL toks = SPLIT(text, \" \") "
+         "| MV_EXPAND toks | WHERE LENGTH(toks) >= 3 "
+         "| STATS n = COUNT(*) BY toks | SORT n DESC, toks "
+         "| LIMIT 25")
+    s, d, _ = _run_both(spark, q)
+    assert s == d and len(s) == 25
+
+
+def test_dissect_extracts_keys(spark):
+    q = ('FROM events | DISSECT props "{\\"k\\": %{kv}}" '
+         "| EVAL k = TO_LONG(kv) "
+         "| STATS n = COUNT(*), mx = MAX(k) BY b = k % 10 "
+         "| SORT b")
+    s, d, cols = _run_both(spark, q)
+    assert s == d and len(s) == 10
+    assert cols == ["b", "n", "mx"]
+
+
+def test_concat_is_null_propagating_in_both_engines(spark):
+    """ES|QL CONCAT returns NULL on any NULL input; DuckDB's
+    concat() would skip it — the oracle renders a || chain, so both
+    engines count ZERO non-null results here."""
+    q = ("FROM events | EVAL z = CONCAT(event_type, NULL) "
+         "| STATS n = COUNT(z), total = COUNT(*)")
+    s, d, _ = _run_both(spark, q)
+    assert s == d
+    assert s[0][0] == 0 and s[0][1] > 0
+
+
+# --------------------------------------------------------- fences
+
 def test_fences_raise_loudly():
     with pytest.raises(ValueError, match="must start with FROM"):
         parse_esql("WHERE x == 1")
     with pytest.raises(ValueError, match="GROK is not supported"):
         parse_esql("FROM events | GROK msg \"%{IP:ip}\"")
-    with pytest.raises(ValueError, match="WHERE after STATS"):
-        parse_esql("FROM events | STATS n = COUNT(*) | WHERE n > 1")
     with pytest.raises(ValueError, match="unsupported syntax"):
         parse_esql("FROM events | WHERE value ~= 3")
     with pytest.raises(ValueError, match="aggregate SUM outside"):
         parse_esql("FROM events | EVAL s = SUM(value)")
     with pytest.raises(ValueError, match="unsupported aggregate"):
         parse_esql("FROM events | STATS p = PERCENTILE(value, 95)")
+    with pytest.raises(ValueError, match="count 1"):
+        parse_esql("FROM events | STATS n = COUNT(*) "
+                   "BY b = BUCKET(ts, 5 day)")
+    with pytest.raises(ValueError, match="regex metacharacters"):
+        parse_esql('FROM documents | EVAL t = SPLIT(text, ".")')
+    with pytest.raises(ValueError, match="MV_EXPAND needs one"):
+        parse_esql("FROM documents | MV_EXPAND a, b")
+    with pytest.raises(ValueError, match="APPEND_SEPARATOR"):
+        parse_esql('FROM events | DISSECT props "%{a} %{b}" '
+                   "APPEND_SEPARATOR=\"-\"")
+    with pytest.raises(ValueError, match="at least one"):
+        parse_esql('FROM events | DISSECT props "no keys here"')
 
 
 def test_expression_translation():
     plan = parse_esql(
         'FROM events | WHERE a == "x\'y" AND b != 2 | LIMIT 1')
-    assert plan.wheres == ["( a = 'x''y' AND b <> 2 )"
-                           .replace("( ", "").replace(" )", "")] or \
-        "a = 'x''y' AND b <> 2" in plan.wheres[0]
+    kind, e = plan.commands[0]
+    assert kind == "where"
+    assert "a = 'x''y' AND b <> 2" in e.spark
+    assert e.spark == e.duck
