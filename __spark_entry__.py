@@ -44,6 +44,7 @@ from parquet_generator_spark.plans import llm_queries21 as L21
 from parquet_generator_spark.plans import llm_queries22 as L22
 from parquet_generator_spark.plans import llm_queries23 as L23
 from parquet_generator_spark.plans import llm_queries24 as L24
+from parquet_generator_spark.plans import llm_queries25 as L25
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -69,6 +70,7 @@ from parquet_generator_spark.plans import reference_queries21 as R21
 from parquet_generator_spark.plans import reference_queries22 as R22
 from parquet_generator_spark.plans import reference_queries23 as R23
 from parquet_generator_spark.plans import reference_queries24 as R24
+from parquet_generator_spark.plans import reference_queries25 as R25
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -113,6 +115,11 @@ FRONT_KEYS = [
     "dsl_variable_width_histogram",
     "dsl_script_score_painless",
     "esql_pipeline",
+    # round-11 additions append here as they land (window is 50 wide)
+    "ann_ivfpq_served",
+    "esql_pipeline_ts",
+    "esql_mv_expand",
+    "esql_dissect",
 ]
 
 
@@ -153,6 +160,7 @@ def queries() -> dict[str, QueryFn]:
         **L22.QUERIES,
         **L23.QUERIES,
         **L24.QUERIES,
+        **L25.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -180,6 +188,7 @@ def queries() -> dict[str, QueryFn]:
         **R22.QUERIES,
         **R23.QUERIES,
         **R24.QUERIES,
+        **R25.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -221,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         **L22.ORACLES,
         **L23.ORACLES,
         **L24.ORACLES,
+        **L25.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,
@@ -248,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
         **R22.ORACLES,
         **R23.ORACLES,
         **R24.ORACLES,
+        **R25.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

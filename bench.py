@@ -398,6 +398,11 @@ HEADLINE = [
     "dsl_variable_width_histogram",
     "dsl_script_score_painless",
     "esql_pipeline",
+    # round 11
+    "ann_ivfpq_served",
+    "esql_pipeline_ts",
+    "esql_mv_expand",
+    "esql_dissect",
 ]
 
 
