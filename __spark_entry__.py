@@ -120,6 +120,8 @@ FRONT_KEYS = [
     "esql_pipeline_ts",
     "esql_mv_expand",
     "esql_dissect",
+    "dsl_match_analyzer_de",
+    "dsl_match_analyzer_fr",
 ]
 
 

@@ -403,6 +403,8 @@ HEADLINE = [
     "esql_pipeline_ts",
     "esql_mv_expand",
     "esql_dissect",
+    "dsl_match_analyzer_de",
+    "dsl_match_analyzer_fr",
 ]
 
 

@@ -48,12 +48,21 @@ a an and are as at be but by for if in into is it no not of on or
 such that the their then there these they this to was will with
 """.split())
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
-_SEP = "[^a-z0-9]+"
+_CHARSET = "a-z0-9"          # the default (english) token alphabet
+_SEP = f"[^{_CHARSET}]+"
+# language analyzers widen the alphabet so umlauts/accents don't
+# split tokens; the classes below are valid in Python re, Java
+# regex, and RE2 alike (plain literals + ranges)
+GERMAN_CHARSET = "a-z0-9äöüß"
+FRENCH_CHARSET = "a-z0-9àâçéèêëîïôûù"
+
+_TOKEN_RE = re.compile(rf"[{_CHARSET}]+")
 
 
-def _tokens(text: str) -> list[str]:
-    return _TOKEN_RE.findall(text.lower())
+def _tokens(text: str, charset: str = _CHARSET) -> list[str]:
+    if charset == _CHARSET:
+        return _TOKEN_RE.findall(text.lower())
+    return re.findall(rf"[{charset}]+", text.lower())
 
 
 def s_stem(w: str) -> str:
@@ -90,17 +99,45 @@ def s_stem_sql(ref: str) -> str:
 def _stem_py(kind, w: str) -> str:
     if kind is None:
         return w
-    return porter_stem(w) if kind == "porter" else s_stem(w)
+    if kind == "porter":
+        return porter_stem(w)
+    if kind == "german":
+        from parquet_generator_spark.operators.snowball_de import (
+            german_stem,
+        )
+        return german_stem(w)
+    if kind == "french":
+        from parquet_generator_spark.operators.snowball_fr import (
+            french_stem,
+        )
+        return french_stem(w)
+    return s_stem(w)
+
+
+# stemmers whose SQL expression is expensive enough that the match
+# renderer binds ONE stemmed array per document instead of stemming
+# per query group
+_EXPENSIVE_STEMMERS = ("porter", "german", "french")
 
 
 def _stem_expr(kind, ref: str, engine: str) -> str:
     """Field-side stemmer expression for ``engine`` in
     {'spark', 'duck'} (the S-stemmer renders identically in both;
-    Porter needs per-engine regexp/binding syntax)."""
+    the full stemmers need per-engine binding syntax)."""
     if kind is None:
         return ref
     if kind == "porter":
         return porter_stem_sql(ref, engine)
+    if kind == "german":
+        from parquet_generator_spark.operators.snowball_de import (
+            german_stem_sql,
+        )
+        return german_stem_sql(ref, engine)
+    if kind == "french":
+        from parquet_generator_spark.operators.snowball_fr import (
+            french_stem_sql,
+        )
+        return french_stem_sql(ref, engine)
     return s_stem_sql(ref)
 
 
@@ -112,11 +149,16 @@ class Analyzer:
     stopwords: frozenset = frozenset()
     synonyms: dict = field(default_factory=dict)  # token -> [token...]
     stem: bool = False
-    stemmer: str = "s"  # "s" (Harman) or "porter" (Porter 1980)
+    stemmer: str = "s"  # "s" | "porter" | "german" | "french"
+    charset: str = _CHARSET  # token alphabet (regex class body)
 
     @property
     def stem_kind(self):
         return self.stemmer if self.stem else None
+
+    @property
+    def sep(self) -> str:
+        return f"[^{self.charset}]+"
 
     def analyze(self, query: str) -> list[list[str]]:
         """Query string -> token GROUPS: stopwords dropped, each
@@ -126,7 +168,7 @@ class Analyzer:
         synonym filter sits before the stemmer in the chain (ES's
         recommended order for keep-original synonym graphs)."""
         groups: list[list[str]] = []
-        for tok in _tokens(query):
+        for tok in _tokens(query, self.charset):
             if tok in self.stopwords:
                 continue
             variants = [tok] + [v.lower() for v in
@@ -170,6 +212,29 @@ register_analyzer(Analyzer("english_porter",
                            stem=True, stemmer="porter"))
 register_analyzer(Analyzer("porter", stem=True, stemmer="porter"))
 
+# Compact common-word stop sets (documented SUBSETS of the snowball
+# stop lists Lucene's GermanAnalyzer/FrenchAnalyzer ship — the full
+# lists are ~50/~160 entries; the analyzer object is the single
+# source for both engines, so parity never depends on the list)
+GERMAN_STOPWORDS = frozenset("""
+der die das den dem des ein eine einer eines einem einen und oder
+aber nicht ist sind war mit ohne für von zu im in am an auf aus bei
+nach über unter wir ihr sie er es ich du man als auch wie wenn dann
+so da dass
+""".split())
+FRENCH_STOPWORDS = frozenset("""
+le la les un une des du de et ou mais non est sont était avec sans
+pour par sur sous dans en au aux ce cette ces il elle ils elles je
+tu nous vous que qui quoi si plus
+""".split())
+
+register_analyzer(Analyzer("german", stopwords=GERMAN_STOPWORDS,
+                           stem=True, stemmer="german",
+                           charset=GERMAN_CHARSET))
+register_analyzer(Analyzer("french", stopwords=FRENCH_STOPWORDS,
+                           stem=True, stemmer="french",
+                           charset=FRENCH_CHARSET))
+
 
 def _quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
@@ -183,25 +248,26 @@ def _group_pred_sql(group: list[str], kind, engine: str) -> str:
     return f"t -> ({elem}) IN ({lits})"
 
 
-def _spark_tokens_expr(col: str) -> str:
-    return f"filter(split(lower({col}), '{_SEP}'), t -> t != '')"
+def _spark_tokens_expr(col: str, sep: str = _SEP) -> str:
+    return f"filter(split(lower({col}), '{sep}'), t -> t != '')"
 
 
-def _duck_tokens_expr(col: str) -> str:
+def _duck_tokens_expr(col: str, sep: str = _SEP) -> str:
     return (f"list_filter(string_split_regex(lower({col}), "
-            f"'{_SEP}'), t -> t != '')")
+            f"'{sep}'), t -> t != '')")
 
 
-def analyzed_group_present(col: str, group: list[str],
-                           kind) -> Column:
+def analyzed_group_present(col: str, group: list[str], kind,
+                           sep: str = _SEP) -> Column:
     lam = _group_pred_sql(group, kind, "spark")
-    return F.expr(f"exists({_spark_tokens_expr(col)}, {lam})")
+    return F.expr(f"exists({_spark_tokens_expr(col, sep)}, {lam})")
 
 
 def analyzed_group_present_duck_sql(col: str, group: list[str],
-                                    kind) -> str:
+                                    kind, sep: str = _SEP) -> str:
     lam = _group_pred_sql(group, kind, "duck")
-    return f"len(list_filter({_duck_tokens_expr(col)}, {lam})) > 0"
+    return (f"len(list_filter({_duck_tokens_expr(col, sep)}, "
+            f"{lam})) > 0")
 
 
 def _match_algebra_sql(hits: list[str], operator: str,
@@ -241,7 +307,8 @@ def _prefix_guarded_stem(kind, ref: str, engine: str,
 
 def _stemmed_match_sql(col: str, groups: list[list[str]], kind,
                        engine: str, operator: str,
-                       minimum_should_match: int | None) -> str:
+                       minimum_should_match: int | None,
+                       sep: str = _SEP) -> str:
     """Stem-once match rendering: bind ``transform(tokens, stem)``
     to a single variable and test every group against it — for an
     expensive stemmer (Porter) this cuts the per-document stemming
@@ -249,13 +316,15 @@ def _stemmed_match_sql(col: str, groups: list[list[str]], kind,
     path."""
     stem = _prefix_guarded_stem(kind, "t", engine, groups)
     if engine == "spark":
-        stemmed = f"transform({_spark_tokens_expr(col)}, t -> {stem})"
+        stemmed = (f"transform({_spark_tokens_expr(col, sep)}, "
+                   f"t -> {stem})")
         hits = [
             f"exists(S, e -> e IN ({', '.join(_quote(g) for g in grp)}))"
             for grp in groups]
         body = _match_algebra_sql(hits, operator, minimum_should_match)
         return f"element_at(transform(array({stemmed}), S -> {body}), 1)"
-    stemmed = f"list_transform({_duck_tokens_expr(col)}, t -> {stem})"
+    stemmed = (f"list_transform({_duck_tokens_expr(col, sep)}, "
+               f"t -> {stem})")
     hits = [
         f"len(list_filter(S, e -> e IN "
         f"({', '.join(_quote(g) for g in grp)}))) > 0"
@@ -277,13 +346,14 @@ def analyzed_match(col: str, query: str, analyzer: Analyzer,
     if (minimum_should_match is not None
             and int(minimum_should_match) > len(groups)):
         return F.lit(False)
-    if analyzer.stem_kind == "porter":
-        # stem once per document, not once per group (the Porter
-        # expression is ~100x the S-stemmer's CASE)
+    if analyzer.stem_kind in _EXPENSIVE_STEMMERS:
+        # stem once per document, not once per group (the full
+        # stemmer expressions are ~100x the S-stemmer's CASE)
         return F.expr(_stemmed_match_sql(
             col, groups, analyzer.stem_kind, "spark", operator,
-            minimum_should_match))
-    hits = [analyzed_group_present(col, g, analyzer.stem_kind)
+            minimum_should_match, analyzer.sep))
+    hits = [analyzed_group_present(col, g, analyzer.stem_kind,
+                                   analyzer.sep)
             for g in groups]
     if operator == "and":
         out = F.lit(True)
@@ -318,12 +388,13 @@ def analyzed_match_duck_sql(col: str, query: str, analyzer: Analyzer,
     if (minimum_should_match is not None
             and int(minimum_should_match) > len(groups)):
         return "FALSE"
-    if analyzer.stem_kind == "porter":
+    if analyzer.stem_kind in _EXPENSIVE_STEMMERS:
         return _stemmed_match_sql(
             col, groups, analyzer.stem_kind, "duck", operator,
-            minimum_should_match)
+            minimum_should_match, analyzer.sep)
     hits = [analyzed_group_present_duck_sql(col, g,
-                                            analyzer.stem_kind)
+                                            analyzer.stem_kind,
+                                            analyzer.sep)
             for g in groups]
     if operator == "and":
         return "(" + " AND ".join(hits) + ")"
@@ -340,7 +411,7 @@ def _phrase_groups(query: str, analyzer: Analyzer) -> list[list[str]]:
     the dropped token's slot); that gap semantics is out of scope
     here, so a phrase whose analysis would drop a token is refused
     loudly rather than silently matching tighter adjacency."""
-    raw = _tokens(query)
+    raw = _tokens(query, analyzer.charset)
     groups = analyzer.analyze(query)
     if len(groups) != len(raw):
         dropped = [t for t in raw if t in analyzer.stopwords]
@@ -377,7 +448,7 @@ def analyzed_match_phrase(col: str, phrase: str,
     k = len(groups)
     elem = _prefix_guarded_stem(analyzer.stem_kind, "t", "spark",
                                 groups)
-    toks = _spark_tokens_expr(col)
+    toks = _spark_tokens_expr(col, analyzer.sep)
     lam = _phrase_lambda(groups,
                          lambda j: f"element_at(x.s, i + {j})")
     return F.expr(
@@ -395,7 +466,7 @@ def analyzed_match_phrase_duck_sql(col: str, phrase: str,
     k = len(groups)
     elem = _prefix_guarded_stem(analyzer.stem_kind, "t", "duck",
                                 groups)
-    toks = _duck_tokens_expr(col)
+    toks = _duck_tokens_expr(col, analyzer.sep)
     stemmed = f"list_transform({toks}, t -> {elem})"
     # bind the stemmed array ONCE per document: inlining it into the
     # window lambda re-stems the whole array per start position

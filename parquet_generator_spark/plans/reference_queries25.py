@@ -121,3 +121,112 @@ ORACLES.update({
     "esql_mv_expand": esql_duck_sql(parse_esql(ESQL_MV_QUERY)),
     "esql_dissect": esql_duck_sql(parse_esql(ESQL_DISSECT_QUERY)),
 })
+
+
+# ------------------------- snowball language analyzers (de / fr)
+
+# the synthetic corpus is ASCII English, so de/fr documents get
+# deterministic planted payloads (literal constants shared by plan
+# and oracle — the text_tokens_cjk posture): inflected forms the
+# english chain provably cannot fold onto the query's terms
+_DE_SNIPPETS = [
+    "die häuser wurden gebaut",
+    "kategorien für häusern geordnet",
+    "schönheit alter häuser",
+]
+_DE_QUERY = "haus kategorie"
+
+_FR_SNIPPETS = [
+    "les maisons nationales sont grandes",
+    "arrangements nationaux et continuité",
+    "qualification nationale première",
+]
+_FR_QUERY = "national arrangement"
+
+
+def _planted_expr(lang: str, snippets: list[str]) -> str:
+    snip = ("CASE CAST(doc_id % 3 AS INT) "
+            + " ".join(f"WHEN {i} THEN '{s}'"
+                       for i, s in enumerate(snippets))
+            + " END")
+    return (f"CASE WHEN lang = '{lang}' THEN "
+            f"concat({snip}, ' ', substr(text, 1, 60)) "
+            f"ELSE substr(text, 1, 60) END")
+
+
+def _match_lang_df(spark: SparkSession, sf_dir: str, lang: str,
+                   snippets: list[str], query: str,
+                   analyzer_name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match,
+        get_analyzer,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = analyzed_match("mixed", query, get_analyzer(analyzer_name),
+                          operator="and")
+    return (docs
+            .withColumn("mixed",
+                        F.expr(_planted_expr(lang, snippets)))
+            .filter(pred)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("source"))
+
+
+def _match_lang_oracle(lang: str, snippets: list[str], query: str,
+                       analyzer_name: str) -> str:
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match_duck_sql,
+        get_analyzer,
+    )
+
+    pred = analyzed_match_duck_sql(
+        "mixed", query, get_analyzer(analyzer_name), operator="and")
+    return f"""
+WITH m AS (SELECT source,
+                  {_planted_expr(lang, snippets)} AS mixed
+           FROM documents)
+SELECT source, count(*) AS doc_count
+FROM m WHERE {pred}
+GROUP BY source ORDER BY source
+"""
+
+
+def dsl_match_analyzer_de(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """``match`` with ``analyzer: "german"`` (snowball german,
+    operator AND): the query's dictionary forms (haus, kategorie)
+    match the planted declensions (häusern, kategorien) only through
+    the full stemmer chain — umlaut-aware tokenization, R1/R2 suffix
+    removal, umlaut folding. The english chain provably matches ZERO
+    documents here (pinned in tests/test_snowball_de.py's sibling
+    analyzer test): ä splits its tokenizer and the S-stemmer cannot
+    fold häusern -> haus. Stemmer bound ONCE per document
+    (operators/analyzers._stemmed_match_sql)."""
+    return _match_lang_df(spark, sf_dir, "de", _DE_SNIPPETS,
+                          _DE_QUERY, "german")
+
+
+def dsl_match_analyzer_fr(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """``match`` with ``analyzer: "french"`` (snowball french,
+    operator AND): nationaux/nationales/arrangements all fold to the
+    query's stems through RV/R1/R2 suffix removal + residual steps —
+    the english chain matches zero."""
+    return _match_lang_df(spark, sf_dir, "fr", _FR_SNIPPETS,
+                          _FR_QUERY, "french")
+
+
+QUERIES.update({
+    "dsl_match_analyzer_de": dsl_match_analyzer_de,
+    "dsl_match_analyzer_fr": dsl_match_analyzer_fr,
+})
+ORACLES.update({
+    "dsl_match_analyzer_de": _match_lang_oracle(
+        "de", _DE_SNIPPETS, _DE_QUERY, "german"),
+    "dsl_match_analyzer_fr": _match_lang_oracle(
+        "fr", _FR_SNIPPETS, _FR_QUERY, "french"),
+})
