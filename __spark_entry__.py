@@ -122,6 +122,7 @@ FRONT_KEYS = [
     "esql_dissect",
     "dsl_match_analyzer_de",
     "dsl_match_analyzer_fr",
+    "dsl_scripted_metric_loop",
 ]
 
 

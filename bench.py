@@ -405,6 +405,7 @@ HEADLINE = [
     "esql_dissect",
     "dsl_match_analyzer_de",
     "dsl_match_analyzer_fr",
+    "dsl_scripted_metric_loop",
 ]
 
 

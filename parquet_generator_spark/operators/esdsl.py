@@ -1708,22 +1708,71 @@ _MAP_INCR_RE = re.compile(r"^\s*state\.(\w+)\s*\+=\s*([^;]*?)\s*;?\s*$",
 _MAP_MAXMIN_RE = re.compile(
     r"^\s*state\.(\w+)\s*=\s*Math\.(max|min)\(\s*state\.\1\s*,"
     r"\s*([^;]*)\)\s*;?\s*$", re.S)
+# bounded painless for-loop over a doc ARRAY field:
+#   for (int i = 0; i < doc['arr'].length; i++) { state.v += <expr> }
+# The loop bound is the array field's own length, so the whole loop
+# is a sequential fold over the array — translated to ONE
+# higher-order aggregate() (codegen, no unroll, no length contract);
+# the per-doc fold result then feeds the ordinary partial aggregate.
+_MAP_FOR_RE = re.compile(
+    r"^\s*for\s*\(\s*int\s+(\w+)\s*=\s*0\s*;\s*"
+    r"\1\s*<\s*doc\['(\w+)'\]\.length\s*;\s*\1\+\+\s*\)\s*"
+    r"\{\s*state\.(\w+)\s*\+=\s*([^;{}]*?)\s*;?\s*\}\s*$", re.S)
+
+_LOOP_ELEM = "loop_elem_ref__"
+
+
+def _loop_body_sql(var: str, arr: str, body: str,
+                   params: dict | None = None) -> str:
+    """Loop body -> SQL over the lambda element variable ``x``.
+    The element is CAST to DOUBLE (painless doc values are doubles;
+    a float[] column would otherwise mix float/double arithmetic
+    between engines). The index may ONLY appear inside the element
+    ref — positional arithmetic is fenced loudly."""
+    elem_re = re.compile(rf"doc\['{arr}'\]\[{var}\]")
+    if not elem_re.search(body):
+        raise ValueError(
+            f"scripted_metric loop: body never reads "
+            f"doc['{arr}'][{var}]: {body!r}")
+    body_pl = elem_re.sub(_LOOP_ELEM, body)
+    if f"doc['{arr}']" in body_pl or re.search(
+            rf"\b{var}\b", body_pl):
+        raise ValueError(
+            "scripted_metric loop: the index may only appear as "
+            f"doc['{arr}'][{var}] (positional arithmetic is not "
+            f"supported): {body!r}")
+    sql = _painless_expr_sql(body_pl, params)
+    return sql.replace(_LOOP_ELEM, "CAST(x AS DOUBLE)")
 
 
 def _scripted_metric_col(agg_name: str, mbody: dict) -> Column:
     """Fold-shaped scripted_metric -> one aggregate Column."""
     map_script = mbody["map_script"]
-    m = _MAP_ADD_RE.match(map_script) or _MAP_INCR_RE.match(map_script)
-    if m:
-        expr, fold = m.group(2), "sum"
+    mf = _MAP_FOR_RE.match(map_script)
+    if mf:
+        var, arr, _state, body = mf.groups()
+        inner = _loop_body_sql(var, arr, body,
+                               mbody.get("params"))
+        # sequential left-to-right fold — the add order every engine
+        # (and the painless loop itself) agrees on
+        expr = (f"aggregate({arr}, CAST(0 AS DOUBLE), "
+                f"(acc, x) -> acc + ({inner}))")
+        fold = "sum"
+        m = mf
     else:
-        m = _MAP_MAXMIN_RE.match(map_script)
-        if not m:
-            raise ValueError(
-                "scripted_metric: map_script must be a fold "
-                "(state.v.add(expr), state.v += expr, or "
-                f"state.v = Math.max/min(state.v, expr)): {map_script!r}")
-        fold, expr = m.group(2), m.group(3)
+        m = (_MAP_ADD_RE.match(map_script)
+             or _MAP_INCR_RE.match(map_script))
+        if m:
+            expr, fold = m.group(2), "sum"
+        else:
+            m = _MAP_MAXMIN_RE.match(map_script)
+            if not m:
+                raise ValueError(
+                    "scripted_metric: map_script must be a fold "
+                    "(state.v.add(expr), state.v += expr, state.v = "
+                    "Math.max/min(state.v, expr), or a for-loop "
+                    f"over a doc array field): {map_script!r}")
+            fold, expr = m.group(2), m.group(3)
     # combine/reduce must fold with the same operator (or be omitted)
     for key in ("combine_script", "reduce_script"):
         s = mbody.get(key, "")
@@ -1740,7 +1789,11 @@ def _scripted_metric_col(agg_name: str, mbody: dict) -> Column:
                 f"scripted_metric: {key} folds with {other!r} but "
                 f"map_script folds with {fold!r}")
     fn = {"sum": F.sum, "max": F.max, "min": F.min}[fold]
-    return fn(F.expr(_painless_expr_sql(expr))).alias(agg_name)
+    # the loop branch already produced SQL text; scalar folds still
+    # carry a painless value expression
+    sql_expr = expr if mf else _painless_expr_sql(
+        expr, mbody.get("params"))
+    return fn(F.expr(sql_expr)).alias(agg_name)
 
 
 def _metric_cols(agg_name: str, spec: dict) -> list[Column]:

@@ -145,3 +145,39 @@ def test_painless_exp_log10():
     assert _painless_expr_sql("Math.log10(doc.v.value)") == "log10(v)"
     # Math.log still maps to ln, not log10's prefix
     assert _painless_expr_sql("Math.log(doc.v.value)") == "ln(v)"
+
+
+def test_loop_fences_raise_loudly():
+    """Non-fold loops and positional arithmetic are refused with
+    clear errors, not mistranslated."""
+    import pytest
+
+    from parquet_generator_spark.operators.esdsl import (
+        _scripted_metric_col,
+    )
+
+    def body(map_script):
+        return {"init_script": "state.v = 0",
+                "map_script": map_script,
+                "combine_script": "p += t", "reduce_script": "p += a"}
+
+    # index used outside the element ref
+    with pytest.raises(ValueError, match="positional arithmetic"):
+        _scripted_metric_col("x", body(
+            "for (int i = 0; i < doc['embedding'].length; i++) "
+            "{ state.v += doc['embedding'][i] * i }"))
+    # body never reads the array
+    with pytest.raises(ValueError, match="never reads"):
+        _scripted_metric_col("x", body(
+            "for (int i = 0; i < doc['embedding'].length; i++) "
+            "{ state.v += 1 }"))
+    # non-zero start / foreign bound stay out of the loop gate
+    with pytest.raises(ValueError, match="must be a fold"):
+        _scripted_metric_col("x", body(
+            "for (int i = 1; i < doc['embedding'].length; i++) "
+            "{ state.v += doc['embedding'][i] }"))
+    # multi-statement loop bodies are refused
+    with pytest.raises(ValueError, match="must be a fold"):
+        _scripted_metric_col("x", body(
+            "for (int i = 0; i < doc['embedding'].length; i++) "
+            "{ state.v += doc['embedding'][i]; state.u += 1 }"))
