@@ -77,17 +77,16 @@ from parquet_generator_spark.plans import streaming_queries as S
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness sampler reads 50 entries from the front of queries().
-# Cumulative hard ledger after round 9: 328 of 337 entries driver-green
-# at their latest sample (CORRECTNESS_r09 = 48/50 green). Round 10
-# fronts the 9 keys that still need driver rows: the 7 round-9
-# additions that landed past the 50-wide window (never driver-sampled;
-# all judge-sim MATCH in r9) plus the 2 BPE keys whose r9 hash-fail was
-# oracle HUGEINT typing, now fixed by CAST(... AS BIGINT) in the
-# oracles. A green CORRECTNESS_r10 row for each closes the hard ledger
-# at 337/337 with zero rotation debt.
+# Cumulative hard ledger after round 10: ALL 351 entries driver-green
+# at their latest sample (CORRECTNESS_r10 = 50/50 MATCH) — zero debt
+# entering round 11. The round-11 FRONT window re-verifies the full
+# round-10 cohort (22 keys, their latest samples are now one round
+# old) and appends the 7 round-11 additions as they land; 30 FRONT
+# keys total, all inside the 50-wide window, so CORRECTNESS_r11
+# closes the ledger at the full 358-entry surface.
 #
-# ROUND-11 ROTATION DEBT: none — all 13 round-10 additions sit
-# inside the 50-wide window (22 FRONT keys total).
+# ROUND-12 ROTATION DEBT: none expected — every round-11 addition is
+# in the FRONT window.
 FRONT_KEYS = [
     # round-9 evidence debt (7 never-driver-sampled keys)
     "dsl_match_phrase_analyzer",

@@ -297,16 +297,18 @@ def test_date_math_now_bounds_reach_scan(spark):
 
 def test_front_keys_lead_queries():
     """The driver's correctness sampler reads 50 entries from the
-    front of queries(); FRONT_KEYS pins the round-10 sample to the 9
-    keys still needing driver rows (7 never-sampled round-9 additions
-    + the 2 BPE keys whose oracles were HUGEINT-cast this round),
-    followed by round-10 additions."""
+    front of queries(); the round-11 FRONT window re-verifies the
+    round-10 cohort and fronts every round-11 addition so the
+    cumulative hard ledger stays closed."""
     q = list(entrymod.queries())
     present = [k for k in entrymod.FRONT_KEYS if k in entrymod.queries()]
     assert q[:len(present)] == present
-    assert len(present) >= 9
+    assert len(present) >= 29
     assert present[0] == "dsl_match_phrase_analyzer"
-    assert "bpe_encode_stats" in present[:9]
+    for k in ("ann_ivfpq_served", "esql_pipeline_ts", "esql_dissect",
+              "dsl_match_analyzer_de", "dsl_match_analyzer_fr",
+              "dsl_scripted_metric_loop", "esql_mv_expand"):
+        assert k in present, k
     # the sampler window is 50 wide: anything past 50 is next round's
     # rotation debt and must be called out in the FRONT_KEYS comment
     assert len(present) <= 50, "rotation debt: update the debt comment"
