@@ -406,6 +406,7 @@ HEADLINE = [
     "dsl_match_analyzer_de",
     "dsl_match_analyzer_fr",
     "dsl_scripted_metric_loop",
+    "dsl_match_phrase_analyzer_de",
 ]
 
 # brute-force exactness twins with a labeled production path; at

@@ -287,3 +287,58 @@ ORDER BY doc_count DESC, key ASC LIMIT 20
 
 QUERIES.update({"dsl_scripted_metric_loop": dsl_scripted_metric_loop})
 ORACLES.update({"dsl_scripted_metric_loop": _SCRIPTED_LOOP_ORACLE})
+
+
+# ------------------------------- dsl_match_phrase_analyzer_de
+
+_DE_PHRASE = "hauses geordnetes"
+
+
+def dsl_match_phrase_analyzer_de(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``match_phrase`` with ``analyzer: "german"``: the query's
+    forms (hauses, geordnetes) and the planted declensions (häusern,
+    geordnet) meet only at the snowball stems [haus, geordnet], and
+    the two stems must be CONSECUTIVE field positions — the adjacency
+    scan runs over ONE bound stemmed-token array per document."""
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match_phrase,
+        get_analyzer,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = analyzed_match_phrase("mixed", _DE_PHRASE,
+                                 get_analyzer("german"))
+    return (docs
+            .withColumn("mixed",
+                        F.expr(_planted_expr("de", _DE_SNIPPETS)))
+            .filter(pred)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("lang"))
+
+
+def _phrase_de_oracle() -> str:
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match_phrase_duck_sql,
+        get_analyzer,
+    )
+
+    pred = analyzed_match_phrase_duck_sql(
+        "mixed", _DE_PHRASE, get_analyzer("german"))
+    return f"""
+WITH m AS (SELECT lang,
+                  {_planted_expr("de", _DE_SNIPPETS)} AS mixed
+           FROM documents)
+SELECT lang, count(*) AS doc_count
+FROM m WHERE {pred}
+GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES.update(
+    {"dsl_match_phrase_analyzer_de": dsl_match_phrase_analyzer_de})
+ORACLES.update(
+    {"dsl_match_phrase_analyzer_de": _phrase_de_oracle()})
