@@ -407,6 +407,7 @@ HEADLINE = [
     "dsl_match_analyzer_fr",
     "dsl_scripted_metric_loop",
     "dsl_match_phrase_analyzer_de",
+    "esql_rename_drop",
 ]
 
 # brute-force exactness twins with a labeled production path; at

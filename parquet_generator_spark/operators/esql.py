@@ -73,7 +73,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _FUNCS = {"ABS": "abs", "ROUND": "round", "SQRT": "sqrt",
-          "LENGTH": "length", "LOWER": "lower", "UPPER": "upper"}
+          "LENGTH": "length", "LOWER": "lower", "UPPER": "upper",
+          "COALESCE": "coalesce", "TRIM": "trim", "LTRIM": "ltrim",
+          "RTRIM": "rtrim", "SUBSTRING": "substr", "FLOOR": "floor"}
 _AGGS = {"COUNT": "count", "SUM": "sum", "AVG": "avg",
          "MIN": "min", "MAX": "max",
          "COUNT_DISTINCT": None}  # None: rendered specially
@@ -99,8 +101,7 @@ _TOKEN_RE = re.compile(
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 _INT_RE = re.compile(r"\d+\Z")
 
-_UNSUPPORTED = ("GROK", "ENRICH", "RENAME", "DROP", "ROW", "SHOW",
-                "LOOKUP")
+_UNSUPPORTED = ("GROK", "ENRICH", "ROW", "SHOW", "LOOKUP")
 
 
 class _E(NamedTuple):
@@ -206,6 +207,14 @@ def _render_call(name: str, args: list[str]) -> _E:
         if args:
             raise ValueError("esql: NOW() takes no arguments")
         return _both(_now_literal())
+    if name in ("STARTS_WITH", "ENDS_WITH"):
+        if len(rendered) != 2:
+            raise ValueError(f"esql: {name} takes (str, affix)")
+        sp_fn = "startswith" if name == "STARTS_WITH" else "endswith"
+        du_fn = "starts_with" if name == "STARTS_WITH" else "ends_with"
+        a, b = rendered
+        return _E(f"{sp_fn}({a.spark}, {b.spark})",
+                  f"{du_fn}({a.duck}, {b.duck})")
     if name in ("BUCKET", "DATE_TRUNC"):
         if len(args) != 2:
             raise ValueError(f"esql: {name} takes "
@@ -223,7 +232,7 @@ def _render_call(name: str, args: list[str]) -> _E:
 
 
 _SPECIAL = ("CONCAT", "SPLIT", "NOW", "BUCKET", "DATE_TRUNC",
-            *_CASTS)
+            "STARTS_WITH", "ENDS_WITH", *_CASTS)
 
 
 def _render_expr(expr: str) -> _E:
@@ -433,6 +442,23 @@ def parse_esql(query: str) -> EsqlPlan:
             plan.commands.append(("keep", keeps))
         elif kw == "LIMIT":
             plan.commands.append(("limit", int(body)))
+        elif kw == "RENAME":
+            pairs = []
+            for item in _split_top(body):
+                m2 = re.fullmatch(
+                    r"([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+"
+                    r"([A-Za-z_][A-Za-z0-9_]*)", item, re.I)
+                if not m2:
+                    raise ValueError(f"esql: RENAME needs old AS "
+                                     f"new, got {item!r}")
+                pairs.append((m2.group(1), m2.group(2)))
+            plan.commands.append(("rename", pairs))
+        elif kw == "DROP":
+            cols = [c.strip() for c in body.split(",")]
+            if not all(_IDENT_RE.fullmatch(c) for c in cols):
+                raise ValueError(f"esql: DROP needs column names, "
+                                 f"got {body!r}")
+            plan.commands.append(("drop", cols))
         elif kw == "MV_EXPAND":
             if not _IDENT_RE.fullmatch(body):
                 raise ValueError(f"esql: MV_EXPAND needs one column "
@@ -454,7 +480,29 @@ def parse_esql(query: str) -> EsqlPlan:
             plan.commands.append(("dissect", (col, rx, keys)))
         else:
             raise ValueError(f"esql: unknown command {kw!r}")
+    _validate_order_flow(plan)
     return plan
+
+
+def _validate_order_flow(plan: EsqlPlan) -> None:
+    """Static pass mirroring the renderers' active-sort tracking:
+    DROP of an active sort column is refused at PARSE time (KEEP
+    projects sort columns through; DROP removes them before a later
+    LIMIT could consume the order)."""
+    active: set = set()
+    for kind, p in plan.commands:
+        if kind == "sort":
+            active = {c for c, _ in p}
+        elif kind == "stats":
+            active = set()
+        elif kind == "rename":
+            ren = dict(p)
+            active = {ren.get(c, c) for c in active}
+        elif kind == "drop" and active & set(p):
+            raise ValueError(
+                f"esql: DROP of an active SORT column "
+                f"{sorted(active & set(p))} is not supported — use "
+                f"KEEP (it projects sort columns through)")
 
 
 def _split_top(s: str) -> list[str]:
@@ -502,6 +550,11 @@ def esql_df(df: DataFrame, plan: EsqlPlan) -> DataFrame:
             df = df.select(*p)
         elif kind == "limit":
             df = df.limit(p)
+        elif kind == "rename":
+            for old, new in p:
+                df = df.withColumnRenamed(old, new)
+        elif kind == "drop":
+            df = df.drop(*p)
         elif kind == "mv_expand":
             df = df.withColumn(p, F.explode(F.col(p)))
         elif kind == "dissect":
@@ -551,6 +604,22 @@ def esql_duck_sql(plan: EsqlPlan) -> str:
         elif kind == "limit":
             ob = f" ORDER BY {_order_by(order)}" if order else ""
             sql = f"SELECT * FROM ({sql}) _l{ob} LIMIT {p}"
+        elif kind == "rename":
+            olds = ", ".join(old for old, _ in p)
+            news = ", ".join(f"{old} AS {new}" for old, new in p)
+            sql = (f"SELECT * EXCLUDE ({olds}), {news} "
+                   f"FROM ({sql}) _r")
+            if order:  # a later LIMIT orders by the NEW names
+                ren = dict(p)
+                order = [(ren.get(c, c), asc) for c, asc in order]
+        elif kind == "drop":
+            if order and any(c in p for c, _ in order):
+                raise ValueError(
+                    "esql: DROP of an active SORT column is not "
+                    "supported — KEEP projects sort columns "
+                    "through; DROP removes them before the sort "
+                    "can be consumed")
+            sql = f"SELECT * EXCLUDE ({', '.join(p)}) FROM ({sql}) _x"
         elif kind == "mv_expand":
             sql = (f"SELECT * EXCLUDE ({p}), unnest({p}) AS {p} "
                    f"FROM ({sql}) _m")

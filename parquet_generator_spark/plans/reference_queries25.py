@@ -342,3 +342,36 @@ QUERIES.update(
     {"dsl_match_phrase_analyzer_de": dsl_match_phrase_analyzer_de})
 ORACLES.update(
     {"dsl_match_phrase_analyzer_de": _phrase_de_oracle()})
+
+
+# ------------------------------------------------ esql_rename_drop
+
+ESQL_RENAME_QUERY = (
+    "FROM events "
+    "| RENAME event_type AS etype, value AS v "
+    '| WHERE STARTS_WITH(etype, "pu") AND v >= 50 '
+    "| EVAL bucket = TO_LONG(FLOOR(v)) % 5, "
+    'tag = COALESCE(etype, "none") '
+    "| DROP props "
+    "| STATS n = COUNT(*), hi = MAX(v) BY tag, bucket "
+    "| SORT tag, bucket")
+
+
+def esql_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL projection-management commands: RENAME (sequential —
+    a renamed sort column keeps feeding later LIMITs under its new
+    name), DROP (refused at parse time if it would remove an active
+    sort column), plus the string/scalar function tranche
+    (STARTS_WITH/ENDS_WITH per-engine, COALESCE/TRIM/SUBSTRING/
+    FLOOR engine-neutral). FLOOR before TO_LONG keeps the
+    double->BIGINT cast integer-exact in both engines (DuckDB
+    rounds, Spark truncates — floor makes them agree)."""
+    plan = parse_esql(ESQL_RENAME_QUERY)
+    ev = load_table(spark, plan.table, sf_dir)
+    return esql_df(ev, plan)
+
+
+QUERIES.update({"esql_rename_drop": esql_rename_drop})
+ORACLES.update({
+    "esql_rename_drop": esql_duck_sql(parse_esql(ESQL_RENAME_QUERY)),
+})

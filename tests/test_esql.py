@@ -216,3 +216,41 @@ def test_expression_translation():
     assert kind == "where"
     assert "a = 'x''y' AND b <> 2" in e.spark
     assert e.spark == e.duck
+
+
+def test_rename_drop_and_string_functions(spark):
+    q = ("FROM events | RENAME event_type AS etype, value AS v "
+         "| WHERE STARTS_WITH(etype, \"pu\") AND v >= 50 "
+         "| EVAL bucket = TO_LONG(FLOOR(v)) % 5, "
+         "tag = COALESCE(etype, \"none\") "
+         "| DROP props "
+         "| STATS n = COUNT(*), hi = MAX(v) BY tag, bucket "
+         "| SORT tag, bucket")
+    s, d, cols = _run_both(spark, q)
+    assert s == d and len(s) > 0
+    assert cols == ["tag", "bucket", "n", "hi"]
+    assert all(r[0] == "purchase" for r in s)
+
+
+def test_rename_of_sort_column_keeps_limit_order(spark):
+    q = ("FROM events | SORT value DESC, event_id "
+         "| RENAME value AS v | LIMIT 5 | KEEP event_id, v")
+    s, d, _ = _run_both(spark, q)
+    assert sorted(s) == sorted(d) and len(s) == 5
+    want = _duck().execute(
+        "SELECT event_id, value FROM events "
+        "ORDER BY value DESC, event_id LIMIT 5").fetchall()
+    assert sorted(s) == sorted(tuple(r) for r in want)
+
+
+def test_drop_of_sort_column_refused():
+    with pytest.raises(ValueError, match="DROP of an active SORT"):
+        parse_esql("FROM events | SORT value | DROP value | LIMIT 3")
+
+
+def test_ends_with_and_substring(spark):
+    q = ("FROM events | EVAL e3 = SUBSTRING(event_type, 1, 3) "
+         "| WHERE ENDS_WITH(event_type, \"ck\") "
+         "| STATS n = COUNT(*) BY e3 | SORT e3")
+    s, d, _ = _run_both(spark, q)
+    assert s == d and len(s) == 1 and s[0][0] == "cli"
