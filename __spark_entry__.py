@@ -81,9 +81,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # at their latest sample (CORRECTNESS_r10 = 50/50 MATCH) — zero debt
 # entering round 11. The round-11 FRONT window re-verifies the full
 # round-10 cohort (22 keys, their latest samples are now one round
-# old) and appends the 9 round-11 additions as they land; 30 FRONT
+# old) and appends the 10 round-11 additions as they land; 30 FRONT
 # keys total, all inside the 50-wide window, so CORRECTNESS_r11
-# closes the ledger at the full 360-entry surface.
+# closes the ledger at the full 361-entry surface.
 #
 # ROUND-12 ROTATION DEBT: none expected — every round-11 addition is
 # in the FRONT window.
@@ -124,6 +124,7 @@ FRONT_KEYS = [
     "dsl_scripted_metric_loop",
     "dsl_match_phrase_analyzer_de",
     "esql_rename_drop",
+    "dsl_match_analyzer_es",
 ]
 
 

@@ -408,6 +408,7 @@ HEADLINE = [
     "dsl_scripted_metric_loop",
     "dsl_match_phrase_analyzer_de",
     "esql_rename_drop",
+    "dsl_match_analyzer_es",
 ]
 
 # brute-force exactness twins with a labeled production path; at

@@ -55,6 +55,7 @@ _SEP = f"[^{_CHARSET}]+"
 # regex, and RE2 alike (plain literals + ranges)
 GERMAN_CHARSET = "a-z0-9äöüß"
 FRENCH_CHARSET = "a-z0-9àâçéèêëîïôûù"
+SPANISH_CHARSET = "a-z0-9áéíóúüñ"
 
 _TOKEN_RE = re.compile(rf"[{_CHARSET}]+")
 
@@ -111,13 +112,18 @@ def _stem_py(kind, w: str) -> str:
             french_stem,
         )
         return french_stem(w)
+    if kind == "spanish":
+        from parquet_generator_spark.operators.snowball_es import (
+            spanish_stem,
+        )
+        return spanish_stem(w)
     return s_stem(w)
 
 
 # stemmers whose SQL expression is expensive enough that the match
 # renderer binds ONE stemmed array per document instead of stemming
 # per query group
-_EXPENSIVE_STEMMERS = ("porter", "german", "french")
+_EXPENSIVE_STEMMERS = ("porter", "german", "french", "spanish")
 
 
 def _stem_expr(kind, ref: str, engine: str) -> str:
@@ -138,6 +144,11 @@ def _stem_expr(kind, ref: str, engine: str) -> str:
             french_stem_sql,
         )
         return french_stem_sql(ref, engine)
+    if kind == "spanish":
+        from parquet_generator_spark.operators.snowball_es import (
+            spanish_stem_sql,
+        )
+        return spanish_stem_sql(ref, engine)
     return s_stem_sql(ref)
 
 
@@ -149,7 +160,7 @@ class Analyzer:
     stopwords: frozenset = frozenset()
     synonyms: dict = field(default_factory=dict)  # token -> [token...]
     stem: bool = False
-    stemmer: str = "s"  # "s" | "porter" | "german" | "french"
+    stemmer: str = "s"  # s | porter | german | french | spanish
     charset: str = _CHARSET  # token alphabet (regex class body)
 
     @property
@@ -234,6 +245,14 @@ register_analyzer(Analyzer("german", stopwords=GERMAN_STOPWORDS,
 register_analyzer(Analyzer("french", stopwords=FRENCH_STOPWORDS,
                            stem=True, stemmer="french",
                            charset=FRENCH_CHARSET))
+SPANISH_STOPWORDS = frozenset("""
+el la los las lo un una unos unas de del en y o pero es son era con
+sin para por sobre que se su sus al como mas no este esta estos
+estas ya fue fueron
+""".split())
+register_analyzer(Analyzer("spanish", stopwords=SPANISH_STOPWORDS,
+                           stem=True, stemmer="spanish",
+                           charset=SPANISH_CHARSET))
 
 
 def _quote(s: str) -> str:

@@ -375,3 +375,31 @@ QUERIES.update({"esql_rename_drop": esql_rename_drop})
 ORACLES.update({
     "esql_rename_drop": esql_duck_sql(parse_esql(ESQL_RENAME_QUERY)),
 })
+
+
+# ---------------------------------------- dsl_match_analyzer_es
+
+_ES_SNIPPETS = [
+    "las canciones fueron grabadas",
+    "trabajadores cantando canciones",
+    "la comunicación llegó rápidamente",
+]
+_ES_QUERY = "cancion trabajador"
+
+
+def dsl_match_analyzer_es(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """``match`` with ``analyzer: "spanish"`` (snowball spanish,
+    operator AND): the query's dictionary forms (cancion,
+    trabajador) reach the planted inflections (canciones,
+    trabajadores) only through the full stemmer — accent-aware
+    tokenization, RV/R1/R2 suffix system, pronoun step, accent
+    folding. The english chain matches zero of the same documents
+    (canciones S-stems to cancione, never cancion)."""
+    return _match_lang_df(spark, sf_dir, "es", _ES_SNIPPETS,
+                          _ES_QUERY, "spanish")
+
+
+QUERIES.update({"dsl_match_analyzer_es": dsl_match_analyzer_es})
+ORACLES.update({"dsl_match_analyzer_es": _match_lang_oracle(
+    "es", _ES_SNIPPETS, _ES_QUERY, "spanish")})
