@@ -71,6 +71,7 @@ from parquet_generator_spark.plans import reference_queries22 as R22
 from parquet_generator_spark.plans import reference_queries23 as R23
 from parquet_generator_spark.plans import reference_queries24 as R24
 from parquet_generator_spark.plans import reference_queries25 as R25
+from parquet_generator_spark.plans import reference_queries26 as R26
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -125,6 +126,11 @@ FRONT_KEYS = [
     "dsl_match_phrase_analyzer_de",
     "esql_rename_drop",
     "dsl_match_analyzer_es",
+    "esql_enrich",
+    "esql_grok",
+    "esql_case_like",
+    "esql_mv_funcs",
+    "esql_stats_percentiles",
 ]
 
 
@@ -194,6 +200,7 @@ def queries() -> dict[str, QueryFn]:
         **R23.QUERIES,
         **R24.QUERIES,
         **R25.QUERIES,
+        **R26.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -264,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         **R23.ORACLES,
         **R24.ORACLES,
         **R25.ORACLES,
+        **R26.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

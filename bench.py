@@ -409,6 +409,11 @@ HEADLINE = [
     "dsl_match_phrase_analyzer_de",
     "esql_rename_drop",
     "dsl_match_analyzer_es",
+    "esql_enrich",
+    "esql_grok",
+    "esql_case_like",
+    "esql_mv_funcs",
+    "esql_stats_percentiles",
 ]
 
 # brute-force exactness twins with a labeled production path; at

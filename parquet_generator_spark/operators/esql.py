@@ -6,6 +6,8 @@ the pipeline shapes Kibana ES|QL panels ship:
       | WHERE <boolean expr>
       | EVAL <name> = <expr> [, ...]
       | DISSECT <col> "<pattern with %{key}s>"
+      | GROK <col> "<pattern with %{LIB:name[:type]}s>"
+      | ENRICH <policy> ON <col> [WITH <field> [, ...]]
       | MV_EXPAND <col>
       | STATS <name> = <AGG>(<expr>) [, ...]
               [BY <col> | <name> = <expr> [, ...]]
@@ -25,12 +27,21 @@ so the Spark plan and the oracle cannot drift structurally.
 
 Expression subset (validated token-by-token, unsupported syntax
 raises): column refs, numeric/string literals, + - * / %,
-comparisons (== != > >= < <=), NOT/AND/OR, parentheses, temporal
-amounts (``7 day``/``1 hour`` → INTERVAL), and the functions
-ABS/ROUND/SQRT/LENGTH/LOWER/UPPER/CONCAT/SPLIT/NOW/BUCKET/
-DATE_TRUNC/TO_LONG/TO_INTEGER/TO_DOUBLE/TO_STRING. ES|QL's ``==``
-becomes SQL ``=``, ``!=`` becomes ``<>``. Aggregates: COUNT(*) /
-COUNT / SUM / AVG / MIN / MAX / COUNT_DISTINCT.
+comparisons (== != > >= < <=), NOT/AND/OR, IN (...), parentheses,
+temporal amounts (``7 day``/``1 hour`` → INTERVAL), LIKE (ES|QL
+wildcard ``*``/``?`` patterns, translated to SQL ``%``/``_`` —
+full-string match in both dialects), RLIKE (ES|QL FULL-string
+regex: Spark gets an ``^(?:...)$``-anchored RLIKE, DuckDB gets
+``SIMILAR TO``, which is full-match by definition), CASE(c1, v1,
+..., [default]) and the functions ABS/ROUND/SQRT/LENGTH/LOWER/
+UPPER/CONCAT/SPLIT/NOW/BUCKET/DATE_TRUNC/TO_LONG/TO_INTEGER/
+TO_DOUBLE/TO_STRING plus the multivalue family MV_COUNT/MV_MIN/
+MV_MAX/MV_SORT/MV_DEDUPE/MV_CONCAT. ES|QL's ``==`` becomes SQL
+``=``, ``!=`` becomes ``<>``. Aggregates: COUNT(*) / COUNT / SUM /
+AVG / MIN / MAX / COUNT_DISTINCT / MEDIAN / PERCENTILE(expr, p) —
+MEDIAN/PERCENTILE render as exact interpolated quantiles
+(Spark ``percentile``, DuckDB ``quantile_cont``; ES|QL's p is
+0-100, converted to a fraction for both engines).
 
 Engine-specific renderings (everything else is engine-neutral text):
 
@@ -49,18 +60,48 @@ Engine-specific renderings (everything else is engine-neutral text):
   calendar units minute/hour/day/week/month/quarter/year, count
   fixed at 1 — multi-unit fixed buckets are fenced).
 
-Deliberate fences (documented, raise ValueError): GROK (needs the
-pattern library), ENRICH/LOOKUP (no runtime lookup surface here),
-RENAME/DROP/ROW/SHOW, aggregates outside STATS, EVAL names that
+ENRICH takes its policies from a registry passed to ``parse_esql``
+(``enrich={name: EnrichPolicy(table, match_field, fields)}``) —
+the analog of ES's enrich-policy store. The DataFrame renderer
+takes the loaded lookup frames (``esql_df(df, plan, lookups=...)``)
+and BROADCASTS each one, mirroring ES's enrich execution model
+(the enrich index is materialized on every node); the oracle
+renders a LEFT JOIN against the policy table. A row whose match
+key misses gets NULL enrich fields (ES behavior). ENRICH after an
+active SORT is refused at parse time: a join does not preserve
+DataFrame row order, so a later LIMIT would diverge from the
+oracle's ORDER-BY-at-LIMIT rendering.
+
+GROK supports a bounded pattern library (WORD NOTSPACE DATA
+GREEDYDATA INT NUMBER BASE10NUM IP LOGLEVEL TIMESTAMP_ISO8601
+USERNAME), ``%{PATTERN}`` (skip), ``%{PATTERN:name}`` (capture as
+string) and ``%{PATTERN:name:int|long|float|double}`` (capture +
+cast; a non-matching row's '' extraction casts to NULL via an
+explicit CASE, safe under ANSI). Unlike full grok, literal text
+between ``%{}`` segments is escaped — it is LITERAL, not regex
+(the bounded-subset posture; full grok treats it as regex). Like
+ES grok (and unlike DISSECT here), the compiled regex is
+UNANCHORED — it matches anywhere in the string.
+
+Deliberate fences (documented, raise ValueError): LOOKUP JOIN,
+ROW/SHOW, aggregates outside STATS, EVAL names that
 shadow an input column (cannot be detected without a schema — the
-engines fail loudly instead), multi-unit BUCKET widths, and SPLIT
-separators containing regex metacharacters.
+engines fail loudly instead), multi-unit BUCKET widths, SPLIT
+separators containing regex metacharacters, LIKE patterns
+containing literal ``%``/``_`` (escape rules differ per dialect),
+RLIKE patterns using lookaround/backreferences (Java regex only —
+not RE2-portable), and ENRICH WITH fields that are not in the
+policy or that collide with the ON column.
 
 Known divergence from ES (documented, parity-safe): a DISSECT
 pattern that does not match yields '' (empty string) keys in both
-engines — ES yields null and drops the row from later null-checks.
+engines — ES yields null and drops the row from later null-checks
+(GROK's typed captures DO yield NULL on non-match, matching ES).
 MV_EXPAND drops rows whose array is empty or NULL in both engines
 (Spark explode == DuckDB unnest); ES keeps a null row for null.
+MV_DEDUPE returns the distinct elements SORTED in both engines
+(ES documents its order as unspecified); MV_SORT/MV_DEDUPE drop
+NULL elements (ES multivalued fields cannot hold null).
 """
 
 from __future__ import annotations
@@ -78,7 +119,8 @@ _FUNCS = {"ABS": "abs", "ROUND": "round", "SQRT": "sqrt",
           "RTRIM": "rtrim", "SUBSTRING": "substr", "FLOOR": "floor"}
 _AGGS = {"COUNT": "count", "SUM": "sum", "AVG": "avg",
          "MIN": "min", "MAX": "max",
-         "COUNT_DISTINCT": None}  # None: rendered specially
+         # None: rendered specially
+         "COUNT_DISTINCT": None, "MEDIAN": None, "PERCENTILE": None}
 
 _CASTS = {"TO_LONG": ("BIGINT", "BIGINT"),
           "TO_INTEGER": ("INT", "INT"),
@@ -101,7 +143,41 @@ _TOKEN_RE = re.compile(
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 _INT_RE = re.compile(r"\d+\Z")
 
-_UNSUPPORTED = ("GROK", "ENRICH", "ROW", "SHOW", "LOOKUP")
+_UNSUPPORTED = ("ROW", "SHOW", "LOOKUP")
+
+# grok pattern library (the high-frequency subset of the public
+# logstash-patterns-core `grok-patterns` file, restricted to
+# fragments valid in BOTH Java regex and DuckDB's RE2)
+_GROK_LIB = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE10NUM": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL)",
+    "TIMESTAMP_ISO8601":
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+}
+
+_GROK_TYPES = {"int": "BIGINT", "long": "BIGINT",
+               "float": "DOUBLE", "double": "DOUBLE"}
+
+
+@dataclass(frozen=True)
+class EnrichPolicy:
+    """One ES enrich policy: the lookup table, its match key, and
+    the fields the policy may add. The analog of a stored enrich
+    policy + its materialized enrich index; the match key is
+    expected unique in the lookup (ES enforces this when the policy
+    executes) — a duplicate key fans rows out identically in both
+    engines (left-join semantics), so parity holds either way."""
+    table: str
+    match_field: str
+    fields: tuple
 
 
 class _E(NamedTuple):
@@ -215,6 +291,57 @@ def _render_call(name: str, args: list[str]) -> _E:
         a, b = rendered
         return _E(f"{sp_fn}({a.spark}, {b.spark})",
                   f"{du_fn}({a.duck}, {b.duck})")
+    if name == "CASE":
+        # ES|QL CASE(cond1, val1, [cond2, val2, ...][, default])
+        if len(rendered) < 2:
+            raise ValueError("esql: CASE needs at least (cond, val)")
+        els = rendered.pop() if len(rendered) % 2 == 1 else None
+
+        def _case(get) -> str:
+            whens = " ".join(
+                f"WHEN {get(c)} THEN {get(v)}"
+                for c, v in zip(rendered[::2], rendered[1::2]))
+            tail = f" ELSE {get(els)}" if els is not None else ""
+            return f"CASE {whens}{tail} END"
+
+        return _E(_case(lambda r: r.spark), _case(lambda r: r.duck))
+    if name == "MV_COUNT":
+        if len(rendered) != 1:
+            raise ValueError("esql: MV_COUNT takes one argument")
+        # Spark size() is INT, DuckDB len() is BIGINT — align
+        return _E(f"CAST(size({rendered[0].spark}) AS BIGINT)",
+                  f"CAST(len({rendered[0].duck}) AS BIGINT)")
+    if name in ("MV_MIN", "MV_MAX"):
+        if len(rendered) != 1:
+            raise ValueError(f"esql: {name} takes one argument")
+        fn = "min" if name == "MV_MIN" else "max"
+        return _E(f"array_{fn}({rendered[0].spark})",
+                  f"list_{fn}({rendered[0].duck})")
+    if name == "MV_SORT":
+        if len(rendered) != 1:
+            raise ValueError("esql: MV_SORT takes one argument")
+        # NULL elements dropped (ES multivalued fields hold no null)
+        return _E(
+            f"sort_array(filter({rendered[0].spark}, "
+            f"_t -> _t IS NOT NULL))",
+            f"list_sort(list_filter({rendered[0].duck}, "
+            f"_t -> _t IS NOT NULL))")
+    if name == "MV_DEDUPE":
+        if len(rendered) != 1:
+            raise ValueError("esql: MV_DEDUPE takes one argument")
+        # canonical SORTED output in both engines (ES documents the
+        # order as unspecified; DuckDB list_distinct is unordered
+        # and drops NULLs — Spark mirrors the NULL drop explicitly)
+        return _E(
+            f"sort_array(array_distinct(filter({rendered[0].spark},"
+            f" _t -> _t IS NOT NULL)))",
+            f"list_sort(list_distinct({rendered[0].duck}))")
+    if name == "MV_CONCAT":
+        if len(rendered) != 2:
+            raise ValueError("esql: MV_CONCAT takes (array, sep)")
+        a, s = rendered
+        return _E(f"array_join({a.spark}, {s.spark})",
+                  f"array_to_string({a.duck}, {s.duck})")
     if name in ("BUCKET", "DATE_TRUNC"):
         if len(args) != 2:
             raise ValueError(f"esql: {name} takes "
@@ -232,7 +359,33 @@ def _render_call(name: str, args: list[str]) -> _E:
 
 
 _SPECIAL = ("CONCAT", "SPLIT", "NOW", "BUCKET", "DATE_TRUNC",
-            "STARTS_WITH", "ENDS_WITH", *_CASTS)
+            "STARTS_WITH", "ENDS_WITH", "CASE", "MV_COUNT",
+            "MV_MIN", "MV_MAX", "MV_SORT", "MV_DEDUPE", "MV_CONCAT",
+            *_CASTS)
+
+
+def _like_pattern(sql_lit: str) -> str:
+    """ES|QL wildcard pattern literal -> SQL LIKE pattern: ``*`` ->
+    ``%``, ``?`` -> ``_``. Literal %/_ are refused because default
+    escape rules differ between Spark and DuckDB."""
+    inner = sql_lit[1:-1]
+    if "%" in inner or "_" in inner:
+        raise ValueError(
+            "esql: LIKE pattern must not contain literal %/_ "
+            "(escape rules differ per engine); got " + sql_lit)
+    return "'" + inner.replace("*", "%").replace("?", "_") + "'"
+
+
+def _rlike_patterns(sql_lit: str) -> _E:
+    """ES|QL RLIKE regex literal -> per-engine forms. ES RLIKE
+    matches the ENTIRE string: Spark's RLIKE is partial, so it gets
+    ^(?:...)$ anchors; DuckDB's SIMILAR TO is already full-match."""
+    inner = sql_lit[1:-1]
+    if re.search(r"\(\?[=!<]|\\\d", inner):
+        raise ValueError(
+            "esql: RLIKE pattern uses lookaround/backreferences — "
+            "Java-regex-only, not portable to RE2; got " + sql_lit)
+    return _E(f"'^(?:{inner})$'", sql_lit)
 
 
 def _render_expr(expr: str) -> _E:
@@ -247,6 +400,7 @@ def _render_expr(expr: str) -> _E:
         du.append(s if d is None else d)
 
     pos = 0
+    pending: str | None = None  # 'like' | 'rlike' awaiting pattern
     while pos < len(expr):
         if expr[pos].isspace():
             pos += 1
@@ -257,15 +411,32 @@ def _render_expr(expr: str) -> _E:
                              f"{expr[pos:pos + 20]!r}")
         tok = m.group(1)
         pos = m.end()
+        if pending and not tok.startswith('"'):
+            raise ValueError(f"esql: {pending.upper()} needs a "
+                             f"string-literal pattern, got {tok!r}")
         if tok == "==":
             emit("=")
         elif tok == "!=":
             emit("<>")
         elif tok.startswith('"'):
-            emit(_string_literal(tok))
+            lit = _string_literal(tok)
+            if pending == "like":
+                emit(_like_pattern(lit))
+            elif pending == "rlike":
+                r = _rlike_patterns(lit)
+                emit(r.spark, r.duck)
+            else:
+                emit(lit)
+            pending = None
         elif _IDENT_RE.fullmatch(tok):
             up = tok.upper()
-            if up in _SPECIAL:
+            if up == "LIKE":
+                pending = "like"
+                emit("LIKE")
+            elif up == "RLIKE":
+                pending = "rlike"
+                emit("RLIKE", "SIMILAR TO")
+            elif up in _SPECIAL:
                 # capture the balanced argument list and recurse
                 j = pos
                 while j < len(expr) and expr[j].isspace():
@@ -280,7 +451,7 @@ def _render_expr(expr: str) -> _E:
             elif up in _FUNCS:
                 emit(_FUNCS[up])
             elif up in ("AND", "OR", "NOT", "IS", "NULL", "IN",
-                        "LIKE", "TRUE", "FALSE"):
+                        "TRUE", "FALSE"):
                 emit(up)
             elif up in _AGGS:
                 raise ValueError(
@@ -295,6 +466,9 @@ def _render_expr(expr: str) -> _E:
                 emit(tok)  # column reference
         else:
             emit(tok)
+    if pending:
+        raise ValueError(f"esql: dangling {pending.upper()} with no "
+                         f"pattern in {expr!r}")
     return _E(" ".join(sp), " ".join(du))
 
 
@@ -313,7 +487,24 @@ def _render_agg(call: str) -> _E:
         raise ValueError(f"esql: unsupported aggregate {name}")
     if name == "COUNT" and (arg == "*" or arg == ""):
         return _both("count(*)")
+    if name == "PERCENTILE":
+        parts = _split_top(arg)
+        if len(parts) != 2 or not re.fullmatch(
+                r"\d+(?:\.\d+)?", parts[1]):
+            raise ValueError("esql: PERCENTILE takes "
+                             "(expr, <numeric 0-100 literal>)")
+        p = float(parts[1])
+        if not 0 <= p <= 100:
+            raise ValueError(f"esql: PERCENTILE p must be in "
+                             f"[0, 100], got {parts[1]}")
+        inner = _render_expr(parts[0])
+        frac = repr(p / 100.0)
+        return _E(f"percentile({inner.spark}, {frac})",
+                  f"quantile_cont({inner.duck}, {frac})")
     inner = _render_expr(arg)
+    if name == "MEDIAN":
+        return _E(f"percentile({inner.spark}, 0.5)",
+                  f"quantile_cont({inner.duck}, 0.5)")
     if name == "COUNT_DISTINCT":
         return _E(f"count(DISTINCT {inner.spark})",
                   f"count(DISTINCT {inner.duck})")
@@ -346,6 +537,52 @@ def _dissect_pattern(pattern: str) -> tuple[str, list[str]]:
     return "".join(rx), keys
 
 
+def _grok_pattern(pattern: str) -> tuple[str, list]:
+    """Grok pattern -> (UNANCHORED regex, [(name, sql_type|None)]).
+    ``%{LIB}`` compiles non-capturing, ``%{LIB:name}`` captures,
+    ``%{LIB:name:type}`` captures + casts. Literal text between
+    segments is escaped (bounded subset: literal, not regex)."""
+    keys, rx, pos = [], [], 0
+
+    def _literal(segment: str) -> str:
+        if "%{" in segment:
+            raise ValueError(
+                f"esql: malformed GROK segment in {segment!r} — "
+                f"expected %{{PATTERN[:name[:type]]}} (a name needs "
+                f"a leading letter; the type slot needs a name)")
+        return _rx_escape(segment)
+
+    for m in re.finditer(
+            r"%\{([A-Z][A-Z0-9_]*)"
+            r"(?::([A-Za-z_][A-Za-z0-9_]*))?"
+            r"(?::([a-z]+))?\}", pattern):
+        lib, name, typ = m.group(1), m.group(2), m.group(3)
+        if lib not in _GROK_LIB:
+            raise ValueError(f"esql: GROK pattern %{{{lib}}} is not "
+                             f"in the bounded library "
+                             f"({', '.join(sorted(_GROK_LIB))})")
+        if typ is not None:
+            if name is None:
+                raise ValueError("esql: GROK type needs a name: "
+                                 "%{PAT:name:type}")
+            if typ not in _GROK_TYPES:
+                raise ValueError(
+                    f"esql: GROK type must be one of "
+                    f"{sorted(_GROK_TYPES)}, got {typ!r}")
+        rx.append(_literal(pattern[pos:m.start()]))
+        if name:
+            rx.append(f"({_GROK_LIB[lib]})")
+            keys.append((name, _GROK_TYPES.get(typ or "")))
+        else:
+            rx.append(f"(?:{_GROK_LIB[lib]})")
+        pos = m.end()
+    rx.append(_literal(pattern[pos:]))
+    if not keys:
+        raise ValueError("esql: GROK pattern needs at least one "
+                         "%{PATTERN:name} capture")
+    return "".join(rx), keys
+
+
 @dataclass
 class EsqlPlan:
     """Parsed pipeline: table + ORDERED command list. Each command
@@ -375,7 +612,8 @@ def _split_pipes(q: str) -> list[str]:
     return [p.strip() for p in out]
 
 
-def parse_esql(query: str) -> EsqlPlan:
+def parse_esql(query: str,
+               enrich: dict | None = None) -> EsqlPlan:
     parts = _split_pipes(query.strip())
     head = parts[0]
     m = re.fullmatch(r"FROM\s+([A-Za-z_][A-Za-z0-9_]*)", head, re.I)
@@ -459,6 +697,50 @@ def parse_esql(query: str) -> EsqlPlan:
                 raise ValueError(f"esql: DROP needs column names, "
                                  f"got {body!r}")
             plan.commands.append(("drop", cols))
+        elif kw == "ENRICH":
+            em = re.fullmatch(
+                r"([A-Za-z_]\w*)\s+ON\s+([A-Za-z_]\w*)"
+                r"(?:\s+WITH\s+(.+))?", body, re.I | re.S)
+            if not em:
+                raise ValueError(f"esql: ENRICH needs <policy> ON "
+                                 f"<col> [WITH <fields>], got "
+                                 f"{body!r}")
+            pname, on_col, with_part = em.groups()
+            if not enrich or pname not in enrich:
+                raise ValueError(
+                    f"esql: unknown enrich policy {pname!r} — pass "
+                    f"parse_esql(..., enrich={{name: "
+                    f"EnrichPolicy(...)}})")
+            pol = enrich[pname]
+            if with_part:
+                fields = [c.strip() for c in with_part.split(",")]
+                if not all(_IDENT_RE.fullmatch(c) for c in fields):
+                    raise ValueError(f"esql: ENRICH WITH needs "
+                                     f"field names, got {with_part!r}")
+                bad = [c for c in fields if c not in pol.fields]
+                if bad:
+                    raise ValueError(
+                        f"esql: ENRICH WITH fields {bad} are not in "
+                        f"policy {pname!r} ({list(pol.fields)})")
+            else:
+                fields = list(pol.fields)
+            if pol.match_field in fields or on_col in fields:
+                raise ValueError(
+                    "esql: ENRICH WITH fields must not include the "
+                    "match/ON column")
+            plan.commands.append(
+                ("enrich", (pname, pol, on_col, fields)))
+        elif kw == "GROK":
+            gm = re.fullmatch(
+                r'([A-Za-z_][A-Za-z0-9_]*)\s+"((?:[^"\\]|\\.)*)"',
+                body)
+            if not gm:
+                raise ValueError(f"esql: GROK needs <col> "
+                                 f'"<pattern>", got {body!r}')
+            col = gm.group(1)
+            pattern = gm.group(2).replace('\\"', '"')
+            rx, keys = _grok_pattern(pattern)
+            plan.commands.append(("grok", (col, rx, keys)))
         elif kw == "MV_EXPAND":
             if not _IDENT_RE.fullmatch(body):
                 raise ValueError(f"esql: MV_EXPAND needs one column "
@@ -503,6 +785,11 @@ def _validate_order_flow(plan: EsqlPlan) -> None:
                 f"esql: DROP of an active SORT column "
                 f"{sorted(active & set(p))} is not supported — use "
                 f"KEEP (it projects sort columns through)")
+        elif kind == "enrich" and active:
+            raise ValueError(
+                "esql: ENRICH after an active SORT is not supported "
+                "— a join does not preserve row order; move the "
+                "SORT after the ENRICH")
 
 
 def _split_top(s: str) -> list[str]:
@@ -526,10 +813,15 @@ def _split_top(s: str) -> list[str]:
     return [p for p in (x.strip() for x in out) if p]
 
 
-def esql_df(df: DataFrame, plan: EsqlPlan) -> DataFrame:
+def esql_df(df: DataFrame, plan: EsqlPlan,
+            lookups: dict | None = None) -> DataFrame:
     """Render the parsed pipeline over an already-loaded DataFrame
     (the FROM resolution stays with the caller's catalog), applying
-    commands in pipeline order."""
+    commands in pipeline order. ``lookups`` maps each ENRICH policy
+    name to its loaded lookup DataFrame; every lookup is BROADCAST
+    (ES materializes the enrich index on every node — the dimension
+    is small by contract, so a shuffle-free broadcast hash join is
+    the 100-TB shape)."""
     for kind, p in plan.commands:
         if kind == "where":
             df = df.filter(F.expr(p.spark))
@@ -557,6 +849,28 @@ def esql_df(df: DataFrame, plan: EsqlPlan) -> DataFrame:
             df = df.drop(*p)
         elif kind == "mv_expand":
             df = df.withColumn(p, F.explode(F.col(p)))
+        elif kind == "enrich":
+            pname, pol, on_col, fields = p
+            if not lookups or pname not in lookups:
+                raise ValueError(
+                    f"esql: ENRICH policy {pname!r} needs its "
+                    f"lookup DataFrame — pass esql_df(..., "
+                    f"lookups={{name: df}})")
+            lkp = lookups[pname].select(pol.match_field, *fields)
+            df = (df.join(F.broadcast(lkp),
+                          df[on_col] == lkp[pol.match_field],
+                          "left")
+                  .drop(lkp[pol.match_field]))
+        elif kind == "grok":
+            col, rx, keys = p
+            for i, (k, typ) in enumerate(keys, start=1):
+                c = F.regexp_extract(F.col(col), rx, i)
+                if typ:
+                    # '' (non-match) -> NULL explicitly: safe under
+                    # ANSI, and matches ES grok's null-on-miss
+                    c = F.when(c == "", None).otherwise(
+                        c.cast(typ))
+                df = df.withColumn(k, c)
         elif kind == "dissect":
             col, rx, keys = p
             for i, k in enumerate(keys, start=1):
@@ -623,6 +937,24 @@ def esql_duck_sql(plan: EsqlPlan) -> str:
         elif kind == "mv_expand":
             sql = (f"SELECT * EXCLUDE ({p}), unnest({p}) AS {p} "
                    f"FROM ({sql}) _m")
+        elif kind == "enrich":
+            pname, pol, on_col, fields = p
+            picked = ", ".join([pol.match_field, *fields])
+            added = ", ".join(f"_r.{f}" for f in fields)
+            sql = (f"SELECT _l.*, {added} FROM ({sql}) _l "
+                   f"LEFT JOIN (SELECT {picked} FROM {pol.table}) _r "
+                   f"ON _l.{on_col} = _r.{pol.match_field}")
+        elif kind == "grok":
+            col, rx, keys = p
+            rxq = rx.replace("'", "''")
+            parts = []
+            for i, (k, typ) in enumerate(keys, start=1):
+                base = f"regexp_extract({col}, '{rxq}', {i})"
+                if typ:
+                    base = (f"CASE WHEN {base} = '' THEN NULL "
+                            f"ELSE CAST({base} AS {typ}) END")
+                parts.append(f"{base} AS {k}")
+            sql = f"SELECT *, {', '.join(parts)} FROM ({sql}) _g"
         elif kind == "dissect":
             col, rx, keys = p
             rxq = rx.replace("'", "''")

@@ -187,14 +187,14 @@ def test_concat_is_null_propagating_in_both_engines(spark):
 def test_fences_raise_loudly():
     with pytest.raises(ValueError, match="must start with FROM"):
         parse_esql("WHERE x == 1")
-    with pytest.raises(ValueError, match="GROK is not supported"):
-        parse_esql("FROM events | GROK msg \"%{IP:ip}\"")
+    with pytest.raises(ValueError, match="LOOKUP is not supported"):
+        parse_esql("FROM events | LOOKUP JOIN dims ON k")
     with pytest.raises(ValueError, match="unsupported syntax"):
         parse_esql("FROM events | WHERE value ~= 3")
     with pytest.raises(ValueError, match="aggregate SUM outside"):
         parse_esql("FROM events | EVAL s = SUM(value)")
-    with pytest.raises(ValueError, match="unsupported aggregate"):
-        parse_esql("FROM events | STATS p = PERCENTILE(value, 95)")
+    with pytest.raises(ValueError, match="aggregate PERCENTILE out"):
+        parse_esql("FROM events | EVAL p = PERCENTILE(value, 95)")
     with pytest.raises(ValueError, match="count 1"):
         parse_esql("FROM events | STATS n = COUNT(*) "
                    "BY b = BUCKET(ts, 5 day)")
@@ -254,3 +254,190 @@ def test_ends_with_and_substring(spark):
          "| STATS n = COUNT(*) BY e3 | SORT e3")
     s, d, _ = _run_both(spark, q)
     assert s == d and len(s) == 1 and s[0][0] == "cli"
+
+
+# ------------------------- round-11 tranche three: ENRICH / GROK /
+# LIKE / RLIKE / CASE / MV_* / MEDIAN+PERCENTILE
+
+def _duck_dims(sf=SF):
+    con = duckdb.connect()
+    for t in ("events", "documents", "orders", "customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    return con
+
+
+def test_enrich_broadcast_lookup(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.operators.esql import EnrichPolicy
+    from parquet_generator_spark.sources.catalog import load_table
+
+    pol = {"cust": EnrichPolicy("customer", "c_custkey",
+                                ("c_mktsegment", "c_nationkey"))}
+    q = ("FROM orders | ENRICH cust ON o_custkey WITH c_mktsegment "
+         "| STATS n = COUNT(*) BY c_mktsegment | SORT c_mktsegment")
+    plan = parse_esql(q, enrich=pol)
+    sdf = esql_df(load_table(spark, "orders", SF), plan,
+                  lookups={"cust": load_table(spark, "customer", SF)})
+    s = sorted(tuple(r) for r in sdf.collect())
+    d = sorted(tuple(r) for r in
+               _duck_dims().execute(esql_duck_sql(plan)).fetchall())
+    assert s == d and len(s) >= 3
+    # the lookup must broadcast: no shuffle on the fact side
+    explained = sdf._sc._jvm.PythonSQLUtils.explainString(
+        sdf._jdf.queryExecution(), "formatted") \
+        if hasattr(sdf._sc._jvm, "PythonSQLUtils") else None
+    plan_str = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_str
+    assert "SortMergeJoin" not in plan_str
+
+
+def test_enrich_miss_yields_null_fields(spark):
+    from parquet_generator_spark.operators.esql import EnrichPolicy
+    from parquet_generator_spark.sources.catalog import load_table
+
+    # match only even nation keys: odd keys must enrich to NULL,
+    # not drop (ES left-join semantics)
+    pol = {"nat": EnrichPolicy("nation", "n_nationkey", ("n_name",))}
+    q = ("FROM customer | EVAL k2 = c_nationkey * 2 "
+         "| ENRICH nat ON k2 WITH n_name "
+         "| STATS n = COUNT(*), have = COUNT(n_name) BY c_mktsegment "
+         "| SORT c_mktsegment")
+    plan = parse_esql(q, enrich=pol)
+    con = duckdb.connect()
+    for t in ("customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    sdf = esql_df(load_table(spark, "customer", SF), plan,
+                  lookups={"nat": load_table(spark, "nation", SF)})
+    s = sorted(tuple(r) for r in sdf.collect())
+    d = sorted(tuple(r) for r in
+               con.execute(esql_duck_sql(plan)).fetchall())
+    assert s == d
+    # some rows matched, some missed (counts differ)
+    assert any(r[1] > r[2] for r in s)
+
+
+def test_enrich_fences():
+    from parquet_generator_spark.operators.esql import EnrichPolicy
+
+    pol = {"nat": EnrichPolicy("nation", "n_nationkey", ("n_name",))}
+    with pytest.raises(ValueError, match="unknown enrich policy"):
+        parse_esql("FROM orders | ENRICH nope ON o_custkey")
+    with pytest.raises(ValueError, match="not in .*policy|are not in"):
+        parse_esql("FROM orders | ENRICH nat ON k WITH bogus",
+                   enrich=pol)
+    with pytest.raises(ValueError, match="after an active SORT"):
+        parse_esql("FROM orders | SORT o_orderkey "
+                   "| ENRICH nat ON o_custkey | LIMIT 5", enrich=pol)
+    # ENRICH after STATS resets the active sort -> allowed
+    parse_esql("FROM orders | SORT o_orderkey | STATS n = COUNT(*) "
+               "BY k = o_custkey % 5 | ENRICH nat ON k", enrich=pol)
+
+
+def test_grok_typed_captures_and_skip(spark):
+    q = ('FROM events '
+         '| EVAL line = CONCAT("lvl ", event_type, " u=", '
+         'TO_STRING(user_id)) '
+         '| GROK line "%{WORD} %{WORD:etype} u=%{INT:uid:long}" '
+         '| STATS n = COUNT(*), mx = MAX(uid) BY etype | SORT etype')
+    s, d, cols = _run_both(spark, q)
+    assert s == d and cols == ["etype", "n", "mx"]
+    assert len(s) == 5  # five event types
+
+
+def test_grok_nonmatch_typed_is_null(spark):
+    # props never matches an INT-only pattern -> typed key NULL,
+    # string key '' (the documented DISSECT-style divergence applies
+    # only to untyped keys)
+    q = ('FROM events | GROK props "k=%{INT:kv:int}" '
+         '| STATS n = COUNT(*), have = COUNT(kv) ')
+    s, d, _ = _run_both(spark, q)
+    assert s == d and s[0][1] == 0
+
+
+def test_grok_fences():
+    with pytest.raises(ValueError, match="bounded library"):
+        parse_esql('FROM events | GROK props "%{HOSTNAME:h}"')
+    with pytest.raises(ValueError, match="malformed GROK segment"):
+        parse_esql('FROM events | GROK props "%{INT::int}"')
+    with pytest.raises(ValueError, match="GROK type must be"):
+        parse_esql('FROM events | GROK props "%{INT:k:decimal}"')
+    with pytest.raises(ValueError, match="at least one"):
+        parse_esql('FROM events | GROK props "%{INT} %{WORD}"')
+
+
+def test_like_wildcard_translation(spark):
+    q = ('FROM events | WHERE event_type LIKE "c*ck" '
+         '| STATS n = COUNT(*) BY event_type')
+    s, d, _ = _run_both(spark, q)
+    assert s == d and len(s) == 1 and s[0][0] == "click"
+    # ? maps to _ (single char): "clic?" matches click only
+    q2 = ('FROM events | WHERE event_type LIKE "clic?" '
+          '| STATS n = COUNT(*) BY event_type')
+    s2, d2, _ = _run_both(spark, q2)
+    assert s2 == d2 and len(s2) == 1
+
+
+def test_rlike_is_full_match_in_both(spark):
+    # "lic" appears INSIDE click; ES RLIKE is full-match, so a bare
+    # "lic" must match nothing in either engine
+    q = ('FROM events | WHERE event_type RLIKE "lic" '
+         '| STATS n = COUNT(*)')
+    s, d, _ = _run_both(spark, q)
+    assert s == d and s[0][0] == 0
+    q2 = ('FROM events | WHERE event_type RLIKE "cl.*k" '
+          '| STATS n = COUNT(*) BY event_type')
+    s2, d2, _ = _run_both(spark, q2)
+    assert s2 == d2 and len(s2) == 1 and s2[0][0] == "click"
+
+
+def test_like_rlike_fences():
+    with pytest.raises(ValueError, match="literal %/_"):
+        parse_esql('FROM events | WHERE event_type LIKE "c%"')
+    with pytest.raises(ValueError, match="lookaround"):
+        parse_esql('FROM events | WHERE event_type RLIKE "(?=x).*"')
+    with pytest.raises(ValueError, match="string-literal pattern"):
+        parse_esql("FROM events | WHERE event_type LIKE other_col")
+    with pytest.raises(ValueError, match="dangling"):
+        parse_esql("FROM events | WHERE event_type LIKE")
+
+
+def test_case_function(spark):
+    q = ('FROM events '
+         '| EVAL b = CASE(value >= 75, "hi", value >= 25, "mid", "lo") '
+         '| STATS n = COUNT(*) BY b | SORT b')
+    s, d, _ = _run_both(spark, q)
+    assert s == d and [r[0] for r in s] == ["hi", "lo", "mid"]
+    # no default -> NULL bucket allowed
+    q2 = ('FROM events | EVAL b = CASE(value >= 75, "hi") '
+          '| STATS n = COUNT(*), tagged = COUNT(b)')
+    s2, d2, _ = _run_both(spark, q2)
+    assert s2 == d2 and s2[0][0] > s2[0][1]
+
+
+def test_mv_family_matches(spark):
+    q = ('FROM documents | EVAL toks = SPLIT(text, " ") '
+         '| EVAL n = MV_COUNT(toks), u = MV_COUNT(MV_DEDUPE(toks)), '
+         'lo = MV_MIN(toks), hi = MV_MAX(toks), '
+         'j = MV_CONCAT(MV_SORT(MV_DEDUPE(toks)), "-") '
+         '| STATS docs = COUNT(*), s1 = SUM(n), s2 = SUM(u), '
+         'mn = MIN(lo), mx = MAX(hi), us = COUNT_DISTINCT(j) BY lang '
+         '| SORT lang')
+    s, d, _ = _run_both(spark, q)
+    assert s == d and len(s) == 5
+    # dedupe is a strict reduction: SUM(n) >= SUM(u) per lang
+    assert all(r[2] >= r[3] for r in s)
+
+
+def test_median_percentile_stats(spark):
+    q = ('FROM events | STATS m = MEDIAN(value), '
+         'p = PERCENTILE(value, 90), n = COUNT(*) BY event_type '
+         '| EVAL med = ROUND(m, 4), hi = ROUND(p, 4) '
+         '| KEEP event_type, med, hi, n | SORT event_type')
+    s, d, _ = _run_both(spark, q)
+    assert s == d and len(s) == 5
+    assert all(r[1] <= r[2] for r in s)  # median <= p90
+    with pytest.raises(ValueError, match="0, 100"):
+        parse_esql("FROM events | STATS p = PERCENTILE(value, 150)")
