@@ -131,6 +131,9 @@ FRONT_KEYS = [
     "esql_case_like",
     "esql_mv_funcs",
     "esql_stats_percentiles",
+    "esql_inlinestats",
+    "esql_lookup_join",
+    "esql_date_extract",
 ]
 
 

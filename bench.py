@@ -414,6 +414,9 @@ HEADLINE = [
     "esql_case_like",
     "esql_mv_funcs",
     "esql_stats_percentiles",
+    "esql_inlinestats",
+    "esql_lookup_join",
+    "esql_date_extract",
 ]
 
 # brute-force exactness twins with a labeled production path; at

@@ -8,7 +8,9 @@ the pipeline shapes Kibana ES|QL panels ship:
       | DISSECT <col> "<pattern with %{key}s>"
       | GROK <col> "<pattern with %{LIB:name[:type]}s>"
       | ENRICH <policy> ON <col> [WITH <field> [, ...]]
+      | LOOKUP JOIN <index> ON <field>
       | MV_EXPAND <col>
+      | INLINESTATS <name> = <AGG>(<expr>) [, ...] BY <col> [, ...]
       | STATS <name> = <AGG>(<expr>) [, ...]
               [BY <col> | <name> = <expr> [, ...]]
       | SORT <col> [ASC|DESC] [, ...]
@@ -83,7 +85,29 @@ between ``%{}`` segments is escaped — it is LITERAL, not regex
 ES grok (and unlike DISSECT here), the compiled regex is
 UNANCHORED — it matches anywhere in the string.
 
-Deliberate fences (documented, raise ValueError): LOOKUP JOIN,
+LOOKUP JOIN (ES 8.18+) is ENRICH's sibling with ES's same-name key
+contract: the ON field must BE the lookup index's key field (use
+EVAL to stage the key, the documented ES|QL pattern). Unlike
+ENRICH, the join strategy is NOT forced to broadcast — lookup
+indexes can be larger than enrich indexes, so Catalyst/AQE picks
+(broadcast under the threshold, shuffled hash beyond). The index
+registry is ``parse_esql(..., lookup_indexes={name:
+EnrichPolicy})`` with ``match_field`` == the ON field.
+
+INLINESTATS attaches group aggregates to every row WITHOUT
+collapsing — rendered as window functions (``AGG(expr) OVER
+(PARTITION BY ...)``, identical text in both engines). BY is
+REQUIRED (a global INLINESTATS would be an unpartitioned window —
+the single-reducer anti-pattern; use STATS), the window aggregates
+are bounded to COUNT/SUM/AVG/MIN/MAX (no DISTINCT windows in
+Spark), and INLINESTATS after an active SORT is refused (the
+window exchange drops row order).
+
+DATE_EXTRACT(part, date) supports ES|QL's aligned chrono names
+(year, month_of_year, day_of_month, hour_of_day, minute_of_hour,
+second_of_minute) via EXTRACT(... FROM x), BIGINT-aligned.
+
+Deliberate fences (documented, raise ValueError):
 ROW/SHOW, aggregates outside STATS, EVAL names that
 shadow an input column (cannot be detected without a schema — the
 engines fail loudly instead), multi-unit BUCKET widths, SPLIT
@@ -143,7 +167,20 @@ _TOKEN_RE = re.compile(
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 _INT_RE = re.compile(r"\d+\Z")
 
-_UNSUPPORTED = ("ROW", "SHOW", "LOOKUP")
+_UNSUPPORTED = ("ROW", "SHOW")
+
+# window-safe aggregates for INLINESTATS (no DISTINCT/percentile
+# windows — Spark refuses DISTINCT in windows; keep both engines on
+# the shared safe set)
+_WINDOW_AGGS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+
+# ES|QL DATE_EXTRACT chrono names -> ANSI EXTRACT fields (identical
+# in Spark and DuckDB; day-of-week et al. excluded — numbering
+# conventions differ between the engines)
+_CHRONO = {"year": "YEAR", "month_of_year": "MONTH",
+           "day_of_month": "DAY", "hour_of_day": "HOUR",
+           "minute_of_hour": "MINUTE",
+           "second_of_minute": "SECOND"}
 
 # grok pattern library (the high-frequency subset of the public
 # logstash-patterns-core `grok-patterns` file, restricted to
@@ -342,6 +379,28 @@ def _render_call(name: str, args: list[str]) -> _E:
         a, s = rendered
         return _E(f"array_join({a.spark}, {s.spark})",
                   f"array_to_string({a.duck}, {s.duck})")
+    if name == "DATE_EXTRACT":
+        if len(args) != 2:
+            raise ValueError("esql: DATE_EXTRACT takes "
+                             '("<part>", date)')
+        part_raw = args[0].strip()
+        if not (part_raw.startswith('"') and part_raw.endswith('"')):
+            raise ValueError("esql: DATE_EXTRACT part must be a "
+                             "string literal")
+        part = part_raw[1:-1].lower()
+        if part not in _CHRONO:
+            raise ValueError(
+                f"esql: DATE_EXTRACT part must be one of "
+                f"{sorted(_CHRONO)} (day-of-week variants excluded "
+                f"— engine numbering differs), got {part!r}")
+        val = _render_expr(args[1])
+        # Spark EXTRACT(YEAR ...) is INT, DuckDB's is BIGINT; ES
+        # returns long — align on BIGINT
+        return _E(
+            f"CAST(EXTRACT({_CHRONO[part]} FROM {val.spark}) "
+            f"AS BIGINT)",
+            f"CAST(EXTRACT({_CHRONO[part]} FROM {val.duck}) "
+            f"AS BIGINT)")
     if name in ("BUCKET", "DATE_TRUNC"):
         if len(args) != 2:
             raise ValueError(f"esql: {name} takes "
@@ -359,6 +418,7 @@ def _render_call(name: str, args: list[str]) -> _E:
 
 
 _SPECIAL = ("CONCAT", "SPLIT", "NOW", "BUCKET", "DATE_TRUNC",
+            "DATE_EXTRACT",
             "STARTS_WITH", "ENDS_WITH", "CASE", "MV_COUNT",
             "MV_MIN", "MV_MAX", "MV_SORT", "MV_DEDUPE", "MV_CONCAT",
             *_CASTS)
@@ -613,7 +673,8 @@ def _split_pipes(q: str) -> list[str]:
 
 
 def parse_esql(query: str,
-               enrich: dict | None = None) -> EsqlPlan:
+               enrich: dict | None = None,
+               lookup_indexes: dict | None = None) -> EsqlPlan:
     parts = _split_pipes(query.strip())
     head = parts[0]
     m = re.fullmatch(r"FROM\s+([A-Za-z_][A-Za-z0-9_]*)", head, re.I)
@@ -697,6 +758,56 @@ def parse_esql(query: str,
                 raise ValueError(f"esql: DROP needs column names, "
                                  f"got {body!r}")
             plan.commands.append(("drop", cols))
+        elif kw == "INLINESTATS":
+            agg_part, sep, by_part = body.partition(" BY ")
+            if not sep:
+                agg_part, sep, by_part = body.partition(" by ")
+            if not sep:
+                raise ValueError(
+                    "esql: INLINESTATS needs BY — a global "
+                    "INLINESTATS would be an unpartitioned window "
+                    "(single-reducer); aggregate with STATS instead")
+            aggs = []
+            for assign in _split_top(agg_part):
+                name, eq, rhs = assign.partition("=")
+                if not eq:
+                    raise ValueError("esql: INLINESTATS needs "
+                                     "name = AGG(expr)")
+                am = re.match(r"\s*([A-Za-z_]+)\s*\(", rhs)
+                if not am or am.group(1).upper() not in _WINDOW_AGGS:
+                    raise ValueError(
+                        f"esql: INLINESTATS aggregates are bounded "
+                        f"to {list(_WINDOW_AGGS)} (no DISTINCT/"
+                        f"quantile windows), got {rhs.strip()!r}")
+                aggs.append((name.strip(), _render_agg(rhs.strip())))
+            bys = [c.strip() for c in by_part.split(",")]
+            if not bys or not all(_IDENT_RE.fullmatch(c)
+                                  for c in bys):
+                raise ValueError(
+                    f"esql: INLINESTATS BY needs plain column "
+                    f"names (stage expressions with EVAL), got "
+                    f"{by_part!r}")
+            plan.commands.append(("inlinestats", (aggs, bys)))
+        elif kw == "LOOKUP":
+            lm = re.fullmatch(r"JOIN\s+([A-Za-z_]\w*)\s+ON\s+"
+                              r"([A-Za-z_]\w*)", body, re.I)
+            if not lm:
+                raise ValueError(f"esql: LOOKUP needs JOIN <index> "
+                                 f"ON <field>, got {body!r}")
+            iname, on_col = lm.groups()
+            if not lookup_indexes or iname not in lookup_indexes:
+                raise ValueError(
+                    f"esql: unknown lookup index {iname!r} — pass "
+                    f"parse_esql(..., lookup_indexes={{name: "
+                    f"EnrichPolicy(...)}})")
+            idx = lookup_indexes[iname]
+            if idx.match_field != on_col:
+                raise ValueError(
+                    f"esql: LOOKUP JOIN ON {on_col!r} must name the "
+                    f"index's key field {idx.match_field!r} (ES "
+                    f"same-name contract — stage the key with EVAL)")
+            plan.commands.append(
+                ("lookup", (iname, idx, list(idx.fields))))
         elif kw == "ENRICH":
             em = re.fullmatch(
                 r"([A-Za-z_]\w*)\s+ON\s+([A-Za-z_]\w*)"
@@ -785,11 +896,13 @@ def _validate_order_flow(plan: EsqlPlan) -> None:
                 f"esql: DROP of an active SORT column "
                 f"{sorted(active & set(p))} is not supported — use "
                 f"KEEP (it projects sort columns through)")
-        elif kind == "enrich" and active:
+        elif kind in ("enrich", "lookup", "inlinestats") and active:
+            what = {"enrich": "ENRICH", "lookup": "LOOKUP JOIN",
+                    "inlinestats": "INLINESTATS"}[kind]
             raise ValueError(
-                "esql: ENRICH after an active SORT is not supported "
-                "— a join does not preserve row order; move the "
-                "SORT after the ENRICH")
+                f"esql: {what} after an active SORT is not "
+                f"supported — the join/window exchange does not "
+                f"preserve row order; move the SORT after it")
 
 
 def _split_top(s: str) -> list[str]:
@@ -861,6 +974,23 @@ def esql_df(df: DataFrame, plan: EsqlPlan,
                           df[on_col] == lkp[pol.match_field],
                           "left")
                   .drop(lkp[pol.match_field]))
+        elif kind == "lookup":
+            iname, idx, fields = p
+            if not lookups or iname not in lookups:
+                raise ValueError(
+                    f"esql: LOOKUP JOIN index {iname!r} needs its "
+                    f"DataFrame — pass esql_df(..., lookups="
+                    f"{{name: df}})")
+            lkp = lookups[iname].select(idx.match_field, *fields)
+            # NOT broadcast-forced: lookup indexes can outgrow the
+            # enrich-index size contract — Catalyst/AQE picks the
+            # strategy (broadcast under threshold, shuffled beyond)
+            df = df.join(lkp, on=idx.match_field, how="left")
+        elif kind == "inlinestats":
+            aggs, bys = p
+            over = f" OVER (PARTITION BY {', '.join(bys)})"
+            for name, e in aggs:
+                df = df.withColumn(name, F.expr(e.spark + over))
         elif kind == "grok":
             col, rx, keys = p
             for i, (k, typ) in enumerate(keys, start=1):
@@ -944,6 +1074,19 @@ def esql_duck_sql(plan: EsqlPlan) -> str:
             sql = (f"SELECT _l.*, {added} FROM ({sql}) _l "
                    f"LEFT JOIN (SELECT {picked} FROM {pol.table}) _r "
                    f"ON _l.{on_col} = _r.{pol.match_field}")
+        elif kind == "lookup":
+            iname, idx, fields = p
+            picked = ", ".join([idx.match_field, *fields])
+            added = ", ".join(f"_r.{f}" for f in fields)
+            sql = (f"SELECT _l.*, {added} FROM ({sql}) _l "
+                   f"LEFT JOIN (SELECT {picked} FROM {idx.table}) _r "
+                   f"ON _l.{idx.match_field} = _r.{idx.match_field}")
+        elif kind == "inlinestats":
+            aggs, bys = p
+            over = f" OVER (PARTITION BY {', '.join(bys)})"
+            cols = ", ".join(f"{e.duck}{over} AS {n}"
+                             for n, e in aggs)
+            sql = f"SELECT *, {cols} FROM ({sql}) _i"
         elif kind == "grok":
             col, rx, keys = p
             rxq = rx.replace("'", "''")

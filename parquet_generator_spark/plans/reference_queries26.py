@@ -170,12 +170,94 @@ def esql_stats_percentiles(spark: SparkSession,
     return esql_df(ev, plan)
 
 
+# ----------------- tranche four: INLINESTATS / LOOKUP JOIN /
+# DATE_EXTRACT
+
+# LOOKUP JOIN's index registry (ES 8.18 lookup indexes): the ON
+# field must BE the index key (same-name contract) — the query
+# stages it with EVAL, the documented ES|QL pattern
+LOOKUP_INDEXES = {
+    "customer": EnrichPolicy(table="customer",
+                             match_field="c_custkey",
+                             fields=("c_mktsegment", "c_acctbal")),
+}
+
+ESQL_INLINESTATS_QUERY = """
+FROM events
+| INLINESTATS av = AVG(value), mx = MAX(value) BY event_type
+| WHERE value >= av
+| STATS kept = COUNT(*), av_kept = AVG(value) BY event_type
+| EVAL r = ROUND(av_kept, 4)
+| SORT event_type
+| KEEP event_type, kept, r
+"""
+
+ESQL_LOOKUP_QUERY = """
+FROM orders
+| EVAL c_custkey = o_custkey
+| LOOKUP JOIN customer ON c_custkey
+| STATS n = COUNT(*), rev = SUM(o_totalprice) BY c_mktsegment
+| EVAL r = ROUND(rev, 2)
+| SORT c_mktsegment
+| KEEP c_mktsegment, n, r
+"""
+
+ESQL_DATE_EXTRACT_QUERY = """
+FROM events
+| EVAL h = DATE_EXTRACT("hour_of_day", ts),
+       y = DATE_EXTRACT("year", ts)
+| WHERE y == 2024
+| STATS n = COUNT(*), av = AVG(value) BY h
+| EVAL r = ROUND(av, 4)
+| SORT h
+| KEEP h, n, r
+"""
+
+
+def esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INLINESTATS: group aggregates attached to every row WITHOUT
+    collapsing (window functions, identical OVER text in both
+    engines), feeding the classic above-group-mean filter then a
+    real STATS. BY is required (a global INLINESTATS would be an
+    unpartitioned window); the window shuffle is ONE hash exchange
+    on the group key — the same exchange the later STATS reuses."""
+    plan = parse_esql(ESQL_INLINESTATS_QUERY)
+    ev = load_table(spark, plan.table, sf_dir)
+    return esql_df(ev, plan)
+
+
+def esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOOKUP JOIN (ES 8.18): the ON field must be the lookup
+    index's key — staged here with EVAL, ES|QL's documented
+    pattern. Unlike ENRICH the join strategy is NOT forced:
+    Catalyst/AQE picks (broadcast under the threshold, shuffled
+    hash beyond — lookup indexes may outgrow enrich-index sizes)."""
+    plan = parse_esql(ESQL_LOOKUP_QUERY,
+                      lookup_indexes=LOOKUP_INDEXES)
+    orders = load_table(spark, plan.table, sf_dir)
+    return esql_df(orders, plan,
+                   lookups={"customer":
+                            load_table(spark, "customer", sf_dir)})
+
+
+def esql_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE_EXTRACT with ES|QL's aligned chrono names (hour_of_day,
+    year) via ANSI EXTRACT — identical text in both engines,
+    BIGINT-aligned; the hour-of-day traffic profile panel."""
+    plan = parse_esql(ESQL_DATE_EXTRACT_QUERY)
+    ev = load_table(spark, plan.table, sf_dir)
+    return esql_df(ev, plan)
+
+
 QUERIES.update({
     "esql_enrich": esql_enrich,
     "esql_grok": esql_grok,
     "esql_case_like": esql_case_like,
     "esql_mv_funcs": esql_mv_funcs,
     "esql_stats_percentiles": esql_stats_percentiles,
+    "esql_inlinestats": esql_inlinestats,
+    "esql_lookup_join": esql_lookup_join,
+    "esql_date_extract": esql_date_extract,
 })
 ORACLES.update({
     "esql_enrich": esql_duck_sql(
@@ -185,4 +267,10 @@ ORACLES.update({
     "esql_mv_funcs": esql_duck_sql(parse_esql(ESQL_MV_FUNCS_QUERY)),
     "esql_stats_percentiles": esql_duck_sql(
         parse_esql(ESQL_PCTL_QUERY)),
+    "esql_inlinestats": esql_duck_sql(
+        parse_esql(ESQL_INLINESTATS_QUERY)),
+    "esql_lookup_join": esql_duck_sql(
+        parse_esql(ESQL_LOOKUP_QUERY, lookup_indexes=LOOKUP_INDEXES)),
+    "esql_date_extract": esql_duck_sql(
+        parse_esql(ESQL_DATE_EXTRACT_QUERY)),
 })

@@ -187,7 +187,9 @@ def test_concat_is_null_propagating_in_both_engines(spark):
 def test_fences_raise_loudly():
     with pytest.raises(ValueError, match="must start with FROM"):
         parse_esql("WHERE x == 1")
-    with pytest.raises(ValueError, match="LOOKUP is not supported"):
+    with pytest.raises(ValueError, match="ROW is not supported"):
+        parse_esql("FROM events | ROW a = 1")
+    with pytest.raises(ValueError, match="unknown lookup index"):
         parse_esql("FROM events | LOOKUP JOIN dims ON k")
     with pytest.raises(ValueError, match="unsupported syntax"):
         parse_esql("FROM events | WHERE value ~= 3")
@@ -441,3 +443,71 @@ def test_median_percentile_stats(spark):
     assert all(r[1] <= r[2] for r in s)  # median <= p90
     with pytest.raises(ValueError, match="0, 100"):
         parse_esql("FROM events | STATS p = PERCENTILE(value, 150)")
+
+
+# --------------- tranche four: INLINESTATS / LOOKUP JOIN /
+# DATE_EXTRACT
+
+def test_inlinestats_window_parity(spark):
+    q = ("FROM events | INLINESTATS av = AVG(value) BY event_type "
+         "| WHERE value >= av | STATS kept = COUNT(*) BY event_type "
+         "| SORT event_type")
+    s, d, _ = _run_both(spark, q)
+    assert s == d and len(s) == 5
+    # above-mean filter keeps strictly fewer rows than the group
+    totals = dict(_duck().execute(
+        "SELECT event_type, count(*) FROM events GROUP BY 1"
+    ).fetchall())
+    assert all(r[1] < totals[r[0]] for r in s)
+
+
+def test_inlinestats_fences():
+    with pytest.raises(ValueError, match="unpartitioned window"):
+        parse_esql("FROM events | INLINESTATS av = AVG(value)")
+    with pytest.raises(ValueError, match="bounded to"):
+        parse_esql("FROM events | INLINESTATS "
+                   "u = COUNT_DISTINCT(user_id) BY event_type")
+    with pytest.raises(ValueError, match="after an active SORT"):
+        parse_esql("FROM events | SORT value "
+                   "| INLINESTATS av = AVG(value) BY event_type "
+                   "| LIMIT 3")
+
+
+def test_lookup_join_same_name_contract(spark):
+    from parquet_generator_spark.operators.esql import EnrichPolicy
+    from parquet_generator_spark.sources.catalog import load_table
+
+    idx = {"customer": EnrichPolicy("customer", "c_custkey",
+                                    ("c_mktsegment",))}
+    # ON must name the index key
+    with pytest.raises(ValueError, match="same-name contract"):
+        parse_esql("FROM orders | LOOKUP JOIN customer "
+                   "ON o_custkey", lookup_indexes=idx)
+    q = ("FROM orders | EVAL c_custkey = o_custkey "
+         "| LOOKUP JOIN customer ON c_custkey "
+         "| STATS n = COUNT(*) BY c_mktsegment | SORT c_mktsegment")
+    plan = parse_esql(q, lookup_indexes=idx)
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    sdf = esql_df(load_table(spark, "orders", SF), plan,
+                  lookups={"customer":
+                           load_table(spark, "customer", SF)})
+    s = sorted(tuple(r) for r in sdf.collect())
+    d = sorted(tuple(r) for r in
+               con.execute(esql_duck_sql(plan)).fetchall())
+    assert s == d and len(s) == 5
+
+
+def test_date_extract_parity_and_fences(spark):
+    q = ('FROM events | EVAL h = DATE_EXTRACT("hour_of_day", ts) '
+         '| STATS n = COUNT(*) BY h | SORT h')
+    s, d, _ = _run_both(spark, q)
+    assert s == d and len(s) == 24
+    assert s[0][0] == 0 and s[-1][0] == 23
+    with pytest.raises(ValueError, match="day-of-week"):
+        parse_esql('FROM events | EVAL d = '
+                   'DATE_EXTRACT("day_of_week", ts)')
+    with pytest.raises(ValueError, match="string literal"):
+        parse_esql("FROM events | EVAL d = DATE_EXTRACT(part, ts)")
