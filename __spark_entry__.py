@@ -134,6 +134,7 @@ FRONT_KEYS = [
     "esql_inlinestats",
     "esql_lookup_join",
     "esql_date_extract",
+    "esql_change_point",
 ]
 
 

@@ -417,6 +417,7 @@ HEADLINE = [
     "esql_inlinestats",
     "esql_lookup_join",
     "esql_date_extract",
+    "esql_change_point",
 ]
 
 # brute-force exactness twins with a labeled production path; at

@@ -11,6 +11,7 @@ the pipeline shapes Kibana ES|QL panels ship:
       | LOOKUP JOIN <index> ON <field>
       | MV_EXPAND <col>
       | INLINESTATS <name> = <AGG>(<expr>) [, ...] BY <col> [, ...]
+      | CHANGE_POINT <value_col> ON <key_col>
       | STATS <name> = <AGG>(<expr>) [, ...]
               [BY <col> | <name> = <expr> [, ...]]
       | SORT <col> [ASC|DESC] [, ...]
@@ -106,6 +107,18 @@ window exchange drops row order).
 DATE_EXTRACT(part, date) supports ES|QL's aligned chrono names
 (year, month_of_year, day_of_month, hour_of_day, minute_of_hour,
 second_of_minute) via EXTRACT(... FROM x), BIGINT-aligned.
+
+CHANGE_POINT follows the dsl_change_point contract
+(reference_queries16.py): a deterministic step-change detector —
+the split maximizing |mean(before) - mean(after)| over the
+key-ordered series, emitted as ONE row (key, step, score).
+DOCUMENTED DIVERGENCE from ES: ES's ML version annotates rows with
+a type + p-value; the deterministic argmax/step contract replaces
+that (no RNG, no ML runtime). The input MUST be a STATS-bucketed
+series (a prior STATS in the pipeline is enforced at parse) —
+mirroring ES's bounded-input contract (ES warns beyond 1000
+values) and keeping the ordered prefix-sum window on a
+bucket-cardinality frame, never a per-row single-reducer sort.
 
 Deliberate fences (documented, raise ValueError):
 ROW/SHOW, aggregates outside STATS, EVAL names that
@@ -808,6 +821,21 @@ def parse_esql(query: str,
                     f"same-name contract — stage the key with EVAL)")
             plan.commands.append(
                 ("lookup", (iname, idx, list(idx.fields))))
+        elif kw == "CHANGE_POINT":
+            cm = re.fullmatch(r"([A-Za-z_]\w*)\s+ON\s+"
+                              r"([A-Za-z_]\w*)", body, re.I)
+            if not cm:
+                raise ValueError(f"esql: CHANGE_POINT needs "
+                                 f"<value_col> ON <key_col>, got "
+                                 f"{body!r}")
+            if not any(k == "stats" for k, _ in plan.commands):
+                raise ValueError(
+                    "esql: CHANGE_POINT input must be a "
+                    "STATS-bucketed series (ES bounds the input to "
+                    "~1000 values; an unbucketed per-row ordered "
+                    "window would be a single-reducer sort)")
+            plan.commands.append(
+                ("change_point", (cm.group(1), cm.group(2))))
         elif kw == "ENRICH":
             em = re.fullmatch(
                 r"([A-Za-z_]\w*)\s+ON\s+([A-Za-z_]\w*)"
@@ -886,7 +914,7 @@ def _validate_order_flow(plan: EsqlPlan) -> None:
     for kind, p in plan.commands:
         if kind == "sort":
             active = {c for c, _ in p}
-        elif kind == "stats":
+        elif kind in ("stats", "change_point"):
             active = set()
         elif kind == "rename":
             ren = dict(p)
@@ -974,6 +1002,34 @@ def esql_df(df: DataFrame, plan: EsqlPlan,
                           df[on_col] == lkp[pol.match_field],
                           "left")
                   .drop(lkp[pol.match_field]))
+        elif kind == "change_point":
+            val, key = p
+            from pyspark.sql import Window
+
+            from parquet_generator_spark.operators.util import (
+                broadcast_scalars,
+            )
+
+            totals = df.agg(F.sum(val).alias("_total"),
+                            F.count(F.lit(1)).alias("_nb"))
+            # ordered window over the STATS-bucketed frame only
+            # (bounded by the parse-time contract); totals enter as
+            # plan literals (broadcast_scalars — no nested-loop join)
+            w = (Window.orderBy(key)
+                 .rowsBetween(Window.unboundedPreceding, 0))
+            pre = (broadcast_scalars(df, totals)
+                   .withColumn("_ps", F.sum(val).over(w))
+                   .withColumn("_pc", F.count(F.lit(1)).over(w))
+                   .filter(F.col("_pc") < F.col("_nb")))
+            mean_b = F.col("_ps").cast("double") / F.col("_pc")
+            mean_a = ((F.col("_total") - F.col("_ps"))
+                      .cast("double")
+                      / (F.col("_nb") - F.col("_pc")))
+            step = F.round(mean_a - mean_b, 4)
+            df = (pre.select(F.col(key), step.alias("step"),
+                             F.abs(step).alias("score"))
+                  .orderBy(F.desc("score"), F.asc(key))
+                  .limit(1))
         elif kind == "lookup":
             iname, idx, fields = p
             if not lookups or iname not in lookups:
@@ -1074,6 +1130,24 @@ def esql_duck_sql(plan: EsqlPlan) -> str:
             sql = (f"SELECT _l.*, {added} FROM ({sql}) _l "
                    f"LEFT JOIN (SELECT {picked} FROM {pol.table}) _r "
                    f"ON _l.{on_col} = _r.{pol.match_field}")
+        elif kind == "change_point":
+            val, key = p
+            mean_b = f"CAST(_ps AS DOUBLE) / _pc"
+            mean_a = f"CAST(_total - _ps AS DOUBLE) / (_nb - _pc)"
+            step = f"round({mean_a} - {mean_b}, 4)"
+            sql = (
+                f"SELECT {key}, {step} AS step, abs({step}) AS score "
+                f"FROM (SELECT {key}, "
+                f"sum({val}) OVER (ORDER BY {key} ROWS BETWEEN "
+                f"UNBOUNDED PRECEDING AND CURRENT ROW) AS _ps, "
+                f"count(*) OVER (ORDER BY {key} ROWS BETWEEN "
+                f"UNBOUNDED PRECEDING AND CURRENT ROW) AS _pc, "
+                f"_t._total, _t._nb FROM ({sql}) _b CROSS JOIN "
+                f"(SELECT sum({val}) AS _total, count(*) AS _nb "
+                f"FROM ({sql}) _bb) _t) _p "
+                f"WHERE _pc < _nb "
+                f"ORDER BY score DESC, {key} ASC LIMIT 1")
+            order, final_keep = None, None
         elif kind == "lookup":
             iname, idx, fields = p
             picked = ", ".join([idx.match_field, *fields])

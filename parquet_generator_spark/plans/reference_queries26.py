@@ -214,6 +214,26 @@ FROM events
 """
 
 
+ESQL_CHANGE_POINT_QUERY = """
+FROM events
+| WHERE event_type == "purchase"
+| STATS doc_count = COUNT(*) BY day = BUCKET(ts, 1 day)
+| CHANGE_POINT doc_count ON day
+"""
+
+
+def esql_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE_POINT over a STATS-bucketed daily series: the
+    deterministic step-change argmax (dsl_change_point contract —
+    documented divergence from ES's ML p-value annotation). The
+    prior STATS is ENFORCED at parse, so the ordered prefix-sum
+    window runs on the bucket-cardinality frame (days), never on
+    raw rows — the ES ~1000-value input bound, kept structural."""
+    plan = parse_esql(ESQL_CHANGE_POINT_QUERY)
+    ev = load_table(spark, plan.table, sf_dir)
+    return esql_df(ev, plan)
+
+
 def esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INLINESTATS: group aggregates attached to every row WITHOUT
     collapsing (window functions, identical OVER text in both
@@ -258,6 +278,7 @@ QUERIES.update({
     "esql_inlinestats": esql_inlinestats,
     "esql_lookup_join": esql_lookup_join,
     "esql_date_extract": esql_date_extract,
+    "esql_change_point": esql_change_point,
 })
 ORACLES.update({
     "esql_enrich": esql_duck_sql(
@@ -273,4 +294,6 @@ ORACLES.update({
         parse_esql(ESQL_LOOKUP_QUERY, lookup_indexes=LOOKUP_INDEXES)),
     "esql_date_extract": esql_duck_sql(
         parse_esql(ESQL_DATE_EXTRACT_QUERY)),
+    "esql_change_point": esql_duck_sql(
+        parse_esql(ESQL_CHANGE_POINT_QUERY)),
 })

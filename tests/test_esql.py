@@ -511,3 +511,20 @@ def test_date_extract_parity_and_fences(spark):
                    'DATE_EXTRACT("day_of_week", ts)')
     with pytest.raises(ValueError, match="string literal"):
         parse_esql("FROM events | EVAL d = DATE_EXTRACT(part, ts)")
+
+
+# ------------------------------------ CHANGE_POINT (step detector)
+
+def test_change_point_matches_and_detects(spark):
+    q = ('FROM events | WHERE event_type == "purchase" '
+         '| STATS doc_count = COUNT(*) BY day = BUCKET(ts, 1 day) '
+         '| CHANGE_POINT doc_count ON day')
+    s, d, cols = _run_both(spark, q)
+    assert s == d and len(s) == 1
+    assert cols == ["day", "step", "score"]
+    assert s[0][2] == abs(s[0][1]) > 0
+
+
+def test_change_point_requires_stats():
+    with pytest.raises(ValueError, match="STATS-bucketed"):
+        parse_esql("FROM events | CHANGE_POINT value ON event_id")
