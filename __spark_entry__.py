@@ -72,6 +72,7 @@ from parquet_generator_spark.plans import reference_queries23 as R23
 from parquet_generator_spark.plans import reference_queries24 as R24
 from parquet_generator_spark.plans import reference_queries25 as R25
 from parquet_generator_spark.plans import reference_queries26 as R26
+from parquet_generator_spark.plans import reference_queries27 as R27
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -135,6 +136,11 @@ FRONT_KEYS = [
     "esql_lookup_join",
     "esql_date_extract",
     "esql_change_point",
+    "dsl_match_analyzer_it",
+    "esql_bucket_numeric",
+    "esql_stats_where",
+    "esql_top_agg",
+    "esql_math_funcs",
 ]
 
 
@@ -205,6 +211,7 @@ def queries() -> dict[str, QueryFn]:
         **R24.QUERIES,
         **R25.QUERIES,
         **R26.QUERIES,
+        **R27.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -276,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         **R24.ORACLES,
         **R25.ORACLES,
         **R26.ORACLES,
+        **R27.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

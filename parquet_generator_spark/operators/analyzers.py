@@ -56,6 +56,7 @@ _SEP = f"[^{_CHARSET}]+"
 GERMAN_CHARSET = "a-z0-9äöüß"
 FRENCH_CHARSET = "a-z0-9àâçéèêëîïôûù"
 SPANISH_CHARSET = "a-z0-9áéíóúüñ"
+ITALIAN_CHARSET = "a-z0-9àèìòùáéíóú"
 
 _TOKEN_RE = re.compile(rf"[{_CHARSET}]+")
 
@@ -117,13 +118,19 @@ def _stem_py(kind, w: str) -> str:
             spanish_stem,
         )
         return spanish_stem(w)
+    if kind == "italian":
+        from parquet_generator_spark.operators.snowball_it import (
+            italian_stem,
+        )
+        return italian_stem(w)
     return s_stem(w)
 
 
 # stemmers whose SQL expression is expensive enough that the match
 # renderer binds ONE stemmed array per document instead of stemming
 # per query group
-_EXPENSIVE_STEMMERS = ("porter", "german", "french", "spanish")
+_EXPENSIVE_STEMMERS = ("porter", "german", "french", "spanish",
+                       "italian")
 
 
 def _stem_expr(kind, ref: str, engine: str) -> str:
@@ -149,6 +156,11 @@ def _stem_expr(kind, ref: str, engine: str) -> str:
             spanish_stem_sql,
         )
         return spanish_stem_sql(ref, engine)
+    if kind == "italian":
+        from parquet_generator_spark.operators.snowball_it import (
+            italian_stem_sql,
+        )
+        return italian_stem_sql(ref, engine)
     return s_stem_sql(ref)
 
 
@@ -253,6 +265,15 @@ estas ya fue fueron
 register_analyzer(Analyzer("spanish", stopwords=SPANISH_STOPWORDS,
                            stem=True, stemmer="spanish",
                            charset=SPANISH_CHARSET))
+ITALIAN_STOPWORDS = frozenset("""
+il lo la i gli le un uno una di a da in con su per tra fra e o ma
+se che chi non più questo questa questi queste quello sono è era
+come anche dove quando noi voi loro io tu lui lei al del nel sul
+alla della nella ed
+""".split())
+register_analyzer(Analyzer("italian", stopwords=ITALIAN_STOPWORDS,
+                           stem=True, stemmer="italian",
+                           charset=ITALIAN_CHARSET))
 
 
 def _quote(s: str) -> str:

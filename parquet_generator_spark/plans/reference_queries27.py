@@ -1,0 +1,219 @@
+"""Round-11 tranche four: the Italian snowball analyzer match plus
+the ES|QL 8.14-8.16 feature tranche (numeric BUCKET histograms,
+per-aggregate STATS ... WHERE filters, the TOP aggregate, and the
+DATE_DIFF / POW / LOG10 / GREATEST / LEAST scalar functions).
+
+Scale notes for the ES|QL keys: every pipeline is one hash
+aggregation over a narrow scan — BUCKET/DATE_DIFF/CASE math is
+pure codegen in the scan projection, per-aggregate FILTER clauses
+ride the same partial aggregate (map-side combine), and TOP's
+collect_list runs per group (bounded by the BY cardinality), so
+nothing here widens at 100 TB beyond the one shuffle the
+aggregation already pays.
+
+Reference parity: ES/Lucene's ``italian`` analyzer (stop +
+snowball-italian stemmer filter) applied through the same
+plan-time-analysis / codegen-field-side match translation as the
+german/french/spanish siblings (operators/analyzers.py); the
+reference repo (liujiawinds/parquet-generator, Bootstrap.java) is an
+ETL tool whose ES indices declare language analyzers — the match
+semantics generalize what those indices get queried WITH.
+
+Scale notes: the stemmer is ONE codegen expression bound once per
+document (operators/analyzers._stemmed_match_sql), no UDF, no
+shuffle before the small groupBy; at 100 TB the documents scan
+partitions freely and the match predicate rides the scan filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_generator_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ------------------------------------------ dsl_match_analyzer_it
+
+# the synthetic corpus has no Italian rows, so a deterministic
+# doc_id slice gets planted payloads (literal constants shared by
+# plan and oracle — the de/fr/es posture in reference_queries25):
+# inflections the english chain provably cannot fold onto the
+# query's dictionary forms
+_IT_SNIPPETS = [
+    "le canzoni furono cantate",
+    "lavoratori cantando canzoni",
+    "la comunicazione arrivò rapidamente",
+]
+_IT_QUERY = "canzone lavoratore"
+
+
+def _it_planted_expr() -> str:
+    snip = ("CASE CAST(doc_id % 3 AS INT) "
+            + " ".join(f"WHEN {i} THEN '{s}'"
+                       for i, s in enumerate(_IT_SNIPPETS))
+            + " END")
+    return (f"CASE WHEN doc_id % 5 = 2 THEN "
+            f"concat({snip}, ' ', substr(text, 1, 60)) "
+            f"ELSE substr(text, 1, 60) END")
+
+
+def dsl_match_analyzer_it(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """``match`` with ``analyzer: "italian"`` (snowball italian,
+    operator AND): the query's dictionary forms (canzone,
+    lavoratore) reach the planted inflections (canzoni, lavoratori)
+    only through the full stemmer — acute->grave prelude, u/i
+    consonant marking, RV/R1/R2 suffix system, attached-pronoun
+    step, residual vowel + ch/gh steps. The english chain matches
+    zero of the same documents (canzoni never S-stems to canzon;
+    pinned in tests/test_snowball_it.py)."""
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match,
+        get_analyzer,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = analyzed_match("mixed", _IT_QUERY,
+                          get_analyzer("italian"), operator="and")
+    return (docs
+            .withColumn("mixed", F.expr(_it_planted_expr()))
+            .filter(pred)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("source"))
+
+
+def _match_it_oracle() -> str:
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match_duck_sql,
+        get_analyzer,
+    )
+
+    pred = analyzed_match_duck_sql(
+        "mixed", _IT_QUERY, get_analyzer("italian"), operator="and")
+    return f"""
+WITH m AS (SELECT source, {_it_planted_expr()} AS mixed
+           FROM documents)
+SELECT source, count(*) AS doc_count
+FROM m WHERE {pred}
+GROUP BY source ORDER BY source
+"""
+
+
+QUERIES.update({"dsl_match_analyzer_it": dsl_match_analyzer_it})
+ORACLES.update({"dsl_match_analyzer_it": _match_it_oracle()})
+
+
+# ------------------------------------------- ES|QL feature tranche
+
+ESQL_BUCKET_NUM_QUERY = """
+FROM events
+| STATS n = COUNT(*), av = AVG(value) BY b = BUCKET(value, 25.0)
+| EVAL avg_r = ROUND(av, 4)
+| SORT b
+| KEEP b, n, avg_r
+"""
+
+ESQL_STATS_WHERE_QUERY = """
+FROM events
+| STATS n = COUNT(*), hi = COUNT(*) WHERE value >= 75,
+        pu = COUNT_DISTINCT(user_id) WHERE event_type == "purchase",
+        sv = SUM(value) WHERE value < 10 BY b = user_id % 7
+| EVAL svr = ROUND(sv, 4)
+| SORT b
+| KEEP b, n, hi, pu, svr
+"""
+
+ESQL_TOP_QUERY = """
+FROM events
+| STATS tops = TOP(event_type, 3, "desc"),
+        lows = TOP(value, 2, "asc"), n = COUNT(*) BY b = user_id % 5
+| EVAL sig = MV_CONCAT(tops, "|")
+| SORT b
+| KEEP b, sig, n
+"""
+
+ESQL_MATH_QUERY = """
+FROM events
+| EVAL dsw = DATE_DIFF("day", DATE_TRUNC(1 week, ts), ts),
+       cap = LEAST(GREATEST(value, 10.0), 90.0),
+       mag = ROUND(LOG10(POW(value + 1.0, 2.0)), 4)
+| STATS n = COUNT(*), avg_cap = AVG(cap), top_mag = MAX(mag) BY dsw
+| EVAL ac = ROUND(avg_cap, 4)
+| SORT dsw
+| KEEP dsw, n, ac, top_mag
+"""
+
+
+def _esql_events(query: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from parquet_generator_spark.operators.esql import (
+            esql_df,
+            parse_esql,
+        )
+
+        plan = parse_esql(query)
+        return esql_df(load_table(spark, plan.table, sf_dir), plan)
+    return run
+
+
+def _esql_oracle(query: str) -> str:
+    from parquet_generator_spark.operators.esql import (
+        esql_duck_sql,
+        parse_esql,
+    )
+
+    return esql_duck_sql(parse_esql(query))
+
+
+def esql_bucket_numeric(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """ES|QL fixed-interval histogram: ``STATS ... BY BUCKET(value,
+    25.0)`` — the numeric-span form of the Kibana histogram panel.
+    Floor-to-multiple-of-span is codegen in the scan projection and
+    serves as the grouping key directly."""
+    return _esql_events(ESQL_BUCKET_NUM_QUERY)(spark, sf_dir)
+
+
+def esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL 8.16 per-aggregate filters: three aggregates over the
+    same pass, each with its own ``WHERE`` — one scan, one shuffle,
+    conditional aggregation via the ANSI FILTER clause (identical
+    text in Spark SQL and DuckDB)."""
+    return _esql_events(ESQL_STATS_WHERE_QUERY)(spark, sf_dir)
+
+
+def esql_top_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``TOP(field, k, order)``: the top-k values per group as
+    a multivalue, then MV_CONCAT into a deterministic signature.
+    Rendered as full-sort-then-prefix in both engines (no
+    engine-specific top-k aggregate leaks into the contract)."""
+    return _esql_events(ESQL_TOP_QUERY)(spark, sf_dir)
+
+
+def esql_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL scalar-function tranche: DATE_DIFF (complete elapsed
+    units — Spark timestampdiff / DuckDB date_sub, NOT the
+    boundary-crossing date_diff), GREATEST/LEAST clamping, and
+    POW/LOG10 math, grouped by day-of-week derived entirely in
+    codegen."""
+    return _esql_events(ESQL_MATH_QUERY)(spark, sf_dir)
+
+
+QUERIES.update({
+    "esql_bucket_numeric": esql_bucket_numeric,
+    "esql_stats_where": esql_stats_where,
+    "esql_top_agg": esql_top_agg,
+    "esql_math_funcs": esql_math_funcs,
+})
+ORACLES.update({
+    "esql_bucket_numeric": _esql_oracle(ESQL_BUCKET_NUM_QUERY),
+    "esql_stats_where": _esql_oracle(ESQL_STATS_WHERE_QUERY),
+    "esql_top_agg": _esql_oracle(ESQL_TOP_QUERY),
+    "esql_math_funcs": _esql_oracle(ESQL_MATH_QUERY),
+})
