@@ -37,14 +37,24 @@ full-string match in both dialects), RLIKE (ES|QL FULL-string
 regex: Spark gets an ``^(?:...)$``-anchored RLIKE, DuckDB gets
 ``SIMILAR TO``, which is full-match by definition), CASE(c1, v1,
 ..., [default]) and the functions ABS/ROUND/SQRT/LENGTH/LOWER/
-UPPER/CONCAT/SPLIT/NOW/BUCKET/DATE_TRUNC/TO_LONG/TO_INTEGER/
-TO_DOUBLE/TO_STRING plus the multivalue family MV_COUNT/MV_MIN/
-MV_MAX/MV_SORT/MV_DEDUPE/MV_CONCAT. ES|QL's ``==`` becomes SQL
-``=``, ``!=`` becomes ``<>``. Aggregates: COUNT(*) / COUNT / SUM /
-AVG / MIN / MAX / COUNT_DISTINCT / MEDIAN / PERCENTILE(expr, p) —
-MEDIAN/PERCENTILE render as exact interpolated quantiles
-(Spark ``percentile``, DuckDB ``quantile_cont``; ES|QL's p is
-0-100, converted to a fraction for both engines).
+UPPER/CONCAT/SPLIT/NOW/BUCKET/DATE_TRUNC/DATE_DIFF/POW/LOG10/EXP/
+GREATEST/LEAST/TO_LONG/TO_INTEGER/TO_DOUBLE/TO_STRING plus the
+multivalue family MV_COUNT/MV_MIN/MV_MAX/MV_SORT/MV_DEDUPE/
+MV_CONCAT. ES|QL's ``==`` becomes SQL ``=``, ``!=`` becomes
+``<>``. Aggregates: COUNT(*) / COUNT / SUM / AVG / MIN / MAX /
+COUNT_DISTINCT / MEDIAN / PERCENTILE(expr, p) / TOP(expr, k,
+"asc"|"desc") — MEDIAN/PERCENTILE render as exact interpolated
+quantiles (Spark ``percentile``, DuckDB ``quantile_cont``; ES|QL's
+p is 0-100, converted to a fraction for both engines); TOP is a
+deterministic full-sort-then-k-prefix in both engines. Every STATS
+aggregate accepts a per-aggregate ``WHERE <cond>`` filter (ES|QL
+8.16), rendered as the ANSI FILTER clause in both engines.
+BUCKET's second argument may be a bare numeric literal — the
+fixed-interval histogram form, floor-to-multiple-of-span, cast to
+DOUBLE in both engines. DATE_DIFF("<unit>", start, end) counts
+COMPLETE elapsed units (ES ChronoUnit semantics): Spark
+``timestampdiff``, DuckDB ``date_sub`` (NOT date_diff, which
+counts boundary crossings).
 
 Engine-specific renderings (everything else is engine-neutral text):
 
@@ -153,11 +163,20 @@ from pyspark.sql import functions as F
 _FUNCS = {"ABS": "abs", "ROUND": "round", "SQRT": "sqrt",
           "LENGTH": "length", "LOWER": "lower", "UPPER": "upper",
           "COALESCE": "coalesce", "TRIM": "trim", "LTRIM": "ltrim",
-          "RTRIM": "rtrim", "SUBSTRING": "substr", "FLOOR": "floor"}
+          "RTRIM": "rtrim", "SUBSTRING": "substr", "FLOOR": "floor",
+          "POW": "pow", "LOG10": "log10", "EXP": "exp",
+          "GREATEST": "greatest", "LEAST": "least"}
 _AGGS = {"COUNT": "count", "SUM": "sum", "AVG": "avg",
          "MIN": "min", "MAX": "max",
          # None: rendered specially
-         "COUNT_DISTINCT": None, "MEDIAN": None, "PERCENTILE": None}
+         "COUNT_DISTINCT": None, "MEDIAN": None, "PERCENTILE": None,
+         "TOP": None}
+
+# DATE_DIFF units shared by Spark timestampdiff and DuckDB date_sub
+# (both count COMPLETE elapsed units, the ES ChronoUnit contract —
+# DuckDB's date_diff counts boundary crossings and is NOT used)
+_DIFF_UNITS = ("year", "quarter", "month", "week", "day",
+               "hour", "minute", "second")
 
 _CASTS = {"TO_LONG": ("BIGINT", "BIGINT"),
           "TO_INTEGER": ("INT", "INT"),
@@ -414,12 +433,46 @@ def _render_call(name: str, args: list[str]) -> _E:
             f"AS BIGINT)",
             f"CAST(EXTRACT({_CHRONO[part]} FROM {val.duck}) "
             f"AS BIGINT)")
+    if name == "DATE_DIFF":
+        if len(args) != 3:
+            raise ValueError('esql: DATE_DIFF takes '
+                             '("<unit>", start, end)')
+        unit_raw = args[0].strip()
+        if not (unit_raw.startswith('"') and unit_raw.endswith('"')):
+            raise ValueError("esql: DATE_DIFF unit must be a "
+                             "string literal")
+        unit = _UNITS.get(unit_raw[1:-1].lower())
+        if unit not in _DIFF_UNITS:
+            raise ValueError(
+                f"esql: DATE_DIFF unit must be one of "
+                f"{list(_DIFF_UNITS)}, got {unit_raw}")
+        a, b = rendered[1], rendered[2]
+        # both engines count COMPLETE elapsed units (ES ChronoUnit
+        # semantics); both return BIGINT
+        return _E(f"timestampdiff({unit.upper()}, {a.spark}, "
+                  f"{b.spark})",
+                  f"date_sub('{unit}', {a.duck}, {b.duck})")
     if name in ("BUCKET", "DATE_TRUNC"):
         if len(args) != 2:
             raise ValueError(f"esql: {name} takes "
                              f"{'(expr, 1 <unit>)' if name == 'BUCKET' else '(1 <unit>, expr)'}")
         amt, val = (args[1], rendered[0]) if name == "BUCKET" \
             else (args[0], rendered[1])
+        if name == "BUCKET" and re.fullmatch(r"\d+(?:\.\d+)?",
+                                             amt.strip()):
+            # numeric-span histogram bucket: floor-to-multiple of
+            # the span (ES BUCKET's fixed-interval form); the
+            # uniform DOUBLE cast keeps integer spans type-aligned
+            # (Spark floor(double) is BIGINT, DuckDB's is DOUBLE)
+            span = amt.strip()
+            if float(span) <= 0:
+                raise ValueError(
+                    f"esql: BUCKET span must be > 0, got {span}")
+            return _E(
+                f"CAST(floor(({val.spark}) / {span}) * {span} "
+                f"AS DOUBLE)",
+                f"CAST(floor(({val.duck}) / {span}) * {span} "
+                f"AS DOUBLE)")
         unit = _parse_amount(amt, name)
         # DuckDB date_trunc returns DATE at >= day granularity,
         # Spark always TIMESTAMP — the cast is a no-op for Spark
@@ -431,7 +484,7 @@ def _render_call(name: str, args: list[str]) -> _E:
 
 
 _SPECIAL = ("CONCAT", "SPLIT", "NOW", "BUCKET", "DATE_TRUNC",
-            "DATE_EXTRACT",
+            "DATE_EXTRACT", "DATE_DIFF",
             "STARTS_WITH", "ENDS_WITH", "CASE", "MV_COUNT",
             "MV_MIN", "MV_MAX", "MV_SORT", "MV_DEDUPE", "MV_CONCAT",
             *_CASTS)
@@ -574,6 +627,24 @@ def _render_agg(call: str) -> _E:
         frac = repr(p / 100.0)
         return _E(f"percentile({inner.spark}, {frac})",
                   f"quantile_cont({inner.duck}, {frac})")
+    if name == "TOP":
+        parts = _split_top(arg)
+        if (len(parts) != 3 or not _INT_RE.fullmatch(parts[1])
+                or parts[2].strip('"').lower() not in ("asc",
+                                                       "desc")):
+            raise ValueError('esql: TOP takes '
+                             '(expr, <k>, "asc"|"desc")')
+        k = int(parts[1])
+        asc = parts[2].strip('"').lower() == "asc"
+        inner = _render_expr(parts[0])
+        # deterministic: full sort of the group's (non-null) values,
+        # then a k-prefix — identical element order in both engines
+        return _E(
+            f"slice(sort_array(collect_list({inner.spark}), "
+            f"{'true' if asc else 'false'}), 1, {k})",
+            f"list_slice(list_sort(list({inner.duck}) "
+            f"FILTER (WHERE ({inner.duck}) IS NOT NULL), "
+            f"'{'ASC' if asc else 'DESC'}'), 1, {k})")
     inner = _render_expr(arg)
     if name == "MEDIAN":
         return _E(f"percentile({inner.spark}, 0.5)",
@@ -721,8 +792,16 @@ def parse_esql(query: str,
                 if not eq:
                     raise ValueError("esql: STATS needs name = "
                                      "AGG(expr)")
-                st.aggs.append((name.strip(),
-                                _render_agg(rhs.strip())))
+                call, cond = _split_agg_filter(rhs.strip())
+                e = _render_agg(call)
+                if cond is not None:
+                    # per-aggregate filter (ES|QL 8.16 STATS ...
+                    # WHERE): ANSI FILTER clause, identical text in
+                    # Spark SQL and DuckDB
+                    c = _render_expr(cond)
+                    e = _E(f"{e.spark} FILTER (WHERE {c.spark})",
+                           f"{e.duck} FILTER (WHERE {c.duck})")
+                st.aggs.append((name.strip(), e))
             for item in _split_top(by_part) if by_part else []:
                 name, eq, rhs = item.partition("=")
                 if eq:
@@ -931,6 +1010,35 @@ def _validate_order_flow(plan: EsqlPlan) -> None:
                 f"esql: {what} after an active SORT is not "
                 f"supported — the join/window exchange does not "
                 f"preserve row order; move the SORT after it")
+
+
+def _split_agg_filter(rhs: str) -> tuple[str, str | None]:
+    """Split ``AGG(expr) WHERE cond`` (ES|QL 8.16 per-aggregate
+    filters) at the top-level WHERE; returns (call, cond|None)."""
+    depth, in_s, i = 0, None, 0
+    up = rhs.upper()
+    while i < len(rhs):
+        ch = rhs[i]
+        if in_s:
+            if ch == "\\":
+                i += 1
+            elif ch == in_s:
+                in_s = None
+        elif ch in "'\"":
+            in_s = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (depth == 0 and up.startswith("WHERE", i)
+              and (i == 0 or not (rhs[i - 1].isalnum()
+                                  or rhs[i - 1] == "_"))
+              and (i + 5 >= len(rhs)
+                   or not (rhs[i + 5].isalnum()
+                           or rhs[i + 5] == "_"))):
+            return rhs[:i].strip(), rhs[i + 5:].strip()
+        i += 1
+    return rhs.strip(), None
 
 
 def _split_top(s: str) -> list[str]:

@@ -528,3 +528,74 @@ def test_change_point_matches_and_detects(spark):
 def test_change_point_requires_stats():
     with pytest.raises(ValueError, match="STATS-bucketed"):
         parse_esql("FROM events | CHANGE_POINT value ON event_id")
+
+
+# --------------- numeric BUCKET / STATS WHERE / TOP / DATE_DIFF
+
+def test_bucket_numeric_histogram(spark):
+    q = ("FROM events | STATS n = COUNT(*) "
+         "BY b = BUCKET(value, 25.0) | SORT b")
+    s, d, cols = _run_both(spark, q)
+    assert s == d and len(s) > 1
+    assert all(r[0] % 25.0 == 0.0 for r in s)
+
+
+def test_bucket_numeric_integer_span_is_double(spark):
+    # integer spans must still produce DOUBLE keys in BOTH engines
+    q = ("FROM events | STATS n = COUNT(*) "
+         "BY b = BUCKET(value, 50) | SORT b")
+    plan = parse_esql(q)
+    from parquet_generator_spark.sources.catalog import load_table
+    sdf = esql_df(load_table(spark, "events", SF), plan)
+    assert dict(sdf.dtypes)["b"] == "double"
+    s, d, _ = _run_both(spark, q)
+    assert s == d
+
+
+def test_stats_per_aggregate_where(spark):
+    q = ("FROM events | STATS n = COUNT(*), "
+         "hi = COUNT(*) WHERE value >= 90, "
+         'pu = SUM(value) WHERE event_type == "purchase" '
+         "BY event_type | SORT event_type")
+    s, d, cols = _run_both(spark, q)
+    assert s == d and len(s) > 0
+    assert cols == ["event_type", "n", "hi", "pu"]
+    # the filtered count is a strict subset of the plain count
+    assert all(r[2] <= r[1] for r in s)
+
+
+def test_stats_where_fences():
+    # INLINESTATS does not take per-aggregate filters
+    with pytest.raises(ValueError):
+        parse_esql("FROM events | INLINESTATS "
+                   "n = COUNT(*) WHERE value > 5 BY event_type")
+
+
+def test_top_aggregate(spark):
+    q = ('FROM events | STATS t = TOP(event_type, 2, "desc") '
+         "BY b = user_id % 3 "
+         '| EVAL sig = MV_CONCAT(t, "|") | SORT b | KEEP b, sig')
+    s, d, cols = _run_both(spark, q)
+    assert s == d and len(s) == 3
+    with pytest.raises(ValueError, match="TOP takes"):
+        parse_esql("FROM events | STATS t = TOP(value) BY event_type")
+    with pytest.raises(ValueError, match="TOP takes"):
+        parse_esql('FROM events | STATS t = TOP(value, 2, "sideways")'
+                   " BY event_type")
+
+
+def test_date_diff_and_math_funcs(spark):
+    q = ('FROM events | EVAL d = DATE_DIFF("day", '
+         "DATE_TRUNC(1 week, ts), ts), "
+         "g = GREATEST(value, 50.0), p = ROUND(POW(value, 2.0), 2) "
+         "| STATS n = COUNT(*), mg = MIN(g) BY d | SORT d")
+    s, d_, cols = _run_both(spark, q)
+    assert s == d_ and len(s) > 0
+    # day-of-week offsets are complete elapsed days: 0..6
+    assert all(0 <= r[0] <= 6 for r in s)
+    assert all(r[2] >= 50.0 for r in s)
+    with pytest.raises(ValueError, match="DATE_DIFF unit"):
+        parse_esql('FROM events | EVAL d = DATE_DIFF("fortnight", '
+                   "ts, ts)")
+    with pytest.raises(ValueError, match="string literal"):
+        parse_esql("FROM events | EVAL d = DATE_DIFF(day, ts, ts)")
