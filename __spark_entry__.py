@@ -45,6 +45,7 @@ from parquet_generator_spark.plans import llm_queries22 as L22
 from parquet_generator_spark.plans import llm_queries23 as L23
 from parquet_generator_spark.plans import llm_queries24 as L24
 from parquet_generator_spark.plans import llm_queries25 as L25
+from parquet_generator_spark.plans import llm_queries26 as L26
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -81,14 +82,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # The correctness sampler reads 50 entries from the front of queries().
 # Cumulative hard ledger after round 10: ALL 351 entries driver-green
 # at their latest sample (CORRECTNESS_r10 = 50/50 MATCH) — zero debt
-# entering round 11. The round-11 FRONT window re-verifies the full
-# round-10 cohort (22 keys, their latest samples are now one round
-# old) and appends the 10 round-11 additions as they land; 30 FRONT
-# keys total, all inside the 50-wide window, so CORRECTNESS_r11
-# closes the ledger at the full 361-entry surface.
+# entering round 11. The round-11 FRONT window holds the round-9
+# evidence keys, the round-10 cohort re-verification, and all 27
+# round-11 additions — exactly 50 keys, so CORRECTNESS_r11 closes the
+# ledger at the full surface with every new key hard-sampled.
 #
 # ROUND-12 ROTATION DEBT: none expected — every round-11 addition is
-# in the FRONT window.
+# in the FRONT window (which is now FULL at 50/50; round-12 additions
+# must displace the round-9/10 re-verification keys at the top).
 FRONT_KEYS = [
     # round-9 evidence debt (7 never-driver-sampled keys)
     "dsl_match_phrase_analyzer",
@@ -102,7 +103,8 @@ FRONT_KEYS = [
     "bpe_vocab_train",
     "bpe_encode_stats",
     # round-10 additions append here as they land (window is 50 wide)
-    "dsl_date_math_now",
+    # (dsl_date_math_now rotated out: hard-sampled MATCH in r10, and
+    # the 27 round-11 additions need the slot — the window is full)
     "ann_ivfpq",
     "dsl_match_porter",
     "text_tokens_cjk",
@@ -141,6 +143,10 @@ FRONT_KEYS = [
     "esql_stats_where",
     "esql_top_agg",
     "esql_math_funcs",
+    "gopher_repetition",
+    "repetition_runs",
+    "ann_ivfpq_appended",
+    "changelog_apply",
 ]
 
 
@@ -182,6 +188,7 @@ def queries() -> dict[str, QueryFn]:
         **L23.QUERIES,
         **L24.QUERIES,
         **L25.QUERIES,
+        **L26.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -254,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         **L23.ORACLES,
         **L24.ORACLES,
         **L25.ORACLES,
+        **L26.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,
