@@ -102,15 +102,11 @@ FRONT_KEYS = [
     # r9 hash-fail pair, oracle HUGEINT cast fixed this round
     "bpe_vocab_train",
     "bpe_encode_stats",
-    # round-10 additions append here as they land (window is 50 wide)
-    # (dsl_date_math_now rotated out: hard-sampled MATCH in r10, and
-    # the 27 round-11 additions need the slot — the window is full)
-    "ann_ivfpq",
-    "dsl_match_porter",
-    "text_tokens_cjk",
-    "dsl_match_phrase_porter",
-    "langid_margin",
-    "domain_cap_sample",
+    # round-10 re-verification (window is 50 wide; dsl_date_math_now,
+    # ann_ivfpq, dsl_match_porter, text_tokens_cjk,
+    # dsl_match_phrase_porter, langid_margin and domain_cap_sample
+    # rotated out — all hard-sampled MATCH in r10 — so every
+    # round-11 addition keeps a hard-sample slot)
     "epoch_plan",
     "dsl_time_series",
     "dsl_range_field",
@@ -147,6 +143,12 @@ FRONT_KEYS = [
     "repetition_runs",
     "ann_ivfpq_appended",
     "changelog_apply",
+    "esql_weighted_avg",
+    "esql_values_agg",
+    "esql_string_funcs",
+    "esql_sort_nulls",
+    "context_window_fill",
+    "hash_sample",
 ]
 
 

@@ -418,6 +418,21 @@ HEADLINE = [
     "esql_lookup_join",
     "esql_date_extract",
     "esql_change_point",
+    "dsl_match_analyzer_it",
+    "esql_bucket_numeric",
+    "esql_stats_where",
+    "esql_top_agg",
+    "esql_math_funcs",
+    "gopher_repetition",
+    "repetition_runs",
+    "ann_ivfpq_appended",
+    "changelog_apply",
+    "esql_weighted_avg",
+    "esql_values_agg",
+    "esql_string_funcs",
+    "esql_sort_nulls",
+    "context_window_fill",
+    "hash_sample",
 ]
 
 # brute-force exactness twins with a labeled production path; at

@@ -14,7 +14,7 @@ the pipeline shapes Kibana ES|QL panels ship:
       | CHANGE_POINT <value_col> ON <key_col>
       | STATS <name> = <AGG>(<expr>) [, ...]
               [BY <col> | <name> = <expr> [, ...]]
-      | SORT <col> [ASC|DESC] [, ...]
+      | SORT <col> [ASC|DESC] [NULLS FIRST|LAST] [, ...]
       | KEEP <col> [, ...]
       | LIMIT <n>
 
@@ -38,14 +38,26 @@ regex: Spark gets an ``^(?:...)$``-anchored RLIKE, DuckDB gets
 ``SIMILAR TO``, which is full-match by definition), CASE(c1, v1,
 ..., [default]) and the functions ABS/ROUND/SQRT/LENGTH/LOWER/
 UPPER/CONCAT/SPLIT/NOW/BUCKET/DATE_TRUNC/DATE_DIFF/POW/LOG10/EXP/
-GREATEST/LEAST/TO_LONG/TO_INTEGER/TO_DOUBLE/TO_STRING plus the
+GREATEST/LEAST/LEFT/RIGHT/REPLACE/REVERSE/TO_UPPER/TO_LOWER/LOCATE/
+TO_LONG/TO_INTEGER/TO_DOUBLE/TO_STRING plus the
 multivalue family MV_COUNT/MV_MIN/MV_MAX/MV_SORT/MV_DEDUPE/
 MV_CONCAT. ES|QL's ``==`` becomes SQL ``=``, ``!=`` becomes
-``<>``. Aggregates: COUNT(*) / COUNT / SUM / AVG / MIN / MAX /
+``<>``. SORT takes explicit NULLS FIRST/LAST per key; when
+unspecified, the ES|QL/Spark default applies (ASC nulls first,
+DESC nulls last) and the DuckDB renderer ALWAYS spells the
+placement out (its own default is NULLS LAST either way).
+TO_LONG/TO_INTEGER truncate toward zero in both engines (the
+oracle routes through trunc(); DuckDB's bare double->int CAST
+rounds). LOCATE renders per engine (Spark locate(sub, str) /
+DuckDB instr(str, sub), INT-aligned). Aggregates: COUNT(*) /
+COUNT / SUM / AVG / MIN / MAX /
 COUNT_DISTINCT / MEDIAN / PERCENTILE(expr, p) / TOP(expr, k,
-"asc"|"desc") — MEDIAN/PERCENTILE render as exact interpolated
-quantiles (Spark ``percentile``, DuckDB ``quantile_cont``; ES|QL's
-p is 0-100, converted to a fraction for both engines); TOP is a
+"asc"|"desc") / WEIGHTED_AVG(expr, weight) (pair-null, DOUBLE) /
+VALUES(expr) (canonical SORTED distinct multivalue; ES documents
+the order as unspecified) — MEDIAN/PERCENTILE render as exact
+interpolated quantiles (Spark ``percentile``, DuckDB
+``quantile_cont``; ES|QL's p is 0-100, converted to a fraction
+for both engines); TOP is a
 deterministic full-sort-then-k-prefix in both engines. Every STATS
 aggregate accepts a per-aggregate ``WHERE <cond>`` filter (ES|QL
 8.16), rendered as the ANSI FILTER clause in both engines.
@@ -165,12 +177,15 @@ _FUNCS = {"ABS": "abs", "ROUND": "round", "SQRT": "sqrt",
           "COALESCE": "coalesce", "TRIM": "trim", "LTRIM": "ltrim",
           "RTRIM": "rtrim", "SUBSTRING": "substr", "FLOOR": "floor",
           "POW": "pow", "LOG10": "log10", "EXP": "exp",
-          "GREATEST": "greatest", "LEAST": "least"}
+          "GREATEST": "greatest", "LEAST": "least",
+          "LEFT": "left", "RIGHT": "right", "REPLACE": "replace",
+          "REVERSE": "reverse", "TO_UPPER": "upper",
+          "TO_LOWER": "lower"}
 _AGGS = {"COUNT": "count", "SUM": "sum", "AVG": "avg",
          "MIN": "min", "MAX": "max",
          # None: rendered specially
          "COUNT_DISTINCT": None, "MEDIAN": None, "PERCENTILE": None,
-         "TOP": None}
+         "TOP": None, "WEIGHTED_AVG": None, "VALUES": None}
 
 # DATE_DIFF units shared by Spark timestampdiff and DuckDB date_sub
 # (both count COMPLETE elapsed units, the ES ChronoUnit contract —
@@ -331,6 +346,15 @@ def _render_call(name: str, args: list[str]) -> _E:
         if len(rendered) != 1:
             raise ValueError(f"esql: {name} takes one argument")
         sp_t, du_t = _CASTS[name]
+        if name in ("TO_LONG", "TO_INTEGER"):
+            # ES|QL (and Spark CAST) TRUNCATE toward zero; DuckDB's
+            # double->int CAST rounds half away — route the oracle
+            # through trunc(). The DOUBLE round-trip is exact below
+            # 2^53, far above any value this subset produces.
+            # (Latent divergence found by the pipeline fuzzer.)
+            return _E(f"CAST({rendered[0].spark} AS {sp_t})",
+                      f"CAST(trunc(CAST({rendered[0].duck} "
+                      f"AS DOUBLE)) AS {du_t})")
         return _E(f"CAST({rendered[0].spark} AS {sp_t})",
                   f"CAST({rendered[0].duck} AS {du_t})")
     if name == "SPLIT":
@@ -352,6 +376,14 @@ def _render_call(name: str, args: list[str]) -> _E:
         if args:
             raise ValueError("esql: NOW() takes no arguments")
         return _both(_now_literal())
+    if name == "LOCATE":
+        # ES|QL LOCATE(string, substring) -> 1-based position, 0 on
+        # miss. Spark's locate takes (substr, str) — REVERSED.
+        if len(rendered) != 2:
+            raise ValueError("esql: LOCATE takes (string, substring)")
+        s, sub = rendered
+        return _E(f"CAST(locate({sub.spark}, {s.spark}) AS INT)",
+                  f"CAST(instr({s.duck}, {sub.duck}) AS INT)")
     if name in ("STARTS_WITH", "ENDS_WITH"):
         if len(rendered) != 2:
             raise ValueError(f"esql: {name} takes (str, affix)")
@@ -484,7 +516,7 @@ def _render_call(name: str, args: list[str]) -> _E:
 
 
 _SPECIAL = ("CONCAT", "SPLIT", "NOW", "BUCKET", "DATE_TRUNC",
-            "DATE_EXTRACT", "DATE_DIFF",
+            "DATE_EXTRACT", "DATE_DIFF", "LOCATE",
             "STARTS_WITH", "ENDS_WITH", "CASE", "MV_COUNT",
             "MV_MIN", "MV_MAX", "MV_SORT", "MV_DEDUPE", "MV_CONCAT",
             *_CASTS)
@@ -627,6 +659,33 @@ def _render_agg(call: str) -> _E:
         frac = repr(p / 100.0)
         return _E(f"percentile({inner.spark}, {frac})",
                   f"quantile_cont({inner.duck}, {frac})")
+    if name == "WEIGHTED_AVG":
+        parts = _split_top(arg)
+        if len(parts) != 2:
+            raise ValueError("esql: WEIGHTED_AVG takes "
+                             "(expr, weight)")
+        v = _render_expr(parts[0])
+        w_ = _render_expr(parts[1])
+
+        def _wavg(val: str, wt: str) -> str:
+            # pair-null semantics (ES skips docs missing either
+            # side); DOUBLE casts keep integer inputs type-aligned
+            # (DuckDB sum(int) is HUGEINT)
+            both = f"({val}) IS NOT NULL AND ({wt}) IS NOT NULL"
+            num = f"sum(CASE WHEN {both} THEN ({val}) * ({wt}) END)"
+            den = f"sum(CASE WHEN {both} THEN ({wt}) END)"
+            return (f"CAST({num} AS DOUBLE) "
+                    f"/ CAST({den} AS DOUBLE)")
+
+        return _E(_wavg(v.spark, w_.spark), _wavg(v.duck, w_.duck))
+    if name == "VALUES":
+        inner = _render_expr(arg)
+        # canonical SORTED distinct multivalue in both engines (ES
+        # documents VALUES' order as unspecified; NULLs dropped —
+        # Spark collect_set / DuckDB list_distinct both drop them)
+        return _E(
+            f"sort_array(collect_set({inner.spark}))",
+            f"list_sort(list_distinct(list({inner.duck})))")
     if name == "TOP":
         parts = _split_top(arg)
         if (len(parts) != 3 or not _INT_RE.fullmatch(parts[1])
@@ -815,15 +874,32 @@ def parse_esql(query: str,
                     st.by.append((col, _both(col)))
             plan.commands.append(("stats", st))
         elif kw == "SORT":
+            # (col, asc, nulls_first): ES|QL's default null placement
+            # matches Spark's (ASC -> nulls first, DESC -> nulls
+            # last); the DuckDB renderer spells it out because its
+            # own default is NULLS LAST either way
             sorts = []
             for c in body.split(","):
-                bits = c.split()
-                if not bits or not _IDENT_RE.fullmatch(bits[0]):
+                bits = [b.upper() for b in c.split()]
+                raw = c.split()
+                if not raw or not _IDENT_RE.fullmatch(raw[0]):
                     raise ValueError(f"esql: SORT needs column "
                                      f"names, got {c!r}")
-                asc = not (len(bits) > 1
-                           and bits[1].upper() == "DESC")
-                sorts.append((bits[0], asc))
+                rest = bits[1:]
+                asc = True
+                if rest and rest[0] in ("ASC", "DESC"):
+                    asc = rest[0] == "ASC"
+                    rest = rest[1:]
+                nf = asc  # engine-aligned default
+                if rest:
+                    if (len(rest) != 2 or rest[0] != "NULLS"
+                            or rest[1] not in ("FIRST", "LAST")):
+                        raise ValueError(
+                            f"esql: SORT modifier must be "
+                            f"[ASC|DESC] [NULLS FIRST|LAST], "
+                            f"got {c!r}")
+                    nf = rest[1] == "FIRST"
+                sorts.append((raw[0], asc, nf))
             plan.commands.append(("sort", sorts))
         elif kw == "KEEP":
             keeps = [c.strip() for c in body.split(",")]
@@ -992,7 +1068,7 @@ def _validate_order_flow(plan: EsqlPlan) -> None:
     active: set = set()
     for kind, p in plan.commands:
         if kind == "sort":
-            active = {c for c, _ in p}
+            active = {c for c, *_ in p}
         elif kind in ("stats", "change_point"):
             active = set()
         elif kind == "rename":
@@ -1085,8 +1161,14 @@ def esql_df(df: DataFrame, plan: EsqlPlan,
             else:
                 df = df.agg(*aggs)
         elif kind == "sort":
-            df = df.orderBy(*[F.asc(c) if asc else F.desc(c)
-                              for c, asc in p])
+            def _scol(c, asc, nf):
+                if asc:
+                    return (F.asc_nulls_first(c) if nf
+                            else F.asc_nulls_last(c))
+                return (F.desc_nulls_first(c) if nf
+                        else F.desc_nulls_last(c))
+            df = df.orderBy(*[_scol(c, asc, nf)
+                              for c, asc, nf in p])
         elif kind == "keep":
             df = df.select(*p)
         elif kind == "limit":
@@ -1174,8 +1256,10 @@ def esql_df(df: DataFrame, plan: EsqlPlan,
 
 
 def _order_by(order: list) -> str:
-    return ", ".join(f"{c} {'ASC' if asc else 'DESC'}"
-                     for c, asc in order)
+    return ", ".join(
+        f"{c} {'ASC' if asc else 'DESC'} "
+        f"NULLS {'FIRST' if nf else 'LAST'}"
+        for c, asc, nf in order)
 
 
 def esql_duck_sql(plan: EsqlPlan) -> str:
@@ -1205,7 +1289,7 @@ def esql_duck_sql(plan: EsqlPlan) -> str:
         elif kind == "sort":
             order = p
         elif kind == "keep":
-            passthru = [c for c, _ in (order or []) if c not in p]
+            passthru = [c for c, *_ in (order or []) if c not in p]
             sql = (f"SELECT {', '.join(p + passthru)} "
                    f"FROM ({sql}) _k")
             final_keep = p if passthru else None
@@ -1219,9 +1303,10 @@ def esql_duck_sql(plan: EsqlPlan) -> str:
                    f"FROM ({sql}) _r")
             if order:  # a later LIMIT orders by the NEW names
                 ren = dict(p)
-                order = [(ren.get(c, c), asc) for c, asc in order]
+                order = [(ren.get(c, c), asc, nf)
+                         for c, asc, nf in order]
         elif kind == "drop":
-            if order and any(c in p for c, _ in order):
+            if order and any(c in p for c, *_ in order):
                 raise ValueError(
                     "esql: DROP of an active SORT column is not "
                     "supported — KEEP projects sort columns "

@@ -347,15 +347,113 @@ ORDER BY user_id
 """
 
 
+# -------------------------------------------- context_window_fill
+
+CTX_WINDOW = 32  # tokens per training context window
+
+
+def context_window_fill(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Training-batch packing economics: how many context windows
+    the corpus occupies and how full they are — per source, the
+    window count at W=32 tokens (ceil division, pure integer
+    codegen), the fill ratio (tokens / window capacity), and the
+    largest single document in windows. The epoch_plan /
+    seq_packing companion: this is the number a batch-size planner
+    actually multiplies. One narrow scan, one grouped pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = CTX_WINDOW
+    t = docs.select(
+        "source",
+        F.expr(f"size({toks_spark('text')})").alias("ntok"))
+    t = t.withColumn(
+        "windows",
+        F.expr(f"CAST((ntok + {w - 1}) DIV {w} AS BIGINT)"))
+    return (t.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("windows").alias("total_windows"),
+                 F.round(
+                     F.sum("ntok").cast("double")
+                     / F.greatest(F.sum("windows") * w, F.lit(1))
+                     .cast("double"), 4).alias("avg_fill"),
+                 F.max("windows").alias("max_windows"))
+            .orderBy("source"))
+
+
+CONTEXT_WINDOW_FILL_ORACLE = f"""
+WITH t AS (
+  SELECT source, len({toks_duck('text')}) AS ntok FROM documents),
+ww AS (
+  SELECT source, ntok,
+         CAST((ntok + {CTX_WINDOW - 1}) // {CTX_WINDOW} AS BIGINT)
+           AS windows
+  FROM t)
+SELECT source, count(*) AS docs,
+       CAST(sum(windows) AS BIGINT) AS total_windows,
+       round(CAST(sum(ntok) AS DOUBLE)
+             / CAST(greatest(sum(windows) * {CTX_WINDOW}, 1)
+                    AS DOUBLE), 4) AS avg_fill,
+       CAST(max(windows) AS BIGINT) AS max_windows
+FROM ww GROUP BY source ORDER BY source
+"""
+
+
+# -------------------------------------------------- hash_sample
+
+HASH_SAMPLE_PERMILLE = 100  # deterministic 10% Bernoulli
+
+
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-Bernoulli sampling — the sampler that
+    scales (stratified_sample's rank windows need a per-stratum
+    sort; this is ONE stateless codegen predicate, reproducible
+    across runs and engines, usable straight in a 100 TB scan
+    filter): keep a doc iff md5(doc_id) mod 1000 < 100. Reports
+    per-source realized rates so drift from the nominal 10% is
+    visible."""
+    docs = load_table(spark, "documents", sf_dir)
+    keep = F.expr(
+        f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), "
+        f"16, 10) AS BIGINT) % 1000 < {HASH_SAMPLE_PERMILLE}")
+    return (docs
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("total"),
+                 F.sum(keep.cast("long")).alias("kept"))
+            .select("source", "total", "kept",
+                    F.round(F.col("kept").cast("double")
+                            / F.col("total"), 4).alias("rate"))
+            .orderBy("source"))
+
+
+HASH_SAMPLE_ORACLE = f"""
+WITH k AS (
+  SELECT source,
+         (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 1000
+          < {HASH_SAMPLE_PERMILLE}) AS keep
+  FROM documents)
+SELECT source, count(*) AS total,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept,
+       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS rate
+FROM k GROUP BY source ORDER BY source
+"""
+
+
 QUERIES.update({
     "gopher_repetition": gopher_repetition,
     "repetition_runs": repetition_runs,
     "ann_ivfpq_appended": ann_ivfpq_appended,
     "changelog_apply": changelog_apply,
+    "context_window_fill": context_window_fill,
+    "hash_sample": hash_sample,
 })
 ORACLES.update({
     "gopher_repetition": _gopher_repetition_oracle(),
     "repetition_runs": REPETITION_RUNS_ORACLE,
     "ann_ivfpq_appended": _appended_oracle(),
     "changelog_apply": CHANGELOG_APPLY_ORACLE,
+    "context_window_fill": CONTEXT_WINDOW_FILL_ORACLE,
+    "hash_sample": HASH_SAMPLE_ORACLE,
 })

@@ -217,3 +217,91 @@ ORACLES.update({
     "esql_top_agg": _esql_oracle(ESQL_TOP_QUERY),
     "esql_math_funcs": _esql_oracle(ESQL_MATH_QUERY),
 })
+
+
+# ---------------------------------------- ES|QL tranche six
+
+ESQL_WAVG_QUERY = """
+FROM events
+| STATS wa = WEIGHTED_AVG(value, user_id), n = COUNT(*) BY event_type
+| EVAL war = ROUND(wa, 4)
+| SORT event_type
+| KEEP event_type, war, n
+"""
+
+ESQL_VALUES_QUERY = """
+FROM events
+| STATS evs = VALUES(event_type), n = COUNT(*) BY b = user_id % 4
+| EVAL sig = MV_CONCAT(evs, "|")
+| SORT b
+| KEEP b, sig, n
+"""
+
+ESQL_STRFNS_QUERY = """
+FROM events
+| EVAL short = LEFT(event_type, 3), tail = RIGHT(event_type, 2),
+       swapped = REPLACE(event_type, "c", "k"),
+       rev = REVERSE(event_type), up = TO_UPPER(event_type),
+       pos = LOCATE(event_type, "ur")
+| STATS n = COUNT(*), mp = MAX(pos) BY short, tail, up
+| SORT short, tail
+| KEEP short, tail, up, n, mp
+"""
+
+ESQL_SORT_NULLS_QUERY = """
+FROM events
+| EVAL g = CASE(value >= 50, event_type)
+| SORT g ASC NULLS LAST, event_id
+| LIMIT 12
+| KEEP event_id, g
+"""
+
+
+def esql_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL WEIGHTED_AVG(expr, weight): pair-null semantics (a doc
+    missing either side contributes to neither sum), DOUBLE-cast
+    numerator/denominator so integer weights stay type-aligned
+    (DuckDB sum(int) is HUGEINT). One conditional-aggregate pass."""
+    return _esql_events(ESQL_WAVG_QUERY)(spark, sf_dir)
+
+
+def esql_values_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL VALUES(field): the group's distinct values as a
+    multivalue — canonical SORTED output in both engines (ES
+    documents the order as unspecified), composed with MV_CONCAT
+    into a deterministic signature string."""
+    return _esql_events(ESQL_VALUES_QUERY)(spark, sf_dir)
+
+
+def esql_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL string tranche two: LEFT/RIGHT/REPLACE/REVERSE (engine-
+    neutral), TO_UPPER/TO_LOWER (alias to upper/lower), and LOCATE
+    with its per-engine argument order (Spark locate(sub, str) vs
+    DuckDB instr(str, sub)), INT-aligned."""
+    return _esql_events(ESQL_STRFNS_QUERY)(spark, sf_dir)
+
+
+def esql_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL SORT ... NULLS FIRST/LAST: explicit null placement
+    parsed per sort key; the DuckDB renderer ALWAYS spells the
+    placement out because the engine defaults differ (Spark: ASC
+    nulls first; DuckDB: nulls last either way) — the fix that also
+    closed the latent unspecified-placement divergence for every
+    prior pipeline whose sort key could be NULL. The CASE with no
+    default plants real NULLs so the contract is exercised, and the
+    LIMIT consumes the order."""
+    return _esql_events(ESQL_SORT_NULLS_QUERY)(spark, sf_dir)
+
+
+QUERIES.update({
+    "esql_weighted_avg": esql_weighted_avg,
+    "esql_values_agg": esql_values_agg,
+    "esql_string_funcs": esql_string_funcs,
+    "esql_sort_nulls": esql_sort_nulls,
+})
+ORACLES.update({
+    "esql_weighted_avg": _esql_oracle(ESQL_WAVG_QUERY),
+    "esql_values_agg": _esql_oracle(ESQL_VALUES_QUERY),
+    "esql_string_funcs": _esql_oracle(ESQL_STRFNS_QUERY),
+    "esql_sort_nulls": _esql_oracle(ESQL_SORT_NULLS_QUERY),
+})

@@ -599,3 +599,59 @@ def test_date_diff_and_math_funcs(spark):
                    "ts, ts)")
     with pytest.raises(ValueError, match="string literal"):
         parse_esql("FROM events | EVAL d = DATE_DIFF(day, ts, ts)")
+
+
+# ---------- WEIGHTED_AVG / VALUES / string tranche two / NULLS
+
+def test_weighted_avg_pair_null_semantics(spark):
+    q = ("FROM events | STATS wa = WEIGHTED_AVG(value, user_id) "
+         "BY event_type | EVAL w = ROUND(wa, 4) | SORT event_type "
+         "| KEEP event_type, w")
+    s, d, _ = _run_both(spark, q)
+    assert s == d and len(s) > 0
+
+
+def test_values_aggregate_sorted_distinct(spark):
+    q = ('FROM events | STATS v = VALUES(event_type) BY b = '
+         'user_id % 2 | EVAL sig = MV_CONCAT(v, ",") | SORT b '
+         "| KEEP b, sig")
+    s, d, _ = _run_both(spark, q)
+    assert s == d
+    # sorted-distinct: each signature is an ordered join
+    for _, sig in s:
+        parts = sig.split(",")
+        assert parts == sorted(set(parts))
+
+
+def test_string_tranche_two(spark):
+    q = ('FROM events | EVAL a = LEFT(event_type, 2), '
+         'b = RIGHT(event_type, 2), c = REPLACE(event_type, "i", "y"), '
+         "d = REVERSE(event_type), e = TO_LOWER(TO_UPPER(event_type)), "
+         'p = LOCATE(event_type, "ic") '
+         "| STATS n = COUNT(*), mp = MAX(p) BY a, b, c, d, e "
+         "| SORT a, b | LIMIT 20")
+    s, d, _ = _run_both(spark, q)
+    assert s == d and len(s) > 0
+    with pytest.raises(ValueError, match="LOCATE takes"):
+        parse_esql("FROM events | EVAL p = LOCATE(event_type)")
+
+
+def test_sort_nulls_placement(spark):
+    # CASE with no default -> NULL sort keys; LIMIT consumes order
+    for mod in ("NULLS FIRST", "NULLS LAST", ""):
+        q = ("FROM events | EVAL g = CASE(value >= 95, event_type) "
+             f"| SORT g ASC {mod}, event_id | LIMIT 7 "
+             "| KEEP event_id, g")
+        s, d, _ = _run_both(spark, q)
+        assert s == d, mod
+    with pytest.raises(ValueError, match="SORT modifier"):
+        parse_esql("FROM events | SORT value NULLS SIDEWAYS | LIMIT 1")
+
+
+def test_to_long_truncates_in_both_engines(spark):
+    # DuckDB CAST(double AS BIGINT) rounds; the oracle must truncate
+    # like Spark/ES (fuzzer-found divergence, now pinned)
+    q = ("FROM events | WHERE value > 10 | EVAL k = TO_LONG(value) "
+         "| SORT event_id | LIMIT 25 | KEEP event_id, k")
+    s, d, _ = _run_both(spark, q)
+    assert s == d
