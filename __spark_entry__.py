@@ -104,12 +104,10 @@ FRONT_KEYS = [
     "bpe_encode_stats",
     # round-10 re-verification (window is 50 wide; dsl_date_math_now,
     # ann_ivfpq, dsl_match_porter, text_tokens_cjk,
-    # dsl_match_phrase_porter, langid_margin and domain_cap_sample
-    # rotated out — all hard-sampled MATCH in r10 — so every
-    # round-11 addition keeps a hard-sample slot)
-    "epoch_plan",
-    "dsl_time_series",
-    "dsl_range_field",
+    # dsl_match_phrase_porter, langid_margin, domain_cap_sample,
+    # epoch_plan, dsl_time_series and dsl_range_field rotated out —
+    # all hard-sampled MATCH in r10 — so every round-11 addition
+    # keeps a hard-sample slot)
     "decontaminate_bloom",
     "dsl_variable_width_histogram",
     "dsl_script_score_painless",
@@ -149,6 +147,9 @@ FRONT_KEYS = [
     "esql_sort_nulls",
     "context_window_fill",
     "hash_sample",
+    "esql_keep_wildcard",
+    "quality_prune_curve",
+    "temperature_sweep",
 ]
 
 

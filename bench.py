@@ -433,6 +433,9 @@ HEADLINE = [
     "esql_sort_nulls",
     "context_window_fill",
     "hash_sample",
+    "esql_keep_wildcard",
+    "quality_prune_curve",
+    "temperature_sweep",
 ]
 
 # brute-force exactness twins with a labeled production path; at

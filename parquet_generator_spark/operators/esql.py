@@ -212,6 +212,8 @@ _TOKEN_RE = re.compile(
     r"'(?:[^'\\]|\\.)*'|[A-Za-z_][A-Za-z0-9_]*|\d+\.\d+|\d+)")
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+# KEEP accepts ES|QL *-wildcards (must contain at least one *)
+_KEEP_PAT_RE = re.compile(r"[A-Za-z0-9_*]*\*[A-Za-z0-9_*]*\Z")
 _INT_RE = re.compile(r"\d+\Z")
 
 _UNSUPPORTED = ("ROW", "SHOW")
@@ -903,9 +905,10 @@ def parse_esql(query: str,
             plan.commands.append(("sort", sorts))
         elif kw == "KEEP":
             keeps = [c.strip() for c in body.split(",")]
-            if not all(_IDENT_RE.fullmatch(c) for c in keeps):
-                raise ValueError(f"esql: KEEP needs column names, "
-                                 f"got {body!r}")
+            if not all(_IDENT_RE.fullmatch(c)
+                       or _KEEP_PAT_RE.fullmatch(c) for c in keeps):
+                raise ValueError(f"esql: KEEP needs column names or "
+                                 f"*-patterns, got {body!r}")
             plan.commands.append(("keep", keeps))
         elif kw == "LIMIT":
             plan.commands.append(("limit", int(body)))
@@ -1074,6 +1077,13 @@ def _validate_order_flow(plan: EsqlPlan) -> None:
         elif kind == "rename":
             ren = dict(p)
             active = {ren.get(c, c) for c in active}
+        elif kind == "keep" and active and any("*" in c for c in p):
+            raise ValueError(
+                "esql: KEEP with *-patterns under an active SORT is "
+                "not supported — the passthrough projection cannot "
+                "know (without a schema) whether a pattern already "
+                "covers the sort column; KEEP it explicitly or move "
+                "the SORT after the KEEP")
         elif kind == "drop" and active & set(p):
             raise ValueError(
                 f"esql: DROP of an active SORT column "
@@ -1170,7 +1180,28 @@ def esql_df(df: DataFrame, plan: EsqlPlan,
             df = df.orderBy(*[_scol(c, asc, nf)
                               for c, asc, nf in p])
         elif kind == "keep":
-            df = df.select(*p)
+            if any("*" in c for c in p):
+                import fnmatch
+
+                cols = []
+                for item in p:
+                    if "*" not in item:
+                        cols.append(item)
+                        continue
+                    hits = [c for c in df.columns
+                            if fnmatch.fnmatchcase(c, item)]
+                    if not hits:
+                        raise ValueError(
+                            f"esql: KEEP pattern {item!r} matches "
+                            f"no columns of {df.columns}")
+                    cols.extend(hits)
+                if len(set(cols)) != len(cols):
+                    raise ValueError(
+                        f"esql: KEEP patterns expand to duplicate "
+                        f"columns {cols} — make the items disjoint")
+                df = df.select(*cols)
+            else:
+                df = df.select(*p)
         elif kind == "limit":
             df = df.limit(p)
         elif kind == "rename":
@@ -1289,8 +1320,16 @@ def esql_duck_sql(plan: EsqlPlan) -> str:
         elif kind == "sort":
             order = p
         elif kind == "keep":
+            # *-patterns render as DuckDB COLUMNS('^regex$') — same
+            # table-order expansion as the DataFrame side; patterns
+            # under an active SORT are refused at parse, so the
+            # passthrough logic below only ever sees plain names
+            rendered_keep = [
+                ("COLUMNS('^" + c.replace("*", ".*") + "$')"
+                 if "*" in c else c)
+                for c in p]
             passthru = [c for c, *_ in (order or []) if c not in p]
-            sql = (f"SELECT {', '.join(p + passthru)} "
+            sql = (f"SELECT {', '.join(rendered_keep + passthru)} "
                    f"FROM ({sql}) _k")
             final_keep = p if passthru else None
         elif kind == "limit":

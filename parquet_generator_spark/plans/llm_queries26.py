@@ -441,6 +441,137 @@ FROM k GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------- quality_prune_curve
+
+PRUNE_THRESHOLDS = [0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+
+
+def quality_prune_curve(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Operating-point selection for the quality filter: the
+    keep-rate (docs AND tokens) at each candidate threshold of the
+    text_quality score, as one table — the curve a curation run
+    reads before pinning its cutoff. The per-doc profile is
+    computed ONCE (the fused struct), then a 6-literal explode
+    turns the sweep into a single grouped pass; comparisons are
+    exact because the score is round4'd identically on both
+    engines."""
+    from parquet_generator_spark.operators import text as tx
+
+    docs = load_table(spark, "documents", sf_dir)
+    prof = tx.profile_struct_spark("text")
+    base = docs.select(prof["quality"].alias("q"),
+                       prof["n_tokens"].alias("ntok"))
+    ths = F.array(*[F.lit(t) for t in PRUNE_THRESHOLDS])
+    sw = base.select("q", "ntok", F.explode(ths).alias("thresh"))
+    kept = (F.col("q") >= F.col("thresh")).cast("long")
+    return (sw.groupBy("thresh")
+            .agg(F.sum(kept).alias("kept_docs"),
+                 F.round(F.sum(kept).cast("double")
+                         / F.count(F.lit(1)), 4).alias("keep_rate"),
+                 F.sum(F.when(F.col("q") >= F.col("thresh"),
+                              F.col("ntok")).otherwise(F.lit(0)))
+                 .cast("long").alias("kept_tokens"),
+                 F.round(F.sum(F.when(F.col("q") >= F.col("thresh"),
+                                      F.col("ntok"))
+                               .otherwise(F.lit(0))).cast("double")
+                         / F.sum("ntok"), 4)
+                 .alias("token_keep_rate"))
+            .orderBy("thresh"))
+
+
+def _quality_prune_oracle() -> str:
+    from parquet_generator_spark.operators import text as tx
+
+    qd = tx.quality_components_duck("text")
+    lits = ", ".join(repr(t) for t in PRUNE_THRESHOLDS)
+    return f"""
+WITH prof AS (
+  SELECT {qd['quality']} AS q, {qd['n_tokens']} AS ntok
+  FROM documents),
+sw AS (SELECT q, ntok, unnest([{lits}]::DOUBLE[]) AS thresh
+       FROM prof)
+SELECT thresh,
+       CAST(sum(CASE WHEN q >= thresh THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_docs,
+       round(CAST(sum(CASE WHEN q >= thresh THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 4) AS keep_rate,
+       CAST(sum(CASE WHEN q >= thresh THEN ntok ELSE 0 END)
+            AS BIGINT) AS kept_tokens,
+       round(CAST(sum(CASE WHEN q >= thresh THEN ntok ELSE 0 END)
+                  AS DOUBLE) / sum(ntok), 4) AS token_keep_rate
+FROM sw GROUP BY thresh ORDER BY thresh
+"""
+
+
+# ---------------------------------------------- temperature_sweep
+
+SWEEP_TAUS = [0.5, 0.7, 1.0]
+
+
+def temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-temperature sweep (the table a data-mixture review
+    compares before pinning epoch_plan's single alpha): per
+    (tau, source), the temperature share c^tau / sum(c^tau) and the
+    implied epochs at the fixed token budget. One grouped token
+    count, a 3-literal explode, per-tau denominators joined back as
+    a broadcast (3 rows)."""
+    from parquet_generator_spark.operators import text as tx
+    from parquet_generator_spark.plans.llm_queries24 import (
+        EPOCH_BUDGET,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    per = (docs.groupBy("source")
+           .agg(F.sum(F.expr(f"size({tx.toks_spark('text')})"))
+                .cast("long").alias("n_tokens")))
+    taus = F.array(*[F.lit(t) for t in SWEEP_TAUS])
+    sw = (per.select("source", "n_tokens",
+                     F.explode(taus).alias("tau"))
+          .withColumn("w", F.pow(F.col("n_tokens").cast("double"),
+                                 F.col("tau"))))
+    sums = sw.groupBy("tau").agg(F.sum("w").alias("w_sum"))
+    alloc = F.floor(F.lit(EPOCH_BUDGET) * F.col("w")
+                    / F.col("w_sum"))
+    return (sw.join(F.broadcast(sums), "tau")
+            .select("tau", "source", "n_tokens",
+                    F.round(F.col("w") / F.col("w_sum"), 6)
+                    .alias("share"),
+                    F.round(alloc / F.col("n_tokens"), 4)
+                    .alias("epochs"))
+            .orderBy("tau", "source"))
+
+
+def _temperature_sweep_oracle() -> str:
+    from parquet_generator_spark.operators import text as tx
+    from parquet_generator_spark.plans.llm_queries24 import (
+        EPOCH_BUDGET,
+    )
+
+    lits = ", ".join(repr(t) for t in SWEEP_TAUS)
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len({tx.toks_duck('text')})) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source),
+sw AS (
+  SELECT source, n_tokens, unnest([{lits}]::DOUBLE[]) AS tau
+  FROM per),
+sw2 AS (
+  SELECT source, n_tokens, tau,
+         pow(CAST(n_tokens AS DOUBLE), tau) AS w
+  FROM sw),
+sums AS (SELECT tau, sum(w) AS w_sum FROM sw2 GROUP BY tau)
+SELECT sw2.tau, source, n_tokens,
+       round(w / w_sum, 6) AS share,
+       round(floor({EPOCH_BUDGET} * w / w_sum) / n_tokens, 4)
+         AS epochs
+FROM sw2 JOIN sums ON sw2.tau = sums.tau
+ORDER BY sw2.tau, source
+"""
+
+
 QUERIES.update({
     "gopher_repetition": gopher_repetition,
     "repetition_runs": repetition_runs,
@@ -448,6 +579,8 @@ QUERIES.update({
     "changelog_apply": changelog_apply,
     "context_window_fill": context_window_fill,
     "hash_sample": hash_sample,
+    "quality_prune_curve": quality_prune_curve,
+    "temperature_sweep": temperature_sweep,
 })
 ORACLES.update({
     "gopher_repetition": _gopher_repetition_oracle(),
@@ -456,4 +589,6 @@ ORACLES.update({
     "changelog_apply": CHANGELOG_APPLY_ORACLE,
     "context_window_fill": CONTEXT_WINDOW_FILL_ORACLE,
     "hash_sample": HASH_SAMPLE_ORACLE,
+    "quality_prune_curve": _quality_prune_oracle(),
+    "temperature_sweep": _temperature_sweep_oracle(),
 })

@@ -293,6 +293,38 @@ def esql_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _esql_events(ESQL_SORT_NULLS_QUERY)(spark, sf_dir)
 
 
+ESQL_KEEP_WILDCARD_QUERY = """
+FROM events
+| WHERE value >= 90
+| EVAL event_day = DATE_EXTRACT("day_of_month", ts),
+       event_hour = DATE_EXTRACT("hour_of_day", ts)
+| KEEP event_*, user_id
+| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id)
+        BY event_type, event_day
+| SORT event_type, event_day
+| LIMIT 40
+"""
+
+
+def esql_keep_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL KEEP with *-patterns: the DataFrame side expands
+    against the schema in table order (fnmatch), the oracle renders
+    DuckDB's COLUMNS('^regex$') — the same table-order expansion, so
+    the two projections cannot disagree. Empty and overlapping
+    expansions are refused loudly; patterns under an active SORT are
+    refused at parse (the passthrough projection cannot know whether
+    a pattern covers the sort column without a schema)."""
+    return _esql_events(ESQL_KEEP_WILDCARD_QUERY)(spark, sf_dir)
+
+
+QUERIES.update({
+    "esql_keep_wildcard": esql_keep_wildcard,
+})
+ORACLES.update({
+    "esql_keep_wildcard": _esql_oracle(ESQL_KEEP_WILDCARD_QUERY),
+})
+
+
 QUERIES.update({
     "esql_weighted_avg": esql_weighted_avg,
     "esql_values_agg": esql_values_agg,

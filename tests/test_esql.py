@@ -655,3 +655,24 @@ def test_to_long_truncates_in_both_engines(spark):
          "| SORT event_id | LIMIT 25 | KEEP event_id, k")
     s, d, _ = _run_both(spark, q)
     assert s == d
+
+
+def test_keep_wildcard_expansion(spark):
+    q = ("FROM events | KEEP event_*, user_id "
+         "| STATS n = COUNT(*) BY event_type | SORT event_type")
+    s, d, cols = _run_both(spark, q)
+    assert s == d and cols == ["event_type", "n"]
+
+
+def test_keep_wildcard_fences(spark):
+    from parquet_generator_spark.sources.catalog import load_table
+
+    with pytest.raises(ValueError, match="active SORT"):
+        parse_esql("FROM events | SORT value "
+                   "| KEEP ev*, value | LIMIT 2")
+    df = load_table(spark, "events", SF)
+    with pytest.raises(ValueError, match="matches no columns"):
+        esql_df(df, parse_esql("FROM events | KEEP zzz* | LIMIT 2"))
+    with pytest.raises(ValueError, match="duplicate columns"):
+        esql_df(df, parse_esql(
+            "FROM events | KEEP event_*, event_id | LIMIT 2"))
