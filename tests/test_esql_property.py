@@ -48,12 +48,27 @@ _EVAL = st.sampled_from([
     'c = CASE(value >= 50, "hi", "lo")',
     'h = DATE_EXTRACT("hour_of_day", ts)',
     "k = TO_LONG(value)",
+    "k2 = TO_INTEGER(value * 3)",
+    'le = LEFT(event_type, 3)', 'ri = RIGHT(event_type, 2)',
+    'rp = REPLACE(event_type, "c", "K")',
+    "rv = REVERSE(event_type)",
+    'lo2 = LOCATE(event_type, "ur")',
+    "tl = TO_LOWER(TO_UPPER(event_type))",
+    'dd = DATE_DIFF("hour", DATE_TRUNC(1 day, ts), ts)',
+    "bn = BUCKET(value, 20.0)",
+    "gl = GREATEST(LEAST(user_id, 40), 10)",
 ])
 
 _AGG = st.sampled_from([
     "n = COUNT(*)", "mx = MAX(value)", "mn = MIN(value)",
     "u = COUNT_DISTINCT(user_id)", "s = SUM(user_id)",
     "me = MAX(event_id)",
+    # per-aggregate filters (exact aggregates only)
+    "nh = COUNT(*) WHERE value >= 60",
+    'sp = SUM(user_id) WHERE event_type == "view"',
+    # deterministic multivalue aggregates (string-exact)
+    't = TOP(event_type, 2, "desc")',
+    "v = VALUES(event_type)",
 ])
 
 _BY = st.sampled_from([
@@ -62,6 +77,8 @@ _BY = st.sampled_from([
 
 _SORT = st.sampled_from([
     "value DESC, event_id", "event_id", "user_id, event_id",
+    "value DESC NULLS LAST, event_id",
+    "event_type ASC NULLS FIRST, event_id DESC",
 ])
 
 
