@@ -626,3 +626,18 @@ def test_counter_rate_windows_partition_on_series_key(spark):
     for spec in specs:
         assert spec.startswith("user_id#"), spec
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "gopher_repetition", "repetition_runs", "changelog_apply",
+    "hash_sample", "quality_prune_curve", "temperature_sweep",
+    "context_window_fill",
+])
+def test_round11_tranche_plans_no_pairwise(spark, name):
+    """Round-11 curation/CDC tranche: no cartesian/nested-loop
+    anywhere — the sweeps explode LITERALS after the reduction, the
+    windows are key-partitioned, and joins are co-partitioned or
+    bounded broadcasts."""
+    plan = formatted_plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
