@@ -15,7 +15,7 @@ the pipeline shapes Kibana ES|QL panels ship:
       | STATS <name> = <AGG>(<expr>) [, ...]
               [BY <col> | <name> = <expr> [, ...]]
       | SORT <col> [ASC|DESC] [NULLS FIRST|LAST] [, ...]
-      | KEEP <col> [, ...]
+      | KEEP <col | pat*> [, ...]
       | LIMIT <n>
 
 Commands are recorded as an ORDERED list and both renderers apply
@@ -143,7 +143,9 @@ values) and keeping the ordered prefix-sum window on a
 bucket-cardinality frame, never a per-row single-reducer sort.
 
 Deliberate fences (documented, raise ValueError):
-ROW/SHOW, aggregates outside STATS, EVAL names that
+ROW/SHOW, aggregates outside STATS, KEEP *-patterns under an
+active SORT (and empty/overlapping pattern expansions at render),
+per-aggregate WHERE in INLINESTATS, EVAL names that
 shadow an input column (cannot be detected without a schema — the
 engines fail loudly instead), multi-unit BUCKET widths, SPLIT
 separators containing regex metacharacters, LIKE patterns
