@@ -82,14 +82,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # The correctness sampler reads 50 entries from the front of queries().
 # Cumulative hard ledger after round 10: ALL 351 entries driver-green
 # at their latest sample (CORRECTNESS_r10 = 50/50 MATCH) — zero debt
-# entering round 11. The round-11 FRONT window holds the round-9
-# evidence keys, the round-10 cohort re-verification, and all 27
-# round-11 additions — exactly 50 keys, so CORRECTNESS_r11 closes the
-# ledger at the full surface with every new key hard-sampled.
+# entering round 11. The round-11 FRONT window holds all 37 round-11
+# additions plus 13 round-9/10 re-verification keys — exactly 50, so
+# CORRECTNESS_r11 closes the ledger with every new key hard-sampled.
+# Ten round-10 keys were rotated out of the window to make room; all
+# ten are hard-sampled MATCH in CORRECTNESS_r10, so no debt is
+# created (their latest samples stay green).
 #
 # ROUND-12 ROTATION DEBT: none expected — every round-11 addition is
-# in the FRONT window (which is now FULL at 50/50; round-12 additions
-# must displace the round-9/10 re-verification keys at the top).
+# in the FRONT window (FULL at 50/50; round-12 additions displace
+# the remaining re-verification keys at the top).
 FRONT_KEYS = [
     # round-9 evidence debt (7 never-driver-sampled keys)
     "dsl_match_phrase_analyzer",
