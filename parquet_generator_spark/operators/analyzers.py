@@ -323,25 +323,43 @@ def _match_algebra_sql(hits: list[str], operator: str,
 
 def _prefix_guarded_stem(kind, ref: str, engine: str,
                          groups: list[list[str]]) -> str:
-    """Skip the (expensive) Porter expression for tokens that cannot
-    stem into any query group. SOUND because Porter only edits
-    suffixes and every replacement rule requires m(stem) > 0 — a
-    kept prefix of >= 2 chars — so any word whose stem has >= 3
-    chars shares its first 2 chars with the stem (pinned by a
-    Hypothesis property in tests/test_porter.py). Tokens outside the
-    prefix set pass through unstemmed; they can never equal a group
-    member, so match semantics are unchanged. Falls back to
-    unconditional stemming when any group stem is shorter than 3
-    chars (the invariant doesn't cover those)."""
+    """Skip the (expensive) stemmer expression for tokens that cannot
+    stem into any query group.
+
+    Porter: SOUND because Porter only edits suffixes and every
+    replacement rule requires m(stem) > 0 — a kept prefix of >= 2
+    chars — so any word whose stem has >= 3 chars shares its first 2
+    chars with the stem (pinned by a Hypothesis property in
+    tests/test_porter.py).
+
+    Italian: SOUND with an acute-normalized prefix compare — every
+    snowball-italian cut keeps >= 3 chars (any removal position must
+    be >= RV, and the three-case RV rule never starts before 4), all
+    replacement rules keep the prefix before the replaced suffix, and
+    the only body rewrite is the acute->grave prelude, which the
+    guard applies to the compared prefix too (pinned by a Hypothesis
+    property in tests/test_snowball_it.py). NOT applied to german/
+    french/spanish: german folds umlauts anywhere in the body,
+    french/spanish rewrite accents at arbitrary positions (un_accent
+    / de-accenting), so their stems need not share a literal prefix
+    with the token.
+
+    Tokens outside the prefix set pass through unstemmed; a token
+    textually equal to a group stem starts with the stem's prefix,
+    so it stays inside the guard — match semantics are unchanged.
+    Falls back to unconditional stemming when any group stem is
+    shorter than 3 chars (the invariants don't cover those)."""
     stem = _stem_expr(kind, ref, engine)
-    if kind != "porter":
+    if kind not in ("porter", "italian"):
         return stem
     stems = [g for grp in groups for g in grp]
     if not stems or any(len(g) < 3 for g in stems):
         return stem
     lits = ", ".join(_quote(g[:2]) for g in sorted({g[:2]
                                                     for g in stems}))
-    return (f"CASE WHEN substr({ref}, 1, 2) IN ({lits}) "
+    probe = (ref if kind == "porter"
+             else f"translate({ref}, 'áéíóú', 'àèìòù')")
+    return (f"CASE WHEN substr({probe}, 1, 2) IN ({lits}) "
             f"THEN {stem} ELSE {ref} END")
 
 

@@ -145,3 +145,21 @@ def test_italian_analyzer_catches_what_english_cannot(spark):
     en_pred = analyzed_match("mixed", _IT_QUERY,
                              get_analyzer("english"), operator="and")
     assert docs.filter(en_pred).count() == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcdeghilmnoqrstuvzàèìòùáéíóúy",
+               min_size=0, max_size=14))
+def test_prefix2_invariant(w):
+    """The analyzers prefix-2 guard's soundness property: whenever
+    the stem keeps >= 3 chars, it shares its first two chars with
+    the acute-normalized token (cuts keep >= 3 chars because every
+    removal position is >= RV >= 4; replacements preserve the kept
+    prefix; the prelude only folds acute onto grave)."""
+    from parquet_generator_spark.operators.snowball_it import (
+        _normalize,
+    )
+
+    s = italian_stem(w)
+    if len(s) >= 3 and len(w) >= 2:
+        assert s[:2] == _normalize(w)[:2], (w, s)
