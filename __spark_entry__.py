@@ -74,6 +74,7 @@ from parquet_generator_spark.plans import reference_queries24 as R24
 from parquet_generator_spark.plans import reference_queries25 as R25
 from parquet_generator_spark.plans import reference_queries26 as R26
 from parquet_generator_spark.plans import reference_queries27 as R27
+from parquet_generator_spark.plans import reference_queries28 as R28
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -224,6 +225,7 @@ def queries() -> dict[str, QueryFn]:
         **R25.QUERIES,
         **R26.QUERIES,
         **R27.QUERIES,
+        **R28.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -297,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         **R25.ORACLES,
         **R26.ORACLES,
         **R27.ORACLES,
+        **R28.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

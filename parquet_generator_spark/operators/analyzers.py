@@ -57,6 +57,10 @@ GERMAN_CHARSET = "a-z0-9äöüß"
 FRENCH_CHARSET = "a-z0-9àâçéèêëîïôûù"
 SPANISH_CHARSET = "a-z0-9áéíóúüñ"
 ITALIAN_CHARSET = "a-z0-9àèìòùáéíóú"
+# NOTE: '~' (the stemmer's internal nasal marker) is deliberately
+# outside the charset, so tokenized input can never collide with
+# the preluded representation
+PORTUGUESE_CHARSET = "a-z0-9áâãàçéêíóôõú"
 
 _TOKEN_RE = re.compile(rf"[{_CHARSET}]+")
 
@@ -123,6 +127,11 @@ def _stem_py(kind, w: str) -> str:
             italian_stem,
         )
         return italian_stem(w)
+    if kind == "portuguese":
+        from parquet_generator_spark.operators.snowball_pt import (
+            portuguese_stem,
+        )
+        return portuguese_stem(w)
     return s_stem(w)
 
 
@@ -130,7 +139,7 @@ def _stem_py(kind, w: str) -> str:
 # renderer binds ONE stemmed array per document instead of stemming
 # per query group
 _EXPENSIVE_STEMMERS = ("porter", "german", "french", "spanish",
-                       "italian")
+                       "italian", "portuguese")
 
 
 def _stem_expr(kind, ref: str, engine: str) -> str:
@@ -161,6 +170,11 @@ def _stem_expr(kind, ref: str, engine: str) -> str:
             italian_stem_sql,
         )
         return italian_stem_sql(ref, engine)
+    if kind == "portuguese":
+        from parquet_generator_spark.operators.snowball_pt import (
+            portuguese_stem_sql,
+        )
+        return portuguese_stem_sql(ref, engine)
     return s_stem_sql(ref)
 
 
@@ -274,6 +288,18 @@ alla della nella ed
 register_analyzer(Analyzer("italian", stopwords=ITALIAN_STOPWORDS,
                            stem=True, stemmer="italian",
                            charset=ITALIAN_CHARSET))
+PORTUGUESE_STOPWORDS = frozenset("""
+de a o que e do da em um para é com não uma os no se na por mais
+as dos como mas foi ao ele das tem à seu sua ou ser quando muito
+nos já está eu também só pelo pela até isso ela entre era depois
+sem mesmo aos ter seus quem nas me esse eles você essa num nem
+suas meu minha numa pelos elas qual nós lhe deles essas esses
+pelas este dele
+""".split())
+register_analyzer(Analyzer("portuguese",
+                           stopwords=PORTUGUESE_STOPWORDS,
+                           stem=True, stemmer="portuguese",
+                           charset=PORTUGUESE_CHARSET))
 
 
 def _quote(s: str) -> str:
@@ -338,7 +364,18 @@ def _prefix_guarded_stem(kind, ref: str, engine: str,
     replacement rules keep the prefix before the replaced suffix, and
     the only body rewrite is the acute->grave prelude, which the
     guard applies to the compared prefix too (pinned by a Hypothesis
-    property in tests/test_snowball_it.py). NOT applied to german/
+    property in tests/test_snowball_it.py).
+
+    Portuguese: SOUND with a raw prefix compare — the nasal prelude
+    (ã->a~, õ->o~) round-trips exactly through the postlude, every
+    cut keeps >= 3 preluded chars (removal position >= RV >= 4) and
+    never splits a nasal pair (no suffix begins with '~'), all
+    replacements keep the prefix, and the only other rewrite (final
+    ç->c) touches the last char of the stem — so a >= 3-char stem
+    always shares its first two display chars with the token
+    (pinned by a Hypothesis property in tests/test_snowball_pt.py).
+
+    NOT applied to german/
     french/spanish: german folds umlauts anywhere in the body,
     french/spanish rewrite accents at arbitrary positions (un_accent
     / de-accenting), so their stems need not share a literal prefix
@@ -350,15 +387,15 @@ def _prefix_guarded_stem(kind, ref: str, engine: str,
     Falls back to unconditional stemming when any group stem is
     shorter than 3 chars (the invariants don't cover those)."""
     stem = _stem_expr(kind, ref, engine)
-    if kind not in ("porter", "italian"):
+    if kind not in ("porter", "italian", "portuguese"):
         return stem
     stems = [g for grp in groups for g in grp]
     if not stems or any(len(g) < 3 for g in stems):
         return stem
     lits = ", ".join(_quote(g[:2]) for g in sorted({g[:2]
                                                     for g in stems}))
-    probe = (ref if kind == "porter"
-             else f"translate({ref}, 'áéíóú', 'àèìòù')")
+    probe = (f"translate({ref}, 'áéíóú', 'àèìòù')"
+             if kind == "italian" else ref)
     return (f"CASE WHEN substr({probe}, 1, 2) IN ({lits}) "
             f"THEN {stem} ELSE {ref} END")
 
