@@ -17,6 +17,7 @@ the pipeline shapes Kibana ES|QL panels ship:
       | SORT <col> [ASC|DESC] [NULLS FIRST|LAST] [, ...]
       | KEEP <col | pat*> [, ...]
       | LIMIT <n>
+      | FORK (<sub-pipeline>) (<sub-pipeline>) [...]
 
 Commands are recorded as an ORDERED list and both renderers apply
 them SEQUENTIALLY — `SORT v | LIMIT 10 | WHERE v > 5` filters the
@@ -41,8 +42,21 @@ UPPER/CONCAT/SPLIT/NOW/BUCKET/DATE_TRUNC/DATE_DIFF/POW/LOG10/EXP/
 GREATEST/LEAST/LEFT/RIGHT/REPLACE/REVERSE/TO_UPPER/TO_LOWER/LOCATE/
 TO_LONG/TO_INTEGER/TO_DOUBLE/TO_STRING plus the
 multivalue family MV_COUNT/MV_MIN/MV_MAX/MV_SORT/MV_DEDUPE/
-MV_CONCAT. ES|QL's ``==`` becomes SQL ``=``, ``!=`` becomes
-``<>``. SORT takes explicit NULLS FIRST/LAST per key; when
+MV_CONCAT and the IP pair CIDR_MATCH(ip, "a.b.c.d/n", ...) /
+IP_PREFIX(ip, v4len, 0) — IPv4 only; CIDR blocks resolve to
+packed-int BETWEEN ranges at parse time over one TRY_CAST'd
+split_part chain (identical text in both engines; malformed ips
+stay NULL instead of erroring the scan), and IP_PREFIX's v6 length
+is fenced to the literal 0 rather than silently ignored. ES|QL's
+``==`` becomes SQL ``=``, ``!=`` becomes ``<>``.
+
+FORK (ES 8.18+) runs >= 2 branch sub-pipelines over the same input
+relation, tags each row ``_fork=forkN``, and unions BY NAME with
+null-fill (Spark ``unionByName(allowMissingColumns)`` == DuckDB
+``UNION ALL BY NAME``). Branches parse through the same grammar
+recursively; a branch-local SORT orders only that branch's LIMIT
+(ES semantics). Nested FORK, more than 8 branches (the ES limit),
+fewer than 2, and FORK under an active SORT are refused. SORT takes explicit NULLS FIRST/LAST per key; when
 unspecified, the ES|QL/Spark default applies (ASC nulls first,
 DESC nulls last) and the DuckDB renderer ALWAYS spells the
 placement out (its own default is NULLS LAST either way).
@@ -396,6 +410,64 @@ def _render_call(name: str, args: list[str]) -> _E:
         a, b = rendered
         return _E(f"{sp_fn}({a.spark}, {b.spark})",
                   f"{du_fn}({a.duck}, {b.duck})")
+    if name == "CIDR_MATCH":
+        # CIDR_MATCH(ip, "block", ...): blocks resolve to packed-int
+        # ranges at PARSE time, so the predicate is pure BETWEEN
+        # arithmetic over one split_part chain — sargable codegen in
+        # both engines, no regex, no UDF
+        if len(args) < 2:
+            raise ValueError("esql: CIDR_MATCH takes "
+                             "(ip, \"a.b.c.d/n\", ...)")
+        ranges = []
+        for a in args[1:]:
+            a = a.strip()
+            if not (a.startswith('"') and a.endswith('"')):
+                raise ValueError("esql: CIDR_MATCH blocks must be "
+                                 "string literals")
+            ranges.append(_parse_cidr(a[1:-1]))
+
+        def _pred(ref: str) -> str:
+            num = _ip_num(ref)
+            return ("(" + " OR ".join(
+                f"{num} BETWEEN {lo} AND {hi}"
+                for lo, hi in ranges) + ")")
+
+        return _E(_pred(rendered[0].spark), _pred(rendered[0].duck))
+    if name == "IP_PREFIX":
+        # IP_PREFIX(ip, v4len, v6len): the network address at the
+        # given prefix length, re-rendered as a dotted quad. The
+        # bounded subset is IPv4-only, so the v6 length must be the
+        # literal 0 (fenced rather than silently ignored).
+        if len(args) != 3:
+            raise ValueError("esql: IP_PREFIX takes "
+                             "(ip, v4_length, v6_length)")
+        if args[2].strip() != "0":
+            raise ValueError("esql: IP_PREFIX is IPv4-only here — "
+                             "pass 0 for the v6 length")
+        if not _INT_RE.fullmatch(args[1].strip()):
+            raise ValueError("esql: IP_PREFIX length must be an "
+                             "integer literal")
+        n = int(args[1])
+        if not 0 <= n <= 32:
+            raise ValueError("esql: IP_PREFIX v4 length must be "
+                             "0-32")
+        block = 1 << (32 - n)
+
+        def _quad(ref: str, duck: bool) -> str:
+            num = _ip_num(ref)
+            masked = (f"(CAST(floor({num} / {block}) AS BIGINT) "
+                      f"* {block})") if n < 32 else num
+            t = "VARCHAR" if duck else "STRING"
+            parts = [
+                f"CAST(CAST(floor({masked} / {s}) AS BIGINT) % 256 "
+                f"AS {t})"
+                for s in (16777216, 65536, 256, 1)]
+            if duck:  # || propagates NULL (DuckDB concat skips it)
+                return "(" + " || '.' || ".join(parts) + ")"
+            return "concat(" + ", '.', ".join(parts) + ")"
+
+        return _E(_quad(rendered[0].spark, False),
+                  _quad(rendered[0].duck, True))
     if name == "CASE":
         # ES|QL CASE(cond1, val1, [cond2, val2, ...][, default])
         if len(rendered) < 2:
@@ -523,7 +595,39 @@ _SPECIAL = ("CONCAT", "SPLIT", "NOW", "BUCKET", "DATE_TRUNC",
             "DATE_EXTRACT", "DATE_DIFF", "LOCATE",
             "STARTS_WITH", "ENDS_WITH", "CASE", "MV_COUNT",
             "MV_MIN", "MV_MAX", "MV_SORT", "MV_DEDUPE", "MV_CONCAT",
+            "CIDR_MATCH", "IP_PREFIX",
             *_CASTS)
+
+
+def _parse_cidr(block: str) -> tuple[int, int]:
+    """'a.b.c.d/n' -> inclusive (lo, hi) packed-int range; IPv4
+    only (the bounded subset — the corpus stores dotted quads)."""
+    m = re.fullmatch(r"(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})"
+                     r"/(\d{1,2})", block)
+    if not m:
+        raise ValueError(f"esql: CIDR_MATCH needs IPv4 "
+                         f"'a.b.c.d/n' literals, got {block!r}")
+    o = [int(x) for x in m.groups()[:4]]
+    n = int(m.group(5))
+    if any(x > 255 for x in o) or n > 32:
+        raise ValueError(f"esql: invalid CIDR block {block!r}")
+    base = (o[0] << 24) | (o[1] << 16) | (o[2] << 8) | o[3]
+    mask = ((1 << 32) - 1) ^ ((1 << (32 - n)) - 1) if n else 0
+    lo = base & mask
+    return lo, lo + ((1 << (32 - n)) - 1)
+
+
+def _ip_num(ref: str) -> str:
+    """Dotted-quad string -> packed BIGINT; TRY_CAST keeps a
+    malformed ip NULL in BOTH engines (DuckDB's plain CAST('')
+    errors), so predicates over it are null-safe. Identical text in
+    Spark SQL and DuckDB (split_part is 1-based in both)."""
+    def octet(i: int, scale: int) -> str:
+        return (f"TRY_CAST(split_part({ref}, '.', {i}) "
+                f"AS BIGINT) * {scale}")
+    return ("(" + " + ".join(octet(i, s) for i, s in
+                             ((1, 16777216), (2, 65536),
+                              (3, 256), (4, 1))) + ")")
 
 
 def _like_pattern(sql_lit: str) -> str:
@@ -800,8 +904,9 @@ class EsqlPlan:
 
 def _split_pipes(q: str) -> list[str]:
     """Split the pipeline on '|' outside string literals (DISSECT
-    patterns may contain '|')."""
-    out, start, in_s, i = [], 0, None, 0
+    patterns may contain '|') and outside parens (FORK branches
+    are themselves pipe-joined sub-pipelines)."""
+    out, start, in_s, depth, i = [], 0, None, 0, 0
     while i < len(q):
         ch = q[i]
         if in_s:
@@ -811,7 +916,11 @@ def _split_pipes(q: str) -> list[str]:
                 in_s = None
         elif ch in "'\"":
             in_s = ch
-        elif ch == "|":
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0:
             out.append(q[start:i])
             start = i + 1
         i += 1
@@ -819,9 +928,40 @@ def _split_pipes(q: str) -> list[str]:
     return [p.strip() for p in out]
 
 
+def _split_fork_branches(body: str) -> list[str]:
+    """Split ``(branch) (branch) ...`` on top-level parens (branch
+    pipelines may contain nested parens and string literals)."""
+    out, depth, start, in_s = [], 0, None, None
+    for i, ch in enumerate(body):
+        if in_s:
+            if ch == "\\":
+                continue
+            if ch == in_s:
+                in_s = None
+        elif ch in "'\"":
+            in_s = ch
+        elif ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                out.append(body[start:i].strip())
+                start = None
+        elif depth == 0 and not ch.isspace():
+            raise ValueError(
+                f"esql: FORK needs (branch) (branch) ..., got "
+                f"stray text at {body[i:i + 20]!r}")
+    if depth != 0:
+        raise ValueError("esql: FORK has unbalanced parentheses")
+    return out
+
+
 def parse_esql(query: str,
                enrich: dict | None = None,
-               lookup_indexes: dict | None = None) -> EsqlPlan:
+               lookup_indexes: dict | None = None,
+               _in_fork: bool = False) -> EsqlPlan:
     parts = _split_pipes(query.strip())
     head = parts[0]
     m = re.fullmatch(r"FROM\s+([A-Za-z_][A-Za-z0-9_]*)", head, re.I)
@@ -1059,6 +1199,30 @@ def parse_esql(query: str,
             pattern = dm.group(2).replace('\\"', '"')
             rx, keys = _dissect_pattern(pattern)
             plan.commands.append(("dissect", (col, rx, keys)))
+        elif kw == "FORK":
+            # ES 8.18+ FORK: >= 2 branch sub-pipelines over the
+            # same input, each tagged _fork=forkN, unioned by name.
+            # Branches parse through the same grammar (recursive,
+            # nested FORK refused — ES's own limit); a branch-local
+            # SORT orders that branch's LIMIT only, exactly ES.
+            if _in_fork:
+                raise ValueError("esql: nested FORK is not "
+                                 "supported (ES refuses it too)")
+            raw = _split_fork_branches(body)
+            if len(raw) < 2:
+                raise ValueError("esql: FORK needs at least two "
+                                 "(branch) pipelines")
+            if len(raw) > 8:
+                raise ValueError("esql: FORK is bounded to 8 "
+                                 "branches (the ES limit)")
+            branches = []
+            for btext in raw:
+                sub = parse_esql(
+                    f"FROM {plan.table} | {btext}" if btext
+                    else f"FROM {plan.table}",
+                    enrich, lookup_indexes, _in_fork=True)
+                branches.append(sub.commands)
+            plan.commands.append(("fork", branches))
         else:
             raise ValueError(f"esql: unknown command {kw!r}")
     _validate_order_flow(plan)
@@ -1091,13 +1255,17 @@ def _validate_order_flow(plan: EsqlPlan) -> None:
                 f"esql: DROP of an active SORT column "
                 f"{sorted(active & set(p))} is not supported — use "
                 f"KEEP (it projects sort columns through)")
-        elif kind in ("enrich", "lookup", "inlinestats") and active:
+        elif kind in ("enrich", "lookup", "inlinestats",
+                      "fork") and active:
             what = {"enrich": "ENRICH", "lookup": "LOOKUP JOIN",
-                    "inlinestats": "INLINESTATS"}[kind]
+                    "inlinestats": "INLINESTATS",
+                    "fork": "FORK"}[kind]
             raise ValueError(
                 f"esql: {what} after an active SORT is not "
                 f"supported — the join/window exchange does not "
                 f"preserve row order; move the SORT after it")
+        elif kind == "fork":
+            active = set()  # the union does not preserve order
 
 
 def _split_agg_filter(rhs: str) -> tuple[str, str | None]:
@@ -1159,7 +1327,12 @@ def esql_df(df: DataFrame, plan: EsqlPlan,
     (ES materializes the enrich index on every node — the dimension
     is small by contract, so a shuffle-free broadcast hash join is
     the 100-TB shape)."""
-    for kind, p in plan.commands:
+    return _df_apply(df, plan.commands, lookups)
+
+
+def _df_apply(df: DataFrame, commands: list,
+              lookups: dict | None = None) -> DataFrame:
+    for kind, p in commands:
         if kind == "where":
             df = df.filter(F.expr(p.spark))
         elif kind == "eval":
@@ -1285,6 +1458,17 @@ def esql_df(df: DataFrame, plan: EsqlPlan,
             for i, k in enumerate(keys, start=1):
                 df = df.withColumn(
                     k, F.regexp_extract(F.col(col), rx, i))
+        elif kind == "fork":
+            from functools import reduce
+
+            parts = [
+                _df_apply(df, br, lookups)
+                .withColumn("_fork", F.lit(f"fork{i}"))
+                for i, br in enumerate(p, start=1)]
+            # ES null-fills columns a branch does not produce
+            df = reduce(
+                lambda a, b: a.unionByName(
+                    b, allowMissingColumns=True), parts)
     return df
 
 
@@ -1303,10 +1487,13 @@ def esql_duck_sql(plan: EsqlPlan) -> str:
     renderer even when KEEP drops a sort column — the sort columns
     are projected THROUGH the KEEP subquery and dropped at the
     end)."""
-    sql = f"SELECT * FROM {plan.table}"
+    return _duck_apply(f"SELECT * FROM {plan.table}", plan.commands)
+
+
+def _duck_apply(sql: str, commands: list) -> str:
     order: list | None = None   # active SORT
     final_keep: list | None = None  # re-projection after passthrough
-    for kind, p in plan.commands:
+    for kind, p in commands:
         if kind == "where":
             sql = f"SELECT * FROM ({sql}) _w WHERE {p.duck}"
         elif kind == "eval":
@@ -1413,6 +1600,22 @@ def esql_duck_sql(plan: EsqlPlan) -> str:
                 f"regexp_extract({col}, '{rxq}', {i}) AS {k}"
                 for i, k in enumerate(keys, start=1))
             sql = f"SELECT *, {cols} FROM ({sql}) _d"
+        elif kind == "fork":
+            # each branch renders the shared input independently
+            # (with its own order/limit bookkeeping), tags itself,
+            # and the union null-fills by name — the Spark
+            # unionByName(allowMissingColumns) twin
+            branches = []
+            for i, br in enumerate(p, start=1):
+                bsql = _duck_apply(
+                    f"SELECT * FROM ({sql}) _fb{i}", br)
+                branches.append(
+                    f"(SELECT *, 'fork{i}' AS _fork "
+                    f"FROM ({bsql}) _ft{i})")
+            sql = ("SELECT * FROM ("
+                   + " UNION ALL BY NAME ".join(branches)
+                   + ") _u")
+            order, final_keep = None, None
     if final_keep is not None:
         # drop the passthrough sort columns; ORDER BY may still
         # reference them through the subquery scope

@@ -676,3 +676,84 @@ def test_keep_wildcard_fences(spark):
     with pytest.raises(ValueError, match="duplicate columns"):
         esql_df(df, parse_esql(
             "FROM events | KEEP event_*, event_id | LIMIT 2"))
+
+
+def test_fork_union_by_name(spark):
+    from parquet_generator_spark.sources.catalog import load_table
+
+    q = ("FROM events | WHERE value > 0 "
+         "| FORK (WHERE event_type == \"view\" | SORT event_id "
+         "| LIMIT 3 | KEEP event_id, value) "
+         "(STATS n = COUNT(*) BY event_type | SORT event_type) "
+         "| SORT _fork, event_id")
+    plan = parse_esql(q)
+    sdf = esql_df(load_table(spark, plan.table, SF), plan)
+    cols = sdf.columns
+    # null-fill makes plain tuple sorting type-unsafe — stringify
+    s = sorted(tuple(map(str, r)) for r in sdf.collect())
+    d = sorted(tuple(map(str, r)) for r in
+               _duck().execute(esql_duck_sql(plan)).fetchall())
+    assert s == d and len(s) > 3
+    assert "_fork" in cols
+    tags = {r[cols.index("_fork")] for r in s}
+    assert tags == {"fork1", "fork2"}
+
+
+def test_fork_branch_local_sort_limits_that_branch_only(spark):
+    # branch 1's DESC top-2 must not reorder branch 2's ASC top-2
+    q = ("FROM events "
+         "| FORK (SORT value DESC, event_id | LIMIT 2) "
+         "(SORT value ASC, event_id | LIMIT 2) "
+         "| KEEP event_id, value, _fork")
+    s, d, cols = _run_both(spark, q)
+    assert s == d and len(s) == 4
+    vals = sorted(r[cols.index("value")] for r in s)
+    assert vals[0] < vals[-1]  # both extremes present
+
+
+def test_fork_fences():
+    with pytest.raises(ValueError, match="nested FORK"):
+        parse_esql("FROM events | FORK (WHERE value > 1 | FORK "
+                   "(LIMIT 1) (LIMIT 2)) (LIMIT 3)")
+    with pytest.raises(ValueError, match="at least two"):
+        parse_esql("FROM events | FORK (WHERE value > 1)")
+    with pytest.raises(ValueError, match="active SORT"):
+        parse_esql("FROM events | SORT value "
+                   "| FORK (LIMIT 1) (LIMIT 2)")
+    with pytest.raises(ValueError, match="stray text"):
+        parse_esql("FROM events | FORK (LIMIT 1) junk (LIMIT 2)")
+    with pytest.raises(ValueError, match="8 branches"):
+        parse_esql("FROM events | FORK " + "(LIMIT 1) " * 9)
+
+
+def test_cidr_match_and_ip_prefix(spark):
+    from pyspark.sql import functions as F
+
+    rows = [("10.1.2.3",), ("10.200.0.9",), ("192.168.7.7",),
+            ("172.16.0.1",), ("not-an-ip",), (None,)]
+    df = spark.createDataFrame(rows, ["ip"])
+    plan = parse_esql(
+        'FROM t | WHERE CIDR_MATCH(ip, "10.0.0.0/8", '
+        '"192.168.0.0/16") | EVAL net = IP_PREFIX(ip, 12, 0) '
+        "| SORT ip | KEEP ip, net")
+    got = [tuple(r) for r in esql_df(df, plan).collect()]
+    assert got == [("10.1.2.3", "10.0.0.0"),
+                   ("10.200.0.9", "10.192.0.0"),
+                   ("192.168.7.7", "192.160.0.0")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(ip VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    assert con.execute(esql_duck_sql(plan)).fetchall() == got
+
+
+def test_ip_function_fences():
+    with pytest.raises(ValueError, match="IPv4"):
+        parse_esql('FROM t | WHERE CIDR_MATCH(ip, "bad/8")')
+    with pytest.raises(ValueError, match="string literals"):
+        parse_esql("FROM t | WHERE CIDR_MATCH(ip, other_col)")
+    with pytest.raises(ValueError, match="invalid CIDR"):
+        parse_esql('FROM t | WHERE CIDR_MATCH(ip, "300.0.0.0/8")')
+    with pytest.raises(ValueError, match="IPv4-only"):
+        parse_esql("FROM t | EVAL n = IP_PREFIX(ip, 24, 64)")
+    with pytest.raises(ValueError, match="0-32"):
+        parse_esql("FROM t | EVAL n = IP_PREFIX(ip, 40, 0)")
