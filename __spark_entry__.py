@@ -46,6 +46,7 @@ from parquet_generator_spark.plans import llm_queries23 as L23
 from parquet_generator_spark.plans import llm_queries24 as L24
 from parquet_generator_spark.plans import llm_queries25 as L25
 from parquet_generator_spark.plans import llm_queries26 as L26
+from parquet_generator_spark.plans import llm_queries27 as L27
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -195,6 +196,7 @@ def queries() -> dict[str, QueryFn]:
         **L24.QUERIES,
         **L25.QUERIES,
         **L26.QUERIES,
+        **L27.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -269,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         **L24.ORACLES,
         **L25.ORACLES,
         **L26.ORACLES,
+        **L27.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,
