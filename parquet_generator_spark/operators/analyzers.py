@@ -61,6 +61,9 @@ ITALIAN_CHARSET = "a-z0-9àèìòùáéíóú"
 # outside the charset, so tokenized input can never collide with
 # the preluded representation
 PORTUGUESE_CHARSET = "a-z0-9áâãàçéêíóôõú"
+SWEDISH_CHARSET = "a-z0-9äåö"
+DANISH_CHARSET = "a-z0-9æøå"
+NORWEGIAN_CHARSET = "a-z0-9æøå"
 
 _TOKEN_RE = re.compile(rf"[{_CHARSET}]+")
 
@@ -132,6 +135,9 @@ def _stem_py(kind, w: str) -> str:
             portuguese_stem,
         )
         return portuguese_stem(w)
+    if kind in ("swedish", "danish", "norwegian"):
+        from parquet_generator_spark.operators import snowball_scand
+        return getattr(snowball_scand, f"{kind}_stem")(w)
     return s_stem(w)
 
 
@@ -139,7 +145,8 @@ def _stem_py(kind, w: str) -> str:
 # renderer binds ONE stemmed array per document instead of stemming
 # per query group
 _EXPENSIVE_STEMMERS = ("porter", "german", "french", "spanish",
-                       "italian", "portuguese")
+                       "italian", "portuguese", "swedish",
+                       "danish", "norwegian")
 
 
 def _stem_expr(kind, ref: str, engine: str) -> str:
@@ -175,6 +182,10 @@ def _stem_expr(kind, ref: str, engine: str) -> str:
             portuguese_stem_sql,
         )
         return portuguese_stem_sql(ref, engine)
+    if kind in ("swedish", "danish", "norwegian"):
+        from parquet_generator_spark.operators import snowball_scand
+        return getattr(snowball_scand,
+                       f"{kind}_stem_sql")(ref, engine)
     return s_stem_sql(ref)
 
 
@@ -300,6 +311,34 @@ register_analyzer(Analyzer("portuguese",
                            stopwords=PORTUGUESE_STOPWORDS,
                            stem=True, stemmer="portuguese",
                            charset=PORTUGUESE_CHARSET))
+SWEDISH_STOPWORDS = frozenset("""
+och det att i en jag hon som han på den med var sig för så till
+är men ett om hade de av du her då sin nu har inte hans honom
+vid man från ut när efter upp vi dem vara vad över än dig kan
+sina mot alla under eller allt
+""".split())
+DANISH_STOPWORDS = frozenset("""
+og i jeg det at en den til er som på de med han af for ikke der
+var mig sig men et har om vi min havde ham hun nu over da fra du
+ud sin dem os op man hans hvor eller hvad skal selv her alle vil
+blev efter denne dette også
+""".split())
+NORWEGIAN_STOPWORDS = frozenset("""
+og i jeg det at en et den til er som på de med han av ikke der
+så var meg seg men har om vi min ha hun nå over da ved fra du ut
+sin dem oss opp man kan hans hvor eller hva skal selv her alle
+vil ble etter
+""".split())
+register_analyzer(Analyzer("swedish", stopwords=SWEDISH_STOPWORDS,
+                           stem=True, stemmer="swedish",
+                           charset=SWEDISH_CHARSET))
+register_analyzer(Analyzer("danish", stopwords=DANISH_STOPWORDS,
+                           stem=True, stemmer="danish",
+                           charset=DANISH_CHARSET))
+register_analyzer(Analyzer("norwegian",
+                           stopwords=NORWEGIAN_STOPWORDS,
+                           stem=True, stemmer="norwegian",
+                           charset=NORWEGIAN_CHARSET))
 
 
 def _quote(s: str) -> str:
@@ -375,6 +414,13 @@ def _prefix_guarded_stem(kind, ref: str, engine: str,
     always shares its first two display chars with the token
     (pinned by a Hypothesis property in tests/test_snowball_pt.py).
 
+    Swedish/danish/norwegian: SOUND with a raw prefix compare — the
+    Scandinavian algorithms have NO body rewrites at all; every
+    edit (delete, replace, undouble, the danish igst strip) acts on
+    the tail and keeps >= 2 chars of prefix, so any stem is a
+    tail-edit of its token (pinned per language in
+    tests/test_snowball_scand.py).
+
     NOT applied to german/
     french/spanish: german folds umlauts anywhere in the body,
     french/spanish rewrite accents at arbitrary positions (un_accent
@@ -387,7 +433,8 @@ def _prefix_guarded_stem(kind, ref: str, engine: str,
     Falls back to unconditional stemming when any group stem is
     shorter than 3 chars (the invariants don't cover those)."""
     stem = _stem_expr(kind, ref, engine)
-    if kind not in ("porter", "italian", "portuguese"):
+    if kind not in ("porter", "italian", "portuguese", "swedish",
+                    "danish", "norwegian"):
         return stem
     stems = [g for grp in groups for g in grp]
     if not stems or any(len(g) < 3 for g in stems):

@@ -211,3 +211,93 @@ def _esql_cidr_oracle() -> str:
 
 QUERIES.update({"esql_cidr_match": esql_cidr_match})
 ORACLES.update({"esql_cidr_match": _esql_cidr_oracle()})
+
+
+# ----------------------- dsl_match_analyzer_sv / _da / _no
+
+# the Scandinavian trio (snowball swedish/danish/norwegian,
+# operators/snowball_scand.py): per-language planted inflections
+# the english chain provably cannot fold onto the query's
+# dictionary forms (pinned in tests/test_snowball_scand.py)
+_SCAND = {
+    "sv": ("swedish", "flicka klok",
+           ["flickorna var kloka",
+            "den kloka flickorna sprang",
+            "flickorna och de kloka"]),
+    "da": ("danish", "indtagelse venlig",
+           ["indtagelsen var venligst",
+            "den venligst indtagelsen",
+            "venligst efter indtagelsen"]),
+    "no": ("norwegian", "kassere hus",
+           ["husene ble kasserte",
+            "kasserte ved husene",
+            "husene og de kasserte"]),
+}
+
+
+def _scand_planted_expr(lang: str) -> str:
+    snippets = _SCAND[lang][2]
+    snip = ("CASE CAST(doc_id % 3 AS INT) "
+            + " ".join(f"WHEN {i} THEN '{s}'"
+                       for i, s in enumerate(snippets))
+            + " END")
+    return (f"CASE WHEN doc_id % 5 = 2 THEN "
+            f"concat({snip}, ' ', substr(text, 1, 60)) "
+            f"ELSE substr(text, 1, 60) END")
+
+
+def _scand_query(lang: str):
+    analyzer_name, query, _ = _SCAND[lang]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from parquet_generator_spark.operators.analyzers import (
+            analyzed_match,
+            get_analyzer,
+        )
+
+        docs = load_table(spark, "documents", sf_dir)
+        pred = analyzed_match("mixed", query,
+                              get_analyzer(analyzer_name),
+                              operator="and")
+        return (docs
+                .withColumn("mixed",
+                            F.expr(_scand_planted_expr(lang)))
+                .filter(pred)
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy("source"))
+
+    run.__doc__ = (
+        f"``match`` with ``analyzer: \"{analyzer_name}\"`` "
+        f"(snowball {analyzer_name}, operator AND): the query's "
+        f"dictionary forms reach the planted inflections only "
+        f"through the full stemmer (R1-limited among, consonant "
+        f"pairs, per-language s-endings); the english chain "
+        f"matches zero of the same documents.")
+    return run
+
+
+def _scand_oracle(lang: str) -> str:
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match_duck_sql,
+        get_analyzer,
+    )
+
+    analyzer_name, query, _ = _SCAND[lang]
+    pred = analyzed_match_duck_sql(
+        "mixed", query, get_analyzer(analyzer_name),
+        operator="and")
+    return f"""
+WITH m AS (SELECT source, {_scand_planted_expr(lang)} AS mixed
+           FROM documents)
+SELECT source, count(*) AS doc_count
+FROM m WHERE {pred}
+GROUP BY source ORDER BY source
+"""
+
+
+for _lang in ("sv", "da", "no"):
+    QUERIES[f"dsl_match_analyzer_{_lang}"] = _scand_query(_lang)
+    ORACLES[f"dsl_match_analyzer_{_lang}"] = _scand_oracle(_lang)
