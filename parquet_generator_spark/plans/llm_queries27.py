@@ -131,3 +131,111 @@ FROM flagged GROUP BY source ORDER BY source
 
 QUERIES.update({"c4_line_filters": c4_line_filters})
 ORACLES.update({"c4_line_filters": C4_LINE_FILTERS_ORACLE})
+
+
+# ---------------------------------------- dsir_importance_weights
+
+# DSIR (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling"): hashed n-gram features, importance
+# weight = log-likelihood ratio between the target and raw hashed
+# unigram distributions. B buckets keeps the distribution frame a
+# broadcastable literal-sized table.
+DSIR_BUCKETS = 128
+DSIR_TARGET = ("src0", "src1", "src2")  # the "high-quality" slice
+_DSIR_SMOOTH = 0.5
+
+_BUCKET_SPARK = ("CAST(conv(substr(md5(t), 1, 8), 16, 10) "
+                 f"AS BIGINT) % {DSIR_BUCKETS}")
+_BUCKET_DUCK = ("CAST(concat('0x', substr(md5(t), 1, 8)) "
+                f"AS BIGINT) % {DSIR_BUCKETS}")
+
+
+def dsir_importance_weights(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """DSIR importance weights over the documents corpus: hashed
+    unigram features (md5 -> one of B=128 buckets, the same
+    portable hash as hash_sample), target distribution from the
+    designated high-quality sources, raw distribution from the
+    whole corpus, add-0.5 smoothing, per-doc weight = sum of
+    per-token log ratios. Reports the per-source mean weight and
+    the fraction that importance resampling would favor (w > 0).
+
+    Scale: ONE token explode feeds both the B-row distribution agg
+    and the scoring join; the distribution frame is 128 rows and
+    BROADCAST, totals enter as plan literals (broadcast_scalars),
+    so the only wide shuffle is the per-doc rollup — the same
+    two-pass shape DSIR runs over its full corpus."""
+    from parquet_generator_spark.operators.util import (
+        broadcast_scalars,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = (docs
+           .select("doc_id", "source",
+                   F.explode(F.expr(
+                       "filter(split(lower(text), '[^a-z0-9]+'), "
+                       "x -> x != '')")).alias("t"))
+           .withColumn("b", F.expr(_BUCKET_SPARK)))
+    is_t = F.col("source").isin(*DSIR_TARGET).cast("long")
+    dist = tok.groupBy("b").agg(F.sum(is_t).alias("nt"),
+                                F.count(F.lit(1)).alias("nr"))
+    totals = dist.agg(F.sum("nt").alias("_tt"),
+                      F.sum("nr").alias("_tr"))
+    sb = _DSIR_SMOOTH * DSIR_BUCKETS
+    lr = (broadcast_scalars(dist, totals)
+          .select("b",
+                  (F.log((F.col("nt") + _DSIR_SMOOTH)
+                         / (F.col("_tt") + sb))
+                   - F.log((F.col("nr") + _DSIR_SMOOTH)
+                           / (F.col("_tr") + sb))).alias("lr")))
+    dw = (tok.join(F.broadcast(lr), "b")
+          .groupBy("doc_id", "source")
+          .agg(F.sum("lr").alias("w")))
+    return (dw.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.round(F.avg("w"), 4).alias("avg_weight"),
+                 F.round(F.avg((F.col("w") > 0)
+                               .cast("double")), 4)
+                 .alias("pos_frac"))
+            .orderBy("source"))
+
+
+_DSIR_TARGET_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET)
+
+DSIR_IMPORTANCE_WEIGHTS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) AS t
+  FROM documents),
+tb AS (
+  SELECT doc_id, source, {_BUCKET_DUCK} AS b FROM tok),
+dist AS (
+  SELECT b,
+         sum(CASE WHEN source IN ({_DSIR_TARGET_SQL})
+             THEN 1 ELSE 0 END) AS nt,
+         count(*) AS nr
+  FROM tb GROUP BY b),
+tot AS (SELECT sum(nt) AS tt, sum(nr) AS tr FROM dist),
+lr AS (
+  SELECT b,
+         ln((nt + {_DSIR_SMOOTH}) / (tt + {_DSIR_SMOOTH
+                                           * DSIR_BUCKETS}))
+         - ln((nr + {_DSIR_SMOOTH}) / (tr + {_DSIR_SMOOTH
+                                             * DSIR_BUCKETS}))
+           AS lr
+  FROM dist CROSS JOIN tot),
+dw AS (
+  SELECT doc_id, source, sum(lr) AS w
+  FROM tb JOIN lr USING (b) GROUP BY doc_id, source)
+SELECT source, count(*) AS docs,
+       round(avg(w), 4) AS avg_weight,
+       round(avg(CASE WHEN w > 0 THEN 1.0 ELSE 0.0 END), 4)
+         AS pos_frac
+FROM dw GROUP BY source ORDER BY source
+"""
+
+
+QUERIES.update({"dsir_importance_weights": dsir_importance_weights})
+ORACLES.update(
+    {"dsir_importance_weights": DSIR_IMPORTANCE_WEIGHTS_ORACLE})
