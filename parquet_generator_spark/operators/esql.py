@@ -17,6 +17,7 @@ the pipeline shapes Kibana ES|QL panels ship:
       | SORT <col> [ASC|DESC] [NULLS FIRST|LAST] [, ...]
       | KEEP <col | pat*> [, ...]
       | LIMIT <n>
+      | SAMPLE <probability>
       | FORK (<sub-pipeline>) (<sub-pipeline>) [...]
 
 Commands are recorded as an ORDERED list and both renderers apply
@@ -49,6 +50,13 @@ split_part chain (identical text in both engines; malformed ips
 stay NULL instead of erroring the scan), and IP_PREFIX's v6 length
 is fenced to the literal 0 rather than silently ignored. ES|QL's
 ``==`` becomes SQL ``=``, ``!=`` becomes ``<>``.
+
+SAMPLE (ES 8.19+) keeps each row with the given probability.
+DOCUMENTED DIVERGENCE: ES samples pseudorandomly per run; this
+subset is a DETERMINISTIC md5-hash Bernoulli over a caller-named
+unique key column (``parse_esql(..., sample_key="event_id")``) —
+reproducible across runs and engines (the hash_sample contract),
+refused loudly when no key is supplied.
 
 FORK (ES 8.18+) runs >= 2 branch sub-pipelines over the same input
 relation, tags each row ``_fork=forkN``, and unions BY NAME with
@@ -961,6 +969,7 @@ def _split_fork_branches(body: str) -> list[str]:
 def parse_esql(query: str,
                enrich: dict | None = None,
                lookup_indexes: dict | None = None,
+               sample_key: str | None = None,
                _in_fork: bool = False) -> EsqlPlan:
     parts = _split_pipes(query.strip())
     head = parts[0]
@@ -1199,6 +1208,29 @@ def parse_esql(query: str,
             pattern = dm.group(2).replace('\\"', '"')
             rx, keys = _dissect_pattern(pattern)
             plan.commands.append(("dissect", (col, rx, keys)))
+        elif kw == "SAMPLE":
+            # ES 8.19+ SAMPLE <probability>. DOCUMENTED DIVERGENCE:
+            # ES samples pseudorandomly per run; this subset is a
+            # DETERMINISTIC md5-hash Bernoulli over a caller-named
+            # unique key column (parse_esql(..., sample_key=...)) —
+            # reproducible across runs AND engines, which is what a
+            # training-data pipeline wants from its sampler anyway
+            # (the hash_sample contract). Refused without a key: a
+            # sample that changes under your feet is unverifiable.
+            try:
+                prob = float(body)
+            except ValueError:
+                raise ValueError(f"esql: SAMPLE needs a numeric "
+                                 f"probability, got {body!r}")
+            if not 0 < prob < 1:
+                raise ValueError("esql: SAMPLE probability must be "
+                                 "in (0, 1)")
+            if not sample_key or not _IDENT_RE.fullmatch(sample_key):
+                raise ValueError(
+                    "esql: SAMPLE needs a deterministic row key — "
+                    "pass parse_esql(..., sample_key='<unique id "
+                    "column>')")
+            plan.commands.append(("sample", (prob, sample_key)))
         elif kw == "FORK":
             # ES 8.18+ FORK: >= 2 branch sub-pipelines over the
             # same input, each tagged _fork=forkN, unioned by name.
@@ -1220,7 +1252,8 @@ def parse_esql(query: str,
                 sub = parse_esql(
                     f"FROM {plan.table} | {btext}" if btext
                     else f"FROM {plan.table}",
-                    enrich, lookup_indexes, _in_fork=True)
+                    enrich, lookup_indexes, sample_key,
+                    _in_fork=True)
                 branches.append(sub.commands)
             plan.commands.append(("fork", branches))
         else:
@@ -1458,6 +1491,12 @@ def _df_apply(df: DataFrame, commands: list,
             for i, k in enumerate(keys, start=1):
                 df = df.withColumn(
                     k, F.regexp_extract(F.col(col), rx, i))
+        elif kind == "sample":
+            prob, key = p
+            thr = int(round(prob * 1_000_000))
+            df = df.filter(F.expr(
+                f"CAST(conv(substr(md5(CAST({key} AS STRING)), "
+                f"1, 8), 16, 10) AS BIGINT) % 1000000 < {thr}"))
         elif kind == "fork":
             from functools import reduce
 
@@ -1600,6 +1639,13 @@ def _duck_apply(sql: str, commands: list) -> str:
                 f"regexp_extract({col}, '{rxq}', {i}) AS {k}"
                 for i, k in enumerate(keys, start=1))
             sql = f"SELECT *, {cols} FROM ({sql}) _d"
+        elif kind == "sample":
+            prob, key = p
+            thr = int(round(prob * 1_000_000))
+            sql = (f"SELECT * FROM ({sql}) _sm WHERE "
+                   f"CAST(concat('0x', substr(md5(CAST({key} "
+                   f"AS VARCHAR)), 1, 8)) AS BIGINT) "
+                   f"% 1000000 < {thr}")
         elif kind == "fork":
             # each branch renders the shared input independently
             # (with its own order/limit bookkeeping), tags itself,

@@ -301,3 +301,45 @@ GROUP BY source ORDER BY source
 for _lang in ("sv", "da", "no"):
     QUERIES[f"dsl_match_analyzer_{_lang}"] = _scand_query(_lang)
     ORACLES[f"dsl_match_analyzer_{_lang}"] = _scand_oracle(_lang)
+
+
+# ---------------------------------------------------- esql_sample
+
+ESQL_SAMPLE_QUERY = """
+FROM events
+| SAMPLE 0.2
+| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id)
+        BY event_type
+| SORT event_type
+"""
+
+
+def esql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``SAMPLE`` (ES 8.19+) as a deterministic md5-hash
+    Bernoulli over the caller-named unique key (documented
+    divergence from ES's per-run randomness — reproducibility is
+    the property a data pipeline needs). The sample predicate is a
+    stateless scan filter, so at 100 TB it rides the first stage
+    and cuts everything downstream by 5x."""
+    from parquet_generator_spark.operators.esql import (
+        esql_df,
+        parse_esql,
+    )
+
+    plan = parse_esql(ESQL_SAMPLE_QUERY, sample_key="event_id")
+    ev = load_table(spark, plan.table, sf_dir)
+    return esql_df(ev, plan)
+
+
+def _esql_sample_oracle() -> str:
+    from parquet_generator_spark.operators.esql import (
+        esql_duck_sql,
+        parse_esql,
+    )
+
+    return esql_duck_sql(
+        parse_esql(ESQL_SAMPLE_QUERY, sample_key="event_id"))
+
+
+QUERIES.update({"esql_sample": esql_sample})
+ORACLES.update({"esql_sample": _esql_sample_oracle()})

@@ -757,3 +757,28 @@ def test_ip_function_fences():
         parse_esql("FROM t | EVAL n = IP_PREFIX(ip, 24, 64)")
     with pytest.raises(ValueError, match="0-32"):
         parse_esql("FROM t | EVAL n = IP_PREFIX(ip, 40, 0)")
+
+
+def test_sample_deterministic_hash_bernoulli(spark):
+    from parquet_generator_spark.sources.catalog import load_table
+
+    plan = parse_esql("FROM events | SAMPLE 0.25 "
+                      "| STATS n = COUNT(*)", sample_key="event_id")
+    sdf = esql_df(load_table(spark, "events", SF), plan)
+    n1 = sdf.collect()[0]["n"]
+    n2 = esql_df(load_table(spark, "events", SF),
+                 plan).collect()[0]["n"]
+    dn = _duck().execute(esql_duck_sql(plan)).fetchall()[0][0]
+    assert n1 == n2 == dn  # reproducible across runs AND engines
+    total = load_table(spark, "events", SF).count()
+    assert 0 < n1 < total  # an actual sample, roughly a quarter
+    assert abs(n1 / total - 0.25) < 0.1
+
+
+def test_sample_fences():
+    with pytest.raises(ValueError, match="sample_key"):
+        parse_esql("FROM events | SAMPLE 0.5")
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        parse_esql("FROM events | SAMPLE 1.5", sample_key="event_id")
+    with pytest.raises(ValueError, match="numeric"):
+        parse_esql("FROM events | SAMPLE lots", sample_key="event_id")
