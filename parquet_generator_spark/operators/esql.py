@@ -167,9 +167,14 @@ bucket-cardinality frame, never a per-row single-reducer sort.
 Deliberate fences (documented, raise ValueError):
 ROW/SHOW, aggregates outside STATS, KEEP *-patterns under an
 active SORT (and empty/overlapping pattern expansions at render),
-per-aggregate WHERE in INLINESTATS, EVAL names that
-shadow an input column (cannot be detected without a schema — the
-engines fail loudly instead), multi-unit BUCKET widths, SPLIT
+per-aggregate WHERE in INLINESTATS, duplicate EVAL names inside
+ONE command, EVAL names that
+shadow a RAW TABLE column (cannot be detected without a schema —
+the engines fail loudly instead; re-assigning a name the PIPELINE
+itself introduced — a prior EVAL/GROK/DISSECT key, a post-STATS
+column — REPLACES the column in both engines, the ES/withColumn
+semantics, via EXCLUDE re-projection in the oracle), multi-unit
+BUCKET widths, SPLIT
 separators containing regex metacharacters, LIKE patterns
 containing literal ``%``/``_`` (escape rules differ per dialect),
 RLIKE patterns using lookaround/backreferences (Java regex only —
@@ -993,6 +998,12 @@ def parse_esql(query: str,
                     raise ValueError(f"esql: EVAL needs name = expr, "
                                      f"got {assign!r}")
                 assigns.append((name.strip(), _render_expr(rhs)))
+            names = [n for n, _ in assigns]
+            if len(set(names)) != len(names):
+                raise ValueError(
+                    f"esql: duplicate EVAL name in one command "
+                    f"({names}) — split into separate EVALs (the "
+                    f"later one replaces the column)")
             plan.commands.append(("eval", assigns))
         elif kw == "STATS":
             st = _Stats()
@@ -1532,12 +1543,23 @@ def esql_duck_sql(plan: EsqlPlan) -> str:
 def _duck_apply(sql: str, commands: list) -> str:
     order: list | None = None   # active SORT
     final_keep: list | None = None  # re-projection after passthrough
+    # names KNOWN to exist in the current relation (introduced by
+    # the pipeline itself; raw table columns are unknowable here).
+    # An EVAL re-assigning such a name must REPLACE the column (the
+    # Spark withColumn / ES semantics) — a bare `SELECT *, e AS n`
+    # would emit a DUPLICATE n (fuzzer-found divergence, now pinned
+    # in test_esql.py::test_eval_reassignment_replaces).
+    known: set = set()
     for kind, p in commands:
         if kind == "where":
             sql = f"SELECT * FROM ({sql}) _w WHERE {p.duck}"
         elif kind == "eval":
+            shadowed = [n for n, _ in p if n in known]
+            excl = (f" EXCLUDE ({', '.join(shadowed)})"
+                    if shadowed else "")
             cols = ", ".join(f"{e.duck} AS {n}" for n, e in p)
-            sql = f"SELECT *, {cols} FROM ({sql}) _e"
+            sql = f"SELECT *{excl}, {cols} FROM ({sql}) _e"
+            known.update(n for n, _ in p)
         elif kind == "stats":
             sel = ([f"{e.duck} AS {n}" for n, e in p.by]
                    + [f"{e.duck} AS {n}" for n, e in p.aggs])
@@ -1545,6 +1567,8 @@ def _duck_apply(sql: str, commands: list) -> str:
                    if p.by else "")
             sql = f"SELECT {', '.join(sel)} FROM ({sql}) _s{grp}"
             order, final_keep = None, None  # aggregation resets both
+            # post-STATS the full column set is known
+            known = ({n for n, _ in p.by} | {n for n, _ in p.aggs})
         elif kind == "sort":
             order = p
         elif kind == "keep":
@@ -1560,6 +1584,9 @@ def _duck_apply(sql: str, commands: list) -> str:
             sql = (f"SELECT {', '.join(rendered_keep + passthru)} "
                    f"FROM ({sql}) _k")
             final_keep = p if passthru else None
+            # a KEEP'd plain name provably exists; patterns unknown
+            known = ({c for c in p if "*" not in c}
+                     | (known & set(passthru)))
         elif kind == "limit":
             ob = f" ORDER BY {_order_by(order)}" if order else ""
             sql = f"SELECT * FROM ({sql}) _l{ob} LIMIT {p}"
@@ -1572,6 +1599,8 @@ def _duck_apply(sql: str, commands: list) -> str:
                 ren = dict(p)
                 order = [(ren.get(c, c), asc, nf)
                          for c, asc, nf in order]
+            known -= {old for old, _ in p}
+            known |= {new for _, new in p}
         elif kind == "drop":
             if order and any(c in p for c, *_ in order):
                 raise ValueError(
@@ -1580,6 +1609,7 @@ def _duck_apply(sql: str, commands: list) -> str:
                     "through; DROP removes them before the sort "
                     "can be consumed")
             sql = f"SELECT * EXCLUDE ({', '.join(p)}) FROM ({sql}) _x"
+            known -= set(p)
         elif kind == "mv_expand":
             sql = (f"SELECT * EXCLUDE ({p}), unnest({p}) AS {p} "
                    f"FROM ({sql}) _m")
@@ -1590,6 +1620,7 @@ def _duck_apply(sql: str, commands: list) -> str:
             sql = (f"SELECT _l.*, {added} FROM ({sql}) _l "
                    f"LEFT JOIN (SELECT {picked} FROM {pol.table}) _r "
                    f"ON _l.{on_col} = _r.{pol.match_field}")
+            known |= set(fields)
         elif kind == "change_point":
             val, key = p
             mean_b = f"CAST(_ps AS DOUBLE) / _pc"
@@ -1608,6 +1639,7 @@ def _duck_apply(sql: str, commands: list) -> str:
                 f"WHERE _pc < _nb "
                 f"ORDER BY score DESC, {key} ASC LIMIT 1")
             order, final_keep = None, None
+            known = {key, "step", "score"}
         elif kind == "lookup":
             iname, idx, fields = p
             picked = ", ".join([idx.match_field, *fields])
@@ -1615,12 +1647,14 @@ def _duck_apply(sql: str, commands: list) -> str:
             sql = (f"SELECT _l.*, {added} FROM ({sql}) _l "
                    f"LEFT JOIN (SELECT {picked} FROM {idx.table}) _r "
                    f"ON _l.{idx.match_field} = _r.{idx.match_field}")
+            known |= set(fields)
         elif kind == "inlinestats":
             aggs, bys = p
             over = f" OVER (PARTITION BY {', '.join(bys)})"
             cols = ", ".join(f"{e.duck}{over} AS {n}"
                              for n, e in aggs)
             sql = f"SELECT *, {cols} FROM ({sql}) _i"
+            known |= {n for n, _ in aggs}
         elif kind == "grok":
             col, rx, keys = p
             rxq = rx.replace("'", "''")
@@ -1632,6 +1666,7 @@ def _duck_apply(sql: str, commands: list) -> str:
                             f"ELSE CAST({base} AS {typ}) END")
                 parts.append(f"{base} AS {k}")
             sql = f"SELECT *, {', '.join(parts)} FROM ({sql}) _g"
+            known |= {k for k, _ in keys}
         elif kind == "dissect":
             col, rx, keys = p
             rxq = rx.replace("'", "''")
@@ -1639,6 +1674,7 @@ def _duck_apply(sql: str, commands: list) -> str:
                 f"regexp_extract({col}, '{rxq}', {i}) AS {k}"
                 for i, k in enumerate(keys, start=1))
             sql = f"SELECT *, {cols} FROM ({sql}) _d"
+            known |= set(keys)
         elif kind == "sample":
             prob, key = p
             thr = int(round(prob * 1_000_000))
@@ -1662,6 +1698,7 @@ def _duck_apply(sql: str, commands: list) -> str:
                    + " UNION ALL BY NAME ".join(branches)
                    + ") _u")
             order, final_keep = None, None
+            known = {"_fork"}
     if final_keep is not None:
         # drop the passthrough sort columns; ORDER BY may still
         # reference them through the subquery scope

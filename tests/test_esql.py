@@ -782,3 +782,22 @@ def test_sample_fences():
         parse_esql("FROM events | SAMPLE 1.5", sample_key="event_id")
     with pytest.raises(ValueError, match="numeric"):
         parse_esql("FROM events | SAMPLE lots", sample_key="event_id")
+
+
+def test_eval_reassignment_replaces(spark):
+    """Fuzzer-found divergence: re-EVAL of a pipeline-introduced
+    name must REPLACE the column in BOTH engines (Spark withColumn
+    semantics); the oracle now EXCLUDE-re-projects."""
+    q = ("FROM events | EVAL b = user_id % 5 | EVAL b = b + 10 "
+         "| STATS n = COUNT(*) BY b | SORT b")
+    s, d, cols = _run_both(spark, q)
+    assert s == d and cols == ["b", "n"] and len(s) == 5
+    assert all(10 <= r[0] <= 14 for r in s)
+    # post-STATS re-assignment replaces too
+    q2 = ("FROM events | STATS n = COUNT(*) BY event_type "
+          "| EVAL n = n * 0 | SORT event_type")
+    s2, d2, cols2 = _run_both(spark, q2)
+    assert s2 == d2 and cols2 == ["event_type", "n"]
+    assert all(r[1] == 0 for r in s2)
+    with pytest.raises(ValueError, match="duplicate EVAL name"):
+        parse_esql("FROM events | EVAL b = 1, b = 2")
