@@ -84,35 +84,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # The correctness sampler reads 50 entries from the front of queries().
 # Cumulative hard ledger after round 10: ALL 351 entries driver-green
 # at their latest sample (CORRECTNESS_r10 = 50/50 MATCH) — zero debt
-# entering round 11. The round-11 FRONT window holds all 37 round-11
-# additions plus 13 round-9/10 re-verification keys — exactly 50, so
-# CORRECTNESS_r11 closes the ledger with every new key hard-sampled.
-# Ten round-10 keys were rotated out of the window to make room; all
-# ten are hard-sampled MATCH in CORRECTNESS_r10, so no debt is
-# created (their latest samples stay green).
+# entering round 11. The round-11 FRONT window holds all 46 round-11
+# additions (37 from the first session + 9 tranche-eight) plus 4
+# re-verification keys — exactly 50, so CORRECTNESS_r11 closes the
+# ledger with every new key hard-sampled. All keys rotated out of
+# the window this round are hard-sampled MATCH in CORRECTNESS_r10,
+# so no debt is created (their latest samples stay green).
 #
 # ROUND-12 ROTATION DEBT: none expected — every round-11 addition is
 # in the FRONT window (FULL at 50/50; round-12 additions displace
 # the remaining re-verification keys at the top).
 FRONT_KEYS = [
-    # round-9 evidence debt (7 never-driver-sampled keys)
-    "dsl_match_phrase_analyzer",
-    "dsl_multi_match_analyzer",
-    "source_ngram_overlap",
-    "k_anonymity_audit",
-    "dsl_counter_rate",
-    "dsl_tsds_downsample",
-    "corpus_data_card",
-    # r9 hash-fail pair, oracle HUGEINT cast fixed this round
-    "bpe_vocab_train",
-    "bpe_encode_stats",
-    # round-10 re-verification (window is 50 wide; dsl_date_math_now,
-    # ann_ivfpq, dsl_match_porter, text_tokens_cjk,
-    # dsl_match_phrase_porter, langid_margin, domain_cap_sample,
-    # epoch_plan, dsl_time_series and dsl_range_field rotated out —
-    # all hard-sampled MATCH in r10 — so every round-11 addition
-    # keeps a hard-sample slot)
-    "decontaminate_bloom",
+    # re-verification slots (window is 50 wide). Tranche-eight
+    # displaced ten re-verification keys — dsl_match_phrase_analyzer,
+    # dsl_multi_match_analyzer, source_ngram_overlap,
+    # k_anonymity_audit, dsl_counter_rate, dsl_tsds_downsample,
+    # corpus_data_card, bpe_vocab_train, bpe_encode_stats and
+    # decontaminate_bloom — ALL
+    # hard-sampled 50/50 MATCH in CORRECTNESS_r10, so their latest
+    # samples stay green and no debt is created.
     "dsl_variable_width_histogram",
     "dsl_script_score_painless",
     "esql_pipeline",
@@ -154,6 +144,17 @@ FRONT_KEYS = [
     "esql_keep_wildcard",
     "quality_prune_curve",
     "temperature_sweep",
+    # round-11 tranche eight (continuation session)
+    "dsl_match_analyzer_pt",
+    "dsl_match_analyzer_sv",
+    "dsl_match_analyzer_da",
+    "dsl_match_analyzer_no",
+    "esql_fork",
+    "esql_cidr_match",
+    "esql_sample",
+    "c4_line_filters",
+    "dsir_importance_weights",
+    "filter_ablation_grid",
 ]
 
 

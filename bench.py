@@ -436,6 +436,17 @@ HEADLINE = [
     "esql_keep_wildcard",
     "quality_prune_curve",
     "temperature_sweep",
+    # round-11 tranche eight (continuation session)
+    "dsl_match_analyzer_pt",
+    "dsl_match_analyzer_sv",
+    "dsl_match_analyzer_da",
+    "dsl_match_analyzer_no",
+    "esql_fork",
+    "esql_cidr_match",
+    "esql_sample",
+    "c4_line_filters",
+    "dsir_importance_weights",
+    "filter_ablation_grid",
 ]
 
 # brute-force exactness twins with a labeled production path; at

@@ -239,3 +239,86 @@ FROM dw GROUP BY source ORDER BY source
 QUERIES.update({"dsir_importance_weights": dsir_importance_weights})
 ORACLES.update(
     {"dsir_importance_weights": DSIR_IMPORTANCE_WEIGHTS_ORACLE})
+
+
+# ------------------------------------------- filter_ablation_grid
+
+# ablation thresholds: gopher-lite (length + lexical diversity),
+# the planted-page C4 keep, and the fused quality score
+_ABL_MIN_TOKENS = 15
+_ABL_MIN_DISTINCT = 0.4
+_ABL_MIN_QUALITY = 0.45
+
+
+def filter_ablation_grid(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Filter-stack ablation: the 2^3 survival grid over three
+    independent curation filters — gopher-lite (>= 15 tokens AND
+    distinct-token ratio >= 0.4), the C4 page keep (the
+    c4_line_filters rule over the same planted pages), and the
+    fused quality score (>= 0.45) — with doc and token mass per
+    cell. This is the table a curation team reads to see each
+    filter's marginal bite and their overlap BEFORE composing the
+    stack (the standard ablation practice in corpus papers).
+
+    Scale: all three predicates and the token count come from ONE
+    pass over the documents scan (the C4 page is a planted literal
+    expression, the quality components bind the token array once);
+    the grid groupBy has 8 cells — a free exchange."""
+    from parquet_generator_spark.operators import text as tx
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = tx.quality_components_spark("text")
+    staged = docs.select(
+        "source",
+        q["n_tokens"].alias("ntok"),
+        q["distinct_ratio"].alias("dr"),
+        q["quality"].alias("qual"),
+        F.expr(_C4_PAGE_EXPR).alias("page"))
+    kept = F.expr(f"size(filter(split(page, '\\n'), "
+                  f"{_LINE_KEEP_SPARK}))")
+    g = ((F.col("ntok") >= _ABL_MIN_TOKENS)
+         & (F.col("dr") >= _ABL_MIN_DISTINCT))
+    c = (~F.expr("contains(lower(page), 'lorem ipsum')")
+         & ~F.expr("contains(page, '{')")
+         & (kept >= _C4_MIN_SENTENCES))
+    qq = F.col("qual") >= _ABL_MIN_QUALITY
+    return (staged
+            .select(g.alias("gopher"), c.alias("c4"),
+                    qq.alias("quality"), "ntok")
+            .groupBy("gopher", "c4", "quality")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("ntok").cast("long").alias("tokens"))
+            .orderBy("gopher", "c4", "quality"))
+
+
+def _ablation_oracle() -> str:
+    from parquet_generator_spark.operators import text as tx
+
+    q = tx.quality_components_duck("text")
+    return f"""
+WITH staged AS (
+  SELECT source, {q['n_tokens']} AS ntok,
+         {q['distinct_ratio']} AS dr, {q['quality']} AS qual,
+         {_C4_PAGE_EXPR} AS page
+  FROM documents),
+flags AS (
+  SELECT ntok,
+         (ntok >= {_ABL_MIN_TOKENS}
+          AND dr >= {_ABL_MIN_DISTINCT}) AS gopher,
+         (NOT contains(lower(page), 'lorem ipsum')
+          AND NOT contains(page, '{{')
+          AND len(list_filter(string_split(page, chr(10)),
+                              {_LINE_KEEP_DUCK}))
+              >= {_C4_MIN_SENTENCES}) AS c4,
+         (qual >= {_ABL_MIN_QUALITY}) AS quality
+  FROM staged)
+SELECT gopher, c4, quality, count(*) AS docs,
+       CAST(sum(ntok) AS BIGINT) AS tokens
+FROM flags GROUP BY gopher, c4, quality
+ORDER BY gopher, c4, quality
+"""
+
+
+QUERIES.update({"filter_ablation_grid": filter_ablation_grid})
+ORACLES.update({"filter_ablation_grid": _ablation_oracle()})

@@ -49,3 +49,53 @@ def upsert_writer(stream: DataFrame, table_path: str, checkpoint_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def merge_changelog(existing: DataFrame | None, batch: DataFrame,
+                    key_cols: list[str], order_cols: list[str],
+                    op_col: str = "op",
+                    delete_op: str = "delete") -> DataFrame:
+    """CDC merge with tombstones (the streaming half of the
+    changelog_apply compaction): latest-wins per key across
+    existing+batch, and a key whose LATEST surviving row is a
+    delete tombstone leaves the table entirely — a later re-insert
+    in a subsequent batch resurrects it (upsert-after-delete, the
+    Debezium/Delta CDF contract). One keyed window pass, no global
+    sort — the same 100 TB shape as merge_latest."""
+    combined = (existing.unionByName(batch)
+                if existing is not None else batch)
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in order_cols])
+    return (combined.withColumn("_rk", F.row_number().over(w))
+            .filter((F.col("_rk") == 1)
+                    & (F.col(op_col) != delete_op))
+            .drop("_rk"))
+
+
+def changelog_writer(stream: DataFrame, table_path: str,
+                     checkpoint_dir: str, key_cols: list[str],
+                     order_cols: list[str], op_col: str = "op",
+                     delete_op: str = "delete"):
+    """foreachBatch CDC apply into ``table_path``: per micro-batch,
+    merge_changelog against the current table and atomically swap
+    (staging-dir rename — the upsert_writer posture; a table format
+    would MERGE natively). IMPORTANT: the current table carries no
+    op column after compaction, so the merged table keeps op_col to
+    stay tombstone-aware across batches; readers filter it out."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        existing = (spark.read.parquet(table_path)
+                    if os.path.exists(table_path) else None)
+        merged = merge_changelog(existing, batch_df, key_cols,
+                                 order_cols, op_col, delete_op)
+        staging = table_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(table_path):
+            shutil.rmtree(table_path)
+        os.replace(staging, table_path)
+
+    return (stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -85,6 +85,10 @@ _SORT = st.sampled_from([
 @st.composite
 def _pipeline(draw):
     cmds = []
+    if draw(st.booleans()):
+        # deterministic SAMPLE rides the scan filter; the test
+        # parses with sample_key="event_id"
+        cmds.append(f"SAMPLE 0.{draw(st.integers(3, 8))}")
     for _ in range(draw(st.integers(0, 2))):
         kind = draw(st.sampled_from(["where", "eval"]))
         cmds.append("WHERE " + draw(_WHERE) if kind == "where"
@@ -140,7 +144,7 @@ def _cached(spark):
 def test_generated_pipelines_agree(q, _cached):
     df, con = _cached
     try:
-        plan = parse_esql(q)
+        plan = parse_esql(q, sample_key="event_id")
     except ValueError:
         assume(False)  # tripped a fence — fences tested elsewhere
         return

@@ -827,3 +827,68 @@ def test_counter_rate_stream_matches_batch(spark, tmp_path):
              .orderBy("day"))
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, batch.collect()))
+
+
+def test_foreachbatch_changelog_tombstones(spark, tmp_path):
+    import json as _json
+
+    from parquet_generator_spark.streaming.upsert import (
+        changelog_writer,
+    )
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    # batch 0: insert k0..k3 v0; batch 1: delete k1, update k2;
+    # batch 2: re-insert k1 (resurrection), delete k3
+    batches = [
+        [{"key": f"k{k}", "version": 0, "op": "upsert",
+          "payload": f"k{k}-v0"} for k in range(4)],
+        [{"key": "k1", "version": 1, "op": "delete", "payload": None},
+         {"key": "k2", "version": 1, "op": "upsert",
+          "payload": "k2-v1"}],
+        [{"key": "k1", "version": 2, "op": "upsert",
+          "payload": "k1-v2"},
+         {"key": "k3", "version": 2, "op": "delete", "payload": None}],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("payload", T.StringType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = changelog_writer(stream, str(tmp_path / "cdc_out"),
+                         str(tmp_path / "cdc_ckpt"),
+                         key_cols=["key"], order_cols=["version"])
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "cdc_out")).collect()
+    got = {(r["key"], r["version"], r["payload"]) for r in out}
+    # k0 untouched v0; k1 resurrected at v2; k2 updated v1;
+    # k3 deleted (absent)
+    assert got == {("k0", 0, "k0-v0"), ("k1", 2, "k1-v2"),
+                   ("k2", 1, "k2-v1")}
+
+
+def test_merge_changelog_batch_semantics(spark):
+    from parquet_generator_spark.streaming.upsert import (
+        merge_changelog,
+    )
+
+    existing = spark.createDataFrame(
+        [("a", 1, "upsert", "a1"), ("b", 1, "upsert", "b1")],
+        ["key", "version", "op", "payload"])
+    batch = spark.createDataFrame(
+        [("a", 2, "delete", None), ("c", 1, "upsert", "c1"),
+         ("b", 0, "upsert", "b0")],  # stale update loses
+        ["key", "version", "op", "payload"])
+    got = {(r["key"], r["version"]) for r in
+           merge_changelog(existing, batch, ["key"],
+                           ["version"]).collect()}
+    assert got == {("b", 1), ("c", 1)}
