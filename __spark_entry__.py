@@ -84,8 +84,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # The correctness sampler reads 50 entries from the front of queries().
 # Cumulative hard ledger after round 10: ALL 351 entries driver-green
 # at their latest sample (CORRECTNESS_r10 = 50/50 MATCH) — zero debt
-# entering round 11. The round-11 FRONT window holds all 46 round-11
-# additions (37 from the first session + 9 tranche-eight) plus 4
+# entering round 11. The round-11 FRONT window holds all 48 round-11
+# additions (37 from the first session + 11 tranche-eight) plus 2
 # re-verification keys — exactly 50, so CORRECTNESS_r11 closes the
 # ledger with every new key hard-sampled. All keys rotated out of
 # the window this round are hard-sampled MATCH in CORRECTNESS_r10,
@@ -96,14 +96,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the remaining re-verification keys at the top).
 FRONT_KEYS = [
     # re-verification slots (window is 50 wide). Tranche-eight
-    # displaced ten re-verification keys — dsl_match_phrase_analyzer,
+    # displaced eleven re-verification keys — dsl_match_phrase_analyzer,
     # dsl_multi_match_analyzer, source_ngram_overlap,
     # k_anonymity_audit, dsl_counter_rate, dsl_tsds_downsample,
     # corpus_data_card, bpe_vocab_train, bpe_encode_stats and
     # decontaminate_bloom — ALL
     # hard-sampled 50/50 MATCH in CORRECTNESS_r10, so their latest
-    # samples stay green and no debt is created.
-    "dsl_variable_width_histogram",
+    # samples stay green and no debt is created (the displaced list
+    # later grew by dsl_variable_width_histogram, same status).
     "dsl_script_score_painless",
     "esql_pipeline",
     # round-11 additions append here as they land (window is 50 wide)
@@ -155,6 +155,7 @@ FRONT_KEYS = [
     "c4_line_filters",
     "dsir_importance_weights",
     "filter_ablation_grid",
+    "quality_classifier_gd",
 ]
 
 

@@ -447,6 +447,7 @@ HEADLINE = [
     "c4_line_filters",
     "dsir_importance_weights",
     "filter_ablation_grid",
+    "quality_classifier_gd",
 ]
 
 # brute-force exactness twins with a labeled production path; at

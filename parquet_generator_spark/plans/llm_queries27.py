@@ -322,3 +322,146 @@ ORDER BY gopher, c4, quality
 
 QUERIES.update({"filter_ablation_grid": filter_ablation_grid})
 ORACLES.update({"filter_ablation_grid": _ablation_oracle()})
+
+
+# ---------------------------------------- quality_classifier_gd
+
+# batch logistic regression trained IN-ENGINE: learn to mimic the
+# C4 page gate from the cheap per-doc quality features (the
+# fast-classifier-distills-expensive-filter move; quality_model_score
+# is the serving side of exactly such a model). Deterministic by
+# construction: every GD step's weights are ROUNDED to 6 decimals
+# in both engines (the VWH/kmeans quantized-iteration posture), so
+# the per-iteration driver literals are bit-identical across
+# engines and the unrolled-SQL oracle can replay the same steps.
+_GD_ITERS = 3
+_GD_LR = 2.0
+
+
+def _gd_feature_exprs(engine: str) -> tuple[str, str, str, str]:
+    """(x1, x2, x3, y) texts over a staged frame with columns
+    ntok/dr/sr/c4keep — identical values in both engines (dr/sr
+    are round4'd by the quality components; x1 is an exact
+    rational of the integer token count)."""
+    x1 = "least(CAST(ntok AS DOUBLE) / 100.0, 1.0)"
+    return x1, "dr", "sr", "CASE WHEN c4keep THEN 1.0 ELSE 0.0 END"
+
+
+def quality_classifier_gd(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Train a logistic-regression quality classifier in-engine
+    (3 full-batch GD steps, lr=2): features = (bias, saturating
+    length, distinct ratio, stopword ratio), label = the C4 page
+    gate over the planted pages. Each step is ONE aggregation
+    returning 4 gradient sums + a count (bounded driver literals,
+    the kmeans posture); weights are quantized to 6 decimals per
+    step so the oracle's unrolled-WITH replay is exact. Output:
+    per-source mean predicted keep-probability, accuracy against
+    the label it distills, and the learned weights as constant
+    columns."""
+    from parquet_generator_spark.operators import text as tx
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = tx.quality_components_spark("text")
+    kept = F.expr(f"size(filter(split(page, '\\n'), "
+                  f"{_LINE_KEEP_SPARK}))")
+    staged = (docs
+              .select("source",
+                      q["n_tokens"].alias("ntok"),
+                      q["distinct_ratio"].alias("dr"),
+                      q["stop_ratio"].alias("sr"),
+                      F.expr(_C4_PAGE_EXPR).alias("page"))
+              .withColumn(
+                  "c4keep",
+                  ~F.expr("contains(lower(page), 'lorem ipsum')")
+                  & ~F.expr("contains(page, '{')")
+                  & (kept >= _C4_MIN_SENTENCES))
+              .drop("page"))
+    staged = staged.localCheckpoint()  # 3 reuses of the features
+
+    x1, x2, x3, y = _gd_feature_exprs("spark")
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_GD_ITERS):
+        z = (f"({w[0]!r} + {w[1]!r} * ({x1}) + {w[2]!r} * ({x2}) "
+             f"+ {w[3]!r} * ({x3}))")
+        resid = f"(1.0 / (1.0 + exp(-{z})) - ({y}))"
+        row = staged.agg(
+            F.expr(f"sum({resid})").alias("g0"),
+            F.expr(f"sum({resid} * ({x1}))").alias("g1"),
+            F.expr(f"sum({resid} * ({x2}))").alias("g2"),
+            F.expr(f"sum({resid} * ({x3}))").alias("g3"),
+            F.count(F.lit(1)).alias("n")).collect()[0]
+        n = float(row["n"])
+        w = [round(w[j] - _GD_LR * float(row[f"g{j}"]) / n, 6)
+             for j in range(4)]
+
+    z = (f"({w[0]!r} + {w[1]!r} * ({x1}) + {w[2]!r} * ({x2}) "
+         f"+ {w[3]!r} * ({x3}))")
+    p = f"(1.0 / (1.0 + exp(-{z})))"
+    return (staged
+            .select("source", F.expr(p).alias("p"),
+                    F.expr(y).alias("yy"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.round(F.avg("p"), 4).alias("mean_p"),
+                 F.round(F.avg(
+                     (F.expr("CASE WHEN p >= 0.5 THEN 1.0 "
+                             "ELSE 0.0 END") == F.col("yy"))
+                     .cast("double")), 4).alias("acc"))
+            .select("source", "docs", "mean_p", "acc",
+                    *[F.lit(w[j]).alias(f"w{j}") for j in range(4)])
+            .orderBy("source"))
+
+
+def _gd_oracle() -> str:
+    from parquet_generator_spark.operators import text as tx
+
+    q = tx.quality_components_duck("text")
+    x1, x2, x3, y = _gd_feature_exprs("duck")
+
+    def zexpr(pre: str) -> str:
+        return (f"({pre}.w0 + {pre}.w1 * ({x1}) "
+                f"+ {pre}.w2 * ({x2}) + {pre}.w3 * ({x3}))")
+
+    sql = f"""
+WITH staged AS (
+  SELECT source, {q['n_tokens']} AS ntok,
+         {q['distinct_ratio']} AS dr, {q['stop_ratio']} AS sr,
+         (NOT contains(lower({_C4_PAGE_EXPR}), 'lorem ipsum')
+          AND NOT contains({_C4_PAGE_EXPR}, '{{')
+          AND len(list_filter(string_split({_C4_PAGE_EXPR},
+                chr(10)), {_LINE_KEEP_DUCK}))
+              >= {_C4_MIN_SENTENCES}) AS c4keep
+  FROM documents),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    for i in range(_GD_ITERS):
+        resid = (f"(1.0 / (1.0 + exp(-{zexpr(f'w{i}')})) - ({y}))")
+        sql += f""",
+w{i + 1} AS (
+  SELECT round(w{i}.w0 - {_GD_LR} * sum({resid}) / count(*), 6)
+           AS w0,
+         round(w{i}.w1 - {_GD_LR} * sum({resid} * ({x1}))
+               / count(*), 6) AS w1,
+         round(w{i}.w2 - {_GD_LR} * sum({resid} * ({x2}))
+               / count(*), 6) AS w2,
+         round(w{i}.w3 - {_GD_LR} * sum({resid} * ({x3}))
+               / count(*), 6) AS w3
+  FROM staged CROSS JOIN w{i}
+  GROUP BY w{i}.w0, w{i}.w1, w{i}.w2, w{i}.w3)"""
+    wf = f"w{_GD_ITERS}"
+    sql += f"""
+SELECT source, count(*) AS docs,
+       round(avg(1.0 / (1.0 + exp(-{zexpr(wf)}))), 4) AS mean_p,
+       round(avg(CASE WHEN (CASE WHEN 1.0 / (1.0 +
+               exp(-{zexpr(wf)})) >= 0.5 THEN 1.0 ELSE 0.0 END)
+             = ({y}) THEN 1.0 ELSE 0.0 END), 4) AS acc,
+       {wf}.w0 AS w0, {wf}.w1 AS w1, {wf}.w2 AS w2, {wf}.w3 AS w3
+FROM staged CROSS JOIN {wf}
+GROUP BY {wf}.w0, {wf}.w1, {wf}.w2, {wf}.w3, source
+ORDER BY source
+"""
+    return sql
+
+
+QUERIES.update({"quality_classifier_gd": quality_classifier_gd})
+ORACLES.update({"quality_classifier_gd": _gd_oracle()})
