@@ -641,3 +641,61 @@ def test_round11_tranche_plans_no_pairwise(spark, name):
     plan = formatted_plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "c4_line_filters", "dsir_importance_weights",
+    "filter_ablation_grid", "quality_classifier_gd",
+    "esql_fork", "esql_cidr_match", "esql_sample",
+    "dsl_match_analyzer_pt", "dsl_match_analyzer_sv",
+    "dsl_match_analyzer_da", "dsl_match_analyzer_no",
+])
+def test_tranche8_plans_no_pairwise(spark, name):
+    """Round-11 tranche eight: no cartesian/nested-loop anywhere —
+    the stemmer matches are scan filters, the curation passes are
+    single-scan maps + bounded groupBys, DSIR's joins are broadcast
+    by construction."""
+    plan = formatted_plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_distribution_joins_are_broadcast(spark):
+    """The 128-row distribution frame must reach the scoring join
+    as a broadcast — a sort-merge here would shuffle the full token
+    explode by bucket."""
+    plan = formatted_plan(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_esql_sample_predicate_is_a_scan_stage_filter(spark):
+    """SAMPLE must ride the first stage as a stateless filter (the
+    1/p downstream cut), not follow an exchange."""
+    plan = formatted_plan(spark, "esql_sample")
+    # the md5-Bernoulli sits in the Filter node DIRECTLY above the
+    # scan (node 2 over node 1), i.e. in the first stage before any
+    # aggregation exchange
+    m = re.search(r"\(2\) Filter\nInput.*\nCondition : (.*)", plan)
+    assert m, plan
+    assert "md5" in m.group(1)
+    assert re.search(r"Filter \(2\)\n\s+\+- Scan parquet", plan)
+    # and the scan is pruned to the three referenced columns
+    assert re.search(r"ReadSchema: struct<event_id:bigint,"
+                     r"user_id:bigint,event_type:string>", plan)
+
+
+def test_esql_cidr_blocks_fold_to_between_arithmetic(spark):
+    """CIDR blocks must be parse-time literals (BETWEEN ranges) —
+    no regex, no UDF in the predicate."""
+    from parquet_generator_spark.operators.esql import (
+        esql_duck_sql,
+        parse_esql,
+    )
+    from parquet_generator_spark.plans.reference_queries28 import (
+        ESQL_CIDR_QUERY,
+    )
+
+    sql = esql_duck_sql(parse_esql(ESQL_CIDR_QUERY))
+    assert "BETWEEN 167772160 AND 184549375" in sql  # 10.0.0.0/8
+    assert "BETWEEN 3232235520 AND 3232301055" in sql  # 192.168/16
