@@ -84,9 +84,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # The correctness sampler reads 50 entries from the front of queries().
 # Cumulative hard ledger after round 10: ALL 351 entries driver-green
 # at their latest sample (CORRECTNESS_r10 = 50/50 MATCH) — zero debt
-# entering round 11. The round-11 FRONT window holds all 48 round-11
-# additions (37 from the first session + 11 tranche-eight) plus 2
-# re-verification keys — exactly 50, so CORRECTNESS_r11 closes the
+# entering round 11. The round-11 FRONT window holds all 49 round-11
+# additions (37 from the first session + 12 tranche-eight) plus 1
+# re-verification key — exactly 50, so CORRECTNESS_r11 closes the
 # ledger with every new key hard-sampled. All keys rotated out of
 # the window this round are hard-sampled MATCH in CORRECTNESS_r10,
 # so no debt is created (their latest samples stay green).
@@ -103,8 +103,8 @@ FRONT_KEYS = [
     # decontaminate_bloom — ALL
     # hard-sampled 50/50 MATCH in CORRECTNESS_r10, so their latest
     # samples stay green and no debt is created (the displaced list
-    # later grew by dsl_variable_width_histogram, same status).
-    "dsl_script_score_painless",
+    # later grew by dsl_variable_width_histogram and
+    # dsl_script_score_painless, same status).
     "esql_pipeline",
     # round-11 additions append here as they land (window is 50 wide)
     "ann_ivfpq_served",
@@ -156,6 +156,7 @@ FRONT_KEYS = [
     "dsir_importance_weights",
     "filter_ablation_grid",
     "quality_classifier_gd",
+    "dedup_index_served",
 ]
 
 

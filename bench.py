@@ -448,6 +448,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "filter_ablation_grid",
     "quality_classifier_gd",
+    "dedup_index_served",
 ]
 
 # brute-force exactness twins with a labeled production path; at

@@ -465,3 +465,58 @@ ORDER BY source
 
 QUERIES.update({"quality_classifier_gd": quality_classifier_gd})
 ORACLES.update({"quality_classifier_gd": _gd_oracle()})
+
+
+# ------------------------------------------- dedup_index_served
+
+def dedup_index_served(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    """incremental_dedup SERVED from a persisted index: the corpus
+    side's content hashes, band keys, per-bucket counts and shingle
+    sets are built ONCE (train-if-stale on the corpus fingerprint)
+    and committed through the snapshot table format; classification
+    of the incoming batch then pays one signature pass over the
+    BATCH only — the corpus side is pure snapshot reads.
+    Value-identical to the in-query cross classification (same
+    signatures, band keys, TOTAL-bucket-cap semantics, round-3
+    exact-Jaccard verify), so the oracle IS incremental_dedup's
+    from-scratch rebuild. The dedup analog of ann_ivfpq_served."""
+    import os
+
+    from parquet_generator_spark.operators import dedup_index
+    from parquet_generator_spark.plans.llm_queries8 import INC_TAU
+    from parquet_generator_spark.plans.llm_queries25 import (
+        _REPO_ROOT,
+    )
+
+    root = os.path.join(
+        _REPO_ROOT, ".scratch", "dedup_index",
+        os.path.basename(os.path.normpath(sf_dir)))
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = f"{st.st_mtime_ns}:{st.st_size}"
+    meta = dedup_index.read_index_meta(root)
+    docs = load_table(spark, "documents", sf_dir)
+    if meta is None or meta.get("fingerprint") != fp:
+        dedup_index.drop_index(root)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        dedup_index.train_dedup_index(
+            spark, corpus, root, id_col="doc_id",
+            content_col="text", fingerprint=fp)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    out = dedup_index.classify_served(
+        spark, root, batch, INC_TAU, id_col="doc_id",
+        content_col="text")
+    return (out.select(F.col("id").alias("doc_id"), "status")
+            .orderBy("doc_id"))
+
+
+def _dedup_index_oracle() -> str:
+    from parquet_generator_spark.plans.llm_queries8 import (
+        INCREMENTAL_DEDUP_ORACLE,
+    )
+
+    return INCREMENTAL_DEDUP_ORACLE
+
+
+QUERIES.update({"dedup_index_served": dedup_index_served})
+ORACLES.update({"dedup_index_served": _dedup_index_oracle()})

@@ -52,43 +52,50 @@ def upsert_writer(stream: DataFrame, table_path: str, checkpoint_dir: str,
 
 
 def merge_changelog(existing: DataFrame | None, batch: DataFrame,
-                    key_cols: list[str], order_cols: list[str],
-                    op_col: str = "op",
-                    delete_op: str = "delete") -> DataFrame:
+                    key_cols: list[str], order_cols: list[str]) -> DataFrame:
     """CDC merge with tombstones (the streaming half of the
     changelog_apply compaction): latest-wins per key across
-    existing+batch, and a key whose LATEST surviving row is a
-    delete tombstone leaves the table entirely — a later re-insert
-    in a subsequent batch resurrects it (upsert-after-delete, the
-    Debezium/Delta CDF contract). One keyed window pass, no global
-    sort — the same 100 TB shape as merge_latest."""
+    existing+batch, tombstone rows RETAINED in the table — dropping
+    them at compaction would let a LATE-ARRIVING stale upsert
+    resurrect a deleted key (caught by the out-of-order test:
+    maxFilesPerTrigger gives no arrival-order guarantee). Readers
+    filter ``op != delete`` (:func:`read_live`); a vacuum may drop
+    tombstones only once no older data can still arrive — the
+    Debezium/Delta tombstone-retention contract. A genuinely newer
+    upsert (higher order_cols) still wins over the tombstone:
+    upsert-after-delete resurrection works. One keyed window pass,
+    no global sort — the same 100 TB shape as merge_latest."""
     combined = (existing.unionByName(batch)
                 if existing is not None else batch)
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.desc(c) for c in order_cols])
     return (combined.withColumn("_rk", F.row_number().over(w))
-            .filter((F.col("_rk") == 1)
-                    & (F.col(op_col) != delete_op))
-            .drop("_rk"))
+            .filter(F.col("_rk") == 1).drop("_rk"))
+
+
+def read_live(table: DataFrame, op_col: str = "op",
+              delete_op: str = "delete") -> DataFrame:
+    """The live view over a changelog table: tombstones filtered
+    out (they stay in storage for out-of-order protection)."""
+    return table.filter(F.col(op_col) != delete_op)
 
 
 def changelog_writer(stream: DataFrame, table_path: str,
                      checkpoint_dir: str, key_cols: list[str],
-                     order_cols: list[str], op_col: str = "op",
-                     delete_op: str = "delete"):
+                     order_cols: list[str]):
     """foreachBatch CDC apply into ``table_path``: per micro-batch,
     merge_changelog against the current table and atomically swap
     (staging-dir rename — the upsert_writer posture; a table format
-    would MERGE natively). IMPORTANT: the current table carries no
-    op column after compaction, so the merged table keeps op_col to
-    stay tombstone-aware across batches; readers filter it out."""
+    would MERGE natively). The table keeps tombstone rows so
+    out-of-order arrivals cannot resurrect deleted keys; read the
+    live view through :func:`read_live`."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         existing = (spark.read.parquet(table_path)
                     if os.path.exists(table_path) else None)
         merged = merge_changelog(existing, batch_df, key_cols,
-                                 order_cols, op_col, delete_op)
+                                 order_cols)
         staging = table_path + "_staging"
         merged.write.mode("overwrite").parquet(staging)
         if os.path.exists(table_path):

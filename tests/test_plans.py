@@ -304,10 +304,15 @@ def test_front_keys_lead_queries():
     present = [k for k in entrymod.FRONT_KEYS if k in entrymod.queries()]
     assert q[:len(present)] == present
     assert len(present) >= 29
-    assert present[0] == "dsl_match_phrase_analyzer"
     for k in ("ann_ivfpq_served", "esql_pipeline_ts", "esql_dissect",
               "dsl_match_analyzer_de", "dsl_match_analyzer_fr",
-              "dsl_scripted_metric_loop", "esql_mv_expand"):
+              "dsl_scripted_metric_loop", "esql_mv_expand",
+              # tranche eight fronts every addition too
+              "dsl_match_analyzer_pt", "dsl_match_analyzer_sv",
+              "dsl_match_analyzer_da", "dsl_match_analyzer_no",
+              "esql_fork", "esql_cidr_match", "esql_sample",
+              "c4_line_filters", "dsir_importance_weights",
+              "filter_ablation_grid", "quality_classifier_gd"):
         assert k in present, k
     # the sampler window is 50 wide: anything past 50 is next round's
     # rotation debt and must be called out in the FRONT_KEYS comment
@@ -699,3 +704,21 @@ def test_esql_cidr_blocks_fold_to_between_arithmetic(spark):
     sql = esql_duck_sql(parse_esql(ESQL_CIDR_QUERY))
     assert "BETWEEN 167772160 AND 184549375" in sql  # 10.0.0.0/8
     assert "BETWEEN 3232235520 AND 3232301055" in sql  # 192.168/16
+
+
+def test_dedup_index_serving_has_no_corpus_signature_pass(spark):
+    """The served classification must compute signatures for the
+    BATCH only — exactly one Arrow/pandas evaluation in the plan;
+    the corpus side is pure snapshot scans (the
+    train-once/serve-forever contract, ann_ivfpq_served posture)."""
+    import re as _re
+
+    plan = formatted_plan(spark, "dedup_index_served")
+    # the batch's one signature pass is materialized behind the
+    # checkpoint barrier, so the SERVED plan itself carries ZERO
+    # Python evaluations — only snapshot scans + joins
+    evals = _re.findall(r"ArrowEvalPython|BatchEvalPython", plan)
+    assert evals == [], evals
+    assert ".scratch/dedup_index" in plan  # stored tables feed it
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -868,17 +868,25 @@ def test_foreachbatch_changelog_tombstones(spark, tmp_path):
                          key_cols=["key"], order_cols=["version"])
     q.awaitTermination(120)
 
-    out = spark.read.parquet(str(tmp_path / "cdc_out")).collect()
+    from parquet_generator_spark.streaming.upsert import read_live
+
+    table = spark.read.parquet(str(tmp_path / "cdc_out"))
+    out = read_live(table).collect()
     got = {(r["key"], r["version"], r["payload"]) for r in out}
     # k0 untouched v0; k1 resurrected at v2; k2 updated v1;
-    # k3 deleted (absent)
+    # k3 deleted (absent from the LIVE view regardless of the
+    # order maxFilesPerTrigger happened to deliver the files in —
+    # its tombstone is retained in storage)
     assert got == {("k0", 0, "k0-v0"), ("k1", 2, "k1-v2"),
                    ("k2", 1, "k2-v1")}
+    stored = {(r["key"], r["op"]) for r in table.collect()}
+    assert ("k3", "delete") in stored
 
 
 def test_merge_changelog_batch_semantics(spark):
     from parquet_generator_spark.streaming.upsert import (
         merge_changelog,
+        read_live,
     )
 
     existing = spark.createDataFrame(
@@ -888,7 +896,18 @@ def test_merge_changelog_batch_semantics(spark):
         [("a", 2, "delete", None), ("c", 1, "upsert", "c1"),
          ("b", 0, "upsert", "b0")],  # stale update loses
         ["key", "version", "op", "payload"])
+    merged = merge_changelog(existing, batch, ["key"], ["version"])
     got = {(r["key"], r["version"]) for r in
-           merge_changelog(existing, batch, ["key"],
-                           ["version"]).collect()}
+           read_live(merged).collect()}
     assert got == {("b", 1), ("c", 1)}
+    # the tombstone is retained in the table itself
+    assert {(r["key"], r["op"]) for r in merged.collect()} == {
+        ("a", "delete"), ("b", "upsert"), ("c", "upsert")}
+    # out-of-order protection: a STALE upsert arriving after the
+    # delete must NOT resurrect the key
+    stale = spark.createDataFrame(
+        [("a", 1, "upsert", "a1-late")],
+        ["key", "version", "op", "payload"])
+    again = merge_changelog(merged, stale, ["key"], ["version"])
+    assert ("a",) not in {(r["key"],) for r in
+                          read_live(again).collect()}
