@@ -84,16 +84,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # The correctness sampler reads 50 entries from the front of queries().
 # Cumulative hard ledger after round 10: ALL 351 entries driver-green
 # at their latest sample (CORRECTNESS_r10 = 50/50 MATCH) — zero debt
-# entering round 11. The round-11 FRONT window holds all 49 round-11
-# additions (37 from the first session + 12 tranche-eight) plus 1
-# re-verification key — exactly 50, so CORRECTNESS_r11 closes the
-# ledger with every new key hard-sampled. All keys rotated out of
-# the window this round are hard-sampled MATCH in CORRECTNESS_r10,
-# so no debt is created (their latest samples stay green).
+# entering round 11. Round 11 added 51 keys (37 first session + 14
+# tranche-eight) — ONE more than the 50-slot window, so the window
+# holds 50 round-11 additions and zero re-verification keys. All
+# keys rotated out this round are hard-sampled MATCH in
+# CORRECTNESS_r10, so their latest samples stay green.
 #
-# ROUND-12 ROTATION DEBT: none expected — every round-11 addition is
-# in the FRONT window (FULL at 50/50; round-12 additions displace
-# the remaining re-verification keys at the top).
+# ROUND-12 ROTATION DEBT: exactly ONE key — hash_sample (round-11,
+# chosen as the debt carrier because it is the simplest
+# deterministic single-pass op of the cohort; sim-verified MATCH at
+# sf0.01 this session) does not fit the 50-wide window and must be
+# fronted in round 12.
 FRONT_KEYS = [
     # re-verification slots (window is 50 wide). Tranche-eight
     # displaced eleven re-verification keys — dsl_match_phrase_analyzer,
@@ -103,9 +104,10 @@ FRONT_KEYS = [
     # decontaminate_bloom — ALL
     # hard-sampled 50/50 MATCH in CORRECTNESS_r10, so their latest
     # samples stay green and no debt is created (the displaced list
-    # later grew by dsl_variable_width_histogram and
-    # dsl_script_score_painless, same status).
-    "esql_pipeline",
+    # later grew by dsl_variable_width_histogram,
+    # dsl_script_score_painless and esql_pipeline, same status;
+    # hash_sample moved out as the ONE round-12 debt key — see the
+    # ledger comment above).
     # round-11 additions append here as they land (window is 50 wide)
     "ann_ivfpq_served",
     "esql_pipeline_ts",
@@ -140,7 +142,6 @@ FRONT_KEYS = [
     "esql_string_funcs",
     "esql_sort_nulls",
     "context_window_fill",
-    "hash_sample",
     "esql_keep_wildcard",
     "quality_prune_curve",
     "temperature_sweep",
@@ -157,6 +158,8 @@ FRONT_KEYS = [
     "filter_ablation_grid",
     "quality_classifier_gd",
     "dedup_index_served",
+    "dsl_match_lang_routed",
+    "audio_pcm_stats",
 ]
 
 

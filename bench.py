@@ -449,6 +449,8 @@ HEADLINE = [
     "filter_ablation_grid",
     "quality_classifier_gd",
     "dedup_index_served",
+    "dsl_match_lang_routed",
+    "audio_pcm_stats",
 ]
 
 # brute-force exactness twins with a labeled production path; at

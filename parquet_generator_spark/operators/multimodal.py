@@ -319,3 +319,79 @@ def frame_sample(media: DataFrame, every_ms: int) -> DataFrame:
             F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
             F.lit(every_ms))).alias("frame_ms"))
     return frames
+
+
+# ------------------------------------------------------------------
+# real WAV/PCM decode (the audio sibling of decode_image: pure
+# stdlib RIFF chunk walk + numpy int16 view; header lies or parser
+# bugs shift the sample statistics and fail the analytic oracle)
+# ------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(sample_rate, channels, samples[int16, shape (n, channels)])
+    from canonical PCM WAV bytes. RIFF chunks are walked (not
+    fixed-offset), so extra chunks before ``data`` parse fine;
+    non-PCM or non-16-bit payloads raise loudly."""
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM-16 supported, got "
+                         f"format={audio_format} bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2").reshape(-1, channels)
+    return rate, channels, samples
+
+
+WAV_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("peak", T.LongType()),
+    T.StructField("dc_offset", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def decode_wav_pcm_stats(media: DataFrame) -> DataFrame:
+    """Real decoded-sample statistics via mapInPandas: peak /
+    DC offset / RMS from the ACTUAL int16 samples. Integer sums are
+    exact in float64, so dc/rms are bit-deterministic across
+    engines. Narrow Arrow-batched map, no shuffle — the 100 TB
+    shape for any per-clip featurizer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    recs.append((mid, None, None, None, None, None))
+                    continue
+                rate, _, samples = decode_wav(bytes(payload))
+                v = samples.astype(np.int64).ravel()
+                n = v.size
+                s = int(v.sum())
+                ss = int((v * v).sum())
+                recs.append((
+                    mid, rate, n, int(np.abs(v).max()),
+                    round(s / n, 4),
+                    round(float(np.sqrt(ss / n)), 4)))
+            yield pd.DataFrame(recs, columns=[
+                "media_id", "sample_rate", "n_samples", "peak",
+                "dc_offset", "rms"])
+
+    return media.mapInPandas(run, schema=WAV_STATS_SCHEMA)

@@ -520,3 +520,79 @@ def _dedup_index_oracle() -> str:
 
 QUERIES.update({"dedup_index_served": dedup_index_served})
 ORACLES.update({"dedup_index_served": _dedup_index_oracle()})
+
+
+# ------------------------------------------------ audio_pcm_stats
+
+_PCM_N = 48        # samples per synthesized clip
+_PCM_RATE = 16000
+
+
+def audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio decode (image_decode_stats' audio
+    sibling): synthesize genuine PCM-16 WAV bytes per doc (canonical
+    44-byte header + a deterministic sample ramp), then decode them
+    back through the stdlib RIFF chunk walk + numpy int16 view in
+    mapInPandas (operators/multimodal.decode_wav) and report peak /
+    DC offset / RMS. The oracle recomputes the same numbers from
+    the sample-generating formula — an endianness, offset, stride
+    or chunk-walk bug shifts every statistic and fails the hash.
+    Integer sums are exact in float64, so dc/rms are
+    bit-deterministic across engines."""
+    from parquet_generator_spark.operators.multimodal import (
+        decode_wav_pcm_stats,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    def le(c, nbytes):  # int column -> n-byte little-endian binary
+        parts = [F.unhex(F.lpad(F.hex(F.shiftright(c, 8 * i) % 256),
+                                2, "0"))
+                 for i in range(nbytes)]
+        return F.concat(*parts)
+
+    n, rate = _PCM_N, _PCM_RATE
+    data_size = F.lit(n * 2).cast("long")
+    header = F.concat(
+        F.unhex(F.lit("52494646")),             # RIFF
+        le(data_size + 36, 4),
+        F.unhex(F.lit("57415645")),             # WAVE
+        F.unhex(F.lit("666D7420")),             # fmt_
+        le(F.lit(16).cast("long"), 4),
+        le(F.lit(1).cast("long"), 2),           # PCM
+        le(F.lit(1).cast("long"), 2),           # mono
+        le(F.lit(rate).cast("long"), 4),
+        le(F.lit(rate * 2).cast("long"), 4),    # byte rate
+        le(F.lit(2).cast("long"), 2),           # block align
+        le(F.lit(16).cast("long"), 2),          # bits/sample
+        F.unhex(F.lit("64617461")),             # data
+        le(data_size, 4))
+    sample_bytes = []
+    for i in range(n):
+        v = ((F.col("doc_id") * 31 + i * 97) % 4096 - 2048)
+        u = ((v + 65536) % 65536).cast("long")  # two's complement
+        sample_bytes.append(le(u, 2))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, *sample_bytes).alias("payload"))
+    return decode_wav_pcm_stats(media).orderBy("media_id")
+
+
+AUDIO_PCM_STATS_ORACLE = f"""
+WITH v AS (
+  SELECT d.doc_id,
+         ((d.doc_id * 31 + i.i * 97) % 4096) - 2048 AS v
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range({_PCM_N})) AS i) i)
+SELECT doc_id AS media_id,
+       CAST({_PCM_RATE} AS BIGINT) AS sample_rate,
+       count(*) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       round(sum(CAST(v AS DOUBLE)) / count(*), 4) AS dc_offset,
+       round(sqrt(sum(CAST(v AS DOUBLE) * v) / count(*)), 4) AS rms
+FROM v GROUP BY doc_id ORDER BY media_id
+"""
+
+
+QUERIES.update({"audio_pcm_stats": audio_pcm_stats})
+ORACLES.update({"audio_pcm_stats": AUDIO_PCM_STATS_ORACLE})

@@ -343,3 +343,91 @@ def _esql_sample_oracle() -> str:
 
 QUERIES.update({"esql_sample": esql_sample})
 ORACLES.update({"esql_sample": _esql_sample_oracle()})
+
+
+# ------------------------------------------ dsl_match_lang_routed
+
+# the multilingual-index pattern: per-language sub-fields analyzed
+# with that language's chain (title.es/title.de/...), the match
+# ROUTED by the document's lang field. The corpus lang column
+# really carries en/zh/es/de/fr; each language's slice gets its own
+# planted inflection, and the query carries the DICTIONARY form per
+# language — only the language-correct stemmer folds them together.
+# zh routes to no analyzer here (the CJK bigram path is its own key,
+# text_tokens_cjk) and therefore never matches.
+_ROUTE = {
+    "es": ("spanish", "comunicación",
+           "las comunicaciones llegaron tarde"),
+    "de": ("german", "mitteilung",
+           "die mitteilungen kamen gestern an"),
+    "fr": ("french", "communication",
+           "les communications sont arrivées"),
+    "en": ("english", "communication",
+           "the communications arrived yesterday"),
+}
+
+
+def _routed_planted_expr() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN concat('{snippet}', ' ', "
+        f"substr(text, 1, 40))"
+        for lang, (_, _, snippet) in _ROUTE.items())
+    return (f"CASE WHEN doc_id % 3 = 1 THEN "
+            f"(CASE lang {whens} ELSE substr(text, 1, 40) END) "
+            f"ELSE substr(text, 1, 40) END")
+
+
+def dsl_match_lang_routed(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Language-routed multilingual match: the per-doc predicate is
+    CASE on the lang field, each arm that language's full analyzer
+    chain (stop + snowball stemmer) matching that language's query
+    form — the ES per-language-sub-field pattern. Every arm's
+    stemmer is one codegen expression bound once per matching-lang
+    document; the CASE means each doc pays exactly ONE language's
+    chain. Counts matched docs per (lang, source)."""
+    from pyspark.sql import functions as F
+
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match,
+        get_analyzer,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    staged = docs.withColumn("mixed", F.expr(_routed_planted_expr()))
+    pred = F.lit(False)
+    routed = None
+    for lang, (analyzer, query, _) in _ROUTE.items():
+        arm = analyzed_match("mixed", query, get_analyzer(analyzer),
+                             operator="and")
+        routed = (F.when(F.col("lang") == lang, arm)
+                  if routed is None
+                  else routed.when(F.col("lang") == lang, arm))
+    pred = routed.otherwise(F.lit(False))
+    return (staged.filter(pred)
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("lang", "source"))
+
+
+def _routed_oracle() -> str:
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match_duck_sql,
+        get_analyzer,
+    )
+
+    arms = " ".join(
+        f"WHEN '{lang}' THEN ({analyzed_match_duck_sql('mixed', q, get_analyzer(a), operator='and')})"
+        for lang, (a, q, _) in _ROUTE.items())
+    return f"""
+WITH m AS (SELECT lang, source, {_routed_planted_expr()} AS mixed
+           FROM documents)
+SELECT lang, source, count(*) AS doc_count
+FROM m
+WHERE (CASE lang {arms} ELSE false END)
+GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+QUERIES.update({"dsl_match_lang_routed": dsl_match_lang_routed})
+ORACLES.update({"dsl_match_lang_routed": _routed_oracle()})
