@@ -94,6 +94,12 @@ def _pipeline(draw):
         cmds.append("WHERE " + draw(_WHERE) if kind == "where"
                     else "EVAL " + draw(_EVAL))
     if draw(st.booleans()):
+        # FORK: two full-row branches (deterministic — no
+        # branch-local LIMIT without its own sort), BY-NAME
+        # null-fill exercised via the branch-only eval column
+        cmds.append("FORK (WHERE value >= 50) "
+                    "(WHERE value < 50 | EVAL low = 1)")
+    if draw(st.booleans()):
         aggs = ", ".join(draw(st.lists(_AGG, min_size=1, max_size=2,
                                        unique=True)))
         cmds.append(f"STATS {aggs} BY {draw(_BY)}")
