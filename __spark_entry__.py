@@ -84,17 +84,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # The correctness sampler reads 50 entries from the front of queries().
 # Cumulative hard ledger after round 10: ALL 351 entries driver-green
 # at their latest sample (CORRECTNESS_r10 = 50/50 MATCH) — zero debt
-# entering round 11. Round 11 added 51 keys (37 first session + 14
-# tranche-eight) — ONE more than the 50-slot window, so the window
+# entering round 11. Round 11 added 52 keys (37 first session + 15
+# tranche-eight) — TWO more than the 50-slot window, so the window
 # holds 50 round-11 additions and zero re-verification keys. All
 # keys rotated out this round are hard-sampled MATCH in
 # CORRECTNESS_r10, so their latest samples stay green.
 #
-# ROUND-12 ROTATION DEBT: exactly ONE key — hash_sample (round-11,
-# chosen as the debt carrier because it is the simplest
-# deterministic single-pass op of the cohort; sim-verified MATCH at
-# sf0.01 this session) does not fit the 50-wide window and must be
-# fronted in round 12.
+# ROUND-12 ROTATION DEBT: exactly TWO keys — hash_sample and
+# context_window_fill (round-11, chosen as debt carriers because
+# they are the simplest deterministic single-pass ops of the
+# cohort; BOTH sim-verified MATCH at sf0.01 AND sf0.001 this
+# session) do not fit the 50-wide window and must be fronted in
+# round 12.
 FRONT_KEYS = [
     # re-verification slots (window is 50 wide). Tranche-eight
     # displaced eleven re-verification keys — dsl_match_phrase_analyzer,
@@ -141,7 +142,6 @@ FRONT_KEYS = [
     "esql_values_agg",
     "esql_string_funcs",
     "esql_sort_nulls",
-    "context_window_fill",
     "esql_keep_wildcard",
     "quality_prune_curve",
     "temperature_sweep",
@@ -160,6 +160,7 @@ FRONT_KEYS = [
     "dedup_index_served",
     "dsl_match_lang_routed",
     "audio_pcm_stats",
+    "ann_int8_rescore",
 ]
 
 

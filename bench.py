@@ -451,6 +451,7 @@ HEADLINE = [
     "dedup_index_served",
     "dsl_match_lang_routed",
     "audio_pcm_stats",
+    "ann_int8_rescore",
 ]
 
 # brute-force exactness twins with a labeled production path; at

@@ -596,3 +596,102 @@ FROM v GROUP BY doc_id ORDER BY media_id
 
 QUERIES.update({"audio_pcm_stats": audio_pcm_stats})
 ORACLES.update({"audio_pcm_stats": AUDIO_PCM_STATS_ORACLE})
+
+
+# ------------------------------------------------ ann_int8_rescore
+
+_RESCORE_K = 10
+_RESCORE_R = 50  # oversampled candidate pool (5x k — the ES default)
+
+
+def ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized search + exact re-scoring (the ES 8.18
+    ``rescore_vector`` / int8 index pattern): score the per-vector
+    int8 DEQUANTIZED corpus against the literal query (the cheap
+    tier a quantized index serves), keep an oversampled top-R
+    candidate pool, then re-rank those R with the EXACT float
+    cosine and emit the top-k. Codes are bit-identical across
+    engines (the embedding_quantize contract), both tiers round to
+    4 and tie-break on vec_id, so the whole two-tier path is
+    deterministic. Plan: two narrow scans + TakeOrdered twice + one
+    R-row semi-join — no shuffle wider than the bounded pool; at
+    100 TB the coarse tier reads int8 codes (4x less IO than
+    floats) and the exact tier touches only R vectors."""
+    from parquet_generator_spark.operators import similarity
+    from parquet_generator_spark.plans.llm_queries24 import (
+        IVFPQ_QUERY,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    deq = (emb
+           .select("vec_id",
+                   F.expr("transform(embedding, "
+                          "x -> cast(x AS DOUBLE))").alias("e"))
+           .select("vec_id", "e",
+                   F.array_min("e").alias("mn"),
+                   F.array_max("e").alias("mx"))
+           .select("vec_id", "e", "mn",
+                   F.expr("CASE WHEN mx > mn THEN (mx - mn) / 255.0 "
+                          "ELSE 1.0 END").alias("sc"))
+           .select("vec_id",
+                   F.expr("transform(e, x -> cast(round((x - mn) "
+                          "/ sc) AS BIGINT))").alias("codes"),
+                   "mn", "sc")
+           .select("vec_id",
+                   F.expr("transform(codes, c -> mn + "
+                          "cast(c AS DOUBLE) * sc)").alias("deq")))
+    approx = deq.select(
+        "vec_id",
+        similarity.cosine_to_literal("deq", IVFPQ_QUERY)
+        .alias("approx_score"))
+    pool = (approx.orderBy(F.desc("approx_score"), F.asc("vec_id"))
+            .limit(_RESCORE_R))
+    exact = emb.select(
+        "vec_id",
+        similarity.cosine_to_literal(
+            F.expr("transform(embedding, x -> cast(x AS DOUBLE))"),
+            IVFPQ_QUERY).alias("score"))
+    return (pool.join(exact, "vec_id")
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(_RESCORE_K)
+            .select("vec_id", "approx_score", "score"))
+
+
+def _int8_rescore_oracle() -> str:
+    from parquet_generator_spark.operators.similarity import (
+        cosine_to_literal_duck_sql,
+    )
+    from parquet_generator_spark.plans.llm_queries24 import (
+        IVFPQ_QUERY,
+    )
+
+    ap = cosine_to_literal_duck_sql("deq", IVFPQ_QUERY)
+    ex = cosine_to_literal_duck_sql("e", IVFPQ_QUERY)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx
+      FROM v),
+s AS (SELECT vec_id, e, mn,
+             CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END
+               AS sc
+      FROM m),
+c AS (SELECT vec_id, mn, sc,
+             list_transform(e, x -> CAST(round((x - mn) / sc)
+                                         AS BIGINT)) AS codes
+      FROM s),
+d AS (SELECT vec_id,
+             list_transform(codes, c2 -> mn + CAST(c2 AS DOUBLE)
+                                         * sc) AS deq
+      FROM c),
+pool AS (
+  SELECT vec_id, {ap} AS approx_score
+  FROM d ORDER BY approx_score DESC, vec_id LIMIT {_RESCORE_R})
+SELECT p.vec_id, p.approx_score, {ex} AS score
+FROM pool p JOIN v USING (vec_id)
+ORDER BY score DESC, vec_id LIMIT {_RESCORE_K}
+"""
+
+
+QUERIES.update({"ann_int8_rescore": ann_int8_rescore})
+ORACLES.update({"ann_int8_rescore": _int8_rescore_oracle()})

@@ -722,3 +722,14 @@ def test_dedup_index_serving_has_no_corpus_signature_pass(spark):
     assert ".scratch/dedup_index" in plan  # stored tables feed it
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_int8_rescore_two_tier_plan(spark):
+    """Two TakeOrdered tiers, the exact tier joined on the bounded
+    R-row pool (broadcast) — no wide shuffle, no pairwise join."""
+    plan = formatted_plan(spark, "ann_int8_rescore")
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject",
+                          plan)) == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
