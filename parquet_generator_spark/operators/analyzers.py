@@ -313,7 +313,7 @@ register_analyzer(Analyzer("portuguese",
                            charset=PORTUGUESE_CHARSET))
 SWEDISH_STOPWORDS = frozenset("""
 och det att i en jag hon som han på den med var sig för så till
-är men ett om hade de av du her då sin nu har inte hans honom
+är men ett om hade de av du henne då sin nu har inte hans honom
 vid man från ut när efter upp vi dem vara vad över än dig kan
 sina mot alla under eller allt
 """.split())

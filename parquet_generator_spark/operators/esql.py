@@ -944,12 +944,13 @@ def _split_pipes(q: str) -> list[str]:
 def _split_fork_branches(body: str) -> list[str]:
     """Split ``(branch) (branch) ...`` on top-level parens (branch
     pipelines may contain nested parens and string literals)."""
-    out, depth, start, in_s = [], 0, None, None
-    for i, ch in enumerate(body):
+    out, depth, start, in_s, i = [], 0, None, None, 0
+    while i < len(body):
+        ch = body[i]
         if in_s:
             if ch == "\\":
-                continue
-            if ch == in_s:
+                i += 1  # skip the escaped character (as _split_pipes does)
+            elif ch == in_s:
                 in_s = None
         elif ch in "'\"":
             in_s = ch
@@ -966,6 +967,7 @@ def _split_fork_branches(body: str) -> list[str]:
             raise ValueError(
                 f"esql: FORK needs (branch) (branch) ..., got "
                 f"stray text at {body[i:i + 20]!r}")
+        i += 1
     if depth != 0:
         raise ValueError("esql: FORK has unbalanced parentheses")
     return out
@@ -1540,16 +1542,27 @@ def esql_duck_sql(plan: EsqlPlan) -> str:
     return _duck_apply(f"SELECT * FROM {plan.table}", plan.commands)
 
 
-def _duck_apply(sql: str, commands: list) -> str:
+def _duck_apply(sql: str, commands: list,
+                known: set | None = None) -> str:
+    sql, _ = _duck_apply_tracked(
+        sql, commands, set() if known is None else known)
+    return sql
+
+
+def _duck_apply_tracked(sql: str, commands: list,
+                        known: set) -> tuple[str, set]:
     order: list | None = None   # active SORT
     final_keep: list | None = None  # re-projection after passthrough
-    # names KNOWN to exist in the current relation (introduced by
-    # the pipeline itself; raw table columns are unknowable here).
-    # An EVAL re-assigning such a name must REPLACE the column (the
-    # Spark withColumn / ES semantics) — a bare `SELECT *, e AS n`
-    # would emit a DUPLICATE n (fuzzer-found divergence, now pinned
-    # in test_esql.py::test_eval_reassignment_replaces).
-    known: set = set()
+    # `known` holds names KNOWN to exist in the current relation
+    # (introduced by the pipeline itself; raw table columns are
+    # unknowable here). An EVAL re-assigning such a name must
+    # REPLACE the column (the Spark withColumn / ES semantics) — a
+    # bare `SELECT *, e AS n` would emit a DUPLICATE n
+    # (fuzzer-found divergence, pinned in
+    # test_esql.py::test_eval_reassignment_replaces). It is seeded
+    # by the caller so FORK branches inherit pre-fork names and the
+    # post-fork pipeline inherits branch-introduced names (pinned
+    # in test_esql.py::test_fork_eval_reassignment).
     for kind, p in commands:
         if kind == "where":
             sql = f"SELECT * FROM ({sql}) _w WHERE {p.duck}"
@@ -1688,9 +1701,14 @@ def _duck_apply(sql: str, commands: list) -> str:
             # and the union null-fills by name — the Spark
             # unionByName(allowMissingColumns) twin
             branches = []
+            branch_known: set = set()
             for i, br in enumerate(p, start=1):
-                bsql = _duck_apply(
-                    f"SELECT * FROM ({sql}) _fb{i}", br)
+                # each branch inherits the pre-fork known names; the
+                # union output carries any name surviving in (or
+                # introduced by) ANY branch, null-filled elsewhere
+                bsql, bk = _duck_apply_tracked(
+                    f"SELECT * FROM ({sql}) _fb{i}", br, set(known))
+                branch_known |= bk
                 branches.append(
                     f"(SELECT *, 'fork{i}' AS _fork "
                     f"FROM ({bsql}) _ft{i})")
@@ -1698,12 +1716,13 @@ def _duck_apply(sql: str, commands: list) -> str:
                    + " UNION ALL BY NAME ".join(branches)
                    + ") _u")
             order, final_keep = None, None
-            known = {"_fork"}
+            known = {"_fork"} | branch_known
     if final_keep is not None:
         # drop the passthrough sort columns; ORDER BY may still
         # reference them through the subquery scope
         ob = f" ORDER BY {_order_by(order)}" if order else ""
         sql = f"SELECT {', '.join(final_keep)} FROM ({sql}) _f{ob}"
+        known &= set(final_keep)
     elif order:
         sql = f"SELECT * FROM ({sql}) _o ORDER BY {_order_by(order)}"
-    return sql
+    return sql, known

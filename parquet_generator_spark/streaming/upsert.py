@@ -29,16 +29,18 @@ def merge_latest(existing: DataFrame | None, batch: DataFrame,
             .filter(F.col("_rk") == 1).drop("_rk"))
 
 
-def upsert_writer(stream: DataFrame, table_path: str, checkpoint_dir: str,
-                  key_cols: list[str], order_cols: list[str]):
-    """writeStream.foreachBatch upsert into ``table_path``; drains
-    with availableNow (continuous mode: drop the trigger)."""
+def _merge_writer(stream: DataFrame, table_path: str,
+                  checkpoint_dir: str, key_cols: list[str],
+                  order_cols: list[str], merge_fn):
+    """Shared foreachBatch staging-swap body: per micro-batch, run
+    ``merge_fn(existing, batch, key_cols, order_cols)`` against the
+    current table, write to a staging dir, atomically swap."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         existing = (spark.read.parquet(table_path)
                     if os.path.exists(table_path) else None)
-        merged = merge_latest(existing, batch_df, key_cols, order_cols)
+        merged = merge_fn(existing, batch_df, key_cols, order_cols)
         staging = table_path + "_staging"
         merged.write.mode("overwrite").parquet(staging)
         if os.path.exists(table_path):
@@ -49,6 +51,14 @@ def upsert_writer(stream: DataFrame, table_path: str, checkpoint_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def upsert_writer(stream: DataFrame, table_path: str, checkpoint_dir: str,
+                  key_cols: list[str], order_cols: list[str]):
+    """writeStream.foreachBatch upsert into ``table_path``; drains
+    with availableNow (continuous mode: drop the trigger)."""
+    return _merge_writer(stream, table_path, checkpoint_dir,
+                         key_cols, order_cols, merge_latest)
 
 
 def merge_changelog(existing: DataFrame | None, batch: DataFrame,
@@ -63,14 +73,11 @@ def merge_changelog(existing: DataFrame | None, batch: DataFrame,
     tombstones only once no older data can still arrive — the
     Debezium/Delta tombstone-retention contract. A genuinely newer
     upsert (higher order_cols) still wins over the tombstone:
-    upsert-after-delete resurrection works. One keyed window pass,
-    no global sort — the same 100 TB shape as merge_latest."""
-    combined = (existing.unionByName(batch)
-                if existing is not None else batch)
-    w = Window.partitionBy(*key_cols).orderBy(
-        *[F.desc(c) for c in order_cols])
-    return (combined.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1).drop("_rk"))
+    upsert-after-delete resurrection works. Same keyed-window
+    latest-wins plan as :func:`merge_latest` (tombstone retention is
+    a POLICY difference — rows are kept because nothing filters the
+    delete op here; readers drop them via :func:`read_live`)."""
+    return merge_latest(existing, batch, key_cols, order_cols)
 
 
 def read_live(table: DataFrame, op_col: str = "op",
@@ -89,20 +96,5 @@ def changelog_writer(stream: DataFrame, table_path: str,
     would MERGE natively). The table keeps tombstone rows so
     out-of-order arrivals cannot resurrect deleted keys; read the
     live view through :func:`read_live`."""
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        existing = (spark.read.parquet(table_path)
-                    if os.path.exists(table_path) else None)
-        merged = merge_changelog(existing, batch_df, key_cols,
-                                 order_cols)
-        staging = table_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.exists(table_path):
-            shutil.rmtree(table_path)
-        os.replace(staging, table_path)
-
-    return (stream.writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start())
+    return _merge_writer(stream, table_path, checkpoint_dir,
+                         key_cols, order_cols, merge_changelog)

@@ -784,6 +784,46 @@ def test_sample_fences():
         parse_esql("FROM events | SAMPLE lots", sample_key="event_id")
 
 
+def test_fork_eval_reassignment(spark):
+    """Advisor-found divergence: `known` must thread across FORK
+    boundaries — a branch re-EVAL of a pre-fork name, and a
+    post-fork re-EVAL of a branch-introduced name, must REPLACE in
+    the DuckDB oracle too (Spark withColumn already replaces)."""
+    # branch re-assigns a PRE-FORK introduced name
+    q = ("FROM events | EVAL x = user_id % 3 "
+         "| FORK (EVAL x = x + 100 | LIMIT 2000) (LIMIT 2000) "
+         "| STATS n = COUNT(*) BY _fork, x | SORT _fork, x")
+    s, d, cols = _run_both(spark, q)
+    assert s == d and cols == ["_fork", "x", "n"]
+    assert {r[1] for r in s if r[0] == "fork1"} == {100, 101, 102}
+    # post-fork re-assigns a BRANCH-introduced name
+    q2 = ("FROM events "
+          "| FORK (EVAL y = 1 | LIMIT 2000) (EVAL y = 2 | LIMIT 2000) "
+          "| EVAL y = y * 10 | STATS n = COUNT(*) BY y | SORT y")
+    s2, d2, cols2 = _run_both(spark, q2)
+    assert s2 == d2 and cols2 == ["y", "n"]
+    assert [r[0] for r in s2] == [10, 20]
+
+
+def test_fork_branch_escaped_quote_literal(spark):
+    """_split_fork_branches must skip the char after a backslash
+    inside string literals (advisor find): an escaped quote in a
+    branch WHERE must not close the literal early."""
+    from parquet_generator_spark.operators.esql import (
+        _split_fork_branches)
+
+    body = ('(WHERE event_type == "a\\"b" | LIMIT 1) '
+            "(LIMIT 2)")
+    branches = _split_fork_branches(body)
+    assert len(branches) == 2
+    assert branches[0] == 'WHERE event_type == "a\\"b" | LIMIT 1'
+    # end-to-end: parses and runs in both engines (zero matches)
+    q = ('FROM events | FORK (WHERE event_type == "a\\"b" | LIMIT 1) '
+         "(LIMIT 3) | STATS n = COUNT(*) BY _fork | SORT _fork")
+    s, d, _ = _run_both(spark, q)
+    assert s == d and s == [("fork2", 3)]
+
+
 def test_eval_reassignment_replaces(spark):
     """Fuzzer-found divergence: re-EVAL of a pipeline-introduced
     name must REPLACE the column in BOTH engines (Spark withColumn
