@@ -76,6 +76,7 @@ from parquet_generator_spark.plans import reference_queries25 as R25
 from parquet_generator_spark.plans import reference_queries26 as R26
 from parquet_generator_spark.plans import reference_queries27 as R27
 from parquet_generator_spark.plans import reference_queries28 as R28
+from parquet_generator_spark.plans import reference_queries29 as R29
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -247,6 +248,7 @@ def queries() -> dict[str, QueryFn]:
         **R26.QUERIES,
         **R27.QUERIES,
         **R28.QUERIES,
+        **R29.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -322,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         **R26.ORACLES,
         **R27.ORACLES,
         **R28.ORACLES,
+        **R29.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

@@ -164,6 +164,20 @@ mirroring ES's bounded-input contract (ES warns beyond 1000
 values) and keeping the ordered prefix-sum window on a
 bucket-cardinality frame, never a per-row single-reducer sort.
 
+RATE(counter) (ES 8.14+ TSDS) is supported inside STATS wrapped in
+an outer cross-series aggregate — ``STATS r = AVG(RATE(ctr)) BY
+bucket`` — with the time-series identity passed as
+``parse_esql(..., tsds=(series_col, time_col, tiebreak_col))`` (the
+analog of the TSDS index's _tsid/@timestamp mapping). Semantics are
+the dsl_counter_rate reset rule (reference_queries23.py): per
+series per group, a negative delta means the counter reset and
+climbed from 0; the reset-adjusted increase over the group's
+observed span (epoch-microsecond exact) gives the per-series
+per-second rate; the outer agg combines rates across series.
+Fences: RATE without tsds, RATE unwrapped, RATE mixed with plain
+aggs in one STATS (they aggregate over different universes), and
+RATE with a per-agg WHERE.
+
 Deliberate fences (documented, raise ValueError):
 ROW/SHOW, aggregates outside STATS, KEEP *-patterns under an
 active SORT (and empty/overlapping pattern expansions at render),
@@ -735,6 +749,11 @@ def _render_expr(expr: str) -> _E:
             elif up in _AGGS:
                 raise ValueError(
                     f"esql: aggregate {tok} outside STATS")
+            elif up == "RATE":
+                raise ValueError(
+                    "esql: RATE is only valid directly inside "
+                    "STATS wrapped in an outer SUM/AVG/MIN/MAX "
+                    "(the ES|QL TSDS contract)")
             elif (tok.lower() in _UNITS and sp
                   and _INT_RE.fullmatch(sp[-1])):
                 # temporal amount: '7 day' -> INTERVAL 7 DAY
@@ -755,6 +774,11 @@ def _render_expr(expr: str) -> _E:
 class _Stats:
     aggs: list = field(default_factory=list)  # (alias, _E)
     by: list = field(default_factory=list)    # (alias, _E)
+    # TSDS counter-rate aggs: (alias, outer_fn, counter_col); when
+    # non-empty, `tsds` carries (series_col, time_col, tiebreak_col)
+    # and aggs is empty (rate STATS is all-rate — see parse fences)
+    rates: list = field(default_factory=list)
+    tsds: tuple | None = None
 
 
 def _render_agg(call: str) -> _E:
@@ -977,6 +1001,7 @@ def parse_esql(query: str,
                enrich: dict | None = None,
                lookup_indexes: dict | None = None,
                sample_key: str | None = None,
+               tsds: tuple | None = None,
                _in_fork: bool = False) -> EsqlPlan:
     parts = _split_pipes(query.strip())
     head = parts[0]
@@ -1018,6 +1043,32 @@ def parse_esql(query: str,
                     raise ValueError("esql: STATS needs name = "
                                      "AGG(expr)")
                 call, cond = _split_agg_filter(rhs.strip())
+                m_rate = re.fullmatch(
+                    r"(SUM|AVG|MIN|MAX)\s*\(\s*RATE\s*\(\s*"
+                    r"([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*\)",
+                    call.strip(), re.I)
+                if m_rate:
+                    if cond is not None:
+                        raise ValueError(
+                            "esql: RATE aggs do not take a WHERE "
+                            "filter (bounded TSDS subset)")
+                    if tsds is None:
+                        raise ValueError(
+                            "esql: RATE needs the time-series "
+                            "identity — pass parse_esql(..., "
+                            "tsds=(<series col>, <time col>, "
+                            "<tiebreak col>)) (ES derives it from "
+                            "the TSDS index's _tsid/@timestamp)")
+                    st.rates.append((name.strip(),
+                                     m_rate.group(1).lower(),
+                                     m_rate.group(2)))
+                    continue
+                if re.match(r"RATE\s*\(", call.strip(), re.I):
+                    raise ValueError(
+                        "esql: RATE must be wrapped in an outer "
+                        "cross-series aggregate — SUM(RATE(c)), "
+                        "AVG(RATE(c)), MIN(RATE(c)) or "
+                        "MAX(RATE(c)) (the ES|QL TSDS contract)")
                 e = _render_agg(call)
                 if cond is not None:
                     # per-aggregate filter (ES|QL 8.16 STATS ...
@@ -1038,6 +1089,14 @@ def parse_esql(query: str,
                             f"esql: STATS BY needs a column or "
                             f"name = expr, got {item!r}")
                     st.by.append((col, _both(col)))
+            if st.rates:
+                if st.aggs:
+                    raise ValueError(
+                        "esql: STATS mixing RATE with plain "
+                        "aggregates is not supported — RATE "
+                        "aggregates over SERIES, plain aggs over "
+                        "rows; split into two STATS pipelines")
+                st.tsds = tsds
             plan.commands.append(("stats", st))
         elif kw == "SORT":
             # (col, asc, nulls_first): ES|QL's default null placement
@@ -1266,7 +1325,7 @@ def parse_esql(query: str,
                     f"FROM {plan.table} | {btext}" if btext
                     else f"FROM {plan.table}",
                     enrich, lookup_indexes, sample_key,
-                    _in_fork=True)
+                    tsds=tsds, _in_fork=True)
                 branches.append(sub.commands)
             plan.commands.append(("fork", branches))
         else:
@@ -1376,6 +1435,56 @@ def esql_df(df: DataFrame, plan: EsqlPlan,
     return _df_apply(df, plan.commands, lookups)
 
 
+def _df_rate_stats(df: DataFrame, p) -> DataFrame:
+    """STATS over RATE(counter): the ES|QL TSDS two-level shape.
+    Level 1 groups by (series, BY-keys): reset-adjusted increase
+    (lag window per series — the dsl_counter_rate rule: a drop means
+    the counter reset and climbed from 0) over the group's observed
+    span gives the per-series per-second rate; level 2 combines the
+    per-series rates across series with the outer agg. Scale: the
+    window and first groupBy share one shuffle on the series key
+    (exactly the _tsid routing a TSDS index already does); level 2
+    reduces series-cardinality rows."""
+    from pyspark.sql import Window
+
+    series, tcol, tie = p.tsds
+    inner = df
+    ivars = [f"_by{i}" for i in range(len(p.by))]
+    for iname, (_, e) in zip(ivars, p.by):
+        inner = inner.withColumn(iname, F.expr(e.spark))
+    w = (Window.partitionBy(series, *ivars)
+         .orderBy(tcol, tie))
+    incs = []
+    for j, (_, _, ctr) in enumerate(p.rates):
+        delta = F.col(ctr) - F.lag(ctr).over(w)
+        inner = inner.withColumn(
+            f"_inc{j}",
+            F.when(delta.isNull(), F.lit(0))
+            .when(delta >= 0, delta)
+            .otherwise(F.col(ctr)))
+        incs.append(F.sum(f"_inc{j}").alias(f"_sinc{j}"))
+    per = inner.groupBy(series, *ivars).agg(
+        *incs,
+        F.unix_micros(F.max(tcol)).alias("_tmax"),
+        F.unix_micros(F.min(tcol)).alias("_tmin"))
+    span = F.col("_tmax") - F.col("_tmin")
+    rate_cols = [
+        F.when(span > 0,
+               F.col(f"_sinc{j}").cast("double") * F.lit(1000000.0)
+               / span.cast("double")).alias(f"_r{j}")
+        for j in range(len(p.rates))]
+    rates = per.select(*ivars, *rate_cols)
+    outer = [getattr(F, fn)(f"_r{j}").alias(alias)
+             for j, (alias, fn, _) in enumerate(p.rates)]
+    if ivars:
+        out = rates.groupBy(*ivars).agg(*outer)
+        return out.select(
+            *[F.col(i).alias(n)
+              for i, (n, _) in zip(ivars, p.by)],
+            *[alias for alias, _, _ in p.rates])
+    return rates.agg(*outer)
+
+
 def _df_apply(df: DataFrame, commands: list,
               lookups: dict | None = None) -> DataFrame:
     for kind, p in commands:
@@ -1385,6 +1494,9 @@ def _df_apply(df: DataFrame, commands: list,
             for name, e in p:
                 df = df.withColumn(name, F.expr(e.spark))
         elif kind == "stats":
+            if p.rates:
+                df = _df_rate_stats(df, p)
+                continue
             aggs = [F.expr(e.spark).alias(n) for n, e in p.aggs]
             if p.by:
                 bys = [F.expr(e.spark).alias(n) for n, e in p.by]
@@ -1542,6 +1654,50 @@ def esql_duck_sql(plan: EsqlPlan) -> str:
     return _duck_apply(f"SELECT * FROM {plan.table}", plan.commands)
 
 
+def _duck_rate_stats(sql: str, p) -> str:
+    """DuckDB twin of :func:`_df_rate_stats` — identical reset rule,
+    epoch_us spans and two-level aggregation, layered as subqueries
+    with underscore-internal names (public aliases only in the
+    outermost SELECT, so computed BY keys cannot collide with input
+    columns)."""
+    series, tcol, tie = p.tsds
+    ivars = [f"_by{i}" for i in range(len(p.by))]
+    by_calc = "".join(f", {e.duck} AS {i}"
+                      for i, (_, e) in zip(ivars, p.by))
+    l1 = f"SELECT *{by_calc} FROM ({sql}) _rt1"
+    part = ", ".join([series, *ivars])
+    deltas = "".join(
+        f", {ctr} - lag({ctr}) OVER (PARTITION BY {part} "
+        f"ORDER BY {tcol}, {tie}) AS _d{j}"
+        for j, (_, _, ctr) in enumerate(p.rates))
+    l2 = f"SELECT *{deltas} FROM ({l1}) _rt2"
+    incs = "".join(
+        f", CASE WHEN _d{j} IS NULL THEN 0 WHEN _d{j} >= 0 "
+        f"THEN _d{j} ELSE {ctr} END AS _inc{j}"
+        for j, (_, _, ctr) in enumerate(p.rates))
+    l3 = f"SELECT *{incs} FROM ({l2}) _rt3"
+    sincs = "".join(f", sum(_inc{j}) AS _sinc{j}"
+                    for j in range(len(p.rates)))
+    l4 = (f"SELECT {part}{sincs}, "
+          f"epoch_us(max({tcol})) AS _tmax, "
+          f"epoch_us(min({tcol})) AS _tmin "
+          f"FROM ({l3}) _rt4 GROUP BY {part}")
+    rcols = "".join(
+        f", CASE WHEN _tmax > _tmin THEN CAST(_sinc{j} AS DOUBLE) "
+        f"* 1000000.0 / CAST(_tmax - _tmin AS DOUBLE) END AS _r{j}"
+        for j in range(len(p.rates)))
+    sel5 = ", ".join(ivars) + rcols if ivars else rcols.lstrip(", ")
+    l5 = f"SELECT {sel5} FROM ({l4}) _rt5"
+    outer = ", ".join(f"{fn}(_r{j}) AS {alias}"
+                      for j, (alias, fn, _) in enumerate(p.rates))
+    if ivars:
+        pub = ", ".join(f"{i} AS {n}"
+                        for i, (n, _) in zip(ivars, p.by))
+        return (f"SELECT {pub}, {outer} FROM ({l5}) _rt6 "
+                f"GROUP BY {', '.join(ivars)}")
+    return f"SELECT {outer} FROM ({l5}) _rt6"
+
+
 def _duck_apply(sql: str, commands: list,
                 known: set | None = None) -> str:
     sql, _ = _duck_apply_tracked(
@@ -1574,6 +1730,12 @@ def _duck_apply_tracked(sql: str, commands: list,
             sql = f"SELECT *{excl}, {cols} FROM ({sql}) _e"
             known.update(n for n, _ in p)
         elif kind == "stats":
+            if p.rates:
+                sql = _duck_rate_stats(sql, p)
+                order, final_keep = None, None
+                known = ({n for n, _ in p.by}
+                         | {alias for alias, _, _ in p.rates})
+                continue
             sel = ([f"{e.duck} AS {n}" for n, e in p.by]
                    + [f"{e.duck} AS {n}" for n, e in p.aggs])
             grp = (" GROUP BY " + ", ".join(e.duck for _, e in p.by)

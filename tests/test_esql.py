@@ -784,6 +784,69 @@ def test_sample_fences():
         parse_esql("FROM events | SAMPLE lots", sample_key="event_id")
 
 
+def test_rate_reset_aware(spark):
+    """RATE(counter): reset-adjusted per-series per-second rate,
+    outer agg across series — hand-computed oracle values, engine
+    parity, NULL for single-sample series."""
+    from datetime import datetime as DT
+
+    rows = [
+        # series A: 0 -> 5 -> 2 (reset: +2), span 20s, inc 7 -> 0.35
+        ("A", DT(2024, 1, 1, 0, 0, 0), 1, 0),
+        ("A", DT(2024, 1, 1, 0, 0, 10), 2, 5),
+        ("A", DT(2024, 1, 1, 0, 0, 20), 3, 2),
+        # series B: 100 -> 140 over 40s -> 1.0
+        ("B", DT(2024, 1, 1, 0, 0, 0), 4, 100),
+        ("B", DT(2024, 1, 1, 0, 0, 40), 5, 140),
+        # series C: single sample -> NULL rate (excluded by outer)
+        ("C", DT(2024, 1, 1, 0, 0, 0), 6, 7),
+    ]
+    df = spark.createDataFrame(rows, ["host", "ts", "eid", "ctr"])
+    tsds = ("host", "ts", "eid")
+    plan = parse_esql("FROM m | STATS r = AVG(RATE(ctr)), "
+                      "s = SUM(RATE(ctr)), m = MAX(RATE(ctr))",
+                      tsds=tsds)
+    got = esql_df(df, plan).collect()[0]
+    assert abs(got["r"] - 0.675) < 1e-12
+    assert abs(got["s"] - 1.35) < 1e-12
+    assert abs(got["m"] - 1.0) < 1e-12
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m(host VARCHAR, ts TIMESTAMP, "
+                "eid INT, ctr INT)")
+    con.executemany("INSERT INTO m VALUES (?, ?, ?, ?)", rows)
+    d = con.execute(esql_duck_sql(plan)).fetchall()[0]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, d))
+    # with BY: minute buckets via BUCKET
+    plan2 = parse_esql(
+        "FROM m | STATS r = SUM(RATE(ctr)) "
+        "BY mn = BUCKET(ts, 1 minute) | SORT mn", tsds=tsds)
+    s2 = [(str(r["mn"]), r["r"])
+          for r in esql_df(df, plan2).collect()]
+    d2 = [(str(r[0]), r[1])
+          for r in con.execute(esql_duck_sql(plan2)).fetchall()]
+    assert s2 == d2 and len(s2) == 1
+    assert abs(s2[0][1] - 1.35) < 1e-12
+
+
+def test_rate_fences():
+    tsds = ("host", "ts", "eid")
+    with pytest.raises(ValueError, match="tsds"):
+        parse_esql("FROM m | STATS r = AVG(RATE(ctr))")
+    with pytest.raises(ValueError, match="outer cross-series"):
+        parse_esql("FROM m | STATS r = RATE(ctr)", tsds=tsds)
+    with pytest.raises(ValueError, match="mixing RATE"):
+        parse_esql("FROM m | STATS r = AVG(RATE(ctr)), "
+                   "n = COUNT(*)", tsds=tsds)
+    with pytest.raises(ValueError, match="WHERE filter"):
+        parse_esql("FROM m | STATS r = AVG(RATE(ctr)) "
+                   "WHERE ctr > 0", tsds=tsds)
+    with pytest.raises(ValueError, match="outer SUM/AVG/MIN/MAX"):
+        parse_esql("FROM m | STATS r = MEDIAN(RATE(ctr))",
+                   tsds=tsds)
+    with pytest.raises(ValueError, match="outer SUM/AVG/MIN/MAX"):
+        parse_esql("FROM m | EVAL x = RATE(ctr)", tsds=tsds)
+
+
 def test_fork_eval_reassignment(spark):
     """Advisor-found divergence: `known` must thread across FORK
     boundaries — a branch re-EVAL of a pre-fork name, and a
