@@ -47,6 +47,7 @@ from parquet_generator_spark.plans import llm_queries24 as L24
 from parquet_generator_spark.plans import llm_queries25 as L25
 from parquet_generator_spark.plans import llm_queries26 as L26
 from parquet_generator_spark.plans import llm_queries27 as L27
+from parquet_generator_spark.plans import llm_queries28 as L28
 from parquet_generator_spark.plans import pipeline_queries as P
 from parquet_generator_spark.plans import reference_queries as R
 from parquet_generator_spark.plans import reference_queries2 as R2
@@ -217,6 +218,7 @@ def queries() -> dict[str, QueryFn]:
         **L25.QUERIES,
         **L26.QUERIES,
         **L27.QUERIES,
+        **L28.QUERIES,
         **SC.QUERIES,
         **P.QUERIES,
         **S.QUERIES,
@@ -293,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         **L25.ORACLES,
         **L26.ORACLES,
         **L27.ORACLES,
+        **L28.ORACLES,
         **SC.ORACLES,
         **P.ORACLES,
         **S.ORACLES,

@@ -126,6 +126,59 @@ def train_dedup_index(spark: SparkSession, corpus: DataFrame,
     return v
 
 
+def append_dedup_batch(spark: SparkSession, root: str,
+                       batch: DataFrame, id_col: str = "id",
+                       content_col: str = "text",
+                       fingerprint: str | None = None) -> int:
+    """Merge-on-append (the IVF-PQ ``append_ivfpq_batch`` analog,
+    ann_index.py:241): one signature pass over the NEW batch only,
+    then append its hashes/bands/shingles and MERGE the bucket
+    stats (stored n_corp + the batch's per-bucket counts — the
+    bucket table is band-key cardinality, far smaller than bands,
+    so the merged overwrite is cheap). Daily-ingest reality: the
+    corpus side never retrains; classification against the grown
+    index is value-identical to a full rebuild over corpus+appends
+    (pinned in tests/test_dedup_index.py::test_append_equals_rebuild).
+    """
+    meta = read_index_meta(root)
+    if meta is None:
+        raise FileNotFoundError(
+            f"no dedup index at {root} — train_dedup_index first")
+    sig = _staged(batch, id_col, content_col, meta["k"])
+    sig = sig.localCheckpoint().transform(_cache.track)
+    bands = _bands_of(sig)
+
+    snapshots.commit_append(
+        spark, os.path.join(root, "hashes"),
+        sig.select("id", F.md5("_text").alias("h")))
+    v = snapshots.commit_append(
+        spark, os.path.join(root, "bands"), bands)
+    snapshots.commit_append(
+        spark, os.path.join(root, "shingles"),
+        sig.select("id", "sh"))
+
+    new_counts = (bands.groupBy("band", "band_key")
+                  .agg(F.count(F.lit(1)).alias("n_new")))
+    st_buckets = snapshots.read_snapshot(
+        spark, os.path.join(root, "buckets"))
+    merged = (st_buckets.join(new_counts, ["band", "band_key"],
+                              "full_outer")
+              .select("band", "band_key",
+                      (F.coalesce(F.col("n_corp"), F.lit(0))
+                       + F.coalesce(F.col("n_new"), F.lit(0)))
+                      .alias("n_corp")))
+    snapshots.commit_overwrite(
+        spark, os.path.join(root, "buckets"), merged)
+
+    meta["version"] = v
+    meta["appends"] = meta.get("appends", 0) + 1
+    if fingerprint is not None:
+        meta["fingerprint"] = fingerprint
+    with open(_meta_path(root), "w") as fh:
+        json.dump(meta, fh)
+    return v
+
+
 def classify_served(spark: SparkSession, root: str, batch: DataFrame,
                     threshold: float, id_col: str = "id",
                     content_col: str = "text", k: int = 3,

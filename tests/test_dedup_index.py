@@ -75,6 +75,64 @@ def test_retrain_is_time_travelable(spark, root):
     assert dedup_index.read_index_meta(root)["fingerprint"] == "v2"
 
 
+def test_append_equals_rebuild(spark, root, tmp_path):
+    """Merge-on-append: train on A, append B, classify C — must be
+    row-identical to classifying C against an index trained on A∪B
+    in one shot (hashes, band joins AND merged bucket-cap stats all
+    agree)."""
+    from parquet_generator_spark.plans.llm_queries8 import INC_TAU
+
+    docs = load_table(spark, "documents", SF)
+    part_a = docs.filter(F.col("doc_id") % 4 == 0)
+    part_b = docs.filter(F.col("doc_id") % 4 == 2)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    dedup_index.train_dedup_index(spark, part_a, root,
+                                  id_col="doc_id",
+                                  content_col="text",
+                                  fingerprint="base")
+    v = dedup_index.append_dedup_batch(spark, root, part_b,
+                                       id_col="doc_id",
+                                       content_col="text",
+                                       fingerprint="base+b")
+    assert v >= 2
+    meta = dedup_index.read_index_meta(root)
+    assert meta["appends"] == 1 and meta["fingerprint"] == "base+b"
+    got = {(r["id"], r["status"]) for r in
+           dedup_index.classify_served(
+               spark, root, batch, INC_TAU, id_col="doc_id",
+               content_col="text").collect()}
+
+    rebuilt_root = str(tmp_path / "rebuilt")
+    dedup_index.train_dedup_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), rebuilt_root,
+        id_col="doc_id", content_col="text", fingerprint="full")
+    want = {(r["id"], r["status"]) for r in
+            dedup_index.classify_served(
+                spark, rebuilt_root, batch, INC_TAU,
+                id_col="doc_id", content_col="text").collect()}
+    assert got == want
+    assert any(s != "new" for _, s in got)
+    # bucket stats merged, not duplicated: total count equals the
+    # rebuilt index's total
+    import os as _os
+    n_app = (snapshots.read_snapshot(
+        spark, _os.path.join(root, "buckets"))
+        .agg(F.sum("n_corp")).collect()[0][0])
+    n_reb = (snapshots.read_snapshot(
+        spark, _os.path.join(rebuilt_root, "buckets"))
+        .agg(F.sum("n_corp")).collect()[0][0])
+    assert n_app == n_reb
+
+
+def test_append_requires_trained_index(spark, root):
+    docs = load_table(spark, "documents", SF).limit(5)
+    with pytest.raises(FileNotFoundError, match="train_dedup_index"):
+        dedup_index.append_dedup_batch(spark, root, docs,
+                                       id_col="doc_id",
+                                       content_col="text")
+
+
 def test_drop_index(spark, root):
     docs = load_table(spark, "documents", SF).limit(20)
     dedup_index.train_dedup_index(spark, docs, root,
