@@ -34,6 +34,30 @@ def discover_rules(df: DataFrame, field: str = "rule_name",
                                                     "size": size}}}})
 
 
+def materialize_analyzed(df: DataFrame,
+                         columns: dict[str, tuple[str, str]]
+                         ) -> DataFrame:
+    """Index-time analysis (ES parity): materialize stemmed token
+    arrays at WRITE time so analyzer matches downstream are plain
+    array scans instead of per-query stemmer passes — ES itself
+    analyzes at index time (the reference's match_phrase at
+    EsParquetWriter.java:69 runs against an index-time-analyzed
+    field). ``columns`` maps output column -> (text column,
+    analyzer name), e.g. ``{"analyzed_es": ("text", "spanish")}``.
+    The stored array is value-identical to the query-time path's
+    per-document stemmed binding (operators/analyzers section note;
+    pinned in tests/test_stored_analysis.py)."""
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_tokens,
+        get_analyzer,
+    )
+
+    for out, (src, analyzer_name) in columns.items():
+        df = df.withColumn(
+            out, analyzed_tokens(src, get_analyzer(analyzer_name)))
+    return df
+
+
 def json_docs_to_parquet(
     spark: SparkSession,
     docs_df: DataFrame,
@@ -44,11 +68,14 @@ def json_docs_to_parquet(
     rule_field: str = "rule_name",
     date_column: str = "source_date",
     sample_ratio: float = 0.001,
+    analyzed_columns: dict[str, tuple[str, str]] | None = None,
 ) -> str:
     """Full pipeline for a raw JSON-document source: infer a merged
     schema from a sample, leniently decode every doc, filter to the
     chosen rule (match_phrase, as EsParquetWriter.java:69 does), and
-    write per-date parquet + schema.asvc sidecar.
+    write per-date parquet + schema.asvc sidecar. Pass
+    ``analyzed_columns`` to materialize index-time analyzed token
+    arrays into the written dataset (:func:`materialize_analyzed`).
     """
     schema = infer_json_schema(spark, docs_df, column=doc_column,
                                sample_ratio=sample_ratio)
@@ -59,6 +86,8 @@ def json_docs_to_parquet(
         decoded = (docs_df.withColumn("_rec", F.from_json(
             F.col(doc_column), schema)).select(*extra, "_rec.*"))
     filtered = decoded.filter(match_phrase(rule_field, rule_name))
+    if analyzed_columns:
+        filtered = materialize_analyzed(filtered, analyzed_columns)
     return write_partitioned(
         filtered, out_dir, rule_name.replace("-", "_"),
         partition_col=date_column)

@@ -618,3 +618,112 @@ def analyzed_match_phrase_duck_sql(col: str, phrase: str,
     body = (f"(len(S) >= {k} AND len(list_filter("
             f"generate_series(1, len(S) - {k} + 1), {lam})) > 0)")
     return f"(list_transform([{stemmed}], S -> {body}))[1]"
+
+
+# ------------------------------------------------------------------
+# Ingest-time analysis (index-time analyzed columns)
+#
+# ES analyzes text at INDEX time — the reference's writer pulls docs
+# whose fields were stemmed once at ingest (the match_phrase at
+# EsParquetWriter.java:69 runs against an index-time-analyzed field)
+# and queries hit the inverted index. The query-time paths above
+# re-run the full stemmer expression over the corpus on EVERY match;
+# these helpers amortize that to zero: materialize the stemmed token
+# array ONCE at write time (`analyzed_tokens` / `analyzed_tokens_sql`
+# — the analyzers seam of etl.materialize_analyzed), then match with
+# plain array membership / adjacency over the stored column
+# (`stored_match*`). Value-identity with the query-time path is
+# structural: the stored array IS the `S` binding of
+# _stemmed_match_sql (stopwords KEPT on the field side — dropping
+# them at ingest could create false positives for a query token
+# whose stem collides with a stemmed stopword, and phrase adjacency
+# must see unshifted positions), and the match algebra is shared.
+# Pinned in tests/test_stored_analysis.py.
+
+
+def analyzed_tokens_sql(col: str, analyzer: Analyzer,
+                        engine: str) -> str:
+    """The index-time analysis expression: lowercase, tokenize on
+    the analyzer's charset, stem every token (NO stopword removal —
+    see the section note). No prefix guard: the guard is a
+    query-dependent optimization, and ingest sees no query."""
+    stem = _stem_expr(analyzer.stem_kind, "t", engine)
+    if engine == "spark":
+        return (f"transform({_spark_tokens_expr(col, analyzer.sep)}, "
+                f"t -> {stem})")
+    return (f"list_transform({_duck_tokens_expr(col, analyzer.sep)}, "
+            f"t -> {stem})")
+
+
+def analyzed_tokens(col: str, analyzer: Analyzer) -> Column:
+    return F.expr(analyzed_tokens_sql(col, analyzer, "spark"))
+
+
+def _stored_hits(stored_col: str, groups: list[list[str]],
+                 engine: str) -> list[str]:
+    if engine == "spark":
+        return [f"exists({stored_col}, e -> e IN "
+                f"({', '.join(_quote(g) for g in grp)}))"
+                for grp in groups]
+    return [f"len(list_filter({stored_col}, e -> e IN "
+            f"({', '.join(_quote(g) for g in grp)}))) > 0"
+            for grp in groups]
+
+
+def _stored_match_sql(stored_col: str, query: str, analyzer: Analyzer,
+                      engine: str, operator: str,
+                      minimum_should_match: int | None) -> str:
+    """Match against a STORED analyzed column: the same group
+    algebra as analyzed_match, but the field side is a plain array
+    membership scan — no stemmer in the plan at all."""
+    groups = analyzer.analyze(query)
+    if not groups:
+        return "TRUE"
+    if (minimum_should_match is not None
+            and int(minimum_should_match) > len(groups)):
+        return "FALSE"
+    hits = _stored_hits(stored_col, groups, engine)
+    return _match_algebra_sql(hits, operator, minimum_should_match)
+
+
+def stored_match(stored_col: str, query: str, analyzer: Analyzer,
+                 operator: str = "or",
+                 minimum_should_match: int | None = None) -> Column:
+    return F.expr(_stored_match_sql(stored_col, query, analyzer,
+                                    "spark", operator,
+                                    minimum_should_match))
+
+
+def stored_match_duck_sql(stored_col: str, query: str,
+                          analyzer: Analyzer, operator: str = "or",
+                          minimum_should_match: int | None = None
+                          ) -> str:
+    return _stored_match_sql(stored_col, query, analyzer, "duck",
+                             operator, minimum_should_match)
+
+
+def _stored_phrase_sql(stored_col: str, phrase: str,
+                       analyzer: Analyzer, engine: str) -> str:
+    groups = _phrase_groups(phrase, analyzer)
+    k = len(groups)
+    if engine == "spark":
+        lam = _phrase_lambda(
+            groups, lambda j: f"element_at({stored_col}, i + {j})")
+        return (f"CASE WHEN size({stored_col}) >= {k} THEN "
+                f"exists(sequence(1, size({stored_col}) - {k} + 1), "
+                f"{lam}) ELSE false END")
+    lam = _phrase_lambda(groups, lambda j: f"{stored_col}[i + {j}]")
+    return (f"(len({stored_col}) >= {k} AND len(list_filter("
+            f"generate_series(1, len({stored_col}) - {k} + 1), "
+            f"{lam})) > 0)")
+
+
+def stored_match_phrase(stored_col: str, phrase: str,
+                        analyzer: Analyzer) -> Column:
+    return F.expr(_stored_phrase_sql(stored_col, phrase, analyzer,
+                                     "spark"))
+
+
+def stored_match_phrase_duck_sql(stored_col: str, phrase: str,
+                                 analyzer: Analyzer) -> str:
+    return _stored_phrase_sql(stored_col, phrase, analyzer, "duck")

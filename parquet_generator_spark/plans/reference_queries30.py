@@ -1,0 +1,141 @@
+"""Round-12 reference tranche: ingest-time analyzed columns.
+
+ES analyzes text at INDEX time — every doc the reference's writer
+pulls (the match_phrase against an analyzed field,
+EsParquetWriter.java:69) was stemmed once at ingest, then queries
+hit the inverted index. Until this tranche the engine re-ran the
+full snowball expression over the corpus on EVERY analyzer match
+(the slowest bench class: es 9.2s, routed 6.5s at sf0.1; fr 24.2s at
+sf1 — VERDICT r11 "what's missing" #1). These keys close that gap:
+
+- the corpus is materialized ONCE (fingerprint-gated) through
+  ``etl.materialize_analyzed`` — the planted multilingual text plus
+  ``analyzed_es`` / ``analyzed_de`` stemmed token arrays, written as
+  plain parquet (at 100 TB this is the ingest ETL's write path, paid
+  zero extra shuffles: one more projected column per analyzer);
+- ``dsl_match_analyzer_stored`` then runs the spanish match and
+  ``dsl_match_phrase_analyzer_stored`` the german phrase against the
+  STORED arrays via plain array membership / adjacency
+  (operators/analyzers.stored_match*) — no stemmer anywhere in the
+  query plan;
+- both keys reuse the QUERY-TIME keys' oracles verbatim
+  (dsl_match_analyzer_es / dsl_match_phrase_analyzer_de recompute
+  the full analysis from raw text in DuckDB), so the driver itself
+  proves the stored path value-identical to query-time analysis.
+
+Scale: the stored column converts each analyzer match from a
+~55 KB-expression CPU pass per document per query into an
+array-membership scan filter — the ES index-time amortization,
+re-expressed columnar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.operators.analyzers import (
+    get_analyzer,
+    stored_match,
+    stored_match_phrase,
+)
+from parquet_generator_spark.plans.reference_queries25 import (
+    _DE_PHRASE,
+    _DE_SNIPPETS,
+    _ES_SNIPPETS,
+    _ES_QUERY,
+    _match_lang_oracle,
+    _phrase_de_oracle,
+    _planted_expr,
+)
+from parquet_generator_spark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _store_root(sf_dir: str) -> str:
+    from parquet_generator_spark.plans.llm_queries25 import (
+        _REPO_ROOT,
+    )
+
+    return os.path.join(
+        _REPO_ROOT, ".scratch", "analyzed_store",
+        os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _ensure_store(spark: SparkSession, sf_dir: str) -> str:
+    """Ingest once: planted multilingual text + index-time analyzed
+    token arrays, fingerprint-gated on the source parquet."""
+    from parquet_generator_spark.etl import materialize_analyzed
+
+    root = _store_root(sf_dir)
+    data = os.path.join(root, "documents_analyzed")
+    meta_p = os.path.join(root, "meta.json")
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = f"{st.st_mtime_ns}:{st.st_size}"
+    if os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            if json.load(fh).get("fingerprint") == fp:
+                return data
+    docs = load_table(spark, "documents", sf_dir)
+    staged = (docs
+              .withColumn("mixed_es",
+                          F.expr(_planted_expr("es", _ES_SNIPPETS)))
+              .withColumn("mixed_de",
+                          F.expr(_planted_expr("de", _DE_SNIPPETS))))
+    analyzed = materialize_analyzed(staged, {
+        "analyzed_es": ("mixed_es", "spanish"),
+        "analyzed_de": ("mixed_de", "german"),
+    }).select("doc_id", "source", "lang",
+              "analyzed_es", "analyzed_de")
+    os.makedirs(root, exist_ok=True)
+    analyzed.write.mode("overwrite").parquet(data)
+    with open(meta_p, "w") as fh:
+        json.dump({"fingerprint": fp}, fh)
+    return data
+
+
+def dsl_match_analyzer_stored(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """dsl_match_analyzer_es served from the INGEST-TIME analyzed
+    column: same spanish query, same AND algebra, but the field side
+    is `exists(analyzed_es, ...)` array membership — zero stemmer
+    expressions in the plan. Oracle = the query-time key's oracle,
+    so the driver proves stored == query-time."""
+    data = _ensure_store(spark, sf_dir)
+    pred = stored_match("analyzed_es", _ES_QUERY,
+                        get_analyzer("spanish"), operator="and")
+    return (spark.read.parquet(data)
+            .filter(pred)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("source"))
+
+
+def dsl_match_phrase_analyzer_stored(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """dsl_match_phrase_analyzer_de over the stored german array:
+    the adjacency windows scan the PERSISTED stemmed positions."""
+    data = _ensure_store(spark, sf_dir)
+    pred = stored_match_phrase("analyzed_de", _DE_PHRASE,
+                               get_analyzer("german"))
+    return (spark.read.parquet(data)
+            .filter(pred)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("lang"))
+
+
+QUERIES.update({
+    "dsl_match_analyzer_stored": dsl_match_analyzer_stored,
+    "dsl_match_phrase_analyzer_stored": dsl_match_phrase_analyzer_stored,
+})
+ORACLES.update({
+    "dsl_match_analyzer_stored": _match_lang_oracle(
+        "es", _ES_SNIPPETS, _ES_QUERY, "spanish"),
+    "dsl_match_phrase_analyzer_stored": _phrase_de_oracle(),
+})

@@ -1,0 +1,124 @@
+"""Ingest-time analyzed columns: the stored stemmed-token array is
+value-identical to the query-time analysis path (match AND phrase),
+stopwords are KEPT on the field side, and the ETL seam writes the
+arrays through parquet."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_generator_spark.etl import materialize_analyzed
+from parquet_generator_spark.operators.analyzers import (
+    analyzed_match,
+    analyzed_match_phrase,
+    analyzed_tokens,
+    get_analyzer,
+    stored_match,
+    stored_match_duck_sql,
+    stored_match_phrase,
+)
+
+ROWS = [
+    (1, "las canciones fueron grabadas ayer"),
+    (2, "trabajadores cantando canciones nuevas"),
+    (3, "la comunicación llegó rápidamente"),
+    (4, "plain english text about nothing"),
+    (5, None),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(ROWS, ["doc_id", "text"])
+
+
+def test_stored_tokens_keep_stopwords(spark, docs):
+    """The stored array is stem(tokens), NOT stopword-filtered —
+    the field side of analyzed_match never drops stopwords."""
+    es = get_analyzer("spanish")
+    row = (docs.filter("doc_id = 1")
+           .select(analyzed_tokens("text", es).alias("a"))
+           .collect()[0]["a"])
+    # 'las' and 'fueron' are spanish stopwords yet stay stored
+    assert len(row) == 5
+    assert "cancion" in row  # canciones stemmed
+
+
+def test_stored_match_equals_query_time(spark, docs):
+    es = get_analyzer("spanish")
+    stored = materialize_analyzed(
+        docs, {"analyzed": ("text", "spanish")})
+    for op, msm in (("and", None), ("or", None), ("or", 2)):
+        qt = {r["doc_id"] for r in docs.filter(
+            analyzed_match("text", "cancion trabajador", es,
+                           operator=op,
+                           minimum_should_match=msm)).collect()}
+        st = {r["doc_id"] for r in stored.filter(
+            stored_match("analyzed", "cancion trabajador", es,
+                         operator=op,
+                         minimum_should_match=msm)).collect()}
+        assert st == qt, (op, msm)
+    # non-trivial: AND matches exactly the doc with both stems
+    qt_and = {r["doc_id"] for r in stored.filter(
+        stored_match("analyzed", "cancion trabajador", es,
+                     operator="and")).collect()}
+    assert qt_and == {2}
+
+
+def test_stored_phrase_equals_query_time(spark):
+    de = get_analyzer("german")
+    rows = [
+        (1, "die häuser geordnet stehen"),       # adjacent stems
+        (2, "häusern kategorien geordnet"),      # not adjacent
+        (3, "geordnet häuser"),                  # wrong order
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stored = materialize_analyzed(df, {"a": ("text", "german")})
+    qt = {r["doc_id"] for r in df.filter(
+        analyzed_match_phrase("text", "hauses geordnetes",
+                              de)).collect()}
+    st = {r["doc_id"] for r in stored.filter(
+        stored_match_phrase("a", "hauses geordnetes",
+                            de)).collect()}
+    assert st == qt == {1}
+
+
+def test_stored_roundtrips_through_parquet(spark, docs, tmp_path):
+    """ETL write path: arrays survive parquet and the duck twin
+    agrees on the stored relation."""
+    import duckdb
+
+    es = get_analyzer("spanish")
+    out = str(tmp_path / "analyzed")
+    materialize_analyzed(
+        docs, {"analyzed": ("text", "spanish")}
+    ).write.parquet(out)
+    back = spark.read.parquet(out)
+    got = {r["doc_id"] for r in back.filter(
+        stored_match("analyzed", "cancion trabajador", es,
+                     operator="and")).collect()}
+    assert got == {2}
+    con = duckdb.connect()
+    pred = stored_match_duck_sql("analyzed", "cancion trabajador",
+                                 es, operator="and")
+    dk = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM read_parquet('{out}/*.parquet') "
+        f"WHERE {pred}").fetchall()}
+    assert dk == {2}
+
+
+def test_stored_plan_has_no_stemmer(spark, docs):
+    """The point of the store: the serve plan carries NO snowball
+    expression — array membership only."""
+    es = get_analyzer("spanish")
+    stored = materialize_analyzed(
+        docs, {"analyzed": ("text", "spanish")})
+    # the serve side starts FROM the stored relation (simulate by
+    # collecting the analyzed frame to a fresh DataFrame)
+    plan = (stored.select("doc_id", "analyzed")
+            .filter(stored_match("analyzed", "cancion trabajador",
+                                 es, operator="and"))
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "exists(" in plan
