@@ -1521,8 +1521,15 @@ def _pct_label(p: float) -> str:
 # agg stays a single grouped pass with no UDF and no state object.
 # DOCUMENTED DIVERGENCE: only fold-shaped scripts are accepted —
 # map ``state.<v>.add(expr)`` / ``state.<v> += expr`` / ``state.<v> =
-# Math.max|min(state.<v>, expr)``, combine/reduce a matching
-# sum/max/min fold; arbitrary stateful scripts raise ValueError.
+# Math.max|min(state.<v>, expr)``, a bounded for/while loop over a
+# doc array field, or a MULTI-STATEMENT body of independent scalar
+# folds over distinct state vars (reduce_script then supplies the
+# final ``return <expr over state.<v>s>`` projection — e.g. the
+# mean pattern ``state.s += x; state.n += 1`` with
+# ``return state.s * 1.0 / state.n``); combine/reduce a matching
+# sum/max/min fold (multi-var: merge implied by the fold shapes,
+# combine_script must be omitted); arbitrary stateful scripts raise
+# ValueError.
 
 _DOC_REF_RE = re.compile(r"doc(?:\['(\w+)'\]|\.(\w+))(?:\.value\b)?")
 _PARAM_REF_RE = re.compile(r"params(?:\['(\w+)'\]|\.(\w+))")
@@ -1537,11 +1544,46 @@ _MATH_FNS = {"Math.round": "round", "Math.abs": "abs",
 def _param_literal(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # painless params floats are Java doubles; a bare literal
+        # would parse as DECIMAL in Spark (see _promote_float_literals)
+        return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     raise ValueError(f"unsupported painless param type: {v!r}")
+
+
+_FLOAT_LIT_RE = re.compile(
+    r"(?<![\w.'])(\d+\.\d+)(?![\w.])(?!\s+AS\s+DOUBLE)")
+
+
+def _promote_float_literals(expr: str) -> str:
+    """Painless/Java float literals are DOUBLES; Spark SQL parses
+    a bare ``1.0`` as DECIMAL(2,1), silently switching the whole
+    expression to decimal arithmetic (found by the
+    dsl_scripted_metric_while driver sim: sum(long) * 1.0 came back
+    decimal-typed). Wrap every float literal outside string
+    literals in an engine-neutral CAST( .. AS DOUBLE) — DuckDB
+    treats 1.0 as double already, so the oracle text is unchanged
+    semantically. The trailing lookahead makes the pass idempotent
+    under the translator's ternary recursion."""
+    out, i, n = [], 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and expr[j] != "'":
+                j += 1
+            out.append(expr[i:j + 1])
+            i = j + 1
+            continue
+        j = expr.find("'", i)
+        seg = expr[i:] if j < 0 else expr[i:j]
+        out.append(_FLOAT_LIT_RE.sub(r"CAST(\1 AS DOUBLE)", seg))
+        i = n if j < 0 else j
+    return "".join(out)
 
 
 def _painless_expr_sql(expr: str, params: dict | None = None) -> str:
@@ -1554,7 +1596,7 @@ def _painless_expr_sql(expr: str, params: dict | None = None) -> str:
     ``&&``/``||``, string literals, and the ternary ``cond ? a : b``
     (recursively) -> CASE WHEN.
     """
-    expr = expr.strip()
+    expr = _promote_float_literals(expr.strip())
     # strip fully-enclosing parens so a parenthesized ternary (the
     # idiomatic painless nesting) is seen at top level when recursing
     while expr.startswith("(") and expr.endswith(")"):
@@ -1718,6 +1760,20 @@ _MAP_FOR_RE = re.compile(
     r"^\s*for\s*\(\s*int\s+(\w+)\s*=\s*0\s*;\s*"
     r"\1\s*<\s*doc\['(\w+)'\]\.length\s*;\s*\1\+\+\s*\)\s*"
     r"\{\s*state\.(\w+)\s*\+=\s*([^;{}]*?)\s*;?\s*\}\s*$", re.S)
+# bounded painless WHILE loop — the same fold, spelled imperatively:
+#   int i = 0; while (i < doc['arr'].length) { state.v += <expr>; i++ }
+# The bound must be the array field's own length and the counter must
+# be the canonical init-0/increment-by-one walk; any other while
+# (unbounded, state-dependent condition, missing i++) is refused
+# loudly below.
+_MAP_WHILE_RE = re.compile(
+    r"^\s*int\s+(\w+)\s*=\s*0\s*;\s*while\s*\(\s*"
+    r"\1\s*<\s*doc\['(\w+)'\]\.length\s*\)\s*"
+    r"\{\s*state\.(\w+)\s*\+=\s*([^;{}]*?)\s*;\s*\1\+\+\s*;?\s*\}"
+    r"\s*$", re.S)
+# multi-statement reduce must end in a plain value return over the
+# merged state vars
+_REDUCE_RETURN_RE = re.compile(r"^\s*return\s+(.*?)\s*;?\s*$", re.S)
 
 _LOOP_ELEM = "loop_elem_ref__"
 
@@ -1745,10 +1801,97 @@ def _loop_body_sql(var: str, arr: str, body: str,
     return sql.replace(_LOOP_ELEM, "CAST(x AS DOUBLE)")
 
 
+def _split_painless_statements(s: str) -> list[str]:
+    """Split on top-level ';' (outside parens/braces/strings — a
+    loop's internal semicolons stay with the loop)."""
+    out, depth, start, in_s = [], 0, 0, None
+    for i, ch in enumerate(s):
+        if in_s:
+            if ch == in_s:
+                in_s = None
+        elif ch in "'\"":
+            in_s = ch
+        elif ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return [x.strip() for x in out if x.strip()]
+
+
+def _fold_of_statement(st: str, params: dict | None):
+    """Scalar fold statement -> (state_var, fold, sql_expr) or
+    None if the statement is not a recognized fold shape."""
+    m = _MAP_ADD_RE.match(st) or _MAP_INCR_RE.match(st)
+    if m:
+        return (m.group(1), "sum",
+                _painless_expr_sql(m.group(2), params))
+    m = _MAP_MAXMIN_RE.match(st)
+    if m:
+        return (m.group(1), m.group(2),
+                _painless_expr_sql(m.group(3), params))
+    return None
+
+
+def _scripted_metric_multi(agg_name: str, mbody: dict,
+                           stmts: list[str]) -> Column:
+    """Multi-statement map body: N independent scalar folds over
+    DISTINCT state vars, merged per the fold shapes (exactly the
+    partial aggregates Catalyst executes), with reduce_script's
+    ``return <expr over state.v>`` as the final projection.
+    DOCUMENTED DIVERGENCE: the per-var shard merge is implied by
+    each var's fold shape — combine_script must be omitted
+    (free-form merge bodies are refused loudly)."""
+    params = mbody.get("params")
+    folds: dict[str, tuple[str, str]] = {}
+    for st in stmts:
+        f = _fold_of_statement(st, params)
+        if f is None:
+            raise ValueError(
+                "scripted_metric: multi-statement map bodies are "
+                "bounded to one scalar fold per state var "
+                "(state.v += expr / state.v.add(expr) / state.v = "
+                f"Math.max|min(state.v, expr)): {st!r}")
+        var, fold, sql = f
+        if var in folds:
+            raise ValueError(
+                f"scripted_metric: state var {var!r} is folded by "
+                f"more than one map statement")
+        folds[var] = (fold, sql)
+    if mbody.get("combine_script"):
+        raise ValueError(
+            "scripted_metric: multi-var map bodies take their shard "
+            "merge from the fold shapes (partial aggregates); omit "
+            "combine_script")
+    m = _REDUCE_RETURN_RE.match(mbody.get("reduce_script") or "")
+    if not m:
+        raise ValueError(
+            "scripted_metric: multi-var map bodies need "
+            "reduce_script 'return <expr over state.<var>s>'")
+    sub = m.group(1)
+    for var in folds:
+        sub = re.sub(rf"state(?:\['{var}'\]|\.{var})\b",
+                     f"__state_{var}__", sub)
+    if re.search(r"\bstate\b", sub):
+        raise ValueError(
+            f"scripted_metric: reduce return references a state "
+            f"var no map statement folds: {m.group(1)!r}")
+    sql_ret = _painless_expr_sql(sub, params)
+    for var, (fold, sql) in folds.items():
+        agg = {"sum": "sum", "max": "max", "min": "min"}[fold]
+        sql_ret = sql_ret.replace(f"__state_{var}__",
+                                  f"{agg}(({sql}))")
+    return F.expr(sql_ret).alias(agg_name)
+
+
 def _scripted_metric_col(agg_name: str, mbody: dict) -> Column:
     """Fold-shaped scripted_metric -> one aggregate Column."""
     map_script = mbody["map_script"]
-    mf = _MAP_FOR_RE.match(map_script)
+    mf = (_MAP_FOR_RE.match(map_script)
+          or _MAP_WHILE_RE.match(map_script))
     if mf:
         var, arr, _state, body = mf.groups()
         inner = _loop_body_sql(var, arr, body,
@@ -1760,6 +1903,16 @@ def _scripted_metric_col(agg_name: str, mbody: dict) -> Column:
         fold = "sum"
         m = mf
     else:
+        if re.search(r"\bwhile\b", map_script):
+            raise ValueError(
+                "scripted_metric: only the bounded while form "
+                "\"int i = 0; while (i < doc['arr'].length) "
+                "{ state.v += expr; i++ }\" is supported — "
+                "unbounded or state-dependent while conditions are "
+                f"refused: {map_script!r}")
+        stmts = _split_painless_statements(map_script)
+        if len(stmts) > 1:
+            return _scripted_metric_multi(agg_name, mbody, stmts)
         m = (_MAP_ADD_RE.match(map_script)
              or _MAP_INCR_RE.match(map_script))
         if m:
@@ -1770,8 +1923,9 @@ def _scripted_metric_col(agg_name: str, mbody: dict) -> Column:
                 raise ValueError(
                     "scripted_metric: map_script must be a fold "
                     "(state.v.add(expr), state.v += expr, state.v = "
-                    "Math.max/min(state.v, expr), or a for-loop "
-                    f"over a doc array field): {map_script!r}")
+                    "Math.max/min(state.v, expr), or a bounded "
+                    "for/while loop over a doc array field): "
+                    f"{map_script!r}")
             fold, expr = m.group(2), m.group(3)
     # combine/reduce must fold with the same operator (or be omitted)
     for key in ("combine_script", "reduce_script"):

@@ -109,16 +109,115 @@ def test_painless_preserves_string_literals():
         == "k = 'x&&y' AND v > 0"
 
 
-def test_rejects_multi_statement_map_script():
-    with pytest.raises(ValueError, match="fold"):
+def test_multi_statement_needs_return_reduce():
+    # multi-var folds are supported SINCE round 12, but only with a
+    # 'return <expr>' reduce projecting the merged vars
+    with pytest.raises(ValueError, match="reduce_script"):
         _scripted_metric_col("m", {
             "map_script":
                 "state.t.add(doc.a.value); state.u.add(doc.b.value)"})
 
 
+def test_multi_statement_mean_pattern(spark):
+    """state.s += x; state.n += 1 with return s/n — the canonical
+    multi-var accumulation — computes the per-bucket mean."""
+    out = search(_frame(spark), {
+        "aggs": {"kinds": {
+            "terms": {"field": "kind", "size": 10},
+            "aggs": {"mean_v": {"scripted_metric": {
+                "init_script": "state.s = 0; state.n = 0",
+                "map_script":
+                    "state.s += doc.v.value; state.n += 1",
+                "reduce_script":
+                    "return state.s * 1.0 / state.n",
+            }}}}}}).collect()
+    got = {r["key"]: r["mean_v"] for r in out}
+    assert got == {"sale": (10.0 + 20.0 + 40.0) / 3,
+                   "refund": (5.0 + 15.0) / 2}
+
+
+def test_multi_statement_mixed_folds(spark):
+    """sum + max vars merged in one return expression."""
+    out = search(_frame(spark), {
+        "aggs": {"spread": {"scripted_metric": {
+            "map_script":
+                "state.total += doc.v.value; "
+                "state.peak = Math.max(state.peak, doc.v.value)",
+            "reduce_script":
+                "return state.peak * 100 + state.total",
+        }}}}).collect()
+    assert out[0]["spread"] == 40.0 * 100 + 90.0
+
+
+def test_multi_statement_fences():
+    base = {"map_script": "state.s += doc.v.value; state.n += 1"}
+    with pytest.raises(ValueError, match="omit combine_script"):
+        _scripted_metric_col("m", {
+            **base, "combine_script": "p += t",
+            "reduce_script": "return state.s / state.n"})
+    with pytest.raises(ValueError, match="no map statement folds"):
+        _scripted_metric_col("m", {
+            **base, "reduce_script": "return state.zz + 1"})
+    with pytest.raises(ValueError, match="more than one"):
+        _scripted_metric_col("m", {
+            "map_script": "state.s += doc.v.value; state.s += 1",
+            "reduce_script": "return state.s"})
+    with pytest.raises(ValueError, match="bounded to one scalar"):
+        _scripted_metric_col("m", {
+            "map_script":
+                "state.s += doc.v.value; state.seen[doc.k.value] = 1",
+            "reduce_script": "return state.s"})
+
+
+def test_while_loop_fold(spark):
+    """The bounded while form folds identically to the for form."""
+    rows = [(1, "a", [1.0, 2.0]), (2, "a", [3.0]), (3, "b", [0.5])]
+    df = spark.createDataFrame(
+        rows, "id long, kind string, arr array<double>")
+    spec_for = {
+        "map_script":
+            "for (int i = 0; i < doc['arr'].length; i++) "
+            "{ state.v += Math.floor(doc['arr'][i] * 10) }",
+        "combine_script":
+            "long p = 0; for (t in state.v) { p += t } return p",
+        "reduce_script":
+            "long p = 0; for (a in states) { p += a } return p"}
+    spec_while = {
+        **spec_for,
+        "map_script":
+            "int i = 0; while (i < doc['arr'].length) "
+            "{ state.v += Math.floor(doc['arr'][i] * 10); i++ }"}
+    run = lambda spec: {  # noqa: E731
+        r["key"]: r["s"] for r in search(df, {
+            "aggs": {"k": {"terms": {"field": "kind", "size": 5},
+                           "aggs": {"s": {"scripted_metric": spec}},
+                           }}}).collect()}
+    assert run(spec_for) == run(spec_while) == {"a": 60.0, "b": 5.0}
+
+
+def test_while_fences_raise_loudly():
+    def body(map_script):
+        return {"map_script": map_script,
+                "combine_script": "p += t", "reduce_script": "p += a"}
+
+    with pytest.raises(ValueError, match="bounded while"):
+        _scripted_metric_col("x", body(
+            "int i = 0; while (true) { state.v += 1; i++ }"))
+    with pytest.raises(ValueError, match="bounded while"):
+        _scripted_metric_col("x", body(
+            "int i = 0; while (state.v < 10) "
+            "{ state.v += doc['arr'][i]; i++ }"))
+    with pytest.raises(ValueError, match="bounded while"):
+        _scripted_metric_col("x", body(
+            "int i = 0; while (i < doc['arr'].length) "
+            "{ state.v += doc['arr'][i] }"))  # missing i++
+
+
 def test_painless_params_resolve_to_literals():
+    # float params/literals are Java DOUBLES — rendered with an
+    # engine-neutral cast so Spark does not parse them as DECIMAL
     assert _painless_expr_sql("doc.v.value * params.w",
-                              {"w": 2.5}) == "v * 2.5"
+                              {"w": 2.5}) == "v * CAST(2.5 AS DOUBLE)"
     assert _painless_expr_sql("params['tag'] == doc.k.value",
                               {"tag": "a'b"}) == "'a''b' = k"
     assert _painless_expr_sql("params.on ? 1 : 0", {"on": True}) \
@@ -132,7 +231,8 @@ def test_painless_nested_parenthesized_ternary():
         "Math.log(1 + doc.v.value) * "
         "(doc.k.value == 'x' ? 2.0 : 1.0)")
     assert got == ("ln(1 + v) * "
-                   "(CASE WHEN k = 'x' THEN 2.0 ELSE 1.0 END)")
+                   "(CASE WHEN k = 'x' THEN CAST(2.0 AS DOUBLE) "
+                   "ELSE CAST(1.0 AS DOUBLE) END)")
     # two nested groups, each with its own ternary
     got = _painless_expr_sql("(doc.a.value > 1 ? 1 : 0) + "
                              "(doc.b.value > 2 ? 10 : 0)")
