@@ -62,6 +62,7 @@ ITALIAN_CHARSET = "a-z0-9àèìòùáéíóú"
 # the preluded representation
 PORTUGUESE_CHARSET = "a-z0-9áâãàçéêíóôõú"
 SWEDISH_CHARSET = "a-z0-9äåö"
+DUTCH_CHARSET = "a-z0-9äëïöüáéíóúè"
 DANISH_CHARSET = "a-z0-9æøå"
 NORWEGIAN_CHARSET = "a-z0-9æøå"
 
@@ -135,6 +136,11 @@ def _stem_py(kind, w: str) -> str:
             portuguese_stem,
         )
         return portuguese_stem(w)
+    if kind == "dutch":
+        from parquet_generator_spark.operators.snowball_nl import (
+            dutch_stem,
+        )
+        return dutch_stem(w)
     if kind in ("swedish", "danish", "norwegian"):
         from parquet_generator_spark.operators import snowball_scand
         return getattr(snowball_scand, f"{kind}_stem")(w)
@@ -146,7 +152,7 @@ def _stem_py(kind, w: str) -> str:
 # per query group
 _EXPENSIVE_STEMMERS = ("porter", "german", "french", "spanish",
                        "italian", "portuguese", "swedish",
-                       "danish", "norwegian")
+                       "danish", "norwegian", "dutch")
 
 
 def _stem_expr(kind, ref: str, engine: str) -> str:
@@ -182,6 +188,11 @@ def _stem_expr(kind, ref: str, engine: str) -> str:
             portuguese_stem_sql,
         )
         return portuguese_stem_sql(ref, engine)
+    if kind == "dutch":
+        from parquet_generator_spark.operators.snowball_nl import (
+            dutch_stem_sql,
+        )
+        return dutch_stem_sql(ref, engine)
     if kind in ("swedish", "danish", "norwegian"):
         from parquet_generator_spark.operators import snowball_scand
         return getattr(snowball_scand,
@@ -311,6 +322,20 @@ register_analyzer(Analyzer("portuguese",
                            stopwords=PORTUGUESE_STOPWORDS,
                            stem=True, stemmer="portuguese",
                            charset=PORTUGUESE_CHARSET))
+# the snowball dutch stoplist (public constant)
+DUTCH_STOPWORDS = frozenset("""
+de en van ik te dat die in een hij het niet zijn is was op aan met
+als voor had er maar om hem dan zou of wat mijn men dit zo door
+over ze zich bij ook tot je mij uit der daar haar naar heb hoe
+heeft hebben deze u want nog zal me zij nu ge geen omdat iets
+worden toch al waren veel meer doen toen moet ben zonder kan hun
+dus alles onder ja eens hier wie werd altijd doch wordt wezen
+kunnen ons zelf tegen na reeds wil kon niets uw iemand geweest
+andere
+""".split())
+register_analyzer(Analyzer("dutch", stopwords=DUTCH_STOPWORDS,
+                           stem=True, stemmer="dutch",
+                           charset=DUTCH_CHARSET))
 SWEDISH_STOPWORDS = frozenset("""
 och det att i en jag hon som han på den med var sig för så till
 är men ett om hade de av du henne då sin nu har inte hans honom

@@ -130,6 +130,76 @@ def dsl_match_phrase_analyzer_stored(spark: SparkSession,
             .orderBy("lang"))
 
 
+# ------------------------------------------ dsl_match_analyzer_nl
+
+# planted Dutch inflections the english chain provably cannot fold
+# onto the query's dictionary forms (pinned in
+# tests/test_snowball_nl.py): gekke/gekken -> gek (e-deletion +
+# kk-undouble), katten -> kat (en-ending + undouble)
+_NL_SNIPPETS = [
+    "de gekken en de katten",
+    "een gekke kat speelde",
+    "kat bij de gekken",
+]
+_NL_QUERY = "gekke katten"
+
+
+def _nl_planted_expr() -> str:
+    snip = ("CASE CAST(doc_id % 3 AS INT) "
+            + " ".join(f"WHEN {i} THEN '{s}'"
+                       for i, s in enumerate(_NL_SNIPPETS))
+            + " END")
+    return (f"CASE WHEN doc_id % 5 = 3 THEN "
+            f"concat({snip}, ' ', substr(text, 1, 60)) "
+            f"ELSE substr(text, 1, 60) END")
+
+
+def dsl_match_analyzer_nl(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """``match`` with ``analyzer: "dutch"`` (snowball dutch,
+    operators/snowball_nl.py, operator AND): the query's forms
+    (gekke, katten) and the planted inflections (gekken, kat) meet
+    only at the dutch stems [gek, kat] — e-deletion, en-ending with
+    the gem guard, kk/tt undoubling, the marked-consonant prelude.
+    The english chain matches zero of the same documents (pinned in
+    tests/test_snowball_nl.py)."""
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match,
+        get_analyzer,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = analyzed_match("mixed", _NL_QUERY,
+                          get_analyzer("dutch"), operator="and")
+    return (docs
+            .withColumn("mixed", F.expr(_nl_planted_expr()))
+            .filter(pred)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("source"))
+
+
+def _nl_oracle() -> str:
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match_duck_sql,
+        get_analyzer,
+    )
+
+    pred = analyzed_match_duck_sql(
+        "mixed", _NL_QUERY, get_analyzer("dutch"), operator="and")
+    return f"""
+WITH m AS (SELECT source, {_nl_planted_expr()} AS mixed
+           FROM documents)
+SELECT source, count(*) AS doc_count
+FROM m WHERE {pred}
+GROUP BY source ORDER BY source
+"""
+
+
+QUERIES.update({"dsl_match_analyzer_nl": dsl_match_analyzer_nl})
+ORACLES.update({"dsl_match_analyzer_nl": _nl_oracle()})
+
+
 # -------------------------------------- dsl_scripted_metric_while
 
 def dsl_scripted_metric_while(spark: SparkSession,
