@@ -63,6 +63,8 @@ ITALIAN_CHARSET = "a-z0-9àèìòùáéíóú"
 PORTUGUESE_CHARSET = "a-z0-9áâãàçéêíóôõú"
 SWEDISH_CHARSET = "a-z0-9äåö"
 DUTCH_CHARSET = "a-z0-9äëïöüáéíóúè"
+# cedilla forms (the snowball originals) — see snowball_ro.py
+ROMANIAN_CHARSET = "a-z0-9ăâîşţ"
 DANISH_CHARSET = "a-z0-9æøå"
 NORWEGIAN_CHARSET = "a-z0-9æøå"
 
@@ -141,6 +143,11 @@ def _stem_py(kind, w: str) -> str:
             dutch_stem,
         )
         return dutch_stem(w)
+    if kind == "romanian":
+        from parquet_generator_spark.operators.snowball_ro import (
+            romanian_stem,
+        )
+        return romanian_stem(w)
     if kind in ("swedish", "danish", "norwegian"):
         from parquet_generator_spark.operators import snowball_scand
         return getattr(snowball_scand, f"{kind}_stem")(w)
@@ -152,7 +159,8 @@ def _stem_py(kind, w: str) -> str:
 # per query group
 _EXPENSIVE_STEMMERS = ("porter", "german", "french", "spanish",
                        "italian", "portuguese", "swedish",
-                       "danish", "norwegian", "dutch")
+                       "danish", "norwegian", "dutch",
+                       "romanian")
 
 
 def _stem_expr(kind, ref: str, engine: str) -> str:
@@ -193,6 +201,11 @@ def _stem_expr(kind, ref: str, engine: str) -> str:
             dutch_stem_sql,
         )
         return dutch_stem_sql(ref, engine)
+    if kind == "romanian":
+        from parquet_generator_spark.operators.snowball_ro import (
+            romanian_stem_sql,
+        )
+        return romanian_stem_sql(ref, engine)
     if kind in ("swedish", "danish", "norwegian"):
         from parquet_generator_spark.operators import snowball_scand
         return getattr(snowball_scand,
@@ -336,6 +349,20 @@ andere
 register_analyzer(Analyzer("dutch", stopwords=DUTCH_STOPWORDS,
                            stem=True, stemmer="dutch",
                            charset=DUTCH_CHARSET))
+# Romanian function words (cedilla orthography, matching the
+# stemmer; conservative Lucene-style list)
+ROMANIAN_STOPWORDS = frozenset("""
+a ai al ale am ar are au că ca către ce cel cele celor ci cu da
+dacă dar de din după ea ei el ele este eu fi fie fost iar îi îl
+îmi în între îţi la le li lor lui mă mai mea mei meu mi mine ne
+nici nimeni nişte noastre noi nostru nu o ori pe pentru prin sa să
+săi sale sau se şi spre sub sunt tale tău te ţi tine toate tot
+toţi tu un una unde unei unui vă voi vor vreo vreun
+""".split())
+register_analyzer(Analyzer("romanian",
+                           stopwords=ROMANIAN_STOPWORDS,
+                           stem=True, stemmer="romanian",
+                           charset=ROMANIAN_CHARSET))
 SWEDISH_STOPWORDS = frozenset("""
 och det att i en jag hon som han på den med var sig för så till
 är men ett om hade de av du henne då sin nu har inte hans honom
@@ -439,6 +466,14 @@ def _prefix_guarded_stem(kind, ref: str, engine: str,
     always shares its first two display chars with the token
     (pinned by a Hypothesis property in tests/test_snowball_pt.py).
 
+    Romanian: SOUND with a raw prefix compare — the algorithm has
+    NO body rewrites at all (the I/U prelude marks letter CLASS
+    only, never the text; the one in-place rewrite, iune's ţ -> t,
+    sits at position >= R2 - 1 >= 3), and every cut position is
+    >= min(RV, R1) >= 3, so any >= 2-char stem keeps the token's
+    first two chars (pinned by a Hypothesis property in
+    tests/test_snowball_ro.py).
+
     Swedish/danish/norwegian: SOUND with a raw prefix compare — the
     Scandinavian algorithms have NO body rewrites at all; every
     edit (delete, replace, undouble, the danish igst strip) acts on
@@ -459,7 +494,7 @@ def _prefix_guarded_stem(kind, ref: str, engine: str,
     shorter than 3 chars (the invariants don't cover those)."""
     stem = _stem_expr(kind, ref, engine)
     if kind not in ("porter", "italian", "portuguese", "swedish",
-                    "danish", "norwegian"):
+                    "danish", "norwegian", "romanian"):
         return stem
     stems = [g for grp in groups for g in grp]
     if not stems or any(len(g) < 3 for g in stems):

@@ -200,6 +200,77 @@ QUERIES.update({"dsl_match_analyzer_nl": dsl_match_analyzer_nl})
 ORACLES.update({"dsl_match_analyzer_nl": _nl_oracle()})
 
 
+# ------------------------------------------ dsl_match_analyzer_ro
+
+# planted Romanian inflections the english chain provably cannot
+# fold (and whose diacritics SPLIT the english tokenizer — pinned
+# in tests/test_snowball_ro.py): casele/casa -> cas (step-0 plural
+# + final vowel), cântate/cântata -> cântat (participle family)
+_RO_SNIPPETS = [
+    "casele erau cântate",
+    "cântata din casele vechi",
+    "casele cu ziduri cântate",
+]
+_RO_QUERY = "casa cântat"
+
+
+def _ro_planted_expr() -> str:
+    snip = ("CASE CAST(doc_id % 3 AS INT) "
+            + " ".join(f"WHEN {i} THEN '{s}'"
+                       for i, s in enumerate(_RO_SNIPPETS))
+            + " END")
+    return (f"CASE WHEN doc_id % 5 = 4 THEN "
+            f"concat({snip}, ' ', substr(text, 1, 60)) "
+            f"ELSE substr(text, 1, 60) END")
+
+
+def dsl_match_analyzer_ro(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """``match`` with ``analyzer: "romanian"`` (snowball romanian,
+    operators/snowball_ro.py, operator AND): the query's forms
+    (casa, cântat) and the planted inflections (casele, cântate)
+    meet only at the romanian stems [cas, cântat] — step-0 plural
+    removal, RV-limited verb among, final-vowel drop, the marked
+    I/U prelude. The english chain matches zero (its tokenizer
+    splits on the diacritics)."""
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match,
+        get_analyzer,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = analyzed_match("mixed", _RO_QUERY,
+                          get_analyzer("romanian"), operator="and")
+    return (docs
+            .withColumn("mixed", F.expr(_ro_planted_expr()))
+            .filter(pred)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("source"))
+
+
+def _ro_oracle() -> str:
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match_duck_sql,
+        get_analyzer,
+    )
+
+    pred = analyzed_match_duck_sql(
+        "mixed", _RO_QUERY, get_analyzer("romanian"),
+        operator="and")
+    return f"""
+WITH m AS (SELECT source, {_ro_planted_expr()} AS mixed
+           FROM documents)
+SELECT source, count(*) AS doc_count
+FROM m WHERE {pred}
+GROUP BY source ORDER BY source
+"""
+
+
+QUERIES.update({"dsl_match_analyzer_ro": dsl_match_analyzer_ro})
+ORACLES.update({"dsl_match_analyzer_ro": _ro_oracle()})
+
+
 # -------------------------------------- dsl_scripted_metric_while
 
 def dsl_scripted_metric_while(spark: SparkSession,
