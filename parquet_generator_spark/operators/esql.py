@@ -1625,8 +1625,21 @@ def _df_apply(df: DataFrame, commands: list,
         elif kind == "fork":
             from functools import reduce
 
+            from parquet_generator_spark.operators import (
+                cache as _cache,
+            )
+
+            # materialize the shared input ONCE (the scan plus all
+            # pre-fork commands) so N branches pay N reads of the
+            # checkpointed blocks instead of N full input scans —
+            # the SCALE.md "cache the post-WHERE frame" note made
+            # structural (r11 verdict #7). Released at the query
+            # boundary through the cache registry (the bench/verify
+            # contract); pinned in
+            # test_esql.py::test_fork_scans_input_once.
+            shared = _cache.checkpoint(df)
             parts = [
-                _df_apply(df, br, lookups)
+                _df_apply(shared, br, lookups)
                 .withColumn("_fork", F.lit(f"fork{i}"))
                 for i, br in enumerate(p, start=1)]
             # ES null-fills columns a branch does not produce

@@ -711,6 +711,25 @@ def test_fork_branch_local_sort_limits_that_branch_only(spark):
     assert vals[0] < vals[-1]  # both extremes present
 
 
+def test_fork_scans_input_once(spark):
+    """The shared fork input is checkpointed ONCE: the union plan
+    reads the materialized blocks, not N copies of the file scan
+    (the 100-TB exchange-reuse posture made structural)."""
+    from parquet_generator_spark.operators import cache
+    from parquet_generator_spark.sources.catalog import load_table
+
+    q = ("FROM events | WHERE value > 0 "
+         "| FORK (WHERE event_type == \"view\" | LIMIT 3) "
+         "(STATS n = COUNT(*) BY event_type)")
+    plan = parse_esql(q)
+    with cache.scope():
+        sdf = esql_df(load_table(spark, plan.table, SF), plan)
+        p = sdf._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan" not in p  # branches read the checkpoint
+        assert sdf.count() > 0      # and the union still computes
+        assert cache.tracked_count() >= 1
+
+
 def test_fork_fences():
     with pytest.raises(ValueError, match="nested FORK"):
         parse_esql("FROM events | FORK (WHERE value > 1 | FORK "
