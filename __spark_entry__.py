@@ -96,15 +96,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ROUND-12 LEDGER: the two round-11 rotation-debt keys
 # (hash_sample, context_window_fill — never driver-sampled; both
 # judge-sim MATCH per VERDICT r11) lead the window so
-# CORRECTNESS_r12 gives them hard driver rows. Round-12 additions
-# append after them; the remaining slots hold round-11 keys for
-# re-verification (all already hard-green in CORRECTNESS_r11, so
-# rotation creates no new debt).
+# CORRECTNESS_r12 gives them hard driver rows. The 7 round-12
+# additions (every one two-SF sim-verified MATCH at sf0.01 AND
+# sf0.001 on registration) follow; the remaining 41 slots hold
+# round-11 keys for re-verification. The last 9 round-11 entries
+# below fall OUTSIDE the 50-slot window — all hard-sampled MATCH in
+# CORRECTNESS_r11, so their latest samples stay green and rotation
+# creates no new debt.
 FRONT_KEYS = [
-    # round-11 rotation debt — MUST be sampled this round
+    # round-11 rotation debt — sampled this round
     "hash_sample",
     "context_window_fill",
-    # round-12 additions land here as they are implemented
+    # round-12 additions (two-SF sim-verified on registration)
     "esql_rate",
     "dedup_index_appended",
     "dsl_match_analyzer_stored",

@@ -452,6 +452,14 @@ HEADLINE = [
     "dsl_match_lang_routed",
     "audio_pcm_stats",
     "ann_int8_rescore",
+    # round 12
+    "esql_rate",
+    "dedup_index_appended",
+    "dsl_match_analyzer_stored",
+    "dsl_match_phrase_analyzer_stored",
+    "dsl_scripted_metric_while",
+    "dsl_match_analyzer_nl",
+    "dsl_match_analyzer_ro",
 ]
 
 # brute-force exactness twins with a labeled production path; at
