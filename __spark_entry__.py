@@ -99,8 +99,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CORRECTNESS_r12 gives them hard driver rows. The 7 round-12
 # additions (every one two-SF sim-verified MATCH at sf0.01 AND
 # sf0.001 on registration) follow; the remaining 41 slots hold
-# round-11 keys for re-verification. The last 9 round-11 entries
-# below fall OUTSIDE the 50-slot window — all hard-sampled MATCH in
+# round-11 keys for re-verification (the window is exactly 50).
+# Nine round-11 keys rotated OUT this round (esql_sample,
+# c4_line_filters, dsir_importance_weights, filter_ablation_grid,
+# quality_classifier_gd, dedup_index_served, dsl_match_lang_routed,
+# audio_pcm_stats, ann_int8_rescore) — all hard-sampled MATCH in
 # CORRECTNESS_r11, so their latest samples stay green and rotation
 # creates no new debt.
 FRONT_KEYS = [
@@ -170,15 +173,6 @@ FRONT_KEYS = [
     "dsl_match_analyzer_no",
     "esql_fork",
     "esql_cidr_match",
-    "esql_sample",
-    "c4_line_filters",
-    "dsir_importance_weights",
-    "filter_ablation_grid",
-    "quality_classifier_gd",
-    "dedup_index_served",
-    "dsl_match_lang_routed",
-    "audio_pcm_stats",
-    "ann_int8_rescore",
 ]
 
 

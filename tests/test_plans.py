@@ -297,27 +297,27 @@ def test_date_math_now_bounds_reach_scan(spark):
 
 def test_front_keys_lead_queries():
     """The driver's correctness sampler reads 50 entries from the
-    front of queries(); the round-11 FRONT window re-verifies the
-    round-10 cohort and fronts every round-11 addition so the
-    cumulative hard ledger stays closed."""
+    front of queries(); the round-12 FRONT window leads with the two
+    round-11 rotation-debt keys (so they finally get hard driver
+    rows), fronts every round-12 addition, and fills the rest with
+    round-11 re-verification keys — cumulative hard ledger stays
+    closed with zero new debt."""
     q = list(entrymod.queries())
     present = [k for k in entrymod.FRONT_KEYS if k in entrymod.queries()]
     assert q[:len(present)] == present
-    assert len(present) >= 29
-    for k in ("ann_ivfpq_served", "esql_pipeline_ts", "esql_dissect",
-              "dsl_match_analyzer_de", "dsl_match_analyzer_fr",
-              "dsl_scripted_metric_loop", "esql_mv_expand",
-              # tranche eight fronts every addition too
-              "dsl_match_analyzer_pt", "dsl_match_analyzer_sv",
-              "dsl_match_analyzer_da", "dsl_match_analyzer_no",
-              "esql_fork", "esql_cidr_match", "esql_sample",
-              "c4_line_filters", "dsir_importance_weights",
-              "filter_ablation_grid", "quality_classifier_gd"):
+    # the two debt keys MUST occupy the first two sampler slots
+    assert present[:2] == ["hash_sample", "context_window_fill"]
+    for k in (  # every round-12 addition is fronted
+              "esql_rate", "dedup_index_appended",
+              "dsl_match_analyzer_stored",
+              "dsl_match_phrase_analyzer_stored",
+              "dsl_scripted_metric_while",
+              "dsl_match_analyzer_nl", "dsl_match_analyzer_ro"):
         assert k in present, k
     # the sampler window is 50 wide: anything past 50 is next round's
     # rotation debt and must be called out in the FRONT_KEYS comment
     assert len(present) <= 50, "rotation debt: update the debt comment"
-    # every FRONT key must exist once round-8 queries land
+    # every FRONT key must exist
     missing = [k for k in entrymod.FRONT_KEYS if k not in entrymod.queries()]
     assert not missing, missing
 
