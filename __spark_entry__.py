@@ -96,11 +96,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ROUND-12 LEDGER: the two round-11 rotation-debt keys
 # (hash_sample, context_window_fill — never driver-sampled; both
 # judge-sim MATCH per VERDICT r11) lead the window so
-# CORRECTNESS_r12 gives them hard driver rows. The 7 round-12
+# CORRECTNESS_r12 gives them hard driver rows. The 8 round-12
 # additions (every one two-SF sim-verified MATCH at sf0.01 AND
-# sf0.001 on registration) follow; the remaining 41 slots hold
+# sf0.001 on registration) follow; the remaining 40 slots hold
 # round-11 keys for re-verification (the window is exactly 50).
-# Nine round-11 keys rotated OUT this round (esql_sample,
+# Ten round-11 keys rotated OUT this round (esql_cidr_match,
+# esql_sample,
 # c4_line_filters, dsir_importance_weights, filter_ablation_grid,
 # quality_classifier_gd, dedup_index_served, dsl_match_lang_routed,
 # audio_pcm_stats, ann_int8_rescore) — all hard-sampled MATCH in
@@ -118,6 +119,7 @@ FRONT_KEYS = [
     "dsl_scripted_metric_while",
     "dsl_match_analyzer_nl",
     "dsl_match_analyzer_ro",
+    "esql_knn",
     # re-verification slots (window is 50 wide). Tranche-eight
     # displaced eleven re-verification keys — dsl_match_phrase_analyzer,
     # dsl_multi_match_analyzer, source_ngram_overlap,
@@ -172,7 +174,6 @@ FRONT_KEYS = [
     "dsl_match_analyzer_da",
     "dsl_match_analyzer_no",
     "esql_fork",
-    "esql_cidr_match",
 ]
 
 

@@ -460,6 +460,7 @@ HEADLINE = [
     "dsl_scripted_metric_while",
     "dsl_match_analyzer_nl",
     "dsl_match_analyzer_ro",
+    "esql_knn",
 ]
 
 # brute-force exactness twins with a labeled production path; at

@@ -178,6 +178,18 @@ Fences: RATE without tsds, RATE unwrapped, RATE mixed with plain
 aggs in one STATS (they aggregate over different universes), and
 RATE with a per-agg WHERE.
 
+KNN(col, [literal vector], k) (ES 8.19 preview) is supported as the
+SOLE predicate of a WHERE, with the tiebreak identity passed as
+``parse_esql(..., knn_key='<unique id col>')`` (ES breaks score
+ties by internal doc order; an explicit key keeps both engines
+deterministic). Scoring is the ES dense_vector cosine contract
+``(1 + cosine) / 2`` against the literal query, rounded to 4; the
+top k rows survive with a ``_score`` column (the METADATA _score
+convention) and the (_score desc, key asc) order feeds later
+LIMITs. ES's same-WHERE AND conjuncts are pre-filters — express
+them as a PRECEDING WHERE here (fenced loudly). Plan shape: one
+narrow scoring map + TakeOrderedAndProject; no join, no broadcast.
+
 Deliberate fences (documented, raise ValueError):
 ROW/SHOW, aggregates outside STATS, KEEP *-patterns under an
 active SORT (and empty/overlapping pattern expansions at render),
@@ -754,6 +766,10 @@ def _render_expr(expr: str) -> _E:
                     "esql: RATE is only valid directly inside "
                     "STATS wrapped in an outer SUM/AVG/MIN/MAX "
                     "(the ES|QL TSDS contract)")
+            elif up == "KNN":
+                raise ValueError(
+                    "esql: KNN is only valid as the sole predicate "
+                    "of a WHERE — 'WHERE KNN(col, [..], k)'")
             elif (tok.lower() in _UNITS and sp
                   and _INT_RE.fullmatch(sp[-1])):
                 # temporal amount: '7 day' -> INTERVAL 7 DAY
@@ -997,11 +1013,17 @@ def _split_fork_branches(body: str) -> list[str]:
     return out
 
 
+_KNN_RE = re.compile(
+    r"KNN\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*\[([^\]]*)\]\s*,"
+    r"\s*(\d+)\s*\)\s*$", re.I)
+
+
 def parse_esql(query: str,
                enrich: dict | None = None,
                lookup_indexes: dict | None = None,
                sample_key: str | None = None,
                tsds: tuple | None = None,
+               knn_key: str | None = None,
                _in_fork: bool = False) -> EsqlPlan:
     parts = _split_pipes(query.strip())
     head = parts[0]
@@ -1016,6 +1038,34 @@ def parse_esql(query: str,
             raise ValueError(f"esql: {kw} is not supported (bounded "
                              f"subset; see operators/esql.py)")
         if kw == "WHERE":
+            m_knn = _KNN_RE.match(body.strip())
+            if m_knn:
+                col, vec_s, k_s = m_knn.groups()
+                try:
+                    qv = [float(x) for x in vec_s.split(",")]
+                except ValueError:
+                    raise ValueError(
+                        "esql: KNN query vector must be a literal "
+                        f"numeric array, got [{vec_s}]") from None
+                if not qv:
+                    raise ValueError("esql: KNN query vector is "
+                                     "empty")
+                if not knn_key or not _IDENT_RE.fullmatch(knn_key):
+                    raise ValueError(
+                        "esql: KNN needs a deterministic tiebreak "
+                        "key — pass parse_esql(..., knn_key="
+                        "'<unique id column>') (ES breaks score "
+                        "ties by internal doc order)")
+                plan.commands.append(
+                    ("knn", (col, qv, int(k_s), knn_key)))
+                continue
+            if re.search(r"\bKNN\s*\(", body, re.I):
+                raise ValueError(
+                    "esql: KNN must be the SOLE predicate of its "
+                    "WHERE — 'WHERE KNN(col, [..], k)'; put other "
+                    "filters in a PRECEDING WHERE (the ES "
+                    "pre-filter semantics: every hit satisfies "
+                    "filters applied before the top-k)")
             plan.commands.append(("where", _render_expr(body)))
         elif kw == "EVAL":
             assigns = []
@@ -1325,7 +1375,7 @@ def parse_esql(query: str,
                     f"FROM {plan.table} | {btext}" if btext
                     else f"FROM {plan.table}",
                     enrich, lookup_indexes, sample_key,
-                    tsds=tsds, _in_fork=True)
+                    tsds=tsds, knn_key=knn_key, _in_fork=True)
                 branches.append(sub.commands)
             plan.commands.append(("fork", branches))
         else:
@@ -1361,16 +1411,19 @@ def _validate_order_flow(plan: EsqlPlan) -> None:
                 f"{sorted(active & set(p))} is not supported — use "
                 f"KEEP (it projects sort columns through)")
         elif kind in ("enrich", "lookup", "inlinestats",
-                      "fork") and active:
+                      "fork", "knn") and active:
             what = {"enrich": "ENRICH", "lookup": "LOOKUP JOIN",
                     "inlinestats": "INLINESTATS",
-                    "fork": "FORK"}[kind]
+                    "fork": "FORK", "knn": "KNN"}[kind]
             raise ValueError(
                 f"esql: {what} after an active SORT is not "
                 f"supported — the join/window exchange does not "
                 f"preserve row order; move the SORT after it")
         elif kind == "fork":
             active = set()  # the union does not preserve order
+        elif kind == "knn":
+            # the top-k establishes (_score desc, key asc)
+            active = {"_score", p[3]}
 
 
 def _split_agg_filter(rhs: str) -> tuple[str, str | None]:
@@ -1433,6 +1486,38 @@ def esql_df(df: DataFrame, plan: EsqlPlan,
     is small by contract, so a shuffle-free broadcast hash join is
     the 100-TB shape)."""
     return _df_apply(df, plan.commands, lookups)
+
+
+def _knn_score_col(col: str, qv: list) -> "F.Column":
+    """ES dense_vector cosine ``_score`` = (1 + cosine) / 2 against
+    a literal query vector, rounded to 4 (the repo's ann rounding
+    convention; ties after rounding break on the caller's key)."""
+    import math
+
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qn = math.sqrt(sum(float(x) * float(x) for x in qv))
+    dot = F.aggregate(
+        F.zip_with(F.col(col), qlit,
+                   lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    dn = F.sqrt(F.aggregate(
+        F.col(col), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.round(
+        (F.lit(1.0) + dot / (dn * F.lit(qn))) / F.lit(2.0), 4)
+
+
+def _knn_score_duck(col: str, qv: list) -> str:
+    """DuckDB mirror of :func:`_knn_score_col` (same literal, same
+    (1+cos)/2 scoring, same rounding)."""
+    import math
+
+    qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
+    qn = math.sqrt(sum(float(x) * float(x) for x in qv))
+    c = f"CAST({col} AS DOUBLE[])"
+    return (f"round((1.0 + list_dot_product({c}, {qlit}) / "
+            f"(sqrt(list_dot_product({c}, {c})) * {qn!r})) "
+            f"/ 2.0, 4)")
 
 
 def _df_rate_stats(df: DataFrame, p) -> DataFrame:
@@ -1622,6 +1707,16 @@ def _df_apply(df: DataFrame, commands: list,
             df = df.filter(F.expr(
                 f"CAST(conv(substr(md5(CAST({key} AS STRING)), "
                 f"1, 8), 16, 10) AS BIGINT) % 1000000 < {thr}"))
+        elif kind == "knn":
+            # ES|QL KNN (ES 8.19 preview): score every (pre-filtered)
+            # row against the literal query, keep the top k — one
+            # TakeOrderedAndProject, no join, no corpus broadcast.
+            # _score survives for later SORT/KEEP (the METADATA
+            # _score convention).
+            col, qv, k, key = p
+            df = (df.withColumn("_score", _knn_score_col(col, qv))
+                  .orderBy(F.desc_nulls_last("_score"), F.asc(key))
+                  .limit(k))
         elif kind == "fork":
             from functools import reduce
 
@@ -1870,6 +1965,17 @@ def _duck_apply_tracked(sql: str, commands: list,
                    f"CAST(concat('0x', substr(md5(CAST({key} "
                    f"AS VARCHAR)), 1, 8)) AS BIGINT) "
                    f"% 1000000 < {thr}")
+        elif kind == "knn":
+            col, qv, k, key = p
+            score = _knn_score_duck(col, qv)
+            sql = (f"SELECT * FROM (SELECT *, {score} AS _score "
+                   f"FROM ({sql}) _kb) _ks "
+                   f"ORDER BY _score DESC NULLS LAST, {key} ASC "
+                   f"NULLS FIRST LIMIT {k}")
+            # the top-k establishes the active order for later LIMITs
+            order = [("_score", False, False), (key, True, True)]
+            final_keep = None
+            known |= {"_score"}
         elif kind == "fork":
             # each branch renders the shared input independently
             # (with its own order/limit bookkeeping), tags itself,

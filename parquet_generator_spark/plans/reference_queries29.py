@@ -86,3 +86,43 @@ def _esql_rate_oracle() -> str:
 
 QUERIES.update({"esql_rate": esql_rate})
 ORACLES.update({"esql_rate": _esql_rate_oracle()})
+
+
+# ------------------------------------------------------ esql_knn
+
+# the dsl_knn literal query (reference_queries15), so the ES|QL and
+# Query-DSL vector paths are directly comparable
+ESQL_KNN_K = 12
+
+
+def _esql_knn_query() -> str:
+    from parquet_generator_spark.plans.reference_queries15 import (
+        KNN_QV,
+    )
+
+    vec = ", ".join(repr(v) for v in KNN_QV)
+    return (f"FROM embeddings "
+            f"| WHERE label >= 3 "
+            f"| WHERE KNN(embedding, [{vec}], {ESQL_KNN_K}) "
+            f"| KEEP vec_id, label, _score "
+            f"| SORT _score DESC, vec_id")
+
+
+def esql_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``KNN`` (ES 8.19 preview): filtered vector search in
+    the pipeline grammar — the preceding WHERE is the ES pre-filter
+    (every hit satisfies it), the KNN keeps the top k by the
+    dense_vector cosine score (1+cos)/2 with the vec_id tiebreak,
+    and ``_score`` rides into KEEP/SORT (the METADATA _score
+    convention). Plan: pushed label filter -> one narrow scoring
+    map -> TakeOrderedAndProject; no join, no corpus broadcast."""
+    plan = parse_esql(_esql_knn_query(), knn_key="vec_id")
+    emb = load_table(spark, "embeddings", sf_dir)
+    return esql_df(emb, plan)
+
+
+QUERIES.update({"esql_knn": esql_knn})
+ORACLES.update({
+    "esql_knn": esql_duck_sql(parse_esql(_esql_knn_query(),
+                                         knn_key="vec_id")),
+})

@@ -866,6 +866,64 @@ def test_rate_fences():
         parse_esql("FROM m | EVAL x = RATE(ctr)", tsds=tsds)
 
 
+def test_knn_top_k_parity(spark):
+    """KNN as the sole WHERE predicate: (1+cos)/2 scoring against
+    the literal query, deterministic top-k with the key tiebreak,
+    engine parity, pre-filter composition via a preceding WHERE."""
+    rows = [
+        (1, "a", [1.0, 0.0]),    # cos 1.0  -> score 1.0
+        (2, "a", [0.0, 1.0]),    # cos 0.0  -> score 0.5
+        (3, "b", [-1.0, 0.0]),   # cos -1.0 -> score 0.0
+        (4, "b", [1.0, 1.0]),    # cos .7071 -> 0.8536
+        (5, "a", [1.0, 0.0]),    # tie with id 1 -> id order
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, kind string, vec array<double>")
+    q = ("FROM t | WHERE KNN(vec, [1.0, 0.0], 3) "
+         "| KEEP id, _score")
+    plan = parse_esql(q, knn_key="id")
+    got = [(r["id"], r["_score"]) for r in
+           esql_df(df, plan).collect()]
+    assert got == [(1, 1.0), (5, 1.0), (4, 0.8536)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, kind VARCHAR, "
+                "vec DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    assert con.execute(esql_duck_sql(plan)).fetchall() == got
+    # pre-filter in a PRECEDING WHERE: only kind='b' rows compete
+    q2 = ('FROM t | WHERE kind == "b" | WHERE KNN(vec, [1.0, 0.0], '
+          "1) | KEEP id, _score")
+    plan2 = parse_esql(q2, knn_key="id")
+    s2 = [tuple(r) for r in esql_df(df, plan2).collect()]
+    d2 = con.execute(esql_duck_sql(plan2)).fetchall()
+    assert s2 == d2 == [(4, 0.8536)]
+    # STATS composes over the k survivors
+    q3 = ("FROM t | WHERE KNN(vec, [1.0, 0.0], 3) "
+          "| STATS n = COUNT(*), top = MAX(_score) BY kind "
+          "| SORT kind")
+    plan3 = parse_esql(q3, knn_key="id")
+    s3 = [tuple(r) for r in esql_df(df, plan3).collect()]
+    d3 = con.execute(esql_duck_sql(plan3)).fetchall()
+    assert s3 == d3 == [("a", 2, 1.0), ("b", 1, 0.8536)]
+
+
+def test_knn_fences():
+    with pytest.raises(ValueError, match="knn_key"):
+        parse_esql("FROM t | WHERE KNN(vec, [1.0, 0.0], 3)")
+    with pytest.raises(ValueError, match="SOLE predicate"):
+        parse_esql('FROM t | WHERE KNN(vec, [1.0], 3) AND '
+                   'kind == "b"', knn_key="id")
+    with pytest.raises(ValueError, match="sole predicate"):
+        parse_esql("FROM t | EVAL s = KNN(vec, [1.0], 3)",
+                   knn_key="id")
+    with pytest.raises(ValueError, match="literal numeric"):
+        parse_esql("FROM t | WHERE KNN(vec, [a, b], 3)",
+                   knn_key="id")
+    with pytest.raises(ValueError, match="KNN after an active"):
+        parse_esql("FROM t | SORT id "
+                   "| WHERE KNN(vec, [1.0], 3)", knn_key="id")
+
+
 def test_fork_eval_reassignment(spark):
     """Advisor-found divergence: `known` must thread across FORK
     boundaries — a branch re-EVAL of a pre-fork name, and a
