@@ -96,17 +96,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ROUND-12 LEDGER: the two round-11 rotation-debt keys
 # (hash_sample, context_window_fill — never driver-sampled; both
 # judge-sim MATCH per VERDICT r11) lead the window so
-# CORRECTNESS_r12 gives them hard driver rows. The 8 round-12
+# CORRECTNESS_r12 gives them hard driver rows. The 9 round-12
 # additions (every one two-SF sim-verified MATCH at sf0.01 AND
-# sf0.001 on registration) follow; the remaining 40 slots hold
-# round-11 keys for re-verification (the window is exactly 50).
-# Ten round-11 keys rotated OUT this round (esql_cidr_match,
-# esql_sample,
-# c4_line_filters, dsir_importance_weights, filter_ablation_grid,
-# quality_classifier_gd, dedup_index_served, dsl_match_lang_routed,
-# audio_pcm_stats, ann_int8_rescore) — all hard-sampled MATCH in
+# sf0.001 on registration) follow, then TWO re-fronted keys whose
+# translator rendering changed this round (painless float-literal
+# CAST), then 37 round-11 re-verification keys (window exactly 50).
+# Thirteen round-11 keys rotated OUT this round (esql_cidr_match,
+# esql_sample, c4_line_filters, dsir_importance_weights,
+# filter_ablation_grid, quality_classifier_gd, dedup_index_served,
+# dsl_match_lang_routed, audio_pcm_stats, ann_int8_rescore,
+# dsl_match_analyzer_pt, dsl_match_analyzer_da,
+# dsl_match_analyzer_no) — all hard-sampled MATCH in
 # CORRECTNESS_r11, so their latest samples stay green and rotation
-# creates no new debt.
+# creates no new debt. dsl_match_analyzer_sv and esql_fork stay in
+# the window because THEIR code changed this round (swedish
+# stoplist fix; fork checkpoint + known-threading).
 FRONT_KEYS = [
     # round-11 rotation debt — sampled this round
     "hash_sample",
@@ -120,6 +124,12 @@ FRONT_KEYS = [
     "dsl_match_analyzer_nl",
     "dsl_match_analyzer_ro",
     "esql_knn",
+    "chat_template_pack",
+    # re-fronted: their TRANSLATOR RENDERING changed this round
+    # (painless float literals now CAST(x AS DOUBLE)) — sampled so
+    # the hard ledger re-covers the changed code path
+    "dsl_script_score_painless",
+    "dsl_sort_script",
     # re-verification slots (window is 50 wide). Tranche-eight
     # displaced eleven re-verification keys — dsl_match_phrase_analyzer,
     # dsl_multi_match_analyzer, source_ngram_overlap,
@@ -169,10 +179,7 @@ FRONT_KEYS = [
     "quality_prune_curve",
     "temperature_sweep",
     # round-11 tranche eight (continuation session)
-    "dsl_match_analyzer_pt",
     "dsl_match_analyzer_sv",
-    "dsl_match_analyzer_da",
-    "dsl_match_analyzer_no",
     "esql_fork",
 ]
 

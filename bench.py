@@ -461,6 +461,7 @@ HEADLINE = [
     "dsl_match_analyzer_nl",
     "dsl_match_analyzer_ro",
     "esql_knn",
+    "chat_template_pack",
 ]
 
 # brute-force exactness twins with a labeled production path; at

@@ -1027,10 +1027,20 @@ def parse_esql(query: str,
                _in_fork: bool = False) -> EsqlPlan:
     parts = _split_pipes(query.strip())
     head = parts[0]
-    m = re.fullmatch(r"FROM\s+([A-Za-z_][A-Za-z0-9_]*)", head, re.I)
+    m = re.fullmatch(r"(FROM|TS)\s+([A-Za-z_][A-Za-z0-9_]*)",
+                     head, re.I)
     if not m:
-        raise ValueError("esql: pipeline must start with FROM <index>")
-    plan = EsqlPlan(table=m.group(1))
+        raise ValueError(
+            "esql: pipeline must start with FROM <index> (or "
+            "TS <index> for a time-series source)")
+    if m.group(1).upper() == "TS" and tsds is None:
+        # the ES|QL 8.16 TS command binds the time-series identity;
+        # without it RATE() and friends have no series key
+        raise ValueError(
+            "esql: TS needs the time-series identity — pass "
+            "parse_esql(..., tsds=(<series col>, <time col>, "
+            "<tiebreak col>)) (the _tsid/@timestamp analog)")
+    plan = EsqlPlan(table=m.group(2))
     for cmd in parts[1:]:
         kw = cmd.split(None, 1)[0].upper() if cmd else ""
         body = cmd[len(kw):].strip()

@@ -44,8 +44,10 @@ ORACLES: dict = {}
 
 _TSDS = ("user_id", "ts", "event_id")
 
+# the ES|QL 8.16 TS command heads the pipeline (FROM's time-series
+# sibling — it requires the tsds identity at parse)
 ESQL_RATE_QUERY = """
-FROM ctr_events
+TS ctr_events
 | STATS rate_sum = SUM(RATE(ctr)), rate_avg = AVG(RATE(ctr)),
         rate_max = MAX(RATE(ctr)) BY day = BUCKET(ts, 1 day)
 | EVAL rate_sum = ROUND(rate_sum, 6), rate_avg = ROUND(rate_avg, 6),

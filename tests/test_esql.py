@@ -847,6 +847,17 @@ def test_rate_reset_aware(spark):
     assert abs(s2[0][1] - 1.35) < 1e-12
 
 
+def test_ts_command_heads_pipeline():
+    # TS == FROM with the time-series identity REQUIRED at parse
+    tsds = ("host", "ts", "eid")
+    plan = parse_esql("TS m | STATS r = AVG(RATE(ctr))", tsds=tsds)
+    assert plan.table == "m"
+    with pytest.raises(ValueError, match="TS needs the time-series"):
+        parse_esql("TS m | STATS n = COUNT(*)")
+    with pytest.raises(ValueError, match="must start with FROM"):
+        parse_esql("SELECT m | LIMIT 1")
+
+
 def test_rate_fences():
     tsds = ("host", "ts", "eid")
     with pytest.raises(ValueError, match="tsds"):
