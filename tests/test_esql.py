@@ -918,6 +918,27 @@ def test_knn_top_k_parity(spark):
     assert s3 == d3 == [("a", 2, 1.0), ("b", 1, 0.8536)]
 
 
+def test_knn_plan_shape(spark):
+    """The esql_knn driver key's plan: pre-filter pushed to the
+    scan, one TakeOrderedAndProject, no join/cartesian, no Python
+    eval."""
+    from parquet_generator_spark.plans.reference_queries29 import (
+        esql_knn,
+    )
+
+    df = esql_knn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("SortMergeJoin", "CartesianProduct",
+                "BroadcastNestedLoop", "BatchEvalPython"):
+        assert bad not in plan, bad
+    # the label pre-filter reaches the scan
+    fmt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "GreaterThanOrEqual(label,3)" in fmt.replace(" ", "")
+
+
 def test_knn_fences():
     with pytest.raises(ValueError, match="knn_key"):
         parse_esql("FROM t | WHERE KNN(vec, [1.0, 0.0], 3)")

@@ -109,6 +109,33 @@ def test_stored_roundtrips_through_parquet(spark, docs, tmp_path):
     assert dk == {2}
 
 
+def test_etl_write_option_materializes_analyzed(spark, tmp_path):
+    """json_docs_to_parquet(analyzed_columns=...): the index-time
+    analysis rides the reference-shaped ETL write and the written
+    dataset serves stored matches."""
+    import json
+
+    from parquet_generator_spark.etl import json_docs_to_parquet
+
+    es = get_analyzer("spanish")
+    rows = [
+        (json.dumps({"rule_name": "r one",
+                     "text": t}), "2024-01-01")
+        for _, t in ROWS if t
+    ]
+    docs_df = spark.createDataFrame(rows, ["doc", "source_date"])
+    out = json_docs_to_parquet(
+        spark, docs_df, "r one", str(tmp_path),
+        sample_ratio=1.0,
+        analyzed_columns={"analyzed": ("text", "spanish")})
+    back = spark.read.parquet(out)
+    assert "analyzed" in back.columns
+    got = {r["text"] for r in back.filter(
+        stored_match("analyzed", "cancion trabajador", es,
+                     operator="and")).collect()}
+    assert got == {ROWS[1][1]}
+
+
 def test_stored_plan_has_no_stemmer(spark, docs):
     """The point of the store: the serve plan carries NO snowball
     expression — array membership only."""
