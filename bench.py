@@ -462,6 +462,7 @@ HEADLINE = [
     "dsl_match_analyzer_ro",
     "esql_knn",
     "chat_template_pack",
+    "esql_fuse",
 ]
 
 # brute-force exactness twins with a labeled production path; at

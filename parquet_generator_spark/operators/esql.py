@@ -190,6 +190,18 @@ LIMITs. ES's same-WHERE AND conjuncts are pre-filters — express
 them as a PRECEDING WHERE here (fenced loudly). Plan shape: one
 narrow scoring map + TakeOrderedAndProject; no join, no broadcast.
 
+FUSE <key> (ES 8.19) fuses the FORK branches by reciprocal-rank
+fusion: must IMMEDIATELY follow FORK; every branch must end
+``SORT ... | LIMIT n`` (n <= 10000, the ES rerank-window cap) so
+per-branch rank is well-defined (give the SORT a unique tiebreak
+column for determinism); emits the fused ranking relation
+(key, _score = sum over branches of 1/(60 + rank), _hits) with the
+ES default rank_constant 60. DOCUMENTED DIVERGENCE: ES FUSE keeps
+the hit documents and fuses on _id metadata; this bounded form
+takes the identity column explicitly and emits the ranking (join it
+back with LOOKUP JOIN / a later pipeline if full rows are needed).
+Hybrid retrieval composes as FORK(KNN branch)(lexical branch)|FUSE.
+
 Deliberate fences (documented, raise ValueError):
 ROW/SHOW, aggregates outside STATS, KEEP *-patterns under an
 active SORT (and empty/overlapping pattern expansions at render),
@@ -1388,6 +1400,39 @@ def parse_esql(query: str,
                     tsds=tsds, knn_key=knn_key, _in_fork=True)
                 branches.append(sub.commands)
             plan.commands.append(("fork", branches))
+        elif kw == "FUSE":
+            # ES 8.19 FUSE: RRF fusion of the FORK branches. Bounded
+            # contract: FUSE takes the doc-identity column (ES fuses
+            # on _id metadata), must IMMEDIATELY follow FORK, and
+            # every branch must end `SORT ... | LIMIT n` (<= 10000,
+            # the ES rerank-window cap) so per-branch rank is
+            # well-defined; the branch SORT needs a unique tiebreak
+            # column for determinism (documented, not verifiable
+            # without a schema). Emits the fused ranking relation
+            # (key, _score = sum over branches of 1/(60 + rank),
+            # _hits) — the rank_constant 60 is the ES default.
+            if not _IDENT_RE.fullmatch(body.strip()):
+                raise ValueError(
+                    "esql: FUSE takes the doc-identity column — "
+                    "FUSE <key> (the _id analog)")
+            if not plan.commands or plan.commands[-1][0] != "fork":
+                raise ValueError(
+                    "esql: FUSE must immediately follow FORK "
+                    "(it fuses the fork branches)")
+            branches = plan.commands.pop()[1]
+            for bi, br in enumerate(branches, start=1):
+                if (len(br) < 2 or br[-2][0] != "sort"
+                        or br[-1][0] != "limit"):
+                    raise ValueError(
+                        f"esql: FUSE needs every FORK branch to end "
+                        f"'SORT ... | LIMIT n' so per-branch rank "
+                        f"is well-defined — branch {bi} does not")
+                if br[-1][1] > 10000:
+                    raise ValueError(
+                        f"esql: FUSE branch {bi} LIMIT exceeds the "
+                        f"10000 rerank-window cap")
+            plan.commands.append(
+                ("fork_fuse", (branches, body.strip())))
         else:
             raise ValueError(f"esql: unknown command {kw!r}")
     _validate_order_flow(plan)
@@ -1421,16 +1466,17 @@ def _validate_order_flow(plan: EsqlPlan) -> None:
                 f"{sorted(active & set(p))} is not supported — use "
                 f"KEEP (it projects sort columns through)")
         elif kind in ("enrich", "lookup", "inlinestats",
-                      "fork", "knn") and active:
+                      "fork", "fork_fuse", "knn") and active:
             what = {"enrich": "ENRICH", "lookup": "LOOKUP JOIN",
                     "inlinestats": "INLINESTATS",
-                    "fork": "FORK", "knn": "KNN"}[kind]
+                    "fork": "FORK", "fork_fuse": "FORK",
+                    "knn": "KNN"}[kind]
             raise ValueError(
                 f"esql: {what} after an active SORT is not "
                 f"supported — the join/window exchange does not "
                 f"preserve row order; move the SORT after it")
-        elif kind == "fork":
-            active = set()  # the union does not preserve order
+        elif kind in ("fork", "fork_fuse"):
+            active = set()  # the union/fusion does not preserve order
         elif kind == "knn":
             # the top-k establishes (_score desc, key asc)
             active = {"_score", p[3]}
@@ -1751,7 +1797,43 @@ def _df_apply(df: DataFrame, commands: list,
             df = reduce(
                 lambda a, b: a.unionByName(
                     b, allowMissingColumns=True), parts)
+        elif kind == "fork_fuse":
+            from functools import reduce
+
+            from pyspark.sql import Window
+
+            from parquet_generator_spark.operators import (
+                cache as _cache,
+            )
+
+            branches, key = p
+            shared = _cache.checkpoint(df)
+            parts = []
+            for br in branches:
+                b = _df_apply(shared, br, lookups)
+                # rank by the branch's FINAL sort (the parse
+                # contract: every branch ends SORT ... | LIMIT n,
+                # so this window spans at most the rerank-window
+                # cap of already-materialized rows)
+                w = Window.orderBy(*[
+                    _sort_col(c, asc, nf)
+                    for c, asc, nf in br[-2][1]])
+                parts.append(b.select(
+                    F.col(key),
+                    F.row_number().over(w).alias("_rank")))
+            ranked = reduce(lambda a, b: a.unionByName(b), parts)
+            df = (ranked.groupBy(key)
+                  .agg(F.round(F.sum(
+                      F.lit(1.0) / (F.lit(60.0) + F.col("_rank"))),
+                      6).alias("_score"),
+                      F.count(F.lit(1)).alias("_hits")))
     return df
+
+
+def _sort_col(c: str, asc: bool, nf: bool):
+    if asc:
+        return F.asc_nulls_first(c) if nf else F.asc_nulls_last(c)
+    return F.desc_nulls_first(c) if nf else F.desc_nulls_last(c)
 
 
 def _order_by(order: list) -> str:
@@ -2008,6 +2090,24 @@ def _duck_apply_tracked(sql: str, commands: list,
                    + ") _u")
             order, final_keep = None, None
             known = {"_fork"} | branch_known
+        elif kind == "fork_fuse":
+            branches, key = p
+            parts = []
+            for i, br in enumerate(branches, start=1):
+                bsql, _ = _duck_apply_tracked(
+                    f"SELECT * FROM ({sql}) _fb{i}", br, set(known))
+                ob = _order_by(br[-2][1])
+                parts.append(
+                    f"(SELECT {key}, row_number() OVER "
+                    f"(ORDER BY {ob}) AS _rank "
+                    f"FROM ({bsql}) _ft{i})")
+            u = " UNION ALL ".join(parts)
+            sql = (f"SELECT {key}, "
+                   f"round(sum(1.0 / (60.0 + _rank)), 6) AS _score, "
+                   f"count(*) AS _hits FROM ({u}) _fu "
+                   f"GROUP BY {key}")
+            order, final_keep = None, None
+            known = {key, "_score", "_hits"}
     if final_keep is not None:
         # drop the passthrough sort columns; ORDER BY may still
         # reference them through the subquery scope

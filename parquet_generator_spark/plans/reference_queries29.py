@@ -128,3 +128,42 @@ ORACLES.update({
     "esql_knn": esql_duck_sql(parse_esql(_esql_knn_query(),
                                          knn_key="vec_id")),
 })
+
+
+# ----------------------------------------------------- esql_fuse
+
+def _esql_fuse_query() -> str:
+    from parquet_generator_spark.plans.reference_queries15 import (
+        KNN_QV,
+    )
+
+    vec = ", ".join(repr(v) for v in KNN_QV)
+    return (
+        "FROM embeddings | FORK "
+        f"(WHERE KNN(embedding, [{vec}], 20) "
+        "| SORT _score DESC, vec_id | LIMIT 20) "
+        "(WHERE label >= 5 | EVAL s = vec_id % 97 "
+        "| SORT s DESC, vec_id | LIMIT 20) "
+        "| FUSE vec_id "
+        "| SORT _score DESC, vec_id | LIMIT 25")
+
+
+def esql_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL hybrid retrieval (ES 8.19 ``FORK ... | FUSE``): a
+    vector branch (KNN top-20 by the dense_vector cosine score) and
+    a metadata/lexical-style branch, fused by reciprocal-rank fusion
+    with the ES default rank_constant 60 on the doc identity. Each
+    branch's rank comes from its own final SORT|LIMIT (the bounded
+    rerank-window contract); the fusion is one grouped pass over at
+    most branches x window rows. The shared input scan is
+    checkpointed once (the FORK posture)."""
+    plan = parse_esql(_esql_fuse_query(), knn_key="vec_id")
+    emb = load_table(spark, "embeddings", sf_dir)
+    return esql_df(emb, plan)
+
+
+QUERIES.update({"esql_fuse": esql_fuse})
+ORACLES.update({
+    "esql_fuse": esql_duck_sql(parse_esql(_esql_fuse_query(),
+                                          knn_key="vec_id")),
+})

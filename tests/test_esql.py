@@ -939,6 +939,67 @@ def test_knn_plan_shape(spark):
     assert "GreaterThanOrEqual(label,3)" in fmt.replace(" ", "")
 
 
+def test_fuse_rrf_hand_computed(spark):
+    """FORK | FUSE: per-branch ranks from each branch's final SORT,
+    RRF with rank_constant 60 — hand-computed fused scores, engine
+    parity, and the hybrid KNN+lexical composition."""
+    rows = [
+        (1, "alpha beta", [1.0, 0.0]),
+        (2, "alpha", [0.8, 0.6]),
+        (3, "beta", [0.0, 1.0]),
+        (4, "gamma", [0.9, 0.435889894354]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, txt string, vec array<double>")
+    # branch 1 ranks by id asc; branch 2 by id desc — fused scores
+    # are hand-computable: doc1: 1/61 + 1/63; doc2: 1/62 + 1/62; ...
+    q = ("FROM t | FORK (SORT id | LIMIT 3) (SORT id DESC | LIMIT 3)"
+         " | FUSE id | SORT _score DESC, id")
+    plan = parse_esql(q)
+    got = [(r["id"], r["_score"], r["_hits"]) for r in
+           esql_df(df, plan).collect()]
+    r = lambda x: round(x, 6)  # noqa: E731
+    # branch1 (id asc): 1,2,3 -> ranks 1,2,3; branch2 (id desc):
+    # 4,3,2 -> ranks 1,2,3
+    want = sorted(
+        [(1, r(1 / 61), 1), (2, r(1 / 62 + 1 / 63), 2),
+         (3, r(1 / 63 + 1 / 62), 2), (4, r(1 / 61), 1)],
+        key=lambda t: (-t[1], t[0]))
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, txt VARCHAR, "
+                "vec DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    assert con.execute(esql_duck_sql(plan)).fetchall() == got
+    # hybrid: KNN branch + lexical branch
+    q2 = ('FROM t | FORK '
+          '(WHERE KNN(vec, [1.0, 0.0], 2) '
+          '| SORT _score DESC, id | LIMIT 2) '
+          '(WHERE txt RLIKE ".*alpha.*" | EVAL s = LENGTH(txt) '
+          '| SORT s DESC, id | LIMIT 2) '
+          '| FUSE id | SORT _score DESC, id | LIMIT 3')
+    plan2 = parse_esql(q2, knn_key="id")
+    s2 = [tuple(x) for x in esql_df(df, plan2).collect()]
+    d2 = con.execute(esql_duck_sql(plan2)).fetchall()
+    assert s2 == d2 and len(s2) == 3
+    # doc1 tops: rank 1 in the knn branch AND rank 1 lexical
+    assert s2[0][0] == 1 and s2[0][2] == 2
+
+
+def test_fuse_fences():
+    with pytest.raises(ValueError, match="immediately follow FORK"):
+        parse_esql("FROM t | WHERE id > 0 | FUSE id")
+    with pytest.raises(ValueError, match="SORT ... \\| LIMIT"):
+        parse_esql("FROM t | FORK (SORT id | LIMIT 2) (LIMIT 2) "
+                   "| FUSE id")
+    with pytest.raises(ValueError, match="rerank-window cap"):
+        parse_esql("FROM t | FORK (SORT id | LIMIT 2) "
+                   "(SORT id | LIMIT 20000) | FUSE id")
+    with pytest.raises(ValueError, match="doc-identity column"):
+        parse_esql("FROM t | FORK (SORT id | LIMIT 2) "
+                   "(SORT id | LIMIT 2) | FUSE 1+1")
+
+
 def test_knn_fences():
     with pytest.raises(ValueError, match="knn_key"):
         parse_esql("FROM t | WHERE KNN(vec, [1.0, 0.0], 3)")
