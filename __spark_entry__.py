@@ -96,12 +96,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ROUND-12 LEDGER: the two round-11 rotation-debt keys
 # (hash_sample, context_window_fill — never driver-sampled; both
 # judge-sim MATCH per VERDICT r11) lead the window so
-# CORRECTNESS_r12 gives them hard driver rows. The 10 round-12
+# CORRECTNESS_r12 gives them hard driver rows. The 11 round-12
 # additions (every one two-SF sim-verified MATCH at sf0.01 AND
 # sf0.001 on registration) follow, then TWO re-fronted keys whose
 # translator rendering changed this round (painless float-literal
-# CAST), then 36 round-11 re-verification keys (window exactly 50).
-# Fourteen round-11 keys rotated OUT this round (temperature_sweep,
+# CAST), then 35 round-11 re-verification keys (window exactly 50).
+# Fifteen round-11 keys rotated OUT this round (quality_prune_curve,
+# temperature_sweep,
 # esql_cidr_match,
 # esql_sample, c4_line_filters, dsir_importance_weights,
 # filter_ablation_grid, quality_classifier_gd, dedup_index_served,
@@ -127,6 +128,7 @@ FRONT_KEYS = [
     "esql_knn",
     "chat_template_pack",
     "esql_fuse",
+    "dsl_match_analyzer_ru",
     # re-fronted: their TRANSLATOR RENDERING changed this round
     # (painless float literals now CAST(x AS DOUBLE)) — sampled so
     # the hard ledger re-covers the changed code path
@@ -178,7 +180,6 @@ FRONT_KEYS = [
     "esql_string_funcs",
     "esql_sort_nulls",
     "esql_keep_wildcard",
-    "quality_prune_curve",
     # round-11 tranche eight (continuation session)
     "dsl_match_analyzer_sv",
     "esql_fork",

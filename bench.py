@@ -463,6 +463,7 @@ HEADLINE = [
     "esql_knn",
     "chat_template_pack",
     "esql_fuse",
+    "dsl_match_analyzer_ru",
 ]
 
 # brute-force exactness twins with a labeled production path; at

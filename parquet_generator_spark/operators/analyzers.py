@@ -65,6 +65,7 @@ SWEDISH_CHARSET = "a-z0-9äåö"
 DUTCH_CHARSET = "a-z0-9äëïöüáéíóúè"
 # cedilla forms (the snowball originals) — see snowball_ro.py
 ROMANIAN_CHARSET = "a-z0-9ăâîşţ"
+RUSSIAN_CHARSET = "а-яё0-9"
 DANISH_CHARSET = "a-z0-9æøå"
 NORWEGIAN_CHARSET = "a-z0-9æøå"
 
@@ -148,6 +149,11 @@ def _stem_py(kind, w: str) -> str:
             romanian_stem,
         )
         return romanian_stem(w)
+    if kind == "russian":
+        from parquet_generator_spark.operators.snowball_ru import (
+            russian_stem,
+        )
+        return russian_stem(w)
     if kind in ("swedish", "danish", "norwegian"):
         from parquet_generator_spark.operators import snowball_scand
         return getattr(snowball_scand, f"{kind}_stem")(w)
@@ -160,7 +166,7 @@ def _stem_py(kind, w: str) -> str:
 _EXPENSIVE_STEMMERS = ("porter", "german", "french", "spanish",
                        "italian", "portuguese", "swedish",
                        "danish", "norwegian", "dutch",
-                       "romanian")
+                       "romanian", "russian")
 
 
 def _stem_expr(kind, ref: str, engine: str) -> str:
@@ -206,6 +212,11 @@ def _stem_expr(kind, ref: str, engine: str) -> str:
             romanian_stem_sql,
         )
         return romanian_stem_sql(ref, engine)
+    if kind == "russian":
+        from parquet_generator_spark.operators.snowball_ru import (
+            russian_stem_sql,
+        )
+        return russian_stem_sql(ref, engine)
     if kind in ("swedish", "danish", "norwegian"):
         from parquet_generator_spark.operators import snowball_scand
         return getattr(snowball_scand,
@@ -363,6 +374,25 @@ register_analyzer(Analyzer("romanian",
                            stopwords=ROMANIAN_STOPWORDS,
                            stem=True, stemmer="romanian",
                            charset=ROMANIAN_CHARSET))
+# the snowball russian stoplist (public constant; leading subset)
+RUSSIAN_STOPWORDS = frozenset("""
+и в во не что он на я с со как а то все она так его но да ты к у
+же вы за бы по только ее мне было вот от меня еще нет о из ему
+теперь когда даже ну вдруг ли если уже или ни быть был него до
+вас нибудь опять уж вам сказал ведь там потом себя ничего ей
+может они тут где есть надо ней для мы тебя их чем была сам чтоб
+без будто человек чего раз тоже себе под будет ж тогда кто этот
+того потому этого какой совсем ним здесь этом один почти мой тем
+чтобы нее кажется сейчас были куда зачем всех никогда можно при
+два об другой хоть после над больше тот через эти нас про всего
+них какая много разве эту моя впрочем хорошо свою этой перед
+иногда лучше чуть том нельзя такой им более всегда конечно всю
+между
+""".split())
+register_analyzer(Analyzer("russian",
+                           stopwords=RUSSIAN_STOPWORDS,
+                           stem=True, stemmer="russian",
+                           charset=RUSSIAN_CHARSET))
 SWEDISH_STOPWORDS = frozenset("""
 och det att i en jag hon som han på den med var sig för så till
 är men ett om hade de av du henne då sin nu har inte hans honom
@@ -466,6 +496,12 @@ def _prefix_guarded_stem(kind, ref: str, engine: str,
     always shares its first two display chars with the token
     (pinned by a Hypothesis property in tests/test_snowball_pt.py).
 
+    Russian: SOUND with a ё-folded prefix compare — every edit is
+    a tail deletion at a position inside RV (never a body rewrite
+    beyond the ё->е prelude, which the probe applies too), so any
+    >= 2-char stem keeps the token's first two folded chars
+    (pinned by a Hypothesis property in tests/test_snowball_ru.py).
+
     Romanian: SOUND with a raw prefix compare — the algorithm has
     NO body rewrites at all (the I/U prelude marks letter CLASS
     only, never the text; the one in-place rewrite, iune's ţ -> t,
@@ -494,15 +530,20 @@ def _prefix_guarded_stem(kind, ref: str, engine: str,
     shorter than 3 chars (the invariants don't cover those)."""
     stem = _stem_expr(kind, ref, engine)
     if kind not in ("porter", "italian", "portuguese", "swedish",
-                    "danish", "norwegian", "romanian"):
+                    "danish", "norwegian", "romanian", "russian"):
         return stem
     stems = [g for grp in groups for g in grp]
     if not stems or any(len(g) < 3 for g in stems):
         return stem
     lits = ", ".join(_quote(g[:2]) for g in sorted({g[:2]
                                                     for g in stems}))
-    probe = (f"translate({ref}, 'áéíóú', 'àèìòù')"
-             if kind == "italian" else ref)
+    probe = ref
+    if kind == "italian":
+        probe = f"translate({ref}, 'áéíóú', 'àèìòù')"
+    elif kind == "russian":
+        # the only body rewrite is the ё->е prelude — fold the
+        # compared prefix the same way (group stems are post-fold)
+        probe = f"replace({ref}, 'ё', 'е')"
     return (f"CASE WHEN substr({probe}, 1, 2) IN ({lits}) "
             f"THEN {stem} ELSE {ref} END")
 

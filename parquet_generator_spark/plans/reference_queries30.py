@@ -271,6 +271,78 @@ QUERIES.update({"dsl_match_analyzer_ro": dsl_match_analyzer_ro})
 ORACLES.update({"dsl_match_analyzer_ro": _ro_oracle()})
 
 
+# ------------------------------------------ dsl_match_analyzer_ru
+
+# planted cyrillic declensions (the first non-Latin-script analyzer
+# — the english tokenizer produces NO tokens from them at all):
+# книги/книгами -> книг (noun endings + step-2 и),
+# красивые/красивая/красивых -> красив (adjective endings)
+_RU_SNIPPETS = [
+    "красивые книги на столе",
+    "книгами и красивая полка",
+    "пять красивых книг",
+]
+_RU_QUERY = "книга красивый"
+
+
+def _ru_planted_expr() -> str:
+    snip = ("CASE CAST(doc_id % 3 AS INT) "
+            + " ".join(f"WHEN {i} THEN '{s}'"
+                       for i, s in enumerate(_RU_SNIPPETS))
+            + " END")
+    return (f"CASE WHEN doc_id % 5 = 1 THEN "
+            f"concat({snip}, ' ', substr(text, 1, 60)) "
+            f"ELSE substr(text, 1, 60) END")
+
+
+def dsl_match_analyzer_ru(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """``match`` with ``analyzer: "russian"`` (snowball russian,
+    operators/snowball_ru.py, operator AND) — language ELEVEN and
+    the first non-Latin script: the query's dictionary forms
+    (книга, красивый) reach the planted declensions (книгами,
+    красивых) only through the cyrillic chain — noun/adjective
+    amongs inside RV, the step-2 и, the commit-then-test gerund
+    semantics, the ё prelude. Cyrillic literals flow through the
+    same portable SQL subset as the Latin languages (length/substr
+    are codepoint-based in both engines)."""
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match,
+        get_analyzer,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = analyzed_match("mixed", _RU_QUERY,
+                          get_analyzer("russian"), operator="and")
+    return (docs
+            .withColumn("mixed", F.expr(_ru_planted_expr()))
+            .filter(pred)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("source"))
+
+
+def _ru_oracle() -> str:
+    from parquet_generator_spark.operators.analyzers import (
+        analyzed_match_duck_sql,
+        get_analyzer,
+    )
+
+    pred = analyzed_match_duck_sql(
+        "mixed", _RU_QUERY, get_analyzer("russian"), operator="and")
+    return f"""
+WITH m AS (SELECT source, {_ru_planted_expr()} AS mixed
+           FROM documents)
+SELECT source, count(*) AS doc_count
+FROM m WHERE {pred}
+GROUP BY source ORDER BY source
+"""
+
+
+QUERIES.update({"dsl_match_analyzer_ru": dsl_match_analyzer_ru})
+ORACLES.update({"dsl_match_analyzer_ru": _ru_oracle()})
+
+
 # -------------------------------------- dsl_scripted_metric_while
 
 def dsl_scripted_metric_while(spark: SparkSession,
