@@ -986,6 +986,25 @@ def test_fuse_rrf_hand_computed(spark):
     assert s2[0][0] == 1 and s2[0][2] == 2
 
 
+def test_fuse_scans_input_once(spark):
+    """fork_fuse checkpoints the shared input exactly like fork:
+    branch rank pipelines read the materialized blocks, not N file
+    scans."""
+    from parquet_generator_spark.operators import cache
+    from parquet_generator_spark.sources.catalog import load_table
+
+    q = ("FROM events | WHERE value > 0 | FORK "
+         "(SORT value DESC, event_id | LIMIT 5) "
+         "(SORT ts, event_id | LIMIT 5) "
+         "| FUSE event_id")
+    plan = parse_esql(q)
+    with cache.scope():
+        sdf = esql_df(load_table(spark, plan.table, SF), plan)
+        p = sdf._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan" not in p
+        assert sdf.count() > 0
+
+
 def test_fuse_fences():
     with pytest.raises(ValueError, match="immediately follow FORK"):
         parse_esql("FROM t | WHERE id > 0 | FUSE id")
