@@ -1540,14 +1540,42 @@ def esql_df(df: DataFrame, plan: EsqlPlan,
     name to its loaded lookup DataFrame; every lookup is BROADCAST
     (ES materializes the enrich index on every node — the dimension
     is small by contract, so a shuffle-free broadcast hash join is
-    the 100-TB shape)."""
+    the 100-TB shape).
+
+    FORK/FUSE plans eagerly checkpoint the shared pre-fork frame at
+    translation time; the blocks are registered with the cache
+    registry and released by the bench/verify harnesses' per-query
+    ``cache.release_all``. Interactive callers that don't run a
+    release harness should collect through :func:`esql_rows` (or
+    wrap their own collect in ``cache.scope()``) so abandoned
+    fork checkpoints don't accumulate storage blocks (the registry
+    warns at 64)."""
     return _df_apply(df, plan.commands, lookups)
+
+
+def esql_rows(df: DataFrame, plan: EsqlPlan,
+              lookups: dict | None = None) -> list:
+    """Collect the pipeline's rows with checkpoint hygiene: any fork
+    checkpoint registered during translation is released when the
+    collect finishes (success or error) — the interactive-caller
+    twin of the harnesses' release contract (r12 ADVICE)."""
+    from parquet_generator_spark.operators import cache as _cache
+
+    with _cache.scope():
+        return esql_df(df, plan, lookups).collect()
 
 
 def _knn_score_col(col: str, qv: list) -> "F.Column":
     """ES dense_vector cosine ``_score`` = (1 + cosine) / 2 against
     a literal query vector, rounded to 4 (the repo's ann rounding
-    convention; ties after rounding break on the caller's key)."""
+    convention; ties after rounding break on the caller's key).
+    A zero-magnitude document vector scores NULL in BOTH engines
+    (cosine is undefined; unguarded, Spark's 0.0/0.0 yields NaN,
+    which sorts ABOVE every number under desc_nulls_last while
+    DuckDB's NULL sorts last — the r12 ADVICE divergence). Length
+    contract: the document vector must have len(qv) elements —
+    shorter/longer vectors are NOT supported (Spark's zip_with
+    would null-pad where DuckDB list_dot_product hard-errors)."""
     import math
 
     qlit = F.array(*[F.lit(float(x)) for x in qv])
@@ -1559,21 +1587,23 @@ def _knn_score_col(col: str, qv: list) -> "F.Column":
     dn = F.sqrt(F.aggregate(
         F.col(col), F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return F.round(
-        (F.lit(1.0) + dot / (dn * F.lit(qn))) / F.lit(2.0), 4)
+    return F.when(dn > 0, F.round(
+        (F.lit(1.0) + dot / (dn * F.lit(qn))) / F.lit(2.0), 4))
 
 
 def _knn_score_duck(col: str, qv: list) -> str:
     """DuckDB mirror of :func:`_knn_score_col` (same literal, same
-    (1+cos)/2 scoring, same rounding)."""
+    (1+cos)/2 scoring, same rounding, same NULL-for-zero-vector
+    guard)."""
     import math
 
     qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
     qn = math.sqrt(sum(float(x) * float(x) for x in qv))
     c = f"CAST({col} AS DOUBLE[])"
-    return (f"round((1.0 + list_dot_product({c}, {qlit}) / "
+    return (f"(CASE WHEN list_dot_product({c}, {c}) > 0 THEN "
+            f"round((1.0 + list_dot_product({c}, {qlit}) / "
             f"(sqrt(list_dot_product({c}, {c})) * {qn!r})) "
-            f"/ 2.0, 4)")
+            f"/ 2.0, 4) END)")
 
 
 def _df_rate_stats(df: DataFrame, p) -> DataFrame:
@@ -1818,9 +1848,16 @@ def _df_apply(df: DataFrame, commands: list,
                 w = Window.orderBy(*[
                     _sort_col(c, asc, nf)
                     for c, asc, nf in br[-2][1]])
-                parts.append(b.select(
-                    F.col(key),
-                    F.row_number().over(w).alias("_rank")))
+                # ES RRF fuses per DOCUMENT (_id once per branch):
+                # a branch with a non-unique identity contributes
+                # its BEST rank only, not one term per duplicate
+                # row (r12 ADVICE). The groupBy spans at most the
+                # branch's already-LIMITed rows.
+                parts.append(
+                    b.select(F.col(key),
+                             F.row_number().over(w).alias("_rank"))
+                    .groupBy(key)
+                    .agg(F.min("_rank").alias("_rank")))
             ranked = reduce(lambda a, b: a.unionByName(b), parts)
             df = (ranked.groupBy(key)
                   .agg(F.round(F.sum(
@@ -2097,10 +2134,13 @@ def _duck_apply_tracked(sql: str, commands: list,
                 bsql, _ = _duck_apply_tracked(
                     f"SELECT * FROM ({sql}) _fb{i}", br, set(known))
                 ob = _order_by(br[-2][1])
+                # per-branch dedup to best rank per key (the ES
+                # fuse-per-document rule; mirrors the DataFrame side)
                 parts.append(
+                    f"(SELECT {key}, min(_rank) AS _rank FROM "
                     f"(SELECT {key}, row_number() OVER "
                     f"(ORDER BY {ob}) AS _rank "
-                    f"FROM ({bsql}) _ft{i})")
+                    f"FROM ({bsql}) _ft{i}) _fd{i} GROUP BY {key})")
             u = " UNION ALL ".join(parts)
             sql = (f"SELECT {key}, "
                    f"round(sum(1.0 / (60.0 + _rank)), 6) AS _score, "

@@ -1093,3 +1093,72 @@ def test_eval_reassignment_replaces(spark):
     assert all(r[1] == 0 for r in s2)
     with pytest.raises(ValueError, match="duplicate EVAL name"):
         parse_esql("FROM events | EVAL b = 1, b = 2")
+
+
+def test_knn_zero_vector_scores_null_last(spark):
+    """r12 ADVICE: a zero-magnitude document vector must score NULL
+    in BOTH engines (cosine undefined) and sort LAST — unguarded,
+    Spark's 0.0/0.0 NaN ranked it FIRST under desc_nulls_last while
+    DuckDB's NULL went last."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),   # zero vector: NULL score, never top-k
+        (3, [0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    q = "FROM t | WHERE KNN(vec, [1.0, 0.0], 2) | KEEP id, _score"
+    plan = parse_esql(q, knn_key="id")
+    got = [tuple(r) for r in esql_df(df, plan).collect()]
+    assert got == [(1, 1.0), (3, 1.0)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, vec DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    assert con.execute(esql_duck_sql(plan)).fetchall() == got
+    # k larger than the non-degenerate pool: the zero vector row
+    # still appears (ES would too) but carries a NULL score, last
+    q2 = "FROM t | WHERE KNN(vec, [1.0, 0.0], 3) | KEEP id, _score"
+    plan2 = parse_esql(q2, knn_key="id")
+    s2 = [tuple(r) for r in esql_df(df, plan2).collect()]
+    d2 = con.execute(esql_duck_sql(plan2)).fetchall()
+    assert s2 == d2 == [(1, 1.0), (3, 1.0), (2, None)]
+
+
+def test_fuse_dedups_branch_to_best_rank(spark):
+    """r12 ADVICE: ES RRF fuses per DOCUMENT — a branch that yields
+    the same identity twice contributes its BEST rank once, not two
+    reciprocal-rank terms (and _hits counts branches, not rows)."""
+    rows = [(1, "x", 10), (1, "y", 9), (2, "x", 8), (3, "z", 7)]
+    df = spark.createDataFrame(rows, "id long, tag string, v long")
+    # branch 1 sorts v desc: id 1 holds ranks 1 AND 2 -> one 1/61
+    # term; branch 2 sorts v asc: ranks 3,4 for id 1
+    q = ("FROM t | FORK (SORT v DESC, tag | LIMIT 4) "
+         "(SORT v, tag | LIMIT 4) | FUSE id | SORT _score DESC, id")
+    plan = parse_esql(q)
+    got = [(r["id"], r["_score"], r["_hits"]) for r in
+           esql_df(df, plan).collect()]
+    r = lambda x: round(x, 6)  # noqa: E731
+    want = sorted(
+        [(1, r(1 / 61 + 1 / 63), 2), (2, r(1 / 63 + 1 / 62), 2),
+         (3, r(1 / 64 + 1 / 61), 2)],
+        key=lambda t: (-t[1], t[0]))
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, tag VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    assert con.execute(esql_duck_sql(plan)).fetchall() == got
+
+
+def test_esql_rows_releases_fork_checkpoint(spark):
+    """esql_rows (the interactive-caller collect) releases the fork
+    checkpoint blocks on exit — no registry growth."""
+    from parquet_generator_spark.operators import cache
+    from parquet_generator_spark.operators.esql import esql_rows
+    from parquet_generator_spark.sources.catalog import load_table
+
+    q = ("FROM events | FORK (SORT value DESC, event_id | LIMIT 3) "
+         "(SORT ts, event_id | LIMIT 3) | FUSE event_id")
+    plan = parse_esql(q)
+    before = cache.tracked_count()
+    rows = esql_rows(load_table(spark, plan.table, SF), plan)
+    assert len(rows) > 0
+    assert cache.tracked_count() == before

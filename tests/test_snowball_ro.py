@@ -85,6 +85,34 @@ def test_step1_repeat_chains():
     assert romanian_stem("autenticitate") == "autent"
 
 
+def test_step1_bound_boundary_vectors():
+    """r12 ADVICE: the _S1_ROUNDS=2 bound vs snowball's unbounded
+    `repeat`. These vectors sit AT the stacking boundary and were
+    verified against the canonical snowball implementation
+    (PostgreSQL 15's snowball `romanian_stem` dictionary, the
+    snowballstem.org C generator output): two genuine rounds is the
+    deepest chain the suffix table can produce — every replacement
+    (abil/ibil/iv/ic/at/it/ăt) re-exposes at most ONE further
+    combining suffix, so round 3 never fires even on engineered
+    words. The bound is therefore exact, not an approximation."""
+    canon = {
+        # two-round chains (replacement re-exposes one suffix)
+        "aţionabilitate": "aţion",
+        "izabilitate": "izabil",
+        "icabilitate": "icabil",
+        "ivabilitate": "ivabil",
+        "icativitate": "icat",
+        "abilitativitate": "abilit",
+        "icivitate": "iciv",
+        # engineered 3-stack candidates: canonical does NOT chain
+        # deeper (itate is a NON-repeated step-2 standard suffix)
+        "formativitateitate": "formativitat",
+        "creativitateivitate": "creativitat",
+    }
+    for w, want in canon.items():
+        assert romanian_stem(w) == want, w
+
+
 @pytest.fixture(scope="module")
 def duck():
     return duckdb.connect()
