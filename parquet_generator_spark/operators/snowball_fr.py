@@ -44,14 +44,20 @@ from __future__ import annotations
 _TRUE_VOWELS = "aeoâàëéêèïîôûù"
 _MARK_ROUNDS = 3
 
-# marking patterns over the 5-symbol alphabet, applied in order
+# marking patterns over the 6-symbol alphabet, applied in order
 # inside each round: u-after-q, i/u between vowel letters (left
 # neighbor loses vowel-hood once marked -> sbl's left-to-right
-# cursor), then y adjacent to a vowel letter
+# cursor), then y adjacent to a vowel letter. The diaeresis marker
+# H (symbol h) counts as VOWEL context on the RIGHT only: in the
+# original word the position held ë/ï, so a preceding i/u/y sees a
+# vowel (gyë -> gYHe marks the y), but the inserted letters are
+# never re-examined (aïa -> aHia leaves the i of Hi unmarked, the
+# sbl cursor-moves-past behavior).
 _MARK_PATTERNS = (
     [("qi", "qb")]
-    + [(a + "i" + b, a + "b" + b) for a in "aiy" for b in "aiy"]
-    + [("ay", "ab"), ("iy", "ib"), ("ya", "ba"), ("yi", "bi")]
+    + [(a + "i" + b, a + "b" + b) for a in "aiy" for b in "aiyh"]
+    + [("ay", "ab"), ("iy", "ib"),
+       ("ya", "ba"), ("yi", "bi"), ("yh", "bh")]
 )
 
 
@@ -62,13 +68,14 @@ def _mark_skeleton(w: str) -> str:
         "a" if ch in _TRUE_VOWELS
         else ("i" if ch in "iu" else
               ("y" if ch == "y" else
-               ("q" if ch == "q" else "b")))
+               ("q" if ch == "q" else
+                ("h" if ch == "H" else "b"))))
         for ch in w)
     for _ in range(_MARK_ROUNDS):
         for pat, rep in _MARK_PATTERNS:
             s = s.replace(pat, rep)
     return (s.replace("i", "a").replace("y", "a")
-            .replace("q", "b"))
+            .replace("q", "b").replace("h", "b"))
 
 
 def _cvof(suffix: str) -> str:
@@ -127,7 +134,12 @@ _S2B_A = ["âmes", "ât", "âtes", "a", "ai", "aient", "ais", "ait",
 def french_stem(word: str) -> str:
     """Plan-time Python twin of :func:`french_stem_sql` (identical
     step structure, marking chain, and region arithmetic)."""
-    w = word
+    # prelude (french.sbl 2018+): diaeresis vowels expand to a
+    # marker consonant + plain vowel (ë -> He, ï -> Hi) BEFORE
+    # regions are computed — the H creates the vowel/consonant
+    # boundary the canonical algorithm sees (égoïste -> égo needs
+    # 'iste' inside R2 of égoHiste); the postlude restores survivors
+    w = word.replace("ë", "He").replace("ï", "Hi")
     c = _mark_skeleton(w)
     rv, r1, r2 = _regions(w, c)
 
@@ -153,11 +165,13 @@ def french_stem(word: str) -> str:
         i = len(w) - n - 1
         return c[i] if i >= 0 else ""
 
-    changed = False
-
     # ---------------- step 1: standard suffixes -------------------
-    def step1() -> bool:
-        # longest textual match wins; arm failure ends the step
+    def step1() -> int:
+        # longest textual match wins; arm failure ends the step.
+        # Returns 0 (no change), 1 (changed) or 2 (changed by one
+        # of the *ment endings — canonical french still runs steps
+        # 2a/2b after those: constamment -> constant -> const,
+        # sentiment -> senti -> sent)
         suf = None
         for s in sorted(
                 _S1_A + _S1_B + ["logie", "logies", "usion", "ution",
@@ -172,15 +186,15 @@ def french_stem(word: str) -> str:
                 suf = s
                 break
         if suf is None:
-            return False
+            return 0
         n = len(suf)
         if suf in _S1_A:
             if not in_r2(n):
-                return False
+                return 0
             cut(n)
         elif suf in _S1_B:
             if not in_r2(n):
-                return False
+                return 0
             cut(n)
             if w.endswith("ic"):
                 if in_r2(2):
@@ -189,19 +203,19 @@ def french_stem(word: str) -> str:
                     cut(2, "iqu")
         elif suf in ("logie", "logies"):
             if not in_r2(n):
-                return False
+                return 0
             cut(n, "log")
         elif suf in ("usion", "ution", "usions", "utions"):
             if not in_r2(n):
-                return False
+                return 0
             cut(n, "u")
         elif suf in ("ence", "ences"):
             if not in_r2(n):
-                return False
+                return 0
             cut(n, "ent")
         elif suf in ("ement", "ements"):
             if not in_rv(n):
-                return False
+                return 0
             cut(n)
             if w.endswith("iv") and in_r2(2):
                 cut(2)
@@ -218,7 +232,7 @@ def french_stem(word: str) -> str:
                 cut(3, "i")
         elif suf in ("ité", "ités"):
             if not in_r2(n):
-                return False
+                return 0
             cut(n)
             if w.endswith("abil"):
                 if in_r2(4):
@@ -234,7 +248,7 @@ def french_stem(word: str) -> str:
                 cut(2)
         elif suf in ("if", "ive", "ifs", "ives"):
             if not in_r2(n):
-                return False
+                return 0
             cut(n)
             if w.endswith("at") and in_r2(2):
                 cut(2)
@@ -247,7 +261,7 @@ def french_stem(word: str) -> str:
             cut(4, "eau")
         elif suf == "aux":
             if not in_r1(3):
-                return False
+                return 0
             cut(3, "al")
         elif suf in ("euse", "euses"):
             if in_r2(n):
@@ -255,32 +269,37 @@ def french_stem(word: str) -> str:
             elif in_r1(n):
                 cut(n, "eux")
             else:
-                return False
+                return 0
         elif suf in ("issement", "issements"):
             if not (in_r1(n) and prev_class(n) == "b"):
-                return False
+                return 0
             cut(n)
         elif suf == "amment":
             if not in_rv(n):
-                return False
+                return 0
             cut(n, "ant")
         elif suf == "emment":
             if not in_rv(n):
-                return False
+                return 0
             cut(n, "ent")
         else:  # ment, ments
             if not (prev_class(n) == "a" and pos(n) - 1 >= rv):
-                return False
+                return 0
             cut(n)
-        return True
+        return (2 if suf in ("amment", "emment", "ment", "ments")
+                else 1)
 
     # ------------- step 2a: verb suffixes beginning i -------------
     def step2a() -> bool:
         for s in sorted(_S2A, key=len, reverse=True):
             n = len(s)
             if w.endswith(s) and in_rv(n):
-                # arm: preceded by a non-vowel, itself in RV
-                if prev_class(n) == "b" and pos(n) - 1 >= rv:
+                # arm: preceded by a non-vowel OTHER THAN the
+                # diaeresis marker H (maïs -> maHis must NOT read
+                # 'is' as a verb suffix), itself in RV
+                if (prev_class(n) == "b"
+                        and w[len(w) - n - 1] != "H"
+                        and pos(n) - 1 >= rv):
                     cut(n)
                     return True
                 return False
@@ -293,6 +312,12 @@ def french_stem(word: str) -> str:
             n = len(s)
             if w.endswith(s) and in_rv(n):
                 if s == "ions":
+                    # among-literal semantics: a MARKED i (étudiions
+                    # -> étudiIons) is a different letter, so the
+                    # 'ions' entry does not match at all and shorter
+                    # entries keep competing
+                    if c[len(w) - 4] != "a":
+                        continue
                     if in_r2(n):
                         cut(n)
                         return True
@@ -304,25 +329,32 @@ def french_stem(word: str) -> str:
         return False
 
     # ------------------------- sequencing -------------------------
-    changed = step1()
-    if not changed:
-        changed = step2a()
-        if not changed:
-            changed = step2b()
+    # canonical: steps 2a/2b run when step 1 failed OR when its
+    # change was a *ment ending (d == 2); step 3 runs only when the
+    # LAST OBEYED step altered the word, step 4 otherwise (so a
+    # mentish change whose 2a/2b both fail still reaches step 4)
+    d = step1()
+    if d != 1:
+        if step2a():
+            d = 1
+        elif step2b():
+            d = 1
 
-    if changed:
+    if d == 1:
         # step 3: final marked Y -> i, else final ç -> c
         if w.endswith("y") and c.endswith("b"):
             cut(1, "i")
         elif w.endswith("ç"):
             cut(1, "c")
     else:
-        # step 4: residual suffixes
+        # step 4: residual suffixes ('Hi' = expanded ï counts as a
+        # non-vowel predecessor for the s-removal, per french.sbl)
         if (w.endswith("s") and len(w) >= 2
-                and not (w[-2] in "aoès"
-                         or (w[-2] in "iu" and c[-2] == "a"))):
+                and (w[-3:-1] == "Hi"
+                     or not (w[-2] in "aoès"
+                             or (w[-2] in "iu" and c[-2] == "a")))):
             cut(1)
-        for s in ("ière", "ier", "ion", "e", "ë"):
+        for s in ("ière", "ier", "ion", "e"):
             n = len(s)
             if w.endswith(s) and in_rv(n):
                 if s == "ion":
@@ -332,10 +364,6 @@ def french_stem(word: str) -> str:
                     break
                 if s in ("ière", "ier"):
                     cut(n, "i")
-                    break
-                if s == "ë":
-                    if w.endswith("guë"):
-                        cut(1)
                     break
                 cut(n)  # 'e'
                 break
@@ -350,7 +378,10 @@ def french_stem(word: str) -> str:
         i = len(w) - k - 1
         w = w[:i] + "e" + w[i + 1:]
 
-    return w
+    # postlude: surviving diaeresis pairs fold back; a bare marker
+    # (its vowel consumed by a suffix step) disappears
+    return (w.replace("Hi", "ï").replace("He", "ë")
+            .replace("H", ""))
 
 
 # ------------------------------------------------------------------
@@ -363,10 +394,14 @@ def _skeleton_sql(ref: str) -> str:
     s = f"translate({s}, 'iu', 'ii')"
     cons = "bcdfghjklmnprstvwxz0123456789çüÿ"
     s = f"translate({s}, '{cons}', '{'b' * len(cons)}')"
+    # the marker H (uppercase, untouched above) becomes symbol h:
+    # vowel context on the right for the marking passes, consonant
+    # in the final fold
+    s = f"translate({s}, 'H', 'h')"
     for _ in range(_MARK_ROUNDS):
         for pat, rep in _MARK_PATTERNS:
             s = f"replace({s}, '{pat}', '{rep}')"
-    return (f"translate({s}, 'iyq', 'aab')")
+    return (f"translate({s}, 'iyqh', 'aabb')")
 
 
 def _let(engine: str, bind: str, var: str, body: str) -> str:
@@ -404,13 +439,13 @@ class _Frag:
     def ends(self, suf: str) -> str:
         return f"right({self.w}, {len(suf)}) = '{suf}'"
 
-    def cut(self, n: int, rep: str = "") -> str:
+    def cut(self, n: int, rep: str = "", d: str = "1") -> str:
         w = f"substr({self.w}, 1, {self.ln} - {n})"
         c = f"substr({self.c}, 1, {self.ln} - {n})"
         if rep:
             w, c = f"{w} || '{rep}'", f"{c} || '{_rep_cv(rep)}'"
         return _st(self.engine, w=w, c=c, rv=self.rv, r1=self.r1,
-                   r2=self.r2, d="1")
+                   r2=self.r2, d=d)
 
     def keep(self, d: str | None = None) -> str:
         return _st(self.engine, w=self.w, c=self.c, rv=self.rv,
@@ -517,14 +552,17 @@ def _s1_sql(x: _Frag) -> str:
             arm = (f"CASE WHEN {x.in_r1(n)} AND {x.prev_is(n, 'b')} "
                    f"THEN {x.cut(n)} ELSE {x.keep()} END")
         elif s == "amment":
-            arm = (f"CASE WHEN {x.in_rv(n)} THEN {x.cut(n, 'ant')} "
+            # d=2: the *ment endings still feed steps 2a/2b
+            arm = (f"CASE WHEN {x.in_rv(n)} "
+                   f"THEN {x.cut(n, 'ant', d='2')} "
                    f"ELSE {x.keep()} END")
         elif s == "emment":
-            arm = (f"CASE WHEN {x.in_rv(n)} THEN {x.cut(n, 'ent')} "
+            arm = (f"CASE WHEN {x.in_rv(n)} "
+                   f"THEN {x.cut(n, 'ent', d='2')} "
                    f"ELSE {x.keep()} END")
         else:  # ment, ments
             arm = (f"CASE WHEN {x.prev_is(n, 'a')} AND "
-                   f"{x.prev_in_rv(n)} THEN {x.cut(n)} "
+                   f"{x.prev_in_rv(n)} THEN {x.cut(n, d='2')} "
                    f"ELSE {x.keep()} END")
         whens.append(f"WHEN {x.ends(s)} THEN ({arm})")
     return "CASE " + " ".join(whens) + f" ELSE {x.keep()} END"
@@ -536,7 +574,9 @@ def _s2a_sql(x: _Frag) -> str:
         n = len(s)
         whens.append(
             f"WHEN {x.ends(s)} AND {x.in_rv(n)} THEN "
-            f"(CASE WHEN {x.prev_is(n, 'b')} AND {x.prev_in_rv(n)} "
+            f"(CASE WHEN {x.prev_is(n, 'b')} AND "
+            f"substr({x.w}, {x.ln} - {n}, 1) <> 'H' AND "
+            f"{x.prev_in_rv(n)} "
             f"THEN {x.cut(n)} ELSE {x.keep()} END)")
     return (f"CASE WHEN {x.d} = 1 THEN {x.keep()} "
             + " ".join(whens) + f" ELSE {x.keep()} END")
@@ -548,8 +588,14 @@ def _s2b_sql(x: _Frag) -> str:
                     reverse=True):
         n = len(s)
         if s == "ions":
-            arm = (f"CASE WHEN {x.in_r2(n)} THEN {x.cut(n)} "
-                   f"ELSE {x.keep()} END")
+            # marked i = different letter: gate the MATCH itself so
+            # shorter entries keep competing (see the twin)
+            whens.append(
+                f"WHEN {x.ends(s)} AND {x.in_rv(n)} AND "
+                f"substr({x.c}, {x.ln} - 3, 1) = 'a' THEN "
+                f"(CASE WHEN {x.in_r2(n)} THEN {x.cut(n)} "
+                f"ELSE {x.keep()} END)")
+            continue
         elif s in _S2B_A:
             arm = (f"CASE WHEN {x.ends('e' + s)} AND "
                    f"{x.prev_in_rv(n)} THEN {x.cut(n + 1)} "
@@ -569,11 +615,12 @@ def _step34_sql(engine: str, x: _Frag) -> str:
         f"WHEN {x.ends('ç')} THEN {x.cut(1, 'c')} "
         f"ELSE {x.keep()} END")
     s_removed = (
-        f"CASE WHEN {x.ends('s')} AND {x.ln} >= 2 AND NOT ("
+        f"CASE WHEN {x.ends('s')} AND {x.ln} >= 2 AND ("
+        f"substr({x.w}, {x.ln} - 2, 2) = 'Hi' OR NOT ("
         f"substr({x.w}, {x.ln} - 1, 1) IN "
         f"({_quote_list('aoès')}) OR "
         f"(substr({x.w}, {x.ln} - 1, 1) IN ('i', 'u') AND "
-        f"substr({x.c}, {x.ln} - 1, 1) = 'a')) "
+        f"substr({x.c}, {x.ln} - 1, 1) = 'a'))) "
         f"THEN {x.cut(1)} ELSE {x.keep()} END")
     r = _Frag(engine, "rr")
     among = (
@@ -586,9 +633,6 @@ def _step34_sql(engine: str, x: _Frag) -> str:
         f"(CASE WHEN {r.in_r2(3)} AND {r.ln} >= 4 AND "
         f"substr({r.w}, {r.ln} - 3, 1) IN ('s', 't') AND "
         f"{r.prev_in_rv(3)} THEN {r.cut(3)} ELSE {r.keep()} END) "
-        f"WHEN {r.ends('ë')} AND {r.in_rv(1)} THEN "
-        f"(CASE WHEN {r.ends('guë')} THEN {r.cut(1)} "
-        f"ELSE {r.keep()} END) "
         f"WHEN {r.ends('e')} AND {r.in_rv(1)} THEN {r.cut(1)} "
         f"ELSE {r.keep()} END")
     residual = _let(engine, s_removed, "rr", among)
@@ -645,10 +689,19 @@ def french_stem_sql(ref: str, engine: str) -> str:
 
     steps = [_s1_sql, _s2a_sql, _s2b_sql,
              lambda x: _step34_sql(engine, x), _undouble_sql]
-    body = _unaccent_sql(_Frag(engine, "x5"))
+    # postlude mirrors the twin: surviving He/Hi pairs fold back to
+    # ë/ï, a bare marker disappears
+    body = (f"replace(replace(replace("
+            f"{_unaccent_sql(_Frag(engine, 'x5'))}, "
+            f"'Hi', 'ï'), 'He', 'ë'), 'H', '')")
     for i in range(len(steps) - 1, -1, -1):
         frag = _Frag(engine, f"x{i}")
         body = _let(engine, steps[i](frag), f"x{i + 1}", body)
     body = _let(engine, seed, "x0", body)
-    body = _let(engine, pack2("g0", _skeleton_sql("g0")), "g1", body)
+    body = _let(engine, pack2("gp", _skeleton_sql("gp")), "g1", body)
+    # prelude mirrors the twin: ë -> He, ï -> Hi before skeleton and
+    # regions (french.sbl 2018+ diaeresis handling)
+    body = _let(
+        engine,
+        "replace(replace(g0, 'ë', 'He'), 'ï', 'Hi')", "gp", body)
     return _let(engine, ref, "g0", body)

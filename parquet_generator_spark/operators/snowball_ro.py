@@ -79,7 +79,9 @@ _STEP0 = [
     ("iilor", "i"), ("ilor", "i"),
     ("ile", "i"),              # guarded: not preceded by ab
     ("atei", "at"),
-    ("aţie", "aţi"), ("aţia", "aţi"),
+    # canonical-probed r13: aţie reduces, aţia DELETES (bâbugăaţia
+    # -> bâbug via the ă vowel step; beziaţie -> beziaţ)
+    ("aţie", "aţi"), ("aţia", None),
 ]
 
 _STEP1 = (
@@ -112,12 +114,16 @@ _STEP2_IUNE = ("iune", "iuni")      # delete + preceding ţ -> t
 _STEP2_IST = ("ism", "isme", "ist", "ista", "iste", "isti",
               "istă", "işti")       # -> ist
 
+# canonical entry list (r13: probed suffix-by-suffix against the
+# canonical implementation — the perfect series runs a/i/â/U, there
+# is NO e-series 'eră/erăm/erăţi', and the subjunctive 'ească' is
+# an entry alongside 'ează')
 _STEP3_A = (
     "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându",
-    "eze", "ează", "ez", "ezi", "esc", "eşti", "eşte", "ăsc",
-    "ăşti", "ăşte", "am", "ai", "au", "eam", "eai", "eau", "iam",
-    "iai", "iau", "ui", "uşi", "aşi", "arăm", "arăţi", "ară",
-    "erăm", "erăţi", "eră", "irăm", "irăţi", "iră", "ârăm",
+    "eze", "ează", "ească", "ez", "ezi", "esc", "eşti", "eşte",
+    "ăsc", "ăşti", "ăşte", "am", "ai", "au", "eam", "eai", "eau",
+    "iam", "iai", "iau", "ui", "uşi", "aşi", "arăm", "arăţi",
+    "ară", "urăm", "urăţi", "ură", "irăm", "irăţi", "iră", "ârăm",
     "ârăţi", "âră", "asem", "aseşi", "ase", "aserăm", "aserăţi",
     "aseră", "isem", "iseşi", "ise", "iserăm", "iserăţi", "iseră",
     "âsem", "âseşi", "âse", "âserăm", "âserăţi", "âseră", "usem",
@@ -127,7 +133,13 @@ _STEP3_B = (
     "serăm", "serăţi", "seră", "sei", "se", "sesem", "seseşi",
     "sese", "seserăm", "seserăţi", "seseră")
 
-_STEP4 = ("a", "e", "i", "ie", "ă")
+# 'ia' and 'âi' are snowball 2.x additions (canonical-probed r13:
+# familia/istoria lose the full 'ia'; becîgâi loses 'âi'); both
+# match only when the char BEFORE them is itself inside RV (dâcia
+# -> dâci keeps the boundary i — probed at the RV edge), so they
+# carry a preceded-in-RV match guard the single vowels don't
+_STEP4 = ("a", "e", "i", "ie", "ia", "âi", "ă")
+_STEP4_PREV_RV = ("ia", "âi")
 
 
 def _mark_skeleton(w: str) -> str:
@@ -198,20 +210,38 @@ def romanian_stem(word: str) -> str:
         w = w[:len(w) - k] + rep
         c = c[:len(c) - k] + _cvof(rep)
 
-    # ---- step 0: plurals (R1 arm; longest textual) ---------------
+    def unmarked(s: str) -> bool:
+        """among-literal match guard: every i/u inside the entry
+        must sit on an UNMARKED skeleton position — a marked I/U is
+        a different letter and the entry does not match at all."""
+        n = len(s)
+        return all(ch not in "iu" or c[len(w) - n + j] == "a"
+                   for j, ch in enumerate(s))
+
+    removed = False
+
+    # ---- step 0: plurals (longest textual; R1 arm) ---------------
+    # among-literal semantics (r13 canonical fuzz): a MARKED i/u is
+    # a different letter, so an entry whose i/u sits on a marked
+    # position does not match at all and shorter entries keep
+    # competing (copiii = copiIi never matches 'ii'; the final
+    # vowel step then yields copii, the canonical output). R1 and
+    # the ile-after-ab guard are ARM conditions (commit-then-test:
+    # goicatori commits to 'icatori' and fails R1 without falling
+    # back). A step-0 removal GATES the verb step like steps 1-2
+    # (beziaţie stops at beziaţ, canonical-probed).
     for s, rep in sorted(_STEP0, key=lambda t: len(t[0]),
                          reverse=True):
         n = len(s)
-        if w.endswith(s):
+        if w.endswith(s) and unmarked(s):
             if in_r1(n):
                 if s == "ile" and w[:len(w) - n].endswith("ab"):
                     break
                 cut(n, rep or "")
+                removed = True
             break
 
-    removed = False
-
-    # ---- step 1: combining suffixes (R1, bounded repeat) ---------
+    # ---- step 1: combining suffixes (R1 arm, bounded repeat) -----
     for _ in range(_S1_ROUNDS):
         hit = False
         for s, rep in sorted(_STEP1, key=lambda t: len(t[0]),
@@ -226,15 +256,20 @@ def romanian_stem(word: str) -> str:
         if not hit:
             break
 
-    # ---- step 2: standard suffixes (R2) --------------------------
+    # ---- step 2: standard suffixes (R2-limited) ------------------
     s2 = ([(s, "") for s in _STEP2_DEL]
           + [(s, "IUNE") for s in _STEP2_IUNE]
           + [(s, "ist") for s in _STEP2_IST])
     for s, rep in sorted(s2, key=lambda t: len(t[0]), reverse=True):
         n = len(s)
-        if w.endswith(s):
+        if w.endswith(s) and unmarked(s):
+            # R2 is an ARM condition here (commit-then-test:
+            # băbitate keeps its 'itate' when R2 is too short —
+            # canonical-probed), unlike the RV/R1 setlimits
             if in_r2(n):
                 if rep == "IUNE":
+                    # commit-then-test: a iune/iuni without the
+                    # preceding ţ fails the whole step
                     i = len(w) - n - 1
                     if i >= 0 and w[i] == "ţ":
                         cut(n + 1, "t")
@@ -248,26 +283,36 @@ def romanian_stem(word: str) -> str:
             break
 
     # ---- step 3: verb suffixes (RV-LIMITED among; flag-gated) ----
+    # ONE among, commit-then-test (r13 canonical fuzz): the longest
+    # matching entry either deletes or fails the whole step; the
+    # group-1 condition reads the MARKED skeleton (a marked I/U
+    # counts as a consonant), and a marked letter inside an entry
+    # blocks the match itself (shorter entries keep competing).
     if not removed:
         s3 = ([(s, "A") for s in _STEP3_A]
               + [(s, "B") for s in _STEP3_B])
         for s, grp in sorted(s3, key=lambda t: len(t[0]),
                              reverse=True):
             n = len(s)
-            if w.endswith(s) and in_rv(n):
+            if w.endswith(s) and in_rv(n) and unmarked(s):
                 if grp == "B":
                     cut(n)
                 else:
                     p = len(w) - n  # 1-based pos of preceding char
                     if (p >= rv
-                            and (c[p - 1] == "b" or w[p - 1] == "u")):
+                            and (c[p - 1] == "b"
+                                 or w[p - 1] == "u")):
                         cut(n)
                 break
 
-    # ---- step 4: final vowel (RV-limited) -------------------------
+    # ---- step 4: final vowel (RV-limited; marked i immune) --------
     for s in sorted(_STEP4, key=len, reverse=True):
         n = len(s)
-        if w.endswith(s) and in_rv(n):
+        if w.endswith(s) and in_rv(n) and unmarked(s):
+            if s in _STEP4_PREV_RV and (
+                    len(w) - n < rv
+                    or c[len(w) - n - 1] != "b"):
+                continue   # preceded-in-RV-consonant match guard
             cut(n)
             break
     return w
@@ -333,20 +378,34 @@ class _Frag:
         return f"{self.ln} - {n} + 1 >= {self.r2}"
 
 
+def _unmarked_sql(x: _Frag, s: str) -> list:
+    """among-literal marked-letter guard (see the twin): every i/u
+    inside the entry must sit on an UNMARKED skeleton position or
+    the entry does not match (shorter entries keep competing)."""
+    return [f"substr({x.c}, {x.ln} - {n1}, 1) = 'a'"
+            for n1 in (len(s) - 1 - j for j, ch in enumerate(s)
+                       if ch in "iu")]
+
+
 def _s0_sql(x: _Frag) -> str:
     whens = []
     for s, rep in sorted(_STEP0, key=lambda t: len(t[0]),
                          reverse=True):
         n = len(s)
+        # marked guard gates the MATCH; R1 (and the ile-after-ab
+        # test) are ARM conditions — commit-then-test. A step-0 cut
+        # raises the removed flag (gates the verb step).
+        match = " AND ".join([x.ends(s)] + _unmarked_sql(x, s))
         if s == "ile":
-            guard = (f"NOT ({x.ln} - {n} >= 2 AND "
+            guard = (f"{x.in_r1(n)} AND "
+                     f"NOT ({x.ln} - {n} >= 2 AND "
                      f"substr({x.w}, {x.ln} - {n} - 1, 2) = 'ab')")
-            arm = (f"CASE WHEN {x.in_r1(n)} AND {guard} "
-                   f"THEN {x.cut(n, rep or '')} ELSE {x.keep()} END")
         else:
-            arm = (f"CASE WHEN {x.in_r1(n)} "
-                   f"THEN {x.cut(n, rep or '')} ELSE {x.keep()} END")
-        whens.append(f"WHEN {x.ends(s)} THEN ({arm})")
+            guard = x.in_r1(n)
+        arm = (f"CASE WHEN {guard} "
+               f"THEN {x.cut(n, rep or '', f=chr(39) + '1' + chr(39))} "
+               f"ELSE {x.keep()} END")
+        whens.append(f"WHEN {match} THEN ({arm})")
     return "CASE " + " ".join(whens) + f" ELSE {x.keep()} END"
 
 
@@ -370,6 +429,9 @@ def _s2_sql(x: _Frag) -> str:
     for s, rep in sorted(entries, key=lambda t: len(t[0]),
                          reverse=True):
         n = len(s)
+        match = " AND ".join([x.ends(s)] + _unmarked_sql(x, s))
+        # R2 is an ARM condition (commit-then-test), unlike the
+        # RV/R1 setlimits — see the twin
         if rep == "IUNE":
             tz = (f"{x.ln} - {n} >= 1 AND "
                   f"substr({x.w}, {x.ln} - {n}, 1) = 'ţ'")
@@ -380,7 +442,7 @@ def _s2_sql(x: _Frag) -> str:
             arm = (f"CASE WHEN {x.in_r2(n)} "
                    f"THEN {x.cut(n, rep, f=chr(39) + '1' + chr(39))} "
                    f"ELSE {x.keep()} END")
-        whens.append(f"WHEN {x.ends(s)} THEN ({arm})")
+        whens.append(f"WHEN {match} THEN ({arm})")
     return "CASE " + " ".join(whens) + f" ELSE {x.keep()} END"
 
 
@@ -391,6 +453,8 @@ def _s3_sql(x: _Frag) -> str:
     for s, grp in sorted(entries, key=lambda t: len(t[0]),
                          reverse=True):
         n = len(s)
+        match = " AND ".join(
+            [x.ends(s), x.in_rv(n)] + _unmarked_sql(x, s))
         if grp == "B":
             arm = x.cut(n)
         else:
@@ -400,8 +464,7 @@ def _s3_sql(x: _Frag) -> str:
                      f"substr({x.w}, {p}, 1) = 'u')")
             arm = (f"CASE WHEN {guard} THEN {x.cut(n)} "
                    f"ELSE {x.keep()} END")
-        whens.append(f"WHEN {x.ends(s)} AND {x.in_rv(n)} "
-                     f"THEN ({arm})")
+        whens.append(f"WHEN {match} THEN ({arm})")
     inner = "CASE " + " ".join(whens) + f" ELSE {x.keep()} END"
     return (f"CASE WHEN {x.f} = '0' THEN ({inner}) "
             f"ELSE {x.keep()} END")
@@ -411,8 +474,13 @@ def _s4_sql(x: _Frag) -> str:
     whens = []
     for s in sorted(_STEP4, key=len, reverse=True):
         n = len(s)
-        whens.append(f"WHEN {x.ends(s)} AND {x.in_rv(n)} "
-                     f"THEN {x.cut(n)}")
+        conds = ([x.ends(s), x.in_rv(n)] + _unmarked_sql(x, s))
+        if s in _STEP4_PREV_RV:
+            # preceded-in-RV-consonant match guard (see the twin)
+            conds.append(f"{x.ln} - {n} >= {x.rv}")
+            conds.append(
+                f"substr({x.c}, {x.ln} - {n}, 1) = 'b'")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {x.cut(n)}")
     return "CASE " + " ".join(whens) + f" ELSE {x.keep()} END"
 
 

@@ -43,6 +43,39 @@ def test_reference_vectors():
         assert french_stem(w) == want, (w, french_stem(w), want)
 
 
+# verified against the canonical snowball implementation (the
+# snowballstem.org C generator output as shipped in PostgreSQL 15's
+# snowball `french_stem` dictionary) — the two classes the r13
+# canonical-fuzz found diverging on REAL vocabulary:
+# (a) *ment removals feed steps 2a/2b (and step 4 when both fail),
+# (b) the 2018+ diaeresis prelude ë -> He / ï -> Hi moves region
+#     boundaries and guards the i-verb and s-removal tests.
+CANONICAL_VECTORS = {
+    # (a) mentish sequencing
+    "constamment": "const", "abondamment": "abond",
+    "galamment": "gal", "élégamment": "éleg",
+    "évidemment": "évident", "sentiment": "sent",
+    "bâtiment": "bât", "vraiment": "vrai",
+    "seulement": "seul", "bôçéments": "bôc",
+    # (b) diaeresis prelude
+    "canoë": "cano", "égoïste": "égo", "archaïque": "archa",
+    "ambiguïté": "ambigu", "maïs": "maï", "naïve": "naïv",
+    "noël": "noël", "aiguë": "aigu", "ciguë": "cigu",
+    "haïssent": "haïssent", "coïncidence": "coïncident",
+    "stoïque": "stoïqu", "ouïe": "ouï",
+    # marked-I among-literal semantics ('ions' never matches étudiIons)
+    "étudiions": "étudiion", "appréciions": "appréciion",
+    "payions": "payion", "criions": "criion",
+    # y marked against the pre-expansion ë (gyë -> gYHe keeps ë)
+    "gyë": "gyë",
+}
+
+
+def test_canonical_vectors():
+    for w, want in CANONICAL_VECTORS.items():
+        assert french_stem(w) == want, (w, french_stem(w), want)
+
+
 def test_marking():
     # u between vowels marked (joUer), y next to a vowel marked
     assert _mark_skeleton("jouer") == "babab"
