@@ -157,19 +157,26 @@ def _planted_expr(lang: str, snippets: list[str]) -> str:
 def _match_lang_df(spark: SparkSession, sf_dir: str, lang: str,
                    snippets: list[str], query: str,
                    analyzer_name: str) -> DataFrame:
+    """Since round 13: served from the INGEST-TIME analyzed store
+    (plans/analyzed_store.py) — the query side is stemmed at plan
+    time and the field side is a stored-array membership scan, zero
+    stemmer expressions in the query plan (the ES index-time
+    contract; VERDICT r12 mandate #1). The ORACLE still recomputes
+    the full analysis from raw text in DuckDB, so the driver proves
+    stored == query-time every round."""
     from pyspark.sql import functions as F
 
     from parquet_generator_spark.operators.analyzers import (
-        analyzed_match,
         get_analyzer,
+        stored_match,
+    )
+    from parquet_generator_spark.plans.analyzed_store import (
+        load_store,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
-    pred = analyzed_match("mixed", query, get_analyzer(analyzer_name),
-                          operator="and")
-    return (docs
-            .withColumn("mixed",
-                        F.expr(_planted_expr(lang, snippets)))
+    pred = stored_match(f"analyzed_{lang}", query,
+                        get_analyzer(analyzer_name), operator="and")
+    return (load_store(spark, sf_dir)
             .filter(pred)
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("doc_count"))
@@ -299,21 +306,23 @@ def dsl_match_phrase_analyzer_de(spark: SparkSession,
     """``match_phrase`` with ``analyzer: "german"``: the query's
     forms (hauses, geordnetes) and the planted declensions (häusern,
     geordnet) meet only at the snowball stems [haus, geordnet], and
-    the two stems must be CONSECUTIVE field positions — the adjacency
-    scan runs over ONE bound stemmed-token array per document."""
+    the two stems must be CONSECUTIVE field positions. Since round
+    13 the adjacency windows scan the PERSISTED stemmed positions
+    from the central analyzed store — zero stemmer expressions in
+    the query plan; the oracle still recomputes from raw text."""
     from pyspark.sql import functions as F
 
     from parquet_generator_spark.operators.analyzers import (
-        analyzed_match_phrase,
         get_analyzer,
+        stored_match_phrase,
+    )
+    from parquet_generator_spark.plans.analyzed_store import (
+        load_store,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
-    pred = analyzed_match_phrase("mixed", _DE_PHRASE,
-                                 get_analyzer("german"))
-    return (docs
-            .withColumn("mixed",
-                        F.expr(_planted_expr("de", _DE_SNIPPETS)))
+    pred = stored_match_phrase("analyzed_de", _DE_PHRASE,
+                               get_analyzer("german"))
+    return (load_store(spark, sf_dir)
             .filter(pred)
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("doc_count"))

@@ -69,19 +69,23 @@ def dsl_match_analyzer_it(spark: SparkSession,
     consonant marking, RV/R1/R2 suffix system, attached-pronoun
     step, residual vowel + ch/gh steps. The english chain matches
     zero of the same documents (canzoni never S-stems to canzon;
-    pinned in tests/test_snowball_it.py)."""
+    pinned in tests/test_snowball_it.py). Since round 13: served
+    from the central analyzed store (plans/analyzed_store.py) —
+    stored-array membership, zero stemmer expressions in the plan;
+    the oracle still recomputes from raw text."""
     from pyspark.sql import functions as F
 
     from parquet_generator_spark.operators.analyzers import (
-        analyzed_match,
         get_analyzer,
+        stored_match,
+    )
+    from parquet_generator_spark.plans.analyzed_store import (
+        load_store,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
-    pred = analyzed_match("mixed", _IT_QUERY,
-                          get_analyzer("italian"), operator="and")
-    return (docs
-            .withColumn("mixed", F.expr(_it_planted_expr()))
+    pred = stored_match("analyzed_it", _IT_QUERY,
+                        get_analyzer("italian"), operator="and")
+    return (load_store(spark, sf_dir)
             .filter(pred)
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("doc_count"))

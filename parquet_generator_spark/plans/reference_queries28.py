@@ -63,19 +63,23 @@ def dsl_match_analyzer_pt(spark: SparkSession,
     nasal prelude (ã->a~), RV/R1/R2 suffix system over the preluded
     spelling (aço~es group), step-3 i-after-c, residual steps, and
     the nasal postlude. The english chain matches zero of the same
-    documents (pinned in tests/test_snowball_pt.py)."""
+    documents (pinned in tests/test_snowball_pt.py). Since round
+    13: served from the central analyzed store — stored-array
+    membership, zero stemmer expressions in the plan; the oracle
+    still recomputes from raw text."""
     from pyspark.sql import functions as F
 
     from parquet_generator_spark.operators.analyzers import (
-        analyzed_match,
         get_analyzer,
+        stored_match,
+    )
+    from parquet_generator_spark.plans.analyzed_store import (
+        load_store,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
-    pred = analyzed_match("mixed", _PT_QUERY,
-                          get_analyzer("portuguese"), operator="and")
-    return (docs
-            .withColumn("mixed", F.expr(_pt_planted_expr()))
+    pred = stored_match("analyzed_pt", _PT_QUERY,
+                        get_analyzer("portuguese"), operator="and")
+    return (load_store(spark, sf_dir)
             .filter(pred)
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("doc_count"))
@@ -250,20 +254,23 @@ def _scand_query(lang: str):
     analyzer_name, query, _ = _SCAND[lang]
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # since round 13: served from the central analyzed store
+        # (stored-array membership, zero stemmer expressions in the
+        # plan); the oracle still recomputes from raw text
         from pyspark.sql import functions as F
 
         from parquet_generator_spark.operators.analyzers import (
-            analyzed_match,
             get_analyzer,
+            stored_match,
+        )
+        from parquet_generator_spark.plans.analyzed_store import (
+            load_store,
         )
 
-        docs = load_table(spark, "documents", sf_dir)
-        pred = analyzed_match("mixed", query,
-                              get_analyzer(analyzer_name),
-                              operator="and")
-        return (docs
-                .withColumn("mixed",
-                            F.expr(_scand_planted_expr(lang)))
+        pred = stored_match(f"analyzed_{lang}", query,
+                            get_analyzer(analyzer_name),
+                            operator="and")
+        return (load_store(spark, sf_dir)
                 .filter(pred)
                 .groupBy("source")
                 .agg(F.count(F.lit(1)).alias("doc_count"))
@@ -380,31 +387,37 @@ def _routed_planted_expr() -> str:
 def dsl_match_lang_routed(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """Language-routed multilingual match: the per-doc predicate is
-    CASE on the lang field, each arm that language's full analyzer
-    chain (stop + snowball stemmer) matching that language's query
-    form — the ES per-language-sub-field pattern. Every arm's
-    stemmer is one codegen expression bound once per matching-lang
-    document; the CASE means each doc pays exactly ONE language's
-    chain. Counts matched docs per (lang, source)."""
+    CASE on the lang field, each arm that language's analyzer
+    matching that language's query form — the ES
+    per-language-sub-field pattern. Since round 13 every arm is a
+    stored-array membership over the INGEST-TIME routed column
+    (each document was analyzed once at ingest with exactly its own
+    language's chain — plans/analyzed_store.py), so the plan
+    carries zero stemmer expressions; the oracle still recomputes
+    the full per-language analysis from raw text. Counts matched
+    docs per (lang, source)."""
     from pyspark.sql import functions as F
 
     from parquet_generator_spark.operators.analyzers import (
-        analyzed_match,
         get_analyzer,
+        stored_match,
+    )
+    from parquet_generator_spark.plans.analyzed_store import (
+        load_store,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
-    staged = docs.withColumn("mixed", F.expr(_routed_planted_expr()))
-    pred = F.lit(False)
     routed = None
     for lang, (analyzer, query, _) in _ROUTE.items():
-        arm = analyzed_match("mixed", query, get_analyzer(analyzer),
-                             operator="and")
+        # each arm matches that language's query form against the
+        # STORED routed column (analyzed at ingest with that
+        # language's chain for exactly its own lang rows)
+        arm = stored_match("analyzed_routed", query,
+                           get_analyzer(analyzer), operator="and")
         routed = (F.when(F.col("lang") == lang, arm)
                   if routed is None
                   else routed.when(F.col("lang") == lang, arm))
     pred = routed.otherwise(F.lit(False))
-    return (staged.filter(pred)
+    return (load_store(spark, sf_dir).filter(pred)
             .groupBy("lang", "source")
             .agg(F.count(F.lit(1)).alias("doc_count"))
             .orderBy("lang", "source"))

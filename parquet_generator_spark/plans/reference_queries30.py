@@ -31,9 +31,6 @@ re-expressed columnar.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,46 +54,17 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 
-def _store_root(sf_dir: str) -> str:
-    from parquet_generator_spark.plans.llm_queries25 import (
-        _REPO_ROOT,
+def _ensure_store(spark: SparkSession, sf_dir: str) -> str:
+    """Ingest once — since round 13 the CENTRAL all-language store
+    (plans/analyzed_store.py): planted multilingual text +
+    index-time analyzed token arrays for all eleven languages plus
+    the routed column, fingerprint-gated on the source parquet AND
+    the analyzer version hash."""
+    from parquet_generator_spark.plans.analyzed_store import (
+        ensure_store,
     )
 
-    return os.path.join(
-        _REPO_ROOT, ".scratch", "analyzed_store",
-        os.path.basename(os.path.normpath(sf_dir)))
-
-
-def _ensure_store(spark: SparkSession, sf_dir: str) -> str:
-    """Ingest once: planted multilingual text + index-time analyzed
-    token arrays, fingerprint-gated on the source parquet."""
-    from parquet_generator_spark.etl import materialize_analyzed
-
-    root = _store_root(sf_dir)
-    data = os.path.join(root, "documents_analyzed")
-    meta_p = os.path.join(root, "meta.json")
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    fp = f"{st.st_mtime_ns}:{st.st_size}"
-    if os.path.exists(meta_p):
-        with open(meta_p) as fh:
-            if json.load(fh).get("fingerprint") == fp:
-                return data
-    docs = load_table(spark, "documents", sf_dir)
-    staged = (docs
-              .withColumn("mixed_es",
-                          F.expr(_planted_expr("es", _ES_SNIPPETS)))
-              .withColumn("mixed_de",
-                          F.expr(_planted_expr("de", _DE_SNIPPETS))))
-    analyzed = materialize_analyzed(staged, {
-        "analyzed_es": ("mixed_es", "spanish"),
-        "analyzed_de": ("mixed_de", "german"),
-    }).select("doc_id", "source", "lang",
-              "analyzed_es", "analyzed_de")
-    os.makedirs(root, exist_ok=True)
-    analyzed.write.mode("overwrite").parquet(data)
-    with open(meta_p, "w") as fh:
-        json.dump({"fingerprint": fp}, fh)
-    return data
+    return ensure_store(spark, sf_dir)
 
 
 def dsl_match_analyzer_stored(spark: SparkSession,
@@ -163,16 +131,16 @@ def dsl_match_analyzer_nl(spark: SparkSession,
     the gem guard, kk/tt undoubling, the marked-consonant prelude.
     The english chain matches zero of the same documents (pinned in
     tests/test_snowball_nl.py)."""
-    from parquet_generator_spark.operators.analyzers import (
-        analyzed_match,
-        get_analyzer,
+    from parquet_generator_spark.plans.analyzed_store import (
+        load_store,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
-    pred = analyzed_match("mixed", _NL_QUERY,
-                          get_analyzer("dutch"), operator="and")
-    return (docs
-            .withColumn("mixed", F.expr(_nl_planted_expr()))
+    # since round 13: served from the central analyzed store
+    # (stored-array membership, zero stemmer expressions in the
+    # plan); the oracle still recomputes from raw text
+    pred = stored_match("analyzed_nl", _NL_QUERY,
+                        get_analyzer("dutch"), operator="and")
+    return (load_store(spark, sf_dir)
             .filter(pred)
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("doc_count"))
@@ -233,16 +201,16 @@ def dsl_match_analyzer_ro(spark: SparkSession,
     removal, RV-limited verb among, final-vowel drop, the marked
     I/U prelude. The english chain matches zero (its tokenizer
     splits on the diacritics)."""
-    from parquet_generator_spark.operators.analyzers import (
-        analyzed_match,
-        get_analyzer,
+    from parquet_generator_spark.plans.analyzed_store import (
+        load_store,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
-    pred = analyzed_match("mixed", _RO_QUERY,
-                          get_analyzer("romanian"), operator="and")
-    return (docs
-            .withColumn("mixed", F.expr(_ro_planted_expr()))
+    # since round 13: served from the central analyzed store
+    # (stored-array membership, zero stemmer expressions in the
+    # plan); the oracle still recomputes from raw text
+    pred = stored_match("analyzed_ro", _RO_QUERY,
+                        get_analyzer("romanian"), operator="and")
+    return (load_store(spark, sf_dir)
             .filter(pred)
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("doc_count"))
@@ -306,16 +274,16 @@ def dsl_match_analyzer_ru(spark: SparkSession,
     semantics, the ё prelude. Cyrillic literals flow through the
     same portable SQL subset as the Latin languages (length/substr
     are codepoint-based in both engines)."""
-    from parquet_generator_spark.operators.analyzers import (
-        analyzed_match,
-        get_analyzer,
+    from parquet_generator_spark.plans.analyzed_store import (
+        load_store,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
-    pred = analyzed_match("mixed", _RU_QUERY,
-                          get_analyzer("russian"), operator="and")
-    return (docs
-            .withColumn("mixed", F.expr(_ru_planted_expr()))
+    # since round 13: served from the central analyzed store
+    # (stored-array membership, zero stemmer expressions in the
+    # plan); the oracle still recomputes from raw text
+    pred = stored_match("analyzed_ru", _RU_QUERY,
+                        get_analyzer("russian"), operator="and")
+    return (load_store(spark, sf_dir)
             .filter(pred)
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("doc_count"))

@@ -149,3 +149,81 @@ def test_stored_plan_has_no_stemmer(spark, docs):
                                  es, operator="and"))
             ._jdf.queryExecution().optimizedPlan().toString())
     assert "exists(" in plan
+
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_central_store_all_languages(spark):
+    """The round-13 central store (plans/analyzed_store.py): one
+    fingerprint-gated materialization carries every language's
+    analyzed array plus the routed column, and every converted
+    analyzer-match key serves from it with ZERO stemmer expressions
+    in the plan."""
+    from parquet_generator_spark.plans.analyzed_store import (
+        load_store,
+        version_hash,
+    )
+
+    store = load_store(spark, SF_SMALL)
+    cols = set(store.columns)
+    for sfx in ("es", "de", "fr", "it", "pt", "nl", "ro", "ru",
+                "sv", "da", "no"):
+        assert f"analyzed_{sfx}" in cols, sfx
+    assert "analyzed_routed" in cols
+    assert {"doc_id", "source", "lang"} <= cols
+    # no leftover staging columns
+    assert not [c for c in cols if c.startswith("mixed")]
+    # version hash is stable within a session (fingerprint contract)
+    assert version_hash() == version_hash()
+
+
+def test_converted_keys_plans_are_stemmer_free(spark):
+    """dsl_match_analyzer_{fr,ru} + dsl_match_lang_routed now serve
+    from stored arrays: the optimized plan must carry array
+    membership and NO stemmer machinery (the giant let-bound
+    transform(array(...)) chains)."""
+    from parquet_generator_spark.plans.reference_queries25 import (
+        dsl_match_analyzer_fr,
+    )
+    from parquet_generator_spark.plans.reference_queries28 import (
+        dsl_match_lang_routed,
+    )
+    from parquet_generator_spark.plans.reference_queries30 import (
+        dsl_match_analyzer_ru,
+    )
+
+    for fn in (dsl_match_analyzer_fr, dsl_match_analyzer_ru,
+               dsl_match_lang_routed):
+        plan = (fn(spark, SF_SMALL)
+                ._jdf.queryExecution().optimizedPlan().toString())
+        assert "exists(" in plan, fn.__name__
+        # the stemmer generator's signature shape: a let-bound
+        # lambda chain over a carried struct
+        assert "named_struct" not in plan, fn.__name__
+        assert len(plan) < 40_000, (fn.__name__, len(plan))
+
+
+def test_store_rebuilds_on_analyzer_version_change(spark, tmp_path,
+                                                   monkeypatch):
+    """The meta fingerprint covers the analyzer VERSION hash: a
+    stemmer fix invalidates the store instead of serving stale
+    analysis."""
+    import json
+    import os
+
+    from parquet_generator_spark.plans import analyzed_store as st
+
+    root = st.store_root(SF_SMALL)
+    meta_p = os.path.join(root, "meta.json")
+    st.ensure_store(spark, SF_SMALL)
+    with open(meta_p) as fh:
+        fp1 = json.load(fh)["fingerprint"]
+    assert fp1.endswith(st.version_hash())
+    # simulate a stemmer change: stamp a bogus version into meta ->
+    # next ensure_store must rebuild and restore the real hash
+    with open(meta_p, "w") as fh:
+        json.dump({"fingerprint": fp1[:-4] + "dead"}, fh)
+    st.ensure_store(spark, SF_SMALL)
+    with open(meta_p) as fh:
+        assert json.load(fh)["fingerprint"] == fp1
