@@ -79,6 +79,7 @@ from parquet_generator_spark.plans import reference_queries27 as R27
 from parquet_generator_spark.plans import reference_queries28 as R28
 from parquet_generator_spark.plans import reference_queries29 as R29
 from parquet_generator_spark.plans import reference_queries30 as R30
+from parquet_generator_spark.plans import reference_queries31 as R31
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -260,6 +261,7 @@ def queries() -> dict[str, QueryFn]:
         **R28.QUERIES,
         **R29.QUERIES,
         **R30.QUERIES,
+        **R31.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -338,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         **R28.ORACLES,
         **R29.ORACLES,
         **R30.ORACLES,
+        **R31.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

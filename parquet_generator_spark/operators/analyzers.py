@@ -67,6 +67,7 @@ DUTCH_CHARSET = "a-z0-9äëïöüáéíóúè"
 ROMANIAN_CHARSET = "a-z0-9ăâîşţ"
 RUSSIAN_CHARSET = "а-яё0-9"
 DANISH_CHARSET = "a-z0-9æøå"
+FINNISH_CHARSET = "a-z0-9äö"
 NORWEGIAN_CHARSET = "a-z0-9æøå"
 
 _TOKEN_RE = re.compile(rf"[{_CHARSET}]+")
@@ -154,6 +155,11 @@ def _stem_py(kind, w: str) -> str:
             russian_stem,
         )
         return russian_stem(w)
+    if kind == "finnish":
+        from parquet_generator_spark.operators.snowball_fi import (
+            finnish_stem,
+        )
+        return finnish_stem(w)
     if kind in ("swedish", "danish", "norwegian"):
         from parquet_generator_spark.operators import snowball_scand
         return getattr(snowball_scand, f"{kind}_stem")(w)
@@ -166,7 +172,7 @@ def _stem_py(kind, w: str) -> str:
 _EXPENSIVE_STEMMERS = ("porter", "german", "french", "spanish",
                        "italian", "portuguese", "swedish",
                        "danish", "norwegian", "dutch",
-                       "romanian", "russian")
+                       "romanian", "russian", "finnish")
 
 
 def _stem_expr(kind, ref: str, engine: str) -> str:
@@ -217,6 +223,11 @@ def _stem_expr(kind, ref: str, engine: str) -> str:
             russian_stem_sql,
         )
         return russian_stem_sql(ref, engine)
+    if kind == "finnish":
+        from parquet_generator_spark.operators.snowball_fi import (
+            finnish_stem_sql,
+        )
+        return finnish_stem_sql(ref, engine)
     if kind in ("swedish", "danish", "norwegian"):
         from parquet_generator_spark.operators import snowball_scand
         return getattr(snowball_scand,
@@ -421,6 +432,36 @@ register_analyzer(Analyzer("norwegian",
                            stopwords=NORWEGIAN_STOPWORDS,
                            stem=True, stemmer="norwegian",
                            charset=NORWEGIAN_CHARSET))
+# the snowball finnish stoplist (public constant, snowballstem.org)
+FINNISH_STOPWORDS = frozenset("""
+olla olen olet on olemme olette ovat ole oli olisi olisit olisin
+olisimme olisitte olisivat olit olin olimme olitte olivat ollut
+olleet en et ei emme ette eivät minä minun minut minua minussa
+minusta minuun minulla minulta minulle sinä sinun sinut sinua
+sinussa sinusta sinuun sinulla sinulta sinulle hän hänen hänet
+häntä hänessä hänestä häneen hänellä häneltä hänelle me meidän
+meidät meitä meissä meistä meihin meillä meiltä meille te teidän
+teidät teitä teissä teistä teihin teillä teiltä teille he heidän
+heidät heitä heissä heistä heihin heillä heiltä heille tämä tämän
+tätä tässä tästä tähän tallä tältä tälle tänä täksi tuo tuon tuotä
+tuossa tuosta tuohon tuolla tuolta tuolle tuona tuoksi se sen sitä
+siinä siitä siihen sillä siltä sille sinä siksi nämä näiden näitä
+näissä näistä näihin näillä näiltä näille näinä näiksi nuo noiden
+noita noissa noista noihin noilla noilta noille noina noiksi ne
+niiden niitä niissä niistä niihin niillä niiltä niille niinä
+niiksi kuka kenen kenet ketä kenessä kenestä keneen kenellä
+keneltä kenelle kenenä keneksi ketkä keiden ketkä keitä keissä
+keistä keihin keillä keiltä keille keinä keiksi mikä minkä minkä
+mitä missä mistä mihin millä miltä mille minä miksi mitkä joka
+jonka jota jossa josta johon jolla jolta jolle jona joksi jotka
+joiden joita joissa joista joihin joilla joilta joille joina
+joiksi että ja jos koska kuin mutta niin sekä sillä tai vaan vai
+vaikka kanssa mukaan noin poikki yli kun niin nyt itse
+""".split())
+register_analyzer(Analyzer("finnish",
+                           stopwords=FINNISH_STOPWORDS,
+                           stem=True, stemmer="finnish",
+                           charset=FINNISH_CHARSET))
 
 
 def _quote(s: str) -> str:

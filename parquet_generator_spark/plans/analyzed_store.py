@@ -78,8 +78,12 @@ def _specs() -> list[tuple[str, str, str]]:
         _ro_planted_expr,
         _ru_planted_expr,
     )
+    from parquet_generator_spark.plans.reference_queries31 import (
+        _fi_planted_expr,
+    )
 
     return [
+        ("fi", "finnish", _fi_planted_expr()),
         ("es", "spanish", _planted_expr("es", _ES_SNIPPETS)),
         ("de", "german", _planted_expr("de", _DE_SNIPPETS)),
         ("fr", "french", _planted_expr("fr", _FR_SNIPPETS)),
@@ -111,7 +115,7 @@ def _routed() -> tuple[str, dict]:
 # codegen envelope); the three scandinavian stemmers are one shared
 # lightweight scaffold and ride together
 _PASSES = [("es", "de"), ("fr", "it"), ("pt", "nl"), ("ro", "ru"),
-           ("sv", "da", "no")]
+           ("fi",), ("sv", "da", "no")]
 
 
 def version_hash() -> str:
