@@ -190,17 +190,27 @@ LIMITs. ES's same-WHERE AND conjuncts are pre-filters — express
 them as a PRECEDING WHERE here (fenced loudly). Plan shape: one
 narrow scoring map + TakeOrderedAndProject; no join, no broadcast.
 
-FUSE <key> (ES 8.19) fuses the FORK branches by reciprocal-rank
-fusion: must IMMEDIATELY follow FORK; every branch must end
-``SORT ... | LIMIT n`` (n <= 10000, the ES rerank-window cap) so
-per-branch rank is well-defined (give the SORT a unique tiebreak
-column for determinism); emits the fused ranking relation
-(key, _score = sum over branches of 1/(60 + rank), _hits) with the
-ES default rank_constant 60. DOCUMENTED DIVERGENCE: ES FUSE keeps
-the hit documents and fuses on _id metadata; this bounded form
-takes the identity column explicitly and emits the ranking (join it
-back with LOOKUP JOIN / a later pipeline if full rows are needed).
-Hybrid retrieval composes as FORK(KNN branch)(lexical branch)|FUSE.
+FUSE (ES 8.19) fuses the FORK branches; must IMMEDIATELY follow
+FORK; every branch must end ``SORT ... | LIMIT n`` (n <= 10000, the
+ES rerank-window cap) so per-branch rank is well-defined (give the
+SORT a unique tiebreak column for determinism). A branch's duplicate
+identities contribute their best rank/score once (ES fuses per
+document). Three forms:
+- ``FUSE <key>``: the fused RANKING relation (key, _score = sum of
+  1/(60 + rank) over branches — the ES default rank_constant 60,
+  _hits = branch count).
+- ``FUSE DOCS <key>``: ES's actual output shape — the fused
+  DOCUMENTS: the (bounded) ranking broadcast-joins back onto the
+  already-checkpointed pre-fork frame, so the full rows flow on
+  with _score/_hits attached and the corpus is still scanned once.
+- ``FUSE LINEAR <key> WEIGHTS w1, w2, ... [NORMALIZER MINMAX]``:
+  the ES linear score_mode — each branch contributes weight x its
+  own score (read from the branch's final SORT's FIRST column,
+  which must sort DESC), optionally minmax-normalized within the
+  branch window (ties at max==min normalize to 1.0).
+ES fuses on _id metadata; this bounded form takes the identity
+column explicitly. Hybrid retrieval composes as
+FORK(KNN branch)(lexical branch)|FUSE.
 
 Deliberate fences (documented, raise ValueError):
 ROW/SHOW, aggregates outside STATS, KEEP *-patterns under an
@@ -1411,10 +1421,44 @@ def parse_esql(query: str,
             # without a schema). Emits the fused ranking relation
             # (key, _score = sum over branches of 1/(60 + rank),
             # _hits) — the rank_constant 60 is the ES default.
-            if not _IDENT_RE.fullmatch(body.strip()):
+            # grammar: FUSE <key>                      (rrf ranking)
+            #          FUSE DOCS <key>                 (rrf + docs)
+            #          FUSE LINEAR <key> WEIGHTS w,... (linear score)
+            #              [NORMALIZER MINMAX]
+            form, score_mode = "rank", "rrf"
+            weights: list | None = None
+            normalizer = "none"
+            btxt = body.strip()
+            up = btxt.upper()
+            if up.startswith("DOCS "):
+                form = "docs"
+                btxt = btxt[5:].strip()
+            elif up.startswith("LINEAR "):
+                score_mode = "linear"
+                form = "rank"
+                btxt = btxt[7:].strip()
+                m = re.match(
+                    r"(\w+)\s+WEIGHTS\s+([\d.,\s]+?)"
+                    r"(?:\s+NORMALIZER\s+(\w+))?$",
+                    btxt, re.IGNORECASE)
+                if not m:
+                    raise ValueError(
+                        "esql: FUSE LINEAR takes "
+                        "'FUSE LINEAR <key> WEIGHTS w1, w2, ... "
+                        "[NORMALIZER MINMAX]'")
+                btxt = m.group(1)
+                weights = [float(x) for x in
+                           m.group(2).split(",") if x.strip()]
+                if m.group(3):
+                    normalizer = m.group(3).lower()
+                    if normalizer != "minmax":
+                        raise ValueError(
+                            "esql: FUSE LINEAR NORMALIZER supports "
+                            "MINMAX (or omit for none)")
+            if not _IDENT_RE.fullmatch(btxt):
                 raise ValueError(
                     "esql: FUSE takes the doc-identity column — "
-                    "FUSE <key> (the _id analog)")
+                    "FUSE [DOCS|LINEAR] <key> (the _id analog)")
             if not plan.commands or plan.commands[-1][0] != "fork":
                 raise ValueError(
                     "esql: FUSE must immediately follow FORK "
@@ -1431,8 +1475,27 @@ def parse_esql(query: str,
                     raise ValueError(
                         f"esql: FUSE branch {bi} LIMIT exceeds the "
                         f"10000 rerank-window cap")
-            plan.commands.append(
-                ("fork_fuse", (branches, body.strip())))
+                if score_mode == "linear" and br[-2][1][0][1]:
+                    raise ValueError(
+                        f"esql: FUSE LINEAR reads each branch's "
+                        f"score from its final SORT's FIRST column, "
+                        f"which must therefore sort DESC — branch "
+                        f"{bi} sorts it ascending")
+            if weights is not None and len(weights) != len(branches):
+                raise ValueError(
+                    f"esql: FUSE LINEAR WEIGHTS needs one weight "
+                    f"per FORK branch ({len(branches)} branches, "
+                    f"{len(weights)} weights)")
+            if score_mode == "linear":
+                plan.commands.append(("fork_fuse_linear",
+                                      (branches, btxt, weights,
+                                       normalizer)))
+            elif form == "docs":
+                plan.commands.append(
+                    ("fork_fuse_docs", (branches, btxt)))
+            else:
+                plan.commands.append(
+                    ("fork_fuse", (branches, btxt)))
         else:
             raise ValueError(f"esql: unknown command {kw!r}")
     _validate_order_flow(plan)
@@ -1466,16 +1529,20 @@ def _validate_order_flow(plan: EsqlPlan) -> None:
                 f"{sorted(active & set(p))} is not supported — use "
                 f"KEEP (it projects sort columns through)")
         elif kind in ("enrich", "lookup", "inlinestats",
-                      "fork", "fork_fuse", "knn") and active:
+                      "fork", "fork_fuse", "fork_fuse_docs",
+                      "fork_fuse_linear", "knn") and active:
             what = {"enrich": "ENRICH", "lookup": "LOOKUP JOIN",
                     "inlinestats": "INLINESTATS",
                     "fork": "FORK", "fork_fuse": "FORK",
+                    "fork_fuse_docs": "FORK",
+                    "fork_fuse_linear": "FORK",
                     "knn": "KNN"}[kind]
             raise ValueError(
                 f"esql: {what} after an active SORT is not "
                 f"supported — the join/window exchange does not "
                 f"preserve row order; move the SORT after it")
-        elif kind in ("fork", "fork_fuse"):
+        elif kind in ("fork", "fork_fuse", "fork_fuse_docs",
+                      "fork_fuse_linear"):
             active = set()  # the union/fusion does not preserve order
         elif kind == "knn":
             # the top-k establishes (_score desc, key asc)
@@ -1864,6 +1931,87 @@ def _df_apply(df: DataFrame, commands: list,
                       F.lit(1.0) / (F.lit(60.0) + F.col("_rank"))),
                       6).alias("_score"),
                       F.count(F.lit(1)).alias("_hits")))
+        elif kind == "fork_fuse_docs":
+            from functools import reduce
+
+            from pyspark.sql import Window
+
+            from parquet_generator_spark.operators import (
+                cache as _cache,
+            )
+
+            # ES's actual FUSE output: the fused DOCUMENTS, scored.
+            # The fused ranking is bounded by branches x the 10000
+            # rerank-window cap, so it broadcast-joins back onto the
+            # already-checkpointed pre-fork frame — no second corpus
+            # scan, no shuffle of the big side.
+            branches, key = p
+            shared = _cache.checkpoint(df)
+            parts = []
+            for br in branches:
+                b = _df_apply(shared, br, lookups)
+                w = Window.orderBy(*[
+                    _sort_col(c, asc, nf)
+                    for c, asc, nf in br[-2][1]])
+                parts.append(
+                    b.select(F.col(key),
+                             F.row_number().over(w).alias("_rank"))
+                    .groupBy(key)
+                    .agg(F.min("_rank").alias("_rank")))
+            ranked = reduce(lambda a, b: a.unionByName(b), parts)
+            fused = (ranked.groupBy(key)
+                     .agg(F.round(F.sum(
+                         F.lit(1.0)
+                         / (F.lit(60.0) + F.col("_rank"))),
+                         6).alias("_score"),
+                         F.count(F.lit(1)).alias("_hits")))
+            df = shared.join(F.broadcast(fused), key, "inner")
+        elif kind == "fork_fuse_linear":
+            from functools import reduce
+
+            from parquet_generator_spark.operators import (
+                cache as _cache,
+            )
+
+            # ES 8.19 linear score_mode: each branch contributes
+            # weight * its own score (the branch's final SORT's
+            # first column), optionally minmax-normalized within
+            # the branch window; a duplicate identity contributes
+            # its best score once.
+            branches, key, weights, normalizer = p
+            shared = _cache.checkpoint(df)
+            parts = []
+            for br, wgt in zip(branches, weights):
+                b = _df_apply(shared, br, lookups)
+                score_col = br[-2][1][0][0]
+                base = (b.select(
+                    F.col(key),
+                    F.col(score_col).cast("double")
+                    .alias("_bscore"))
+                    .groupBy(key)
+                    .agg(F.max("_bscore").alias("_bscore")))
+                if normalizer == "minmax":
+                    mm = base.agg(
+                        F.min("_bscore").alias("_mn"),
+                        F.max("_bscore").alias("_mx"))
+                    base = (base.crossJoin(F.broadcast(mm))
+                            .withColumn(
+                                "_bscore",
+                                F.when(
+                                    F.col("_mx") > F.col("_mn"),
+                                    (F.col("_bscore")
+                                     - F.col("_mn"))
+                                    / (F.col("_mx")
+                                       - F.col("_mn")))
+                                .otherwise(F.lit(1.0)))
+                            .select(key, "_bscore"))
+                parts.append(base.withColumn(
+                    "_ws", F.col("_bscore") * F.lit(float(wgt)))
+                    .select(key, "_ws"))
+            ranked = reduce(lambda a, b: a.unionByName(b), parts)
+            df = (ranked.groupBy(key)
+                  .agg(F.round(F.sum("_ws"), 6).alias("_score"),
+                       F.count(F.lit(1)).alias("_hits")))
     return df
 
 
@@ -2144,6 +2292,57 @@ def _duck_apply_tracked(sql: str, commands: list,
             u = " UNION ALL ".join(parts)
             sql = (f"SELECT {key}, "
                    f"round(sum(1.0 / (60.0 + _rank)), 6) AS _score, "
+                   f"count(*) AS _hits FROM ({u}) _fu "
+                   f"GROUP BY {key}")
+            order, final_keep = None, None
+            known = {key, "_score", "_hits"}
+        elif kind == "fork_fuse_docs":
+            branches, key = p
+            parts = []
+            for i, br in enumerate(branches, start=1):
+                bsql, _ = _duck_apply_tracked(
+                    f"SELECT * FROM ({sql}) _fb{i}", br, set(known))
+                ob = _order_by(br[-2][1])
+                parts.append(
+                    f"(SELECT {key}, min(_rank) AS _rank FROM "
+                    f"(SELECT {key}, row_number() OVER "
+                    f"(ORDER BY {ob}) AS _rank "
+                    f"FROM ({bsql}) _ft{i}) _fd{i} GROUP BY {key})")
+            u = " UNION ALL ".join(parts)
+            fused = (f"SELECT {key}, "
+                     f"round(sum(1.0 / (60.0 + _rank)), 6) "
+                     f"AS _score, count(*) AS _hits "
+                     f"FROM ({u}) _fu GROUP BY {key}")
+            sql = (f"SELECT _d.*, _fz._score, _fz._hits "
+                   f"FROM ({sql}) _d JOIN ({fused}) _fz "
+                   f"USING ({key})")
+            order, final_keep = None, None
+            known = set(known) | {"_score", "_hits"}
+        elif kind == "fork_fuse_linear":
+            branches, key, weights, normalizer = p
+            parts = []
+            for i, (br, wgt) in enumerate(
+                    zip(branches, weights), start=1):
+                bsql, _ = _duck_apply_tracked(
+                    f"SELECT * FROM ({sql}) _fb{i}", br, set(known))
+                score_col = br[-2][1][0][0]
+                base = (f"SELECT {key}, "
+                        f"max(CAST({score_col} AS DOUBLE)) "
+                        f"AS _bscore FROM ({bsql}) _ft{i} "
+                        f"GROUP BY {key}")
+                if normalizer == "minmax":
+                    val = (f"CASE WHEN max(_bscore) OVER () > "
+                           f"min(_bscore) OVER () THEN "
+                           f"(_bscore - min(_bscore) OVER ()) / "
+                           f"(max(_bscore) OVER () - "
+                           f"min(_bscore) OVER ()) ELSE 1.0 END")
+                else:
+                    val = "_bscore"
+                parts.append(
+                    f"(SELECT {key}, {float(wgt)!r} * ({val}) "
+                    f"AS _ws FROM ({base}) _fn{i})")
+            u = " UNION ALL ".join(parts)
+            sql = (f"SELECT {key}, round(sum(_ws), 6) AS _score, "
                    f"count(*) AS _hits FROM ({u}) _fu "
                    f"GROUP BY {key}")
             order, final_keep = None, None

@@ -90,3 +90,98 @@ GROUP BY source ORDER BY source
 
 QUERIES.update({"dsl_match_analyzer_fi": dsl_match_analyzer_fi})
 ORACLES.update({"dsl_match_analyzer_fi": _fi_oracle()})
+
+
+# ------------------------------------- esql_fuse_docs / _linear
+
+def _fuse_docs_query() -> str:
+    from parquet_generator_spark.plans.reference_queries15 import (
+        KNN_QV,
+    )
+
+    vec = ", ".join(repr(v) for v in KNN_QV)
+    return (
+        "FROM embeddings | FORK "
+        f"(WHERE KNN(embedding, [{vec}], 20) "
+        "| SORT _score DESC, vec_id | LIMIT 20) "
+        "(WHERE label >= 5 | EVAL s = vec_id % 97 "
+        "| SORT s DESC, vec_id | LIMIT 20) "
+        "| FUSE DOCS vec_id "
+        "| KEEP vec_id, label, _score, _hits "
+        "| SORT _score DESC, vec_id | LIMIT 25")
+
+
+def esql_fuse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``FORK ... | FUSE DOCS`` (ES 8.19's actual FUSE output
+    shape): the reciprocal-rank fused ranking joined BACK onto the
+    pre-fork documents, so the hybrid result carries the document
+    columns plus _score/_hits. Plan: the ranking is bounded by
+    branches x the rerank-window cap, so it broadcast-joins onto
+    the already-checkpointed pre-fork frame — the corpus is scanned
+    once (the FORK posture), no shuffle of the big side."""
+    from parquet_generator_spark.operators.esql import (
+        esql_df,
+        parse_esql,
+    )
+    from parquet_generator_spark.sources.catalog import load_table
+
+    plan = parse_esql(_fuse_docs_query(), knn_key="vec_id")
+    emb = load_table(spark, "embeddings", sf_dir)
+    return esql_df(emb, plan)
+
+
+def _fuse_linear_query() -> str:
+    from parquet_generator_spark.plans.reference_queries15 import (
+        KNN_QV,
+    )
+
+    vec = ", ".join(repr(v) for v in KNN_QV)
+    return (
+        "FROM embeddings | FORK "
+        f"(WHERE KNN(embedding, [{vec}], 20) "
+        "| SORT _score DESC, vec_id | LIMIT 20) "
+        "(WHERE label >= 5 "
+        "| EVAL s = CAST(vec_id % 97 AS DOUBLE) "
+        "| SORT s DESC, vec_id | LIMIT 20) "
+        "| FUSE LINEAR vec_id WEIGHTS 0.7, 0.3 NORMALIZER MINMAX "
+        "| SORT _score DESC, vec_id | LIMIT 25")
+
+
+def esql_fuse_linear(spark: SparkSession,
+                     sf_dir: str) -> DataFrame:
+    """ES|QL ``FUSE LINEAR ... WEIGHTS ... NORMALIZER MINMAX`` (the
+    ES 8.19 linear score_mode): each branch contributes weight x
+    its own score — the KNN branch's cosine _score and the metadata
+    branch's numeric rank key — minmax-normalized within the branch
+    window so a 0.7/0.3 blend is meaningful across scales. A
+    duplicate identity contributes its best score once per branch.
+    Bounded like FUSE: every per-branch frame is <= the
+    rerank-window cap."""
+    from parquet_generator_spark.operators.esql import (
+        esql_df,
+        parse_esql,
+    )
+    from parquet_generator_spark.sources.catalog import load_table
+
+    plan = parse_esql(_fuse_linear_query(), knn_key="vec_id")
+    emb = load_table(spark, "embeddings", sf_dir)
+    return esql_df(emb, plan)
+
+
+def _fuse_oracle(q: str) -> str:
+    from parquet_generator_spark.operators.esql import (
+        esql_duck_sql,
+        parse_esql,
+    )
+
+    return esql_duck_sql(parse_esql(q, knn_key="vec_id"))
+
+
+QUERIES.update({
+    "esql_fuse_docs": esql_fuse_docs,
+    "esql_fuse_linear": esql_fuse_linear,
+})
+ORACLES.update({
+    "esql_fuse_docs": _fuse_oracle(_fuse_docs_query()),
+    "esql_fuse_linear": _fuse_oracle(_fuse_linear_query()),
+})

