@@ -185,3 +185,77 @@ ORACLES.update({
     "esql_fuse_docs": _fuse_oracle(_fuse_docs_query()),
     "esql_fuse_linear": _fuse_oracle(_fuse_linear_query()),
 })
+
+
+# --------------------------------------- dsl_tsds_downsample_served
+
+def _rollup_root(sf_dir: str) -> str:
+    import os
+
+    from parquet_generator_spark.plans.llm_queries25 import (
+        _REPO_ROOT,
+    )
+
+    return os.path.join(
+        _REPO_ROOT, ".scratch", "tsds_rollup",
+        os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _ensure_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Downsample-on-write, fingerprint-gated per sf_dir: the 6h
+    rollup is materialized through the snapshot table format ONCE
+    per corpus version (sinks/tsds_rollup.py owns the
+    merge-on-append lifecycle for incremental slices)."""
+    import json
+    import os
+
+    from parquet_generator_spark.sinks.tsds_rollup import (
+        train_rollup,
+    )
+    from parquet_generator_spark.sources.catalog import load_table
+
+    root = _rollup_root(sf_dir)
+    meta_p = os.path.join(root, "source_meta.json")
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    fp = f"{st.st_mtime_ns}:{st.st_size}"
+    if os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            if json.load(fh).get("fingerprint") == fp:
+                return root
+    ev = load_table(spark, "events", sf_dir)
+    train_rollup(spark, ev, root)
+    with open(meta_p, "w") as fh:
+        json.dump({"fingerprint": fp}, fh)
+    return root
+
+
+def dsl_tsds_downsample_served(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """dsl_tsds_downsample served from the MATERIALIZED rollup (the
+    ES downsample-on-write contract): the plan scans the snapshot's
+    series x buckets rows — never raw events. Oracle = the
+    per-query key's oracle verbatim, so the driver proves the
+    materialized rollup value-identical to the on-the-fly one; the
+    merge-on-append lifecycle (append == rebuild) is pinned in
+    tests/test_tsds_rollup.py."""
+    from parquet_generator_spark.sinks.tsds_rollup import (
+        serve_rollup,
+    )
+
+    root = _ensure_rollup(spark, sf_dir)
+    return (serve_rollup(spark, root)
+            .orderBy("event_type", "bucket"))
+
+
+def _tsds_served_oracle() -> str:
+    from parquet_generator_spark.plans.reference_queries23 import (
+        DSL_TSDS_DOWNSAMPLE_ORACLE,
+    )
+
+    return DSL_TSDS_DOWNSAMPLE_ORACLE
+
+
+QUERIES.update(
+    {"dsl_tsds_downsample_served": dsl_tsds_downsample_served})
+ORACLES.update(
+    {"dsl_tsds_downsample_served": _tsds_served_oracle()})
