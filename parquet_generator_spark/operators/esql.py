@@ -212,8 +212,14 @@ ES fuses on _id metadata; this bounded form takes the identity
 column explicitly. Hybrid retrieval composes as
 FORK(KNN branch)(lexical branch)|FUSE.
 
+ROW name = expr, ... and SHOW INFO are source-less heads (since
+round 13): a one-row literal relation / the engine identity,
+flowing into the normal pipeline; the non-JOIN LOOKUP of the
+pre-8.13 grammar stays fenced permanently (ES itself deprecated it
+for LOOKUP JOIN).
+
 Deliberate fences (documented, raise ValueError):
-ROW/SHOW, aggregates outside STATS, KEEP *-patterns under an
+aggregates outside STATS, KEEP *-patterns under an
 active SORT (and empty/overlapping pattern expansions at render),
 per-aggregate WHERE in INLINESTATS, duplicate EVAL names inside
 ONE command, EVAL names that
@@ -293,7 +299,11 @@ _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 _KEEP_PAT_RE = re.compile(r"[A-Za-z0-9_*]*\*[A-Za-z0-9_*]*\Z")
 _INT_RE = re.compile(r"\d+\Z")
 
-_UNSUPPORTED = ("ROW", "SHOW")
+# SHOW INFO identity (deterministic literals — both engines render
+# the same one-row relation)
+_SHOW_INFO = (("version", "8.19.0-compat"),
+              ("engine", "parquet-generator-spark"),
+              ("grammar", "esql-bounded-r13"))
 
 # window-safe aggregates for INLINESTATS (no DISTINCT/percentile
 # windows — Spark refuses DISTINCT in windows; keep both engines on
@@ -1049,26 +1059,53 @@ def parse_esql(query: str,
                _in_fork: bool = False) -> EsqlPlan:
     parts = _split_pipes(query.strip())
     head = parts[0]
-    m = re.fullmatch(r"(FROM|TS)\s+([A-Za-z_][A-Za-z0-9_]*)",
-                     head, re.I)
-    if not m:
-        raise ValueError(
-            "esql: pipeline must start with FROM <index> (or "
-            "TS <index> for a time-series source)")
-    if m.group(1).upper() == "TS" and tsds is None:
-        # the ES|QL 8.16 TS command binds the time-series identity;
-        # without it RATE() and friends have no series key
-        raise ValueError(
-            "esql: TS needs the time-series identity — pass "
-            "parse_esql(..., tsds=(<series col>, <time col>, "
-            "<tiebreak col>)) (the _tsid/@timestamp analog)")
-    plan = EsqlPlan(table=m.group(2))
+    hu = head.upper()
+    if hu.startswith("ROW ") or hu == "SHOW INFO":
+        # source-less heads (ES|QL 8.x): ROW builds a one-row
+        # literal relation from name = expr assignments; SHOW INFO
+        # reports the engine identity. Both flow into the normal
+        # pipeline (table sentinel "" — the renderers synthesize
+        # the one-row source).
+        plan = EsqlPlan(table="")
+        if hu == "SHOW INFO":
+            assigns = [(n, _render_expr(f"\"{v}\""))
+                       for n, v in _SHOW_INFO]
+        else:
+            assigns = []
+            for assign in _split_top(head[4:]):
+                name, eq, rhs = assign.partition("=")
+                if not eq:
+                    raise ValueError(
+                        f"esql: ROW needs name = expr, "
+                        f"got {assign!r}")
+                assigns.append((name.strip(), _render_expr(rhs)))
+            if not assigns:
+                raise ValueError("esql: ROW needs at least one "
+                                 "name = expr assignment")
+        plan.commands.append(("row", assigns))
+    else:
+        m = re.fullmatch(r"(FROM|TS)\s+([A-Za-z_][A-Za-z0-9_]*)",
+                         head, re.I)
+        if not m:
+            raise ValueError(
+                "esql: pipeline must start with FROM <index>, "
+                "TS <index>, ROW name = expr, ... or SHOW INFO")
+        if m.group(1).upper() == "TS" and tsds is None:
+            # the ES|QL 8.16 TS command binds the time-series
+            # identity; without it RATE() and friends have no
+            # series key
+            raise ValueError(
+                "esql: TS needs the time-series identity — pass "
+                "parse_esql(..., tsds=(<series col>, <time col>, "
+                "<tiebreak col>)) (the _tsid/@timestamp analog)")
+        plan = EsqlPlan(table=m.group(2))
     for cmd in parts[1:]:
         kw = cmd.split(None, 1)[0].upper() if cmd else ""
         body = cmd[len(kw):].strip()
-        if kw in _UNSUPPORTED:
-            raise ValueError(f"esql: {kw} is not supported (bounded "
-                             f"subset; see operators/esql.py)")
+        if kw in ("ROW", "SHOW"):
+            raise ValueError(f"esql: {kw} is a source-less HEAD — "
+                             f"it starts a pipeline, it cannot "
+                             f"appear mid-pipeline")
         if kw == "WHERE":
             m_knn = _KNN_RE.match(body.strip())
             if m_knn:
@@ -1617,6 +1654,14 @@ def esql_df(df: DataFrame, plan: EsqlPlan,
     wrap their own collect in ``cache.scope()``) so abandoned
     fork checkpoints don't accumulate storage blocks (the registry
     warns at 64)."""
+    if plan.table == "" and df is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("esql: ROW/SHOW needs an active "
+                               "SparkSession")
+        df = spark.range(1)
     return _df_apply(df, plan.commands, lookups)
 
 
@@ -1860,6 +1905,10 @@ def _df_apply(df: DataFrame, commands: list,
             df = df.filter(F.expr(
                 f"CAST(conv(substr(md5(CAST({key} AS STRING)), "
                 f"1, 8), 16, 10) AS BIGINT) % 1000000 < {thr}"))
+        elif kind == "row":
+            # one-row literal relation (ROW / SHOW INFO)
+            df = df.select(*[F.expr(e.spark).alias(n)
+                             for n, e in p])
         elif kind == "knn":
             # ES|QL KNN (ES 8.19 preview): score every (pre-filtered)
             # row against the literal query, keep the top k — one
@@ -2036,7 +2085,9 @@ def esql_duck_sql(plan: EsqlPlan) -> str:
     renderer even when KEEP drops a sort column — the sort columns
     are projected THROUGH the KEEP subquery and dropped at the
     end)."""
-    return _duck_apply(f"SELECT * FROM {plan.table}", plan.commands)
+    base = (f"SELECT * FROM {plan.table}" if plan.table
+            else "SELECT 1 AS _one")
+    return _duck_apply(base, plan.commands)
 
 
 def _duck_rate_stats(sql: str, p) -> str:
@@ -2107,6 +2158,13 @@ def _duck_apply_tracked(sql: str, commands: list,
     for kind, p in commands:
         if kind == "where":
             sql = f"SELECT * FROM ({sql}) _w WHERE {p.duck}"
+        elif kind == "row":
+            # one-row literal relation (ROW / SHOW INFO): replaces
+            # the synthetic one-row base entirely
+            cols = ", ".join(f"{e.duck} AS {n}" for n, e in p)
+            sql = f"SELECT {cols} FROM ({sql}) _r"
+            order, final_keep = None, None
+            known = {n for n, _ in p}
         elif kind == "eval":
             shadowed = [n for n, _ in p if n in known]
             excl = (f" EXCLUDE ({', '.join(shadowed)})"

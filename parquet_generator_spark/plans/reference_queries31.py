@@ -259,3 +259,53 @@ QUERIES.update(
     {"dsl_tsds_downsample_served": dsl_tsds_downsample_served})
 ORACLES.update(
     {"dsl_tsds_downsample_served": _tsds_served_oracle()})
+
+
+# ------------------------------------------- esql_row / esql_show
+
+ESQL_ROW_QUERY = (
+    'ROW lo = 10, hi = 42, label = "window" '
+    "| EVAL span = hi - lo, mid = (hi + lo) / 2 "
+    "| KEEP label, lo, hi, span, mid")
+
+
+def esql_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``ROW`` (a source-less head): a one-row literal
+    relation built from name = expr assignments, flowing into the
+    normal pipeline (EVAL/KEEP here). The 8.x grammar's scratchpad
+    form — useful for probing functions and shipping constants into
+    LOOKUP-style joins without touching an index."""
+    from parquet_generator_spark.operators.esql import (
+        esql_df,
+        parse_esql,
+    )
+
+    return esql_df(None, parse_esql(ESQL_ROW_QUERY))
+
+
+def esql_show(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``SHOW INFO``: the engine identity as a one-row
+    relation (deterministic literals — both engines render the
+    same row, so the driver hash-matches it like any query)."""
+    from parquet_generator_spark.operators.esql import (
+        esql_df,
+        parse_esql,
+    )
+
+    return esql_df(None, parse_esql("SHOW INFO"))
+
+
+def _row_oracle(q: str) -> str:
+    from parquet_generator_spark.operators.esql import (
+        esql_duck_sql,
+        parse_esql,
+    )
+
+    return esql_duck_sql(parse_esql(q))
+
+
+QUERIES.update({"esql_row": esql_row, "esql_show": esql_show})
+ORACLES.update({
+    "esql_row": _row_oracle(ESQL_ROW_QUERY),
+    "esql_show": _row_oracle("SHOW INFO"),
+})

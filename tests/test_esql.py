@@ -187,7 +187,7 @@ def test_concat_is_null_propagating_in_both_engines(spark):
 def test_fences_raise_loudly():
     with pytest.raises(ValueError, match="must start with FROM"):
         parse_esql("WHERE x == 1")
-    with pytest.raises(ValueError, match="ROW is not supported"):
+    with pytest.raises(ValueError, match="source-less HEAD"):
         parse_esql("FROM events | ROW a = 1")
     with pytest.raises(ValueError, match="unknown lookup index"):
         parse_esql("FROM events | LOOKUP JOIN dims ON k")
@@ -1244,3 +1244,30 @@ def test_fuse_linear_fences():
         parse_esql("FROM t | FORK (SORT v DESC, id | LIMIT 2) "
                    "(SORT s DESC, id | LIMIT 2) "
                    "| FUSE LINEAR id WEIGHTS 1, 2 NORMALIZER L2")
+
+
+def test_row_and_show_heads(spark):
+    """ROW / SHOW INFO as source-less heads: one-row literal
+    relations flowing into the normal pipeline, engine parity."""
+    con = duckdb.connect()
+    q = ('ROW x = 5, y = "hi" | EVAL z = x * 2 | KEEP y, z')
+    plan = parse_esql(q)
+    s = [tuple(r) for r in esql_df(None, plan).collect()]
+    assert s == [("hi", 10)]
+    assert con.execute(esql_duck_sql(plan)).fetchall() == s
+    # SHOW INFO: deterministic identity row
+    plan2 = parse_esql("SHOW INFO")
+    s2 = [tuple(r) for r in esql_df(None, plan2).collect()]
+    assert len(s2) == 1 and s2[0][0] == "8.19.0-compat"
+    assert con.execute(esql_duck_sql(plan2)).fetchall() == s2
+    # ROW feeds STATS like any relation
+    q3 = "ROW a = 3, b = 4 | STATS s = SUM(a + b)"
+    plan3 = parse_esql(q3)
+    s3 = [tuple(r) for r in esql_df(None, plan3).collect()]
+    assert s3 == [(7,)]
+    assert con.execute(esql_duck_sql(plan3)).fetchall() == s3
+    # fences
+    with pytest.raises(ValueError, match="ROW needs"):
+        parse_esql("ROW 5")
+    with pytest.raises(ValueError, match="must start with"):
+        parse_esql("SHOW FUNCTIONS")
