@@ -309,3 +309,137 @@ ORACLES.update({
     "esql_row": _row_oracle(ESQL_ROW_QUERY),
     "esql_show": _row_oracle("SHOW INFO"),
 })
+
+
+# --------------------------------------------- dsl_retriever_linear
+
+def dsl_retriever_linear(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """ES 8.18 ``linear`` retriever (the weighted sibling of the
+    8.14 rrf retriever — dsl_rrf's per-branch-weights counterpart,
+    and the DSL twin of esql_fuse_linear): fuse the same lexical
+    and vector legs by WEIGHTED, minmax-NORMALIZED scores instead
+    of reciprocal ranks — score = sum over retrievers of
+    weight x (s - min) / (max - min) within each leg's
+    rank_window_size, a missing leg contributing 0. Each leg stays
+    a bounded TakeOrderedAndProject; the minmax scalars ride a
+    broadcast crossJoin; the fusion is a full-outer join of two
+    <= window frames. Nothing data-scale shuffles."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    from parquet_generator_spark.operators.esdsl import (
+        score_query,
+        translate_query,
+    )
+    from parquet_generator_spark.operators.similarity import (
+        cosine_to_literal,
+    )
+    from parquet_generator_spark.plans.reference_queries19 import (
+        _RRF_K,
+        _RRF_QV,
+        _RRF_TEXT_Q,
+        _RRF_WINDOW,
+    )
+    from parquet_generator_spark.sources.catalog import load_table
+
+    w_text, w_vec = 0.7, 0.3
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    def norm(leg: DataFrame, col: str) -> DataFrame:
+        mm = leg.agg(F.min(col).alias("_mn"),
+                     F.max(col).alias("_mx"))
+        return (leg.crossJoin(F.broadcast(mm))
+                .withColumn(
+                    "_ns",
+                    F.when(F.col("_mx") > F.col("_mn"),
+                           (F.col(col) - F.col("_mn"))
+                           / (F.col("_mx") - F.col("_mn")))
+                    .otherwise(F.lit(1.0)))
+                .select("id", "_ns"))
+
+    t_top = (docs.filter(translate_query(_RRF_TEXT_Q))
+             .select(F.col("doc_id").alias("id"),
+                     F.round(score_query(_RRF_TEXT_Q), 4)
+                     .alias("s"))
+             .orderBy(F.desc("s"), F.asc("id"))
+             .limit(_RRF_WINDOW))
+    cos = cosine_to_literal("embedding", _RRF_QV)
+    v_top = (emb.select(F.col("vec_id").alias("id"),
+                        F.round(cos, 6).alias("c"))
+             .orderBy(F.desc("c"), F.asc("id"))
+             .limit(_RRF_WINDOW))
+
+    t_n = norm(t_top, "s").withColumnRenamed("_ns", "text_norm")
+    v_n = norm(v_top, "c").withColumnRenamed("_ns", "vec_norm")
+    score = (F.coalesce(F.col("text_norm") * F.lit(w_text),
+                        F.lit(0.0))
+             + F.coalesce(F.col("vec_norm") * F.lit(w_vec),
+                          F.lit(0.0)))
+    return (t_n.join(v_n, "id", "full_outer")
+            .select("id",
+                    F.round("text_norm", 6).alias("text_norm"),
+                    F.round("vec_norm", 6).alias("vec_norm"),
+                    F.round(score, 6).alias("linear_score"))
+            .orderBy(F.desc("linear_score"), F.asc("id"))
+            .limit(_RRF_K))
+
+
+def _retriever_linear_oracle() -> str:
+    from parquet_generator_spark.operators.similarity import (
+        cosine_to_literal_duck_sql,
+    )
+    from parquet_generator_spark.plans.reference_queries19 import (
+        _RRF_K,
+        _RRF_QV,
+        _RRF_WINDOW,
+        _tok_duck,
+    )
+
+    def hit(t: str, w: float) -> str:
+        return (f"{w!r} * (CASE WHEN {_tok_duck('text', t)} "
+                f"THEN 1 ELSE 0 END)")
+
+    s1, s2, s3 = hit("join", 2.0), hit("hash", 1.5), hit("sort", 1.0)
+    cos_sql = cosine_to_literal_duck_sql(
+        "CAST(embedding AS DOUBLE[])", _RRF_QV)
+    return f"""
+WITH t_top AS (
+  SELECT doc_id AS id,
+         round(greatest({s1}, {s2}, {s3})
+               + 0.3 * ({s1} + {s2} + {s3}
+                        - greatest({s1}, {s2}, {s3})), 4) AS s
+  FROM documents
+  WHERE {_tok_duck('text', 'join')} OR {_tok_duck('text', 'hash')}
+     OR {_tok_duck('text', 'sort')}
+  ORDER BY s DESC, id ASC LIMIT {_RRF_WINDOW}),
+t_n AS (
+  SELECT id, CASE WHEN max(s) OVER () > min(s) OVER ()
+             THEN (s - min(s) OVER ())
+                  / (max(s) OVER () - min(s) OVER ())
+             ELSE 1.0 END AS text_norm
+  FROM t_top),
+v_top AS (
+  SELECT vec_id AS id, round({cos_sql}, 6) AS c
+  FROM embeddings
+  ORDER BY c DESC, id ASC LIMIT {_RRF_WINDOW}),
+v_n AS (
+  SELECT id, CASE WHEN max(c) OVER () > min(c) OVER ()
+             THEN (c - min(c) OVER ())
+                  / (max(c) OVER () - min(c) OVER ())
+             ELSE 1.0 END AS vec_norm
+  FROM v_top)
+SELECT coalesce(t_n.id, v_n.id) AS id,
+       round(text_norm, 6) AS text_norm,
+       round(vec_norm, 6) AS vec_norm,
+       round(coalesce(text_norm * 0.7, 0.0)
+             + coalesce(vec_norm * 0.3, 0.0), 6) AS linear_score
+FROM t_n FULL OUTER JOIN v_n ON t_n.id = v_n.id
+ORDER BY linear_score DESC, id ASC LIMIT {_RRF_K}
+"""
+
+
+QUERIES.update({"dsl_retriever_linear": dsl_retriever_linear})
+ORACLES.update({"dsl_retriever_linear": _retriever_linear_oracle()})
