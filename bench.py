@@ -464,6 +464,15 @@ HEADLINE = [
     "chat_template_pack",
     "esql_fuse",
     "dsl_match_analyzer_ru",
+    # round 13: language twelve + stored-analysis class, FUSE forms,
+    # downsample-on-write serving, ROW/SHOW, linear retriever
+    "dsl_match_analyzer_fi",
+    "esql_fuse_docs",
+    "esql_fuse_linear",
+    "dsl_tsds_downsample_served",
+    "esql_row",
+    "esql_show",
+    "dsl_retriever_linear",
 ]
 
 # brute-force exactness twins with a labeled production path; at
