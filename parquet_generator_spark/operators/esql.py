@@ -2040,10 +2040,14 @@ def _df_apply(df: DataFrame, commands: list,
                     .groupBy(key)
                     .agg(F.max("_bscore").alias("_bscore")))
                 if normalizer == "minmax":
+                    from parquet_generator_spark.operators.util import (
+                        broadcast_scalars,
+                    )
+
                     mm = base.agg(
                         F.min("_bscore").alias("_mn"),
                         F.max("_bscore").alias("_mx"))
-                    base = (base.crossJoin(F.broadcast(mm))
+                    base = (broadcast_scalars(base, mm)
                             .withColumn(
                                 "_bscore",
                                 F.when(

@@ -322,9 +322,11 @@ def dsl_retriever_linear(spark: SparkSession,
     of reciprocal ranks — score = sum over retrievers of
     weight x (s - min) / (max - min) within each leg's
     rank_window_size, a missing leg contributing 0. Each leg stays
-    a bounded TakeOrderedAndProject; the minmax scalars ride a
-    broadcast crossJoin; the fusion is a full-outer join of two
-    <= window frames. Nothing data-scale shuffles."""
+    a bounded TakeOrderedAndProject; the minmax scalars attach as
+    plan literals (broadcast_scalars — the legs are <= window rows,
+    so the eager scalar collect is bounded); the fusion is a
+    full-outer join of two <= window frames. Nothing data-scale
+    shuffles."""
     import math
 
     from pyspark.sql.window import Window
@@ -349,9 +351,13 @@ def dsl_retriever_linear(spark: SparkSession,
     emb = load_table(spark, "embeddings", sf_dir)
 
     def norm(leg: DataFrame, col: str) -> DataFrame:
+        from parquet_generator_spark.operators.util import (
+            broadcast_scalars,
+        )
+
         mm = leg.agg(F.min(col).alias("_mn"),
                      F.max(col).alias("_mx"))
-        return (leg.crossJoin(F.broadcast(mm))
+        return (broadcast_scalars(leg, mm)
                 .withColumn(
                     "_ns",
                     F.when(F.col("_mx") > F.col("_mn"),

@@ -297,22 +297,26 @@ def test_date_math_now_bounds_reach_scan(spark):
 
 def test_front_keys_lead_queries():
     """The driver's correctness sampler reads 50 entries from the
-    front of queries(); the round-12 FRONT window leads with the two
-    round-11 rotation-debt keys (so they finally get hard driver
-    rows), fronts every round-12 addition, and fills the rest with
-    round-11 re-verification keys — cumulative hard ledger stays
-    closed with zero new debt."""
+    front of queries(); the round-13 FRONT window leads with the
+    round-13 additions, then the 17 keys whose RENDERING changed
+    this round (the analyzer class moving to the stored path, the
+    french/romanian canonical fixes, the esql KNN/FUSE guards), then
+    re-verification slots — cumulative hard ledger stays closed with
+    zero new debt (every rotated-out key is green at its latest
+    CORRECTNESS_r12 sample)."""
     q = list(entrymod.queries())
     present = [k for k in entrymod.FRONT_KEYS if k in entrymod.queries()]
     assert q[:len(present)] == present
-    # the two debt keys MUST occupy the first two sampler slots
-    assert present[:2] == ["hash_sample", "context_window_fill"]
-    for k in (  # every round-12 addition is fronted
-              "esql_rate", "dedup_index_appended",
-              "dsl_match_analyzer_stored",
+    # every round-13 addition is fronted, leading the window
+    additions = ["dsl_match_analyzer_fi", "esql_fuse_docs",
+                 "esql_fuse_linear", "dsl_tsds_downsample_served",
+                 "esql_row", "esql_show", "dsl_retriever_linear"]
+    assert present[:len(additions)] == additions
+    for k in (  # every rendering-changed key is re-fronted
+              "dsl_match_analyzer_fr", "dsl_match_analyzer_ro",
+              "dsl_match_lang_routed", "dsl_match_analyzer_stored",
               "dsl_match_phrase_analyzer_stored",
-              "dsl_scripted_metric_while",
-              "dsl_match_analyzer_nl", "dsl_match_analyzer_ro"):
+              "esql_knn", "esql_fuse"):
         assert k in present, k
     # the sampler window is 50 wide: anything past 50 is next round's
     # rotation debt and must be called out in the FRONT_KEYS comment
