@@ -89,7 +89,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ROUND-13 LEDGER: zero debt entered the round (CORRECTNESS_r12 =
 # 50/50 MATCH; every key green at its latest hard sample). The
-# window holds the 7 round-13 additions, then 17 re-fronted keys
+# window holds the 8 round-13 additions, then 17 re-fronted keys
 # whose rendering changed this round (the analyzer-match class now
 # serves from the central analyzed store; the french/romanian
 # canonical-fidelity stemmer fixes; the esql KNN zero-vector guard
@@ -100,6 +100,7 @@ FRONT_KEYS = [
     # ---- round-13 additions (driver-sim verified on registration
     # at sf0.001 AND sf0.01) --------------------------------------
     "dsl_match_analyzer_fi",
+    "dsl_match_analyzer_hu",
     "esql_fuse_docs",
     "esql_fuse_linear",
     "dsl_tsds_downsample_served",
@@ -161,7 +162,9 @@ FRONT_KEYS = [
     "esql_change_point",
     "esql_bucket_numeric",
     "esql_stats_where",
-    "esql_top_agg",
+    # (esql_top_agg rotated out to keep the window at exactly 50
+    # when dsl_match_analyzer_hu landed — it is hard-green in
+    # CORRECTNESS_r12 at its latest sample, so no debt is created)
 ]
 
 

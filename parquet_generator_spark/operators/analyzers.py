@@ -160,6 +160,11 @@ def _stem_py(kind, w: str) -> str:
             finnish_stem,
         )
         return finnish_stem(w)
+    if kind == "hungarian":
+        from parquet_generator_spark.operators.snowball_hu import (
+            hungarian_stem,
+        )
+        return hungarian_stem(w)
     if kind in ("swedish", "danish", "norwegian"):
         from parquet_generator_spark.operators import snowball_scand
         return getattr(snowball_scand, f"{kind}_stem")(w)
@@ -172,7 +177,8 @@ def _stem_py(kind, w: str) -> str:
 _EXPENSIVE_STEMMERS = ("porter", "german", "french", "spanish",
                        "italian", "portuguese", "swedish",
                        "danish", "norwegian", "dutch",
-                       "romanian", "russian", "finnish")
+                       "romanian", "russian", "finnish",
+                       "hungarian")
 
 
 def _stem_expr(kind, ref: str, engine: str) -> str:
@@ -228,6 +234,11 @@ def _stem_expr(kind, ref: str, engine: str) -> str:
             finnish_stem_sql,
         )
         return finnish_stem_sql(ref, engine)
+    if kind == "hungarian":
+        from parquet_generator_spark.operators.snowball_hu import (
+            hungarian_stem_sql,
+        )
+        return hungarian_stem_sql(ref, engine)
     if kind in ("swedish", "danish", "norwegian"):
         from parquet_generator_spark.operators import snowball_scand
         return getattr(snowball_scand,
@@ -462,6 +473,32 @@ register_analyzer(Analyzer("finnish",
                            stopwords=FINNISH_STOPWORDS,
                            stem=True, stemmer="finnish",
                            charset=FINNISH_CHARSET))
+# the snowball hungarian stoplist (public constant, snowballstem.org)
+HUNGARIAN_STOPWORDS = frozenset("""
+a ahogy ahol aki akik akkor alatt által általában amely amelyek
+amelyekben amelyeket amelyet amelynek ami amit amolyan amíg amikor
+át abban ahhoz annak arra arról az azok azon azt azzal azért aztán
+azután azonban bár be belül benne cikk cikkek cikkeket csak de e
+eddig egész egy egyes egyetlen egyéb egyik egyre ekkor el elég
+ellen elő először előtt első én éppen ebben ehhez emilyen ennek
+erre ez ezt ezek ezen ezzel ezért és fel felé hanem hiszen hogy
+hogyan igen így illetve ill. ill ilyen ilyenkor ison ismét itt jó
+jól jobban kell kellett keresztül keressünk ki kívül között közül
+legalább lehet lehetett legyen lenne lenni lesz lett maga magát
+majd már más másik meg még mellett mert mely melyek mi mit míg
+miért milyen mikor minden mindent mindenki mindig mint mintha
+mivel most nagy nagyobb nagyon ne néha nekem neki nem néhány
+nélkül nincs olyan ott össze ő ők őket pedig persze rá s saját sem
+semmi sok sokat sokkal számára szemben szerint szinte talán tehát
+teljes tovább továbbá több úgy ugyanis új újabb újra után utána
+utolsó vagy vagyis valaki valami valamint való vagyok van vannak
+volt voltam voltak voltunk vissza vele viszont volna
+""".split())
+HUNGARIAN_CHARSET = "a-z0-9áéíóöőúüű"
+register_analyzer(Analyzer("hungarian",
+                           stopwords=HUNGARIAN_STOPWORDS,
+                           stem=True, stemmer="hungarian",
+                           charset=HUNGARIAN_CHARSET))
 
 
 def _quote(s: str) -> str:

@@ -80,10 +80,12 @@ def _specs() -> list[tuple[str, str, str]]:
     )
     from parquet_generator_spark.plans.reference_queries31 import (
         _fi_planted_expr,
+        _hu_planted_expr,
     )
 
     return [
         ("fi", "finnish", _fi_planted_expr()),
+        ("hu", "hungarian", _hu_planted_expr()),
         ("es", "spanish", _planted_expr("es", _ES_SNIPPETS)),
         ("de", "german", _planted_expr("de", _DE_SNIPPETS)),
         ("fr", "french", _planted_expr("fr", _FR_SNIPPETS)),
@@ -115,7 +117,7 @@ def _routed() -> tuple[str, dict]:
 # codegen envelope); the three scandinavian stemmers are one shared
 # lightweight scaffold and ride together
 _PASSES = [("es", "de"), ("fr", "it"), ("pt", "nl"), ("ro", "ru"),
-           ("fi",), ("sv", "da", "no")]
+           ("fi", "hu"), ("sv", "da", "no")]
 
 
 def version_hash() -> str:

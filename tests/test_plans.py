@@ -308,7 +308,8 @@ def test_front_keys_lead_queries():
     present = [k for k in entrymod.FRONT_KEYS if k in entrymod.queries()]
     assert q[:len(present)] == present
     # every round-13 addition is fronted, leading the window
-    additions = ["dsl_match_analyzer_fi", "esql_fuse_docs",
+    additions = ["dsl_match_analyzer_fi", "dsl_match_analyzer_hu",
+                 "esql_fuse_docs",
                  "esql_fuse_linear", "dsl_tsds_downsample_served",
                  "esql_row", "esql_show", "dsl_retriever_linear"]
     assert present[:len(additions)] == additions
