@@ -80,6 +80,7 @@ from parquet_generator_spark.plans import reference_queries28 as R28
 from parquet_generator_spark.plans import reference_queries29 as R29
 from parquet_generator_spark.plans import reference_queries30 as R30
 from parquet_generator_spark.plans import reference_queries31 as R31
+from parquet_generator_spark.plans import reference_queries32 as R32
 from parquet_generator_spark.plans import scale_queries as SC
 from parquet_generator_spark.plans import streaming_queries as S
 
@@ -89,7 +90,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ROUND-13 LEDGER: zero debt entered the round (CORRECTNESS_r12 =
 # 50/50 MATCH; every key green at its latest hard sample). The
-# window holds the 8 round-13 additions, then 17 re-fronted keys
+# window holds the 10 round-13 additions, then 17 re-fronted keys
 # whose rendering changed this round (the analyzer-match class now
 # serves from the central analyzed store; the french/romanian
 # canonical-fidelity stemmer fixes; the esql KNN zero-vector guard
@@ -104,6 +105,8 @@ FRONT_KEYS = [
     "esql_fuse_docs",
     "esql_fuse_linear",
     "dsl_tsds_downsample_served",
+    "dsl_rate_served",
+    "esql_rate_served",
     "esql_row",
     "esql_show",
     "dsl_retriever_linear",
@@ -160,8 +163,9 @@ FRONT_KEYS = [
     "esql_lookup_join",
     "esql_date_extract",
     "esql_change_point",
-    "esql_bucket_numeric",
-    "esql_stats_where",
+    # (esql_bucket_numeric / esql_stats_where rotated out with
+    # esql_top_agg for the three later round-13 additions; all
+    # hard-green in CORRECTNESS_r12 at their latest samples)
     # (esql_top_agg rotated out to keep the window at exactly 50
     # when dsl_match_analyzer_hu landed — it is hard-green in
     # CORRECTNESS_r12 at its latest sample, so no debt is created)
@@ -243,6 +247,7 @@ def queries() -> dict[str, QueryFn]:
         **R29.QUERIES,
         **R30.QUERIES,
         **R31.QUERIES,
+        **R32.QUERIES,
         "sessionize": A.sessionize,
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -322,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         **R29.ORACLES,
         **R30.ORACLES,
         **R31.ORACLES,
+        **R32.ORACLES,
         "sessionize": A.SESSIONIZE_ORACLE,
         "q1_pricing_summary": A.Q1_ORACLE,
         "q3_shipping_priority": A.Q3_ORACLE,

@@ -1,0 +1,149 @@
+"""Round-13 reference tranche 2: TSDS rates served from the
+materialized 6h rollup (VERDICT r12 mandate #4's follow-on — the
+round-14 starter pulled forward).
+
+Both keys reuse their per-query siblings' DuckDB oracles VERBATIM
+(the oracle recomputes from raw events), so the driver itself
+proves rollup-served == raw for every hard sample:
+
+- ``dsl_rate_served``: the gauge shape (count + sum per day) is a
+  pure re-bucketing of the 6h gauge rollup — day = 4 x 6h, counts
+  and unrounded sums add.
+- ``esql_rate_served``: the counter shape needs the rollup's
+  first/last witnesses: a day's reset-adjusted increase = the sum
+  of within-6h increases plus the boundary deltas between
+  consecutive non-empty 6h buckets, and the day's observed span is
+  last-witness minus first-witness (sinks/tsds_rollup.py
+  serve_ctr_rates owns the stitch).
+
+Scale: a rate panel at 100 TB reads series x buckets rollup rows —
+never raw events; the rollup itself was paid once at write time
+(and incrementally per appended slice). This is exactly ES 8.5+
+TSDS downsampling: rate over a downsampled index is served from
+first/last+increase per downsample bucket.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ------------------------------------------------- dsl_rate_served
+
+def dsl_rate_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsl_rate (per-day count/sum rescaled to hourly rates) served
+    from the MATERIALIZED 6h gauge rollup: day buckets re-aggregate
+    4 rollup rows per series — the raw events are never scanned.
+    The sum rides UNROUNDED (_sum_raw) and is rounded once at serve
+    time, matching the per-query key's arithmetic."""
+    from parquet_generator_spark.plans.reference_queries31 import (
+        _ensure_rollup,
+    )
+    from parquet_generator_spark.sinks import snapshots
+
+    root = _ensure_rollup(spark, sf_dir)
+    r = snapshots.read_snapshot(spark,
+                                os.path.join(root, "rollup_6h"))
+    day = F.concat(F.substring("bucket", 1, 10),
+                   F.lit(" 00:00:00"))
+    return (r.filter(F.col("event_type") == "click")
+            .groupBy(day.alias("key"))
+            .agg(F.sum("n").alias("doc_count"),
+                 (F.sum("n") / F.lit(24.0)).alias("events_per_hour"),
+                 (F.round(F.sum("_sum_raw"), 4) / F.lit(24.0))
+                 .alias("value_per_hour"))
+            .orderBy("key"))
+
+
+def _dsl_rate_served_oracle() -> str:
+    from parquet_generator_spark.plans.reference_queries16 import (
+        DSL_RATE_ORACLE,
+    )
+
+    return DSL_RATE_ORACLE
+
+
+QUERIES.update({"dsl_rate_served": dsl_rate_served})
+ORACLES.update({"dsl_rate_served": _dsl_rate_served_oracle()})
+
+
+# ------------------------------------------------ esql_rate_served
+
+def _ctr_rollup_root(sf_dir: str) -> str:
+    from parquet_generator_spark.plans.llm_queries25 import (
+        _REPO_ROOT,
+    )
+
+    return os.path.join(
+        _REPO_ROOT, ".scratch", "tsds_ctr_rollup",
+        os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _ensure_ctr_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Counter downsample-on-write, fingerprint-gated per sf_dir:
+    the per-(user, 6h) first/last+increase rollup of the synthetic
+    cumulative counter, materialized once per corpus version."""
+    from parquet_generator_spark.plans.reference_queries29 import (
+        _ctr_source,
+    )
+    from parquet_generator_spark.sinks.tsds_rollup import (
+        train_ctr_rollup,
+    )
+    from parquet_generator_spark.sources.catalog import load_table
+
+    root = _ctr_rollup_root(sf_dir)
+    meta_p = os.path.join(root, "source_meta.json")
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    fp = f"{st.st_mtime_ns}:{st.st_size}"
+    if os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            if json.load(fh).get("fingerprint") == fp:
+                return root
+    ev = load_table(spark, "events", sf_dir)
+    train_ctr_rollup(spark, _ctr_source(ev), root,
+                     series="user_id")
+    with open(meta_p, "w") as fh:
+        json.dump({"fingerprint": fp}, fh)
+    return root
+
+
+def esql_rate_served(spark: SparkSession,
+                     sf_dir: str) -> DataFrame:
+    """esql_rate (STATS SUM/AVG/MAX(RATE(ctr)) BY 1-day buckets)
+    served from the MATERIALIZED counter rollup: per-series day
+    rates are stitched from 6h first/last witnesses + within-bucket
+    increases (serve_ctr_rates), then combined across series with
+    the same outer aggregates. Counter values are integral, so the
+    stitched increase is bit-identical to the raw lag-sum; oracle =
+    the per-query key's oracle VERBATIM."""
+    from parquet_generator_spark.sinks.tsds_rollup import (
+        serve_ctr_rates,
+    )
+
+    root = _ensure_ctr_rollup(spark, sf_dir)
+    rates = serve_ctr_rates(spark, root, 86400)
+    return (rates
+            .groupBy(F.timestamp_seconds("bucket").alias("day"))
+            .agg(F.round(F.sum("rate"), 6).alias("rate_sum"),
+                 F.round(F.avg("rate"), 6).alias("rate_avg"),
+                 F.round(F.max("rate"), 6).alias("rate_max"))
+            .orderBy(F.asc_nulls_first("day")))
+
+
+def _esql_rate_served_oracle() -> str:
+    from parquet_generator_spark.plans.reference_queries29 import (
+        _esql_rate_oracle,
+    )
+
+    return _esql_rate_oracle()
+
+
+QUERIES.update({"esql_rate_served": esql_rate_served})
+ORACLES.update({"esql_rate_served": _esql_rate_served_oracle()})

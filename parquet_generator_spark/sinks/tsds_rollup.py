@@ -154,3 +154,200 @@ def serve_rollup(spark: SparkSession, root: str,
         F.round("_max_raw", 4).alias("max_value"),
         F.round("_sum_raw", 4).alias("sum_value"),
         F.round("_last_raw", 4).alias("last_value"))
+
+
+# ------------------------------------------------------------------
+# counter rollup (TSDS RATE service)
+# ------------------------------------------------------------------
+# A gauge rollup (above) stores order-free mergeable stats; a
+# COUNTER rate cannot be served from those — the reset rule (a drop
+# means the process restarted and climbed from 0) depends on the
+# per-series point ORDER. The counter rollup therefore stores, per
+# (series, 6h bucket): the first/last (ts, value) witnesses and the
+# reset-adjusted WITHIN-bucket increase. Any day-or-coarser bucket
+# whose width is a multiple of 6h is then exact: the day's increase
+# is the sum of within-bucket increases plus the reset-adjusted
+# boundary deltas between consecutive non-empty sub-buckets, and
+# the day's observed span is (last witness - first witness). This
+# mirrors ES TSDS downsampling of counter fields (8.5+): rate over
+# a downsampled index uses exactly the first/last+increase shape.
+#
+# Merge-on-append contract: slices must be time-disjoint per
+# (series, bucket) — the ES model, where downsampling runs on
+# SEALED indices and appends are later time slices. The merge
+# re-adjudicates first/last by witness and stitches the boundary
+# increase between the two slices; interleaved slices would need
+# the raw points back and raise instead.
+
+def _ctr_bucket(ts_col):
+    return ((F.unix_timestamp(ts_col) / BUCKET_SECONDS)
+            .cast("long") * BUCKET_SECONDS)
+
+
+def ctr_slice_rollup(points: DataFrame, series: str,
+                     ts: str = "ts", tie: str = "event_id",
+                     val: str = "ctr") -> DataFrame:
+    """Per (series, 6h bucket): first/last witnesses (epoch-us +
+    tie + value) and the reset-adjusted within-bucket increase.
+    The lag window and the groupBy share ONE (series, bucket)
+    shuffle — the _tsid routing a TSDS index already performs."""
+    b = points.select(
+        F.col(series).alias("series"), F.col(ts).alias("_ts"),
+        F.col(tie).alias("_tie"), F.col(val).alias("_val"),
+        _ctr_bucket(F.col(ts)).alias("bk"))
+    w = Window.partitionBy("series", "bk").orderBy("_ts", "_tie")
+    delta = F.col("_val") - F.lag("_val").over(w)
+    b = b.withColumn(
+        "_inc",
+        F.when(delta.isNull(), F.lit(0))
+        .when(delta >= 0, delta)
+        .otherwise(F.col("_val")))
+    us = F.unix_micros(F.col("_ts"))
+    pt = F.struct(us.alias("u"), F.col("_tie").alias("t"),
+                  F.col("_val").alias("v"))
+    return (b.groupBy("series", "bk")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(pt).alias("_f"), F.max(pt).alias("_l"),
+                 F.sum("_inc").alias("inner_inc"))
+            .select("series", "bk", "n",
+                    F.col("_f.u").alias("first_us"),
+                    F.col("_f.t").alias("first_tie"),
+                    F.col("_f.v").alias("first_val"),
+                    F.col("_l.u").alias("last_us"),
+                    F.col("_l.t").alias("last_tie"),
+                    F.col("_l.v").alias("last_val"),
+                    "inner_inc"))
+
+
+def _reset_adj(delta, cur):
+    return (F.when(delta.isNull(), F.lit(0))
+            .when(delta >= 0, delta).otherwise(cur))
+
+
+def ctr_merge(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Merge two time-disjoint counter-rollup slices: first/last by
+    witness, n adds, and the combined within-bucket increase is
+    earlier.inner + boundary(earlier.last -> later.first) +
+    later.inner. Overlap per (series, bucket) raises at action time
+    via the _overlap sentinel column (assert_true)."""
+    o = old.select([F.col(c).alias(f"o_{c}") if c not in
+                    ("series", "bk") else F.col(c)
+                    for c in old.columns])
+    nw = new.select([F.col(c).alias(f"n_{c}") if c not in
+                     ("series", "bk") else F.col(c)
+                     for c in new.columns])
+    j = o.join(nw, ["series", "bk"], "full_outer")
+    both = F.col("o_n").isNotNull() & F.col("n_n").isNotNull()
+    old_first = (F.struct("o_first_us", "o_first_tie")
+                 < F.struct("n_first_us", "n_first_tie"))
+    # time-disjoint check: the earlier slice's last witness must
+    # precede the later slice's first witness
+    disjoint = F.when(
+        ~both, F.lit(True)).otherwise(F.when(
+            old_first,
+            F.struct("o_last_us", "o_last_tie")
+            < F.struct("n_first_us", "n_first_tie")).otherwise(
+            F.struct("n_last_us", "n_last_tie")
+            < F.struct("o_first_us", "o_first_tie")))
+    guard = F.assert_true(
+        disjoint, F.lit("ctr_merge: interleaved slices for a "
+                        "(series, bucket) — counter rollups merge "
+                        "only time-disjoint appends"))
+    e = {}  # earlier slice fields / later slice fields
+    for f in ("first_us", "first_tie", "first_val"):
+        e[f] = F.when(old_first, F.col(f"o_{f}")).otherwise(
+            F.col(f"n_{f}"))
+    lt = {}
+    for f in ("last_us", "last_tie", "last_val"):
+        lt[f] = F.when(old_first, F.col(f"n_{f}")).otherwise(
+            F.col(f"o_{f}"))
+    b_prev = F.when(old_first, F.col("o_last_val")).otherwise(
+        F.col("n_last_val"))
+    b_next = F.when(old_first, F.col("n_first_val")).otherwise(
+        F.col("o_first_val"))
+    binc = _reset_adj(b_next - b_prev, b_next)
+    one = F.col("o_n").isNull()  # only-new rows
+    merged = j.select(
+        "series", "bk",
+        F.when(guard.isNull() & both,
+               F.col("o_n") + F.col("n_n"))
+        .when(one, F.col("n_n")).otherwise(F.col("o_n")).alias("n"),
+        *[F.when(both, e[f]).when(one, F.col(f"n_{f}"))
+          .otherwise(F.col(f"o_{f}")).alias(f)
+          for f in ("first_us", "first_tie", "first_val")],
+        *[F.when(both, lt[f]).when(one, F.col(f"n_{f}"))
+          .otherwise(F.col(f"o_{f}")).alias(f)
+          for f in ("last_us", "last_tie", "last_val")],
+        F.when(both,
+               F.col("o_inner_inc") + binc + F.col("n_inner_inc"))
+        .when(one, F.col("n_inner_inc"))
+        .otherwise(F.col("o_inner_inc")).alias("inner_inc"))
+    return merged
+
+
+def _ctr_table(root: str) -> str:
+    return os.path.join(root, "ctr_rollup_6h")
+
+
+def train_ctr_rollup(spark: SparkSession, points: DataFrame,
+                     root: str, series: str,
+                     ts: str = "ts", tie: str = "event_id",
+                     val: str = "ctr") -> int:
+    os.makedirs(root, exist_ok=True)
+    df = ctr_slice_rollup(points, series, ts, tie, val)
+    path = _ctr_table(root)
+    try:
+        snapshots.current_version(path)
+    except FileNotFoundError:
+        return snapshots.create_table(spark, path, df)
+    return snapshots.commit_overwrite(spark, path, df)
+
+
+def append_ctr_rollup(spark: SparkSession, root: str,
+                      new_points: DataFrame, series: str,
+                      ts: str = "ts", tie: str = "event_id",
+                      val: str = "ctr") -> int:
+    path = _ctr_table(root)
+    old = snapshots.read_snapshot(spark, path)
+    merged = ctr_merge(old, ctr_slice_rollup(new_points, series,
+                                             ts, tie, val))
+    return snapshots.commit_overwrite(spark, path, merged)
+
+
+def serve_ctr_rates(spark: SparkSession, root: str,
+                    bucket_seconds: int,
+                    version: int | None = None) -> DataFrame:
+    """Per (series, requested bucket) per-second rates from the
+    rollup — NO raw-points scan. ``bucket_seconds`` must be a
+    multiple of the 6h rollup granularity (ES serves a rate from a
+    downsampled index only when the requested interval is a
+    multiple of the downsample interval). Output: series, bucket
+    epoch-seconds, rate (NULL when the span is empty) — the exact
+    arithmetic of the per-query TSDS rate (increase * 1e6 / span_us
+    over the bucket's OBSERVED first..last witnesses)."""
+    if bucket_seconds % BUCKET_SECONDS != 0:
+        raise ValueError(
+            f"serve_ctr_rates: requested bucket {bucket_seconds}s "
+            f"is not a multiple of the rollup granularity "
+            f"{BUCKET_SECONDS}s — query the raw series instead")
+    r = snapshots.read_snapshot(spark, _ctr_table(root), version)
+    out_bk = ((F.col("bk") / bucket_seconds).cast("long")
+              * bucket_seconds)
+    r = r.withColumn("obk", out_bk)
+    w = Window.partitionBy("series", "obk").orderBy("bk")
+    prev_last = F.lag("last_val").over(w)
+    binc = _reset_adj(F.col("first_val") - prev_last,
+                      F.col("first_val"))
+    r = r.withColumn("_binc", binc)
+    per = (r.groupBy("series", "obk")
+           .agg(F.sum(F.col("inner_inc") + F.col("_binc"))
+                .alias("_inc"),
+                F.min("first_us").alias("_tmin"),
+                F.max("last_us").alias("_tmax"),
+                F.sum("n").alias("n")))
+    span = F.col("_tmax") - F.col("_tmin")
+    return per.select(
+        "series", F.col("obk").alias("bucket"), "n",
+        F.when(span > 0,
+               F.col("_inc").cast("double") * F.lit(1000000.0)
+               / span.cast("double")).alias("rate"))

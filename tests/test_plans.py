@@ -311,6 +311,7 @@ def test_front_keys_lead_queries():
     additions = ["dsl_match_analyzer_fi", "dsl_match_analyzer_hu",
                  "esql_fuse_docs",
                  "esql_fuse_linear", "dsl_tsds_downsample_served",
+                 "dsl_rate_served", "esql_rate_served",
                  "esql_row", "esql_show", "dsl_retriever_linear"]
     assert present[:len(additions)] == additions
     for k in (  # every rendering-changed key is re-fronted
