@@ -118,7 +118,11 @@ FRONT_KEYS = [
     # (b) the french/romanian stemmers got canonical-fidelity fixes
     # (both engines changed together — the hard rows re-cover them);
     # (c) esql KNN gained the zero-vector NULL guard and FUSE the
-    # per-document dedup (both renderers changed).
+    # per-document dedup (both renderers changed);
+    # (d) the shared literal-cosine kernel gained the same
+    # zero-vector NULL guard (similarity.py, both engines — values
+    # unchanged on this corpus, rendering changed) — every key on
+    # that kernel is re-fronted.
     "dsl_match_analyzer_de",
     "dsl_match_analyzer_fr",
     "dsl_match_analyzer_es",
@@ -136,6 +140,12 @@ FRONT_KEYS = [
     "dsl_match_phrase_analyzer_stored",
     "esql_knn",
     "esql_fuse",
+    "dsl_rrf",
+    "dsl_hybrid_score",
+    "dsl_retriever_pipeline",
+    "dsl_multi_knn",
+    "ann_int8_rescore",
+    "matryoshka_overlap",
     # ---- re-verification slots (window is exactly 50) ------------
     # round-12 keys held for a second consecutive hard sample, then
     # r11-era keys; everything rotated out is hard-green in
@@ -157,12 +167,10 @@ FRONT_KEYS = [
     "esql_enrich",
     "esql_grok",
     "esql_case_like",
-    "esql_mv_funcs",
-    "esql_stats_percentiles",
-    "esql_inlinestats",
-    "esql_lookup_join",
-    "esql_date_extract",
-    "esql_change_point",
+    # (esql_mv_funcs, esql_stats_percentiles, esql_inlinestats,
+    # esql_lookup_join, esql_date_extract, esql_change_point rotated
+    # out for the six cosine-kernel re-fronts; all hard-green in
+    # CORRECTNESS_r12 at their latest samples)
     # (esql_bucket_numeric / esql_stats_where rotated out with
     # esql_top_agg for the three later round-13 additions; all
     # hard-green in CORRECTNESS_r12 at their latest samples)

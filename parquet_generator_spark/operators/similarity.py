@@ -53,33 +53,44 @@ def cosine_to_literal(vec_col, query_vector: list[float]) -> Column:
     rounded to 4 — the single definition every literal-query ranking
     leg (rrf / hybrid / multi-knn / matryoshka / retriever pipeline)
     uses, so rounding and null/cast behavior cannot drift between
-    plans. Pure codegen fold (zip_with + aggregate), no UDF."""
+    plans. Pure codegen fold (zip_with + aggregate), no UDF.
+
+    Zero-vector guard (the esql_knn convention, round 13): a
+    zero-magnitude document vector scores NULL in BOTH engines —
+    unguarded, Spark's 0.0/0.0 yields NaN (which sorts as the
+    LARGEST double under desc) while DuckDB yields NULL. The
+    driver corpus contains no zero vectors at any SF (pinned in
+    tests/test_similarity.py), so this is a contract for real
+    corpora (padding rows, failed encoders), not a value change."""
     if isinstance(vec_col, str):
         vec_col = F.col(vec_col)
     qv = [float(x) for x in query_vector]
     qlit = F.array(*[F.lit(x) for x in qv])
     qn = float(np.sqrt(sum(x * x for x in qv)))
-    dn = F.sqrt(F.aggregate(
+    sq = F.aggregate(
         vec_col, F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return F.round(
+        lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    cos = F.round(
         F.aggregate(F.zip_with(vec_col, qlit,
                                lambda a, b: a.cast("double") * b),
                     F.lit(0.0), lambda acc, x: acc + x)
-        / (dn * F.lit(qn)), 4)
+        / (F.sqrt(sq) * F.lit(qn)), 4)
+    return F.when(sq > 0, cos)
 
 
 def cosine_to_literal_duck_sql(vec_expr: str,
                                query_vector: list[float]) -> str:
     """DuckDB mirror of cosine_to_literal (same literal, same
-    rounding) for the oracle side. ``vec_expr`` must already be a
-    DOUBLE[] expression."""
+    rounding, same zero-vector NULL guard) for the oracle side.
+    ``vec_expr`` must already be a DOUBLE[] expression."""
     qv = [float(x) for x in query_vector]
     qlit = "[" + ", ".join(f"{x!r}" for x in qv) + "]::DOUBLE[]"
     qn = float(np.sqrt(sum(x * x for x in qv)))
-    return (f"round(list_dot_product({vec_expr}, {qlit}) / "
+    return (f"(CASE WHEN list_dot_product({vec_expr}, {vec_expr})"
+            f" > 0 THEN "
+            f"round(list_dot_product({vec_expr}, {qlit}) / "
             f"(sqrt(list_dot_product({vec_expr}, {vec_expr})) "
-            f"* {qn!r}), 4)")
+            f"* {qn!r}), 4) END)")
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
