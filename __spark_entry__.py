@@ -90,7 +90,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ROUND-13 LEDGER: zero debt entered the round (CORRECTNESS_r12 =
 # 50/50 MATCH; every key green at its latest hard sample). The
-# window holds the 10 round-13 additions, then 17 re-fronted keys
+# window holds the 11 round-13 additions, then 17 re-fronted keys
 # whose rendering changed this round (the analyzer-match class now
 # serves from the central analyzed store; the french/romanian
 # canonical-fidelity stemmer fixes; the esql KNN zero-vector guard
@@ -102,6 +102,7 @@ FRONT_KEYS = [
     # at sf0.001 AND sf0.01) --------------------------------------
     "dsl_match_analyzer_fi",
     "dsl_match_analyzer_hu",
+    "dsl_match_analyzer_ar",
     "esql_fuse_docs",
     "esql_fuse_linear",
     "dsl_tsds_downsample_served",
@@ -166,7 +167,8 @@ FRONT_KEYS = [
     "esql_rename_drop",
     "esql_enrich",
     "esql_grok",
-    "esql_case_like",
+    # (esql_case_like rotated out for dsl_match_analyzer_ar; it is
+    # hard-green in CORRECTNESS_r12 at its latest sample)
     # (esql_mv_funcs, esql_stats_percentiles, esql_inlinestats,
     # esql_lookup_join, esql_date_extract, esql_change_point rotated
     # out for the six cosine-kernel re-fronts; all hard-green in

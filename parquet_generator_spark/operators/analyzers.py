@@ -165,6 +165,11 @@ def _stem_py(kind, w: str) -> str:
             hungarian_stem,
         )
         return hungarian_stem(w)
+    if kind == "arabic":
+        from parquet_generator_spark.operators.snowball_ar import (
+            arabic_stem,
+        )
+        return arabic_stem(w)
     if kind in ("swedish", "danish", "norwegian"):
         from parquet_generator_spark.operators import snowball_scand
         return getattr(snowball_scand, f"{kind}_stem")(w)
@@ -178,7 +183,7 @@ _EXPENSIVE_STEMMERS = ("porter", "german", "french", "spanish",
                        "italian", "portuguese", "swedish",
                        "danish", "norwegian", "dutch",
                        "romanian", "russian", "finnish",
-                       "hungarian")
+                       "hungarian", "arabic")
 
 
 def _stem_expr(kind, ref: str, engine: str) -> str:
@@ -239,6 +244,11 @@ def _stem_expr(kind, ref: str, engine: str) -> str:
             hungarian_stem_sql,
         )
         return hungarian_stem_sql(ref, engine)
+    if kind == "arabic":
+        from parquet_generator_spark.operators.snowball_ar import (
+            arabic_stem_sql,
+        )
+        return arabic_stem_sql(ref, engine)
     if kind in ("swedish", "danish", "norwegian"):
         from parquet_generator_spark.operators import snowball_scand
         return getattr(snowball_scand,
@@ -499,6 +509,23 @@ register_analyzer(Analyzer("hungarian",
                            stopwords=HUNGARIAN_STOPWORDS,
                            stem=True, stemmer="hungarian",
                            charset=HUNGARIAN_CHARSET))
+# common Arabic function words (a compact self-authored list —
+# snowballstem.org publishes no Arabic stoplist; particles,
+# prepositions, pronouns and demonstratives)
+ARABIC_STOPWORDS = frozenset("""
+في من على إلى عن أن إن كان كانت مع هذا هذه ذلك تلك التي الذي
+الذين ما لا لم لن هو هي هم هن أو ثم قد كل بعد قبل عند غير بين
+حتى إذا لكن كما لدى منذ حول دون عبر ضد نحو أي بعض حيث هناك هنا
+نحن أنا أنت أنتم ليس ليست فقط أيضا
+""".split())
+# the letter range covers tatweel + teh marbuta + maqsura + hamza
+# carriers; the combining range keeps harakat inside tokens so the
+# stemmer's own normalization (not the tokenizer) strips them
+ARABIC_CHARSET = "ء-يً-ْ0-9"
+register_analyzer(Analyzer("arabic",
+                           stopwords=ARABIC_STOPWORDS,
+                           stem=True, stemmer="arabic",
+                           charset=ARABIC_CHARSET))
 
 
 def _quote(s: str) -> str:

@@ -9,8 +9,8 @@ on two languages (es 71.5s query-time -> 0.6-0.8s stored at sf1,
 the 18-100x index-time amortization). This module completes it:
 
 - ONE store per sf_dir holding the planted multilingual text plus
-  an ``analyzed_<lang>`` stemmed token array for ALL ELEVEN
-  languages and the CASE-routed ``analyzed_routed`` column (each
+  an ``analyzed_<lang>`` stemmed token array for EVERY
+  registered language and the CASE-routed ``analyzed_routed`` column (each
   document pays exactly its own language's chain there — the ES
   per-language-sub-field pattern);
 - built in STAGES of at most two expensive stemmers per projection
@@ -29,7 +29,7 @@ the 18-100x index-time amortization). This module completes it:
   (plain membership / adjacency scans — zero stemmer expressions in
   the query plan) while their ORACLES still recompute the full
   analysis from raw text in DuckDB, so the driver itself proves
-  stored == query-time for all eleven languages every round.
+  stored == query-time for every language every round.
 
 Scale: at 100 TB this is the ingest ETL's write path — one more
 projected column per analyzer on the write side, paid once; the
@@ -82,10 +82,14 @@ def _specs() -> list[tuple[str, str, str]]:
         _fi_planted_expr,
         _hu_planted_expr,
     )
+    from parquet_generator_spark.plans.reference_queries32 import (
+        _ar_planted_expr,
+    )
 
     return [
         ("fi", "finnish", _fi_planted_expr()),
         ("hu", "hungarian", _hu_planted_expr()),
+        ("ar", "arabic", _ar_planted_expr()),
         ("es", "spanish", _planted_expr("es", _ES_SNIPPETS)),
         ("de", "german", _planted_expr("de", _DE_SNIPPETS)),
         ("fr", "french", _planted_expr("fr", _FR_SNIPPETS)),
@@ -117,7 +121,7 @@ def _routed() -> tuple[str, dict]:
 # codegen envelope); the three scandinavian stemmers are one shared
 # lightweight scaffold and ride together
 _PASSES = [("es", "de"), ("fr", "it"), ("pt", "nl"), ("ro", "ru"),
-           ("fi", "hu"), ("sv", "da", "no")]
+           ("fi", "hu"), ("sv", "da", "no"), ("ar",)]
 
 
 def version_hash() -> str:
