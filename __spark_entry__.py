@@ -90,7 +90,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ROUND-13 LEDGER: zero debt entered the round (CORRECTNESS_r12 =
 # 50/50 MATCH; every key green at its latest hard sample). The
-# window holds the 11 round-13 additions, then 17 re-fronted keys
+# window holds the 12 round-13 additions, then 17 re-fronted keys
 # whose rendering changed this round (the analyzer-match class now
 # serves from the central analyzed store; the french/romanian
 # canonical-fidelity stemmer fixes; the esql KNN zero-vector guard
@@ -103,6 +103,7 @@ FRONT_KEYS = [
     "dsl_match_analyzer_fi",
     "dsl_match_analyzer_hu",
     "dsl_match_analyzer_ar",
+    "dsl_rrf_weighted",
     "esql_fuse_docs",
     "esql_fuse_linear",
     "dsl_tsds_downsample_served",
@@ -166,7 +167,8 @@ FRONT_KEYS = [
     "dsl_scripted_metric_loop",
     "esql_rename_drop",
     "esql_enrich",
-    "esql_grok",
+    # (esql_grok rotated out for dsl_rrf_weighted; hard-green in
+    # CORRECTNESS_r12 at its latest sample)
     # (esql_case_like rotated out for dsl_match_analyzer_ar; it is
     # hard-green in CORRECTNESS_r12 at its latest sample)
     # (esql_mv_funcs, esql_stats_percentiles, esql_inlinestats,

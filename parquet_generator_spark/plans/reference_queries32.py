@@ -222,3 +222,101 @@ GROUP BY source ORDER BY source
 
 QUERIES.update({"dsl_match_analyzer_ar": dsl_match_analyzer_ar})
 ORACLES.update({"dsl_match_analyzer_ar": _ar_oracle()})
+
+
+# -------------------------------------------------- dsl_rrf_weighted
+
+_RRF_WEIGHTS = (0.7, 0.3)  # text, vector
+
+
+def dsl_rrf_weighted(spark: SparkSession,
+                     sf_dir: str) -> DataFrame:
+    """ES 9.1 weighted ``rrf`` retriever (r13 continuation —
+    closing the DSL/ES|QL hybrid symmetry: dsl_rrf is the unweighted
+    8.14 form, FUSE LINEAR the weighted-score form, this is the
+    weighted-RANK form): score = sum over retrievers of
+    weight_i / (rank_constant + rank_i). Same bounded legs as
+    dsl_rrf (TakeOrderedAndProject windows, full-outer join of two
+    <= window frames, AQE broadcasts both) — the weights only scale
+    the reciprocal terms, nothing about the plan changes."""
+    from pyspark.sql import Window
+
+    from parquet_generator_spark.operators.esdsl import (
+        score_query,
+        translate_query,
+    )
+    from parquet_generator_spark.operators.similarity import (
+        cosine_to_literal,
+    )
+    from parquet_generator_spark.plans.reference_queries19 import (
+        _RRF_CONST,
+        _RRF_K,
+        _RRF_QV,
+        _RRF_TEXT_Q,
+        _RRF_WINDOW,
+    )
+    from parquet_generator_spark.sources.catalog import load_table
+
+    w_t, w_v = _RRF_WEIGHTS
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    t_top = (docs.filter(translate_query(_RRF_TEXT_Q))
+             .select("doc_id",
+                     F.round(score_query(_RRF_TEXT_Q), 4)
+                     .alias("s"))
+             .orderBy(F.desc("s"), F.asc("doc_id"))
+             .limit(_RRF_WINDOW))
+    tw = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    t_rank = (t_top.withColumn("text_rank",
+                               F.row_number().over(tw))
+              .select(F.col("doc_id").alias("id"), "text_rank"))
+
+    cos = cosine_to_literal("embedding", _RRF_QV)
+    v_top = (emb.select(F.col("vec_id").alias("id"),
+                        cos.alias("c"))
+             .orderBy(F.desc("c"), F.asc("id"))
+             .limit(_RRF_WINDOW))
+    vw = Window.orderBy(F.desc("c"), F.asc("id"))
+    v_rank = (v_top.withColumn("vec_rank", F.row_number().over(vw))
+              .select("id", "vec_rank"))
+
+    rrf = (F.coalesce(F.lit(w_t) / (F.lit(_RRF_CONST)
+                                    + F.col("text_rank")),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(w_v) / (F.lit(_RRF_CONST)
+                                      + F.col("vec_rank")),
+                        F.lit(0.0)))
+    return (t_rank.join(v_rank, "id", "full_outer")
+            .select("id", "text_rank", "vec_rank",
+                    F.round(rrf, 6).alias("rrf_score"))
+            .orderBy(F.desc("rrf_score"), F.asc("id"))
+            .limit(_RRF_K))
+
+
+def _rrf_weighted_oracle() -> str:
+    from parquet_generator_spark.plans.reference_queries19 import (
+        _RRF_CONST,
+        _rrf_oracle,
+    )
+
+    w_t, w_v = _RRF_WEIGHTS
+    base = _rrf_oracle()
+    out = base.replace(
+        f"round(coalesce(1.0 / ({_RRF_CONST} + text_rank), 0.0)\n"
+        f"             + coalesce(1.0 / ({_RRF_CONST} + vec_rank),"
+        f" 0.0), 6)",
+        f"round(coalesce({w_t!r} / ({_RRF_CONST} + text_rank),"
+        f" 0.0)\n"
+        f"             + coalesce({w_v!r} / ({_RRF_CONST} +"
+        f" vec_rank), 0.0), 6)")
+    if out == base:  # the textual anchor drifted — fail loudly
+        raise AssertionError(
+            "dsl_rrf_weighted: could not rewrite the rrf oracle's "
+            "score line — update the anchor to match "
+            "reference_queries19._rrf_oracle")
+    return out
+
+
+QUERIES.update({"dsl_rrf_weighted": dsl_rrf_weighted})
+ORACLES.update({"dsl_rrf_weighted": _rrf_weighted_oracle()})

@@ -309,6 +309,7 @@ def test_front_keys_lead_queries():
     assert q[:len(present)] == present
     # every round-13 addition is fronted, leading the window
     additions = ["dsl_match_analyzer_fi", "dsl_match_analyzer_hu",
+                 "dsl_match_analyzer_ar", "dsl_rrf_weighted",
                  "esql_fuse_docs",
                  "esql_fuse_linear", "dsl_tsds_downsample_served",
                  "dsl_rate_served", "esql_rate_served",
