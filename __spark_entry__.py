@@ -90,7 +90,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ROUND-13 LEDGER: zero debt entered the round (CORRECTNESS_r12 =
 # 50/50 MATCH; every key green at its latest hard sample). The
-# window holds the 12 round-13 additions, then 17 re-fronted keys
+# window holds the 13 round-13 additions, then 17 re-fronted keys
 # whose rendering changed this round (the analyzer-match class now
 # serves from the central analyzed store; the french/romanian
 # canonical-fidelity stemmer fixes; the esql KNN zero-vector guard
@@ -109,6 +109,7 @@ FRONT_KEYS = [
     "dsl_tsds_downsample_served",
     "dsl_rate_served",
     "esql_rate_served",
+    "esql_rate_week_served",
     "esql_row",
     "esql_show",
     "dsl_retriever_linear",
@@ -165,8 +166,9 @@ FRONT_KEYS = [
     "esql_mv_expand",
     "esql_dissect",
     "dsl_scripted_metric_loop",
-    "esql_rename_drop",
     "esql_enrich",
+    # (esql_rename_drop rotated out for esql_rate_week_served;
+    # hard-green in CORRECTNESS_r12 at its latest sample)
     # (esql_grok rotated out for dsl_rrf_weighted; hard-green in
     # CORRECTNESS_r12 at its latest sample)
     # (esql_case_like rotated out for dsl_match_analyzer_ar; it is

@@ -320,3 +320,72 @@ def _rrf_weighted_oracle() -> str:
 
 QUERIES.update({"dsl_rrf_weighted": dsl_rrf_weighted})
 ORACLES.update({"dsl_rrf_weighted": _rrf_weighted_oracle()})
+
+
+# ------------------------------------------- esql_rate_week_served
+
+def esql_rate_week_served(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """The counter-rollup stitch at a SECOND bucket width (7-day
+    epoch-aligned weeks = 28 x 6h): proves serve_ctr_rates
+    generalizes to any multiple of the rollup granularity. Same
+    exactness argument as the daily key (integral counters ->
+    bit-identical stitched increases); the oracle recomputes the
+    whole thing from raw events."""
+    from parquet_generator_spark.sinks.tsds_rollup import (
+        serve_ctr_rates,
+    )
+
+    root = _ensure_ctr_rollup(spark, sf_dir)
+    rates = serve_ctr_rates(spark, root, 604800)
+    return (rates
+            .groupBy(F.col("bucket").alias("week_start"))
+            .agg(F.count("rate").alias("n_series"),
+                 F.round(F.sum("rate"), 6).alias("rate_sum"),
+                 F.round(F.avg("rate"), 6).alias("rate_avg"))
+            .orderBy("week_start"))
+
+
+def _rate_week_oracle() -> str:
+    from parquet_generator_spark.plans.reference_queries23 import (
+        _CTR_MOD,
+    )
+
+    return f"""
+WITH ctr_events AS (
+  SELECT user_id, ts, event_id,
+         sum(event_id % 5 + 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) % {_CTR_MOD} AS ctr
+  FROM events),
+bucketed AS (
+  SELECT user_id, ts, event_id, ctr,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800
+           AS week_start
+  FROM ctr_events),
+incs AS (
+  SELECT *, ctr - lag(ctr) OVER (
+           PARTITION BY user_id, week_start
+           ORDER BY ts, event_id) AS d
+  FROM bucketed),
+per_series AS (
+  SELECT user_id, week_start,
+         sum(CASE WHEN d IS NULL THEN 0
+                  WHEN d >= 0 THEN d ELSE ctr END) AS inc,
+         epoch_us(max(ts)) AS tmax, epoch_us(min(ts)) AS tmin
+  FROM incs GROUP BY user_id, week_start),
+rates AS (
+  SELECT week_start,
+         CASE WHEN tmax > tmin THEN
+           CAST(inc AS DOUBLE) * 1000000.0
+             / CAST(tmax - tmin AS DOUBLE) END AS rate
+  FROM per_series)
+SELECT week_start, CAST(count(rate) AS BIGINT) AS n_series,
+       round(sum(rate), 6) AS rate_sum,
+       round(avg(rate), 6) AS rate_avg
+FROM rates GROUP BY week_start ORDER BY week_start
+"""
+
+
+QUERIES.update({"esql_rate_week_served": esql_rate_week_served})
+ORACLES.update({"esql_rate_week_served": _rate_week_oracle()})

@@ -313,6 +313,7 @@ def test_front_keys_lead_queries():
                  "esql_fuse_docs",
                  "esql_fuse_linear", "dsl_tsds_downsample_served",
                  "dsl_rate_served", "esql_rate_served",
+                 "esql_rate_week_served",
                  "esql_row", "esql_show", "dsl_retriever_linear"]
     assert present[:len(additions)] == additions
     for k in (  # every rendering-changed key is re-fronted
