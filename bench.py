@@ -473,6 +473,14 @@ HEADLINE = [
     "esql_row",
     "esql_show",
     "dsl_retriever_linear",
+    # round-13 continuation: languages 13-14, rollup-served rates,
+    # weighted rrf (append-only order protocol)
+    "dsl_match_analyzer_hu",
+    "dsl_match_analyzer_ar",
+    "dsl_rate_served",
+    "esql_rate_served",
+    "esql_rate_week_served",
+    "dsl_rrf_weighted",
 ]
 
 # brute-force exactness twins with a labeled production path; at
