@@ -9,9 +9,10 @@ Scale design (the whole point at 100 TB):
   keys, candidate count bounded per bucket) or SimHash bands.
 - MinHash signatures: one Arrow-batched Pandas UDF (numpy matrix min
   per row), linear scan, no shuffle.
-- SimHash: pure Catalyst expressions (md5 -> 60-bit int per token,
-  60 bit-majority columns), so it is also DuckDB-reproducible and
-  oracle-checked exactly.
+- SimHash: md5 -> 60-bit int per token stays a Catalyst expression
+  (DuckDB-reproducible, oracle-checked exactly); the 60-bit majority
+  vote over those integers is one numpy matrix op per row in an
+  Arrow-vectorized UDF (bit-identical, ~2x the HOF fold's speed).
 """
 
 from __future__ import annotations
@@ -460,25 +461,39 @@ def _tok_hashes_duck(c: str) -> str:
             f"t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT))")
 
 
-def simhash_spark(c: str) -> Column:
-    """60-bit SimHash as a single Catalyst expression: bit i is the
-    majority vote of token-hash bit i over distinct tokens.
+@pandas_udf(T.LongType())
+def _simhash_from_hashes(th: pd.Series) -> pd.Series:
+    """Majority-vote fold of the 60-bit token hashes, vectorized in
+    numpy per row (guide §4.2: hand whole batches to native code).
+    Exactly mirrors the former Catalyst fold, including the empty
+    edge (0 tokens => every ``2*0 >= 0`` vote passes => all-ones
+    signature) and a NULL hash array => NULL signature."""
+    shifts = np.arange(_SIM_BITS, dtype=np.int64)
+    out: list = []
+    for hs in th:
+        if hs is None:
+            out.append(None)
+            continue
+        h = np.asarray(hs, dtype=np.int64).reshape(-1, 1)
+        maj = (2 * ((h >> shifts) & 1).sum(axis=0)) >= h.shape[0]
+        out.append(int((maj.astype(np.int64) << shifts).sum()))
+    return pd.Series(out, dtype="Int64")
 
-    The token-hash array is bound to a lambda variable via a
-    single-element ``transform`` so the md5 transform is evaluated
-    once per row — inlining it into 60 CASE branches made the
-    expression ~60x more expensive. The bit counts are 60 scalar
-    ``aggregate`` folds over that materialized array (outer fold over
-    the bit index, inner fold accumulating a primitive long): ~1.6x
-    faster than the previous zip_with formulation, which allocated
-    two 60-element arrays per TOKEN inside the accumulate lambda.
-    """
-    th = _tok_hashes_spark(c)
-    sig = ("aggregate(sequence(0, 59), cast(0 AS BIGINT), (a, i) -> a + "
-           "IF(2 * aggregate(s.th, cast(0 AS BIGINT), "
-           "(c, h) -> c + shiftright(h, i) % 2) >= size(s.th), "
-           "shiftleft(cast(1 AS BIGINT), i), cast(0 AS BIGINT)))")
-    return F.expr(f"transform(array(struct({th} AS th)), s -> {sig})[0]")
+
+def simhash_spark(c: str) -> Column:
+    """60-bit SimHash: bit i is the majority vote of token-hash bit
+    i over distinct tokens.
+
+    The md5-derived 60-bit token hashes stay a JVM expression (so
+    the oracle-exact integer construction is shared with DuckDB);
+    the 60-bit majority fold over them runs as one numpy matrix vote
+    per row inside an Arrow-vectorized UDF. History: the fold was a
+    Catalyst higher-order ``aggregate`` (itself ~60x faster than the
+    naive 60-CASE inline form), but HOF lambdas execute interpreted
+    per element — the numpy vote measured another ~2x faster at the
+    signature stage with bit-identical output (round 13, guide
+    §4.2)."""
+    return _simhash_from_hashes(F.expr(_tok_hashes_spark(c)))
 
 
 def simhash_duck(c: str) -> str:

@@ -226,4 +226,8 @@ def _build(spark: SparkSession, sf_dir: str, root: str,
 
 
 def load_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(ensure_store(spark, sf_dir))
+    from parquet_generator_spark.sources.catalog import (
+        cached_read_parquet,
+    )
+
+    return cached_read_parquet(spark, ensure_store(spark, sf_dir))

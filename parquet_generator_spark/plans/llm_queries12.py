@@ -73,22 +73,70 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF tuning curve: recall@k against brute-force truth for
     several n_probe settings in one result — the number that decides
     the latency/recall trade before an index ships. Truth computes
-    once; each probe setting is one bounded cell-join pass; recall
-    joins on the (query, neighbor) key (query-cardinality)."""
+    once; recall joins on the (query, neighbor) key
+    (query-cardinality).
+
+    Round-13 shape (same results, fewer passes): the per-probe loop
+    used to call ``ivf_topk`` once per setting, re-assigning the
+    CORPUS to cells (a mapInPandas pass over every vector) four
+    times and running four separate count actions.  Cell assignment
+    does not depend on n_probe, and a query's top-p probe cells are
+    by construction the first p rows of its top-max(p) stable
+    argsort — so both assignments now materialize ONCE
+    (localCheckpoint) and each probe setting is a pure
+    ``probe_rank < p`` filter over the shared query assignment.  The
+    four per-probe top-k branches union into ONE action (a single
+    semi-join against truth + groupBy probe), cutting the query from
+    ~14 sequential jobs to ~5 and the corpus assignment from 4x to
+    1x. Value-identity with the per-probe ``ivf_topk`` calls is
+    pinned in tests/test_ann_recall_curve.py."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(ANN_QUERY_PRED)
     truth = (similarity.brute_force_topk(emb, queries, ANN_K)
              .select("qid", "nid").localCheckpoint().transform(_cache.track))
     n_truth = truth.count()  # bounded: queries x k
     cents = similarity.make_centroids_from_corpus(emb, IVF_CURVE_CELLS)
-    rows = []
+    c = (similarity.ivf_assign_cells(emb, cents, 1)
+         .select(F.col("vec_id").alias("nid"),
+                 F.col("embedding").alias("nvec"),
+                 similarity.norm("embedding").alias("nn"), "cell")
+         .localCheckpoint().transform(_cache.track))
+    qmax = (similarity.ivf_assign_cells(queries, cents,
+                                        max(IVF_PROBES))
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qvec"),
+                    similarity.norm("embedding").alias("qn"),
+                    "cell", "probe_rank")
+            .localCheckpoint().transform(_cache.track))
+    per_probe = []
     for probe in IVF_PROBES:
-        got = (similarity.ivf_topk(emb, queries, ANN_K, cents,
-                                   n_probe=probe)
-               .select("qid", "nid"))
-        hits = got.join(truth, ["qid", "nid"], "left_semi").count()
-        rows.append((probe, hits, n_truth,
-                     round(hits / n_truth, 4)))
+        q = (qmax.filter(F.col("probe_rank") < probe)
+             .drop("probe_rank"))
+        scored = (c.join(F.broadcast(q), "cell")
+                  .filter(F.col("qid") != F.col("nid"))
+                  .select("qid", "nid",
+                          F.round(similarity.dot("qvec", "nvec")
+                                  / (F.col("qn") * F.col("nn")), 4)
+                          .alias("cos"))
+                  .dropDuplicates(["qid", "nid"]))
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"),
+                                              F.asc("nid"))
+        got = (scored.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= ANN_K)
+               .select("qid", "nid", F.lit(probe).alias("n_probe")))
+        per_probe.append(got)
+    got_all = reduce(DataFrame.unionByName, per_probe)
+    hit_rows = (got_all.join(truth, ["qid", "nid"], "left_semi")
+                .groupBy("n_probe")
+                .agg(F.count(F.lit(1)).alias("n_hits")).collect())
+    hit_map = {int(r["n_probe"]): int(r["n_hits"]) for r in hit_rows}
+    rows = [(p, hit_map.get(p, 0), n_truth,
+             round(hit_map.get(p, 0) / n_truth, 4))
+            for p in IVF_PROBES]
     return spark.createDataFrame(
         rows, "n_probe int, n_hits bigint, n_truth bigint, "
               "recall double")

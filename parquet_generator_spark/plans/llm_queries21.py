@@ -102,11 +102,15 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # double-pass leftmost replace == greedy BPE merge for
         # left != right; self-pairs on runs >= 5 deviate (see module
         # docstring) — identically in both engines; the merge pair
-        # is a plan literal
+        # is a plan literal.  eager=False (round 13): the checkpoint
+        # still truncates lineage, but its materialization fuses
+        # into the NEXT round's pair-count job instead of running a
+        # separate eager job per round — K jobs instead of 2K for
+        # the identical rounds.
         vocab = _cache.checkpoint(vocab.select(
             F.replace(F.replace("s", F.lit(pat), F.lit(rep)),
                       F.lit(pat), F.lit(rep)).alias("s"),
-            "freq"))
+            "freq"), eager=False)
         merges.append((r, left, right, merged, n))
     schema = T.StructType([
         T.StructField("rank", T.IntegerType()),

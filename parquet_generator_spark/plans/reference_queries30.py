@@ -77,7 +77,10 @@ def dsl_match_analyzer_stored(spark: SparkSession,
     data = _ensure_store(spark, sf_dir)
     pred = stored_match("analyzed_es", _ES_QUERY,
                         get_analyzer("spanish"), operator="and")
-    return (spark.read.parquet(data)
+    from parquet_generator_spark.sources.catalog import (
+        cached_read_parquet,
+    )
+    return (cached_read_parquet(spark, data)
             .filter(pred)
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("doc_count"))
@@ -91,7 +94,10 @@ def dsl_match_phrase_analyzer_stored(spark: SparkSession,
     data = _ensure_store(spark, sf_dir)
     pred = stored_match_phrase("analyzed_de", _DE_PHRASE,
                                get_analyzer("german"))
-    return (spark.read.parquet(data)
+    from parquet_generator_spark.sources.catalog import (
+        cached_read_parquet,
+    )
+    return (cached_read_parquet(spark, data)
             .filter(pred)
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("doc_count"))
