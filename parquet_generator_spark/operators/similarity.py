@@ -953,43 +953,12 @@ def _sign_fix(v: list) -> list:
     return [-x for x in v] if first < 0 else list(v)
 
 
-def _pca_matvec_arrow(base: DataFrame, mu: list, v: list) -> list:
-    """One power-iteration round w = X̃ᵀ(X̃v) as an Arrow-batched
-    partial-sum map (one numpy matmul per batch, ONE dim-length
-    partial row per batch) plus a tiny final sum — the map-side-
-    combine shape, without the 64x64-term codegen expression a
-    literal-expanded aggregate would need (measured 4-6x slower).
-    Fold-order ulps vs other engines are absorbed by the caller's
-    per-round quantization (same contract as the kmeans Arrow
-    path)."""
-    import pandas as pd
-
-    dim = len(mu)
-    bc = base.sparkSession.sparkContext.broadcast(
-        (np.asarray(mu, dtype=np.float64),
-         np.asarray(v, dtype=np.float64)))
-
-    def part(batches):
-        m, vv = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.stack(pdf["e"].to_numpy()).astype(np.float64) - m
-            w = (x @ vv) @ x
-            yield pd.DataFrame([{f"w{d}": w[d] for d in range(dim)}])
-
-    schema = T.StructType([T.StructField(f"w{d}", T.DoubleType())
-                           for d in range(dim)])
-    parts = base.select("e").mapInPandas(part, schema=schema)
-    row = parts.agg(*[F.sum(f"w{d}").alias(f"w{d}")
-                      for d in range(dim)]).first()
-    return [float(row[f"w{d}"] or 0.0) for d in range(dim)]
-
-
-def _pca_mean_arrow(base: DataFrame, dim: int, quant: int) -> list:
-    """Per-dimension corpus mean via the same Arrow partial-sum
-    shape as `_pca_matvec_arrow` (batch column-sums + counts, tiny
-    final agg), quantized like every PCA intermediate."""
+def _pca_mean_arrow(base: DataFrame, quant: int) -> list:
+    """Per-dimension corpus mean via an Arrow partial-sum map
+    (batch column-sums + count in LONG FORM — one (pos, val) row per
+    dimension per batch, so no dim-wide schema and no separate
+    dim-probe job) + one tiny keyed aggregation, quantized like
+    every PCA intermediate."""
     import pandas as pd
 
     def part(batches):
@@ -998,20 +967,60 @@ def _pca_mean_arrow(base: DataFrame, dim: int, quant: int) -> list:
                 continue
             x = np.stack(pdf["e"].to_numpy()).astype(np.float64)
             s = x.sum(axis=0)
-            out = {f"s{d}": s[d] for d in range(dim)}
-            out["n"] = float(len(pdf))
-            yield pd.DataFrame([out])
+            yield pd.DataFrame({
+                "pos": np.concatenate(([-1], np.arange(len(s)))),
+                "val": np.concatenate(([float(len(pdf))], s))})
 
-    schema = T.StructType([T.StructField(f"s{d}", T.DoubleType())
-                           for d in range(dim)]
-                          + [T.StructField("n", T.DoubleType())])
-    parts = base.select("e").mapInPandas(part, schema=schema)
-    row = parts.agg(*[F.sum(f"s{d}").alias(f"s{d}")
-                      for d in range(dim)],
-                    F.sum("n").alias("n")).first()
-    n = float(row["n"] or 1.0)
-    return [round(float(row[f"s{d}"] or 0.0) / n, quant)
-            for d in range(dim)]
+    schema = T.StructType([T.StructField("pos", T.LongType()),
+                           T.StructField("val", T.DoubleType())])
+    rows = (base.select("e").mapInPandas(part, schema=schema)
+            .groupBy("pos").agg(F.sum("val").alias("val")).collect())
+    got = {int(r["pos"]): float(r["val"]) for r in rows}
+    n = got.pop(-1, 1.0) or 1.0
+    return [round(got[d] / n, quant) for d in range(len(got))]
+
+
+def _pca_gram_arrow(base: DataFrame, mu: list) -> np.ndarray:
+    """The centered Gram matrix G = X̃ᵀX̃ in ONE Arrow-batched pass:
+    each batch contributes its (dim x dim) partial in LONG FORM
+    (pos = i*dim + j, val) and a keyed sum combines them — map-side
+    partial aggregation over dim^2 keys, so the shuffle carries a
+    few KB per map task regardless of corpus size.
+
+    This replaces the former per-iteration matvec passes: with G in
+    hand (dim^2 doubles — 32 KB at dim=64), EVERY power-iteration
+    round w = X̃ᵀ(X̃v) = G·v runs driver-side on the collected
+    matrix, so the corpus is scanned once for the whole iteration
+    instead of once per round (guide §1.2: fewer passes is the
+    order-of-magnitude lever; at 100 TB this is iters+1 scans -> 2).
+    Fold-order ulps vs the per-round formulation are absorbed by the
+    caller's per-round normalize+quantize (the same contract that
+    already reconciles the Spark and DuckDB fold orders)."""
+    import pandas as pd
+
+    bc = base.sparkSession.sparkContext.broadcast(
+        np.asarray(mu, dtype=np.float64))
+
+    def part(batches):
+        m = bc.value
+        dim = len(m)
+        pos = np.arange(dim * dim)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["e"].to_numpy()).astype(np.float64) - m
+            g = x.T @ x
+            yield pd.DataFrame({"pos": pos, "val": g.reshape(-1)})
+
+    schema = T.StructType([T.StructField("pos", T.LongType()),
+                           T.StructField("val", T.DoubleType())])
+    rows = (base.select("e").mapInPandas(part, schema=schema)
+            .groupBy("pos").agg(F.sum("val").alias("val")).collect())
+    dim = len(mu)
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for r in rows:
+        g[int(r["pos"]) // dim, int(r["pos"]) % dim] = float(r["val"])
+    return g
 
 
 def pca_top_component(df: DataFrame, iters: int = 3,
@@ -1031,15 +1040,23 @@ def pca_top_component(df: DataFrame, iters: int = 3,
     Output: the component summarized through the data — per-label
     projection statistics of x̃·v (does the top direction separate
     the labels?).
+
+    Round 13: the per-round distributed matvec passes collapsed into
+    ONE centered-Gram pass (`_pca_gram_arrow`); each round's
+    w = X̃ᵀ(X̃v) is the driver-side product G·v on the collected
+    dim x dim matrix, followed by the identical normalize + quantize
+    + sign steps. Corpus scans: 2 (mean + Gram) + the final
+    projection, independent of ``iters``.
     """
     base = df.select(F.col(label_col).alias("label"),
                      F.col(vec_col).alias("e"))
-    dim = len(base.select("e").first()[0])
-    mu = _pca_mean_arrow(base, dim, quant)
+    mu = _pca_mean_arrow(base, quant)
+    dim = len(mu)
+    gram = _pca_gram_arrow(base, mu)
     v = [0.125] * dim  # exact in binary; |v| = 1 for dim = 64
 
     for _ in range(iters):
-        w = _pca_matvec_arrow(base, mu, v)
+        w = [float(x) for x in gram @ np.asarray(v, dtype=np.float64)]
         nrm = math.sqrt(sum(x * x for x in w)) or 1.0
         v = _sign_fix([round(x / nrm, quant) for x in w])
 

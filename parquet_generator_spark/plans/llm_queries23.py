@@ -37,27 +37,35 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct shared 3-shingles per source pair (upper triangle +
     diagonal), plus the Jaccard-style overlap coefficient against
     the smaller side's shingle vocabulary."""
+    from parquet_generator_spark.operators import cache as _cache
+
     docs = load_table(spark, "documents", sf_dir)
     hs = (docs.select(F.explode(F.expr(shingles_spark("text", 3)))
                       .alias("sh"), "source")
           .distinct())
-    per_src = hs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_sh"))
     grouped = (hs.groupBy("sh")
                .agg(F.array_sort(F.collect_set("source")).alias("ss")))
     pairs = grouped.select(F.explode(F.expr(
         "flatten(transform(sequence(0, size(ss) - 1), "
         "i -> transform(sequence(i, size(ss) - 1), "
         "j -> struct(ss[i] AS src_a, ss[j] AS src_b))))")).alias("p"))
+    # ONE corpus pass (round 13): the per-source shingle-vocabulary
+    # counts are exactly the DIAGONAL of the shared-pair table
+    # (shared(s, s) counts every distinct shingle s belongs to), so
+    # instead of re-running the explode+distinct chain once per
+    # branch (three heavy passes / six scans in the before-plan) the
+    # pair aggregate materializes once — a source^2-bounded frame —
+    # and both denominator sides are filters over it.
     shared = (pairs.groupBy("p.src_a", "p.src_b")
               .agg(F.count(F.lit(1)).alias("shared_shingles"))
-              .select("src_a", "src_b", "shared_shingles"))
-    a = per_src.select(F.col("source").alias("src_a"),
-                       F.col("n_sh").alias("n_a"))
-    b = per_src.select(F.col("source").alias("src_b"),
-                       F.col("n_sh").alias("n_b"))
-    # per_src is source-cardinality (bounded) — broadcast is safe at
-    # any corpus size
+              .select("src_a", "src_b", "shared_shingles")
+              .localCheckpoint().transform(_cache.track))
+    a = (shared.filter(F.col("src_a") == F.col("src_b"))
+         .select("src_a", F.col("shared_shingles").alias("n_a")))
+    b = (shared.filter(F.col("src_a") == F.col("src_b"))
+         .select(F.col("src_b"), F.col("shared_shingles").alias("n_b")))
+    # the diagonal is source-cardinality (bounded) — broadcast is
+    # safe at any corpus size
     return (shared.join(F.broadcast(a), "src_a")
             .join(F.broadcast(b), "src_b")
             .select("src_a", "src_b", "shared_shingles",

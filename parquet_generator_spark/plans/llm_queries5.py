@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_generator_spark.operators import cache as _cache
 from parquet_generator_spark.operators.text import toks_duck, toks_spark
 from parquet_generator_spark.operators.util import (
     broadcast_scalars,
@@ -47,9 +48,13 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: span explode -> (doc, span) occurrence counts (shuffle on
     (doc, span); map-side partial agg collapses repeats) -> span
-    totals (second shuffle, but it carries only (span, cnt) — the
-    text never moves twice) -> join back on span -> per-doc rollup.
-    Every stage is keyed on the span hash; nothing is pairwise.
+    totals as a WINDOW over the span partition (round 13: this was a
+    self-join of the counted frame against its own groupBy, which
+    re-ran the explode+count chain twice — two full corpus scans in
+    the before-plan; the window computes the identical per-span sum
+    on ONE pass sharing the span exchange, guide §2.4) -> per-doc
+    rollup. Every stage is keyed on the span hash; nothing is
+    pairwise, and no window is ever unpartitioned.
     """
     docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
     toks = toks_spark("text")
@@ -62,9 +67,9 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE array() END")).alias("span"))
     per_doc_span = spans.groupBy("doc_id", "span").agg(
         F.count(F.lit(1)).alias("cnt"))
-    totals = per_doc_span.groupBy("span").agg(
-        F.sum("cnt").alias("total"))
-    dup = (per_doc_span.join(totals, "span")
+    with_total = per_doc_span.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("span")))
+    dup = (with_total
            .groupBy("doc_id")
            .agg(F.sum("cnt").alias("n_spans"),
                 F.sum(F.when(F.col("total") >= 2, F.col("cnt"))
@@ -334,14 +339,25 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ELSE array() END))")
     pairs = docs.select(F.explode(F.expr(pair_expr)).alias("p")) \
         .select("p.w1", "p.w2")
-    pair_cnt = (pairs.groupBy("w1", "w2")
-                .agg(F.count(F.lit(1)).alias("c_xy"))
-                .filter(F.col("c_xy") >= PMI_MIN_COUNT))
+    # Materialize the two aggregated model tables ONCE (round 13):
+    # the pair table feeds the min-count filter AND the corpus pair
+    # total, the unigram table feeds both join sides AND the token
+    # total — without barriers the final plan re-ran the pair
+    # explode / tokenizer once per branch (six documents scans in
+    # the before-plan, five heavy corpus passes per run). Both
+    # frames are aggregated model tables (pair-vocab / vocab
+    # cardinality), never the raw pair stream, so the barrier cost
+    # stays model-sized at any corpus scale.
+    pc_all = (pairs.groupBy("w1", "w2")
+              .agg(F.count(F.lit(1)).alias("c_xy"))
+              .localCheckpoint().transform(_cache.track))
+    pair_cnt = pc_all.filter(F.col("c_xy") >= PMI_MIN_COUNT)
     uni = (docs.select(F.explode(F.expr(toks)).alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+           .localCheckpoint().transform(_cache.track))
     totals = broadcast_scalars(
         uni.agg(F.sum("c_w").alias("t_w")),
-        pairs.agg(F.count(F.lit(1)).alias("t_p")))
+        pc_all.agg(F.sum("c_xy").alias("t_p")))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y"))
     pmi = (F.log2((F.col("c_xy").cast("double") / F.col("t_p"))
@@ -409,16 +425,18 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.explode(F.expr(toks_spark("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()   # one scalar; literal in the plan
-    idf = df_.select(
-        "term",
-        (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
-        .alias("idf"))
-    scored = (tf.join(idf, "term")
-              .select("doc_id", "term",
-                      F.round(F.col("tf") * F.col("idf"), 4)
-                      .alias("tfidf")))
+    # df as a WINDOW over the term partition of the SAME tf frame
+    # (round 13): the former tf-vs-groupBy(tf) self-join re-ran the
+    # explode+count chain once per branch — two full corpus scans in
+    # the before-plan. The window computes the identical per-term
+    # document frequency sharing one term exchange (guide §2.4).
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    idf = (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+    scored = with_df.select(
+        "doc_id", "term",
+        F.round(F.col("tf") * idf, 4).alias("tfidf"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("term"))
     return (scored.withColumn("rk", F.row_number().over(w))
@@ -486,20 +504,30 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
     toks = docs.select("doc_id",
                        F.explode(F.expr(toks_spark("text"))).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # per-doc length as size(tokens) — one narrow projection, no
+    # explode/shuffle; identical rows to the former explode+groupBy
+    # count (explode emits no row for an empty token array, hence
+    # the dl > 0 filter)
+    dl = (docs.select("doc_id",
+                      F.size(F.expr(toks_spark("text"))).alias("dl"))
+          .filter(F.col("dl") > 0))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     qt = toks.filter(F.col("term").isin(*BM25_TERMS))
     tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_.select(
-        "term",
-        F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5)
-              / (F.col("df") + 0.5)).alias("idf"))
-    contrib = (tf.join(idf, "term").join(dl, "doc_id")
+    # df as a window over the term partition of tf (round 13, same
+    # move as tfidf_topterms): the tf-vs-groupBy(tf) self-join ran
+    # the query-term scan twice; the per-doc-length join side also
+    # re-tokenized the whole corpus — the before-plan carried six
+    # documents scans, this shape carries two.
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    contrib = (with_df.join(dl, "doc_id")
                .select("doc_id",
-                       (F.col("idf") * F.col("tf") * (BM25_K1 + 1.0)
+                       (idf * F.col("tf") * (BM25_K1 + 1.0)
                         / (F.col("tf") + BM25_K1
                            * (1.0 - BM25_B
                               + BM25_B * F.col("dl") / F.lit(avgdl))))

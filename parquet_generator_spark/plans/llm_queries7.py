@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_generator_spark.operators import cache as _cache
 from parquet_generator_spark.operators import similarity
 from parquet_generator_spark.operators.text import toks_duck, toks_spark
 from parquet_generator_spark.operators.util import (
@@ -49,7 +50,16 @@ def bigram_logprob_frame(docs: DataFrame) -> DataFrame:
             "i -> struct(tk[i] AS w1, tk[i + 1] AS w2)) "
             "ELSE array() END")).alias("b"))
         .select("doc_id", "b.w1", "b.w2"))
-    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # The MODEL (bigram counts) feeds the left-count aggregate AND
+    # the scoring join build side: without a barrier the final plan
+    # re-tokenized and re-aggregated the corpus once per branch (6
+    # documents scans in the round-13 before-plan).  The barrier
+    # sits on the aggregated table — vocab^2-bounded, tiny next to
+    # the corpus — never on the corpus-sized bigram stream, so the
+    # same shape holds at 100 TB.
+    model = (bg.groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).alias("c12"))
+             .localCheckpoint().transform(_cache.track))
     left = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (t.select(F.explode("tk").alias("w"))
              .agg(F.countDistinct("w").alias("v")))
