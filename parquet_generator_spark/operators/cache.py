@@ -60,6 +60,20 @@ def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return _register(df.localCheckpoint(eager))
 
 
+def lazy(df: DataFrame) -> DataFrame:
+    """Lazy tracked barrier: ``localCheckpoint(eager=False)`` +
+    registration. The lineage cut and compute-once sharing are the
+    same as the eager form, but materialization FUSES into the first
+    downstream job instead of running a dedicated job at plan-build
+    time — at bench scale each eager site was a whole extra job of
+    fixed scheduling overhead (round 13, guide §1.2: don't run jobs
+    you can fuse). Use for barriers whose first consumer reads every
+    partition (aggregations, joins); keep ``eager=True`` where the
+    first consumer is partial (limit/take) and splitting
+    materialization would be confusing."""
+    return _register(df.localCheckpoint(False))
+
+
 def track(df: DataFrame) -> DataFrame:
     """Register an already-checkpointed frame for release; returns it
     unchanged, so chained sites read

@@ -61,7 +61,7 @@ def _drop_hot_buckets(bands: DataFrame, keys: list[str],
         return bands
     hot = (bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
            .filter(F.col("n") > bucket_cap)
-           .localCheckpoint().transform(_cache.track))
+           .transform(_cache.lazy))  # materialized by the count below
     n_hot = hot.count()
     if n_hot:
         worst = hot.agg(F.max("n")).collect()[0][0]
@@ -221,7 +221,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, content_col: str,
     if bucket_cap is not None:
         # the hot-bucket size pass re-derives the band explosion, so
         # pin the expensive signature stage to compute exactly once
-        sig = sig.localCheckpoint().transform(_cache.track)
+        # (lazy: the hot-count job is its single first consumer, so
+        # materialization fuses into it — one fewer job, round 13)
+        sig = sig.transform(_cache.lazy)
     bands = sig.select(
         "id",
         F.posexplode(
@@ -346,7 +348,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                                  F.col("id_a").alias("dst"))))
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
-              .localCheckpoint().transform(_cache.track))
+              .transform(_cache.lazy))  # materialized by the agg below
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(max_iter):
@@ -356,7 +358,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                   .select(labels["id"],
                           F.least(F.col("label"),
                                   F.coalesce("nlabel", "label")).alias("label"))
-                  .localCheckpoint().transform(_cache.track))
+                  .transform(_cache.lazy))  # materialized by the agg below
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
@@ -524,7 +526,8 @@ def simhash_pairs(df: DataFrame, id_col: str, content_col: str,
     if bucket_cap is not None:
         # pin the (expensive) signature expression to one computation;
         # the hot-bucket size pass re-derives only the cheap explode
-        sig = sig.localCheckpoint().transform(_cache.track)
+        # (lazy: fuses into the hot-count job, round 13)
+        sig = sig.transform(_cache.lazy)
     mask = (1 << _BAND_BITS) - 1
     bands = sig.select(
         "id", "sig",
@@ -617,7 +620,8 @@ def minhash_lsh_pairs_cross(df: DataFrame, id_col: str,
            .withColumn("sig", minhash_signature("bh"))
            .select("id", "side", "sig"))
     if bucket_cap is not None:
-        sig = sig.localCheckpoint().transform(_cache.track)
+        # lazy: fuses into the hot-count job (round 13)
+        sig = sig.transform(_cache.lazy)
     bands = sig.select(
         "id", "side",
         F.posexplode(
@@ -782,7 +786,7 @@ def containment_pairs(df: DataFrame, id_col: str, content_col: str,
             Window.partitionBy("id").orderBy(F.asc("dfq"), F.asc("s"))))
     prefix = (ranked.filter(F.expr(f"rk <= {_prefix_bound(threshold)}"))
               .select("id", "s", "dfq")
-              .localCheckpoint().transform(_cache.track))  # tiny; reused for hot-count + join
+              .transform(_cache.lazy))  # tiny; reused for hot-count + join (lazy: the cap agg below materializes it)
     if shingle_df_cap is not None:
         # one bounded-scalar job over the (tiny, checkpointed) prefix
         n_hot, worst = prefix.agg(

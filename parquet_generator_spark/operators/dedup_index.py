@@ -99,7 +99,7 @@ def train_dedup_index(spark: SparkSession, corpus: DataFrame,
     snapshot commits; re-train overwrites, old versions stay
     time-travelable."""
     sig = _staged(corpus, id_col, content_col, k)
-    sig = sig.localCheckpoint().transform(_cache.track)
+    sig = sig.transform(_cache.lazy)  # fuses into first consumer job (round 13)
     bands = _bands_of(sig)
     hashes = sig.select("id", F.md5("_text").alias("h"))
     shingles = sig.select("id", "sh")
@@ -145,7 +145,7 @@ def append_dedup_batch(spark: SparkSession, root: str,
         raise FileNotFoundError(
             f"no dedup index at {root} — train_dedup_index first")
     sig = _staged(batch, id_col, content_col, meta["k"])
-    sig = sig.localCheckpoint().transform(_cache.track)
+    sig = sig.transform(_cache.lazy)  # fuses into first consumer job (round 13)
     bands = _bands_of(sig)
 
     snapshots.commit_append(
@@ -191,7 +191,7 @@ def classify_served(spark: SparkSession, root: str, batch: DataFrame,
     evaluated on stored-count + batch-count per bucket — the same
     TOTAL-size semantics as `_drop_hot_buckets` over the union."""
     sig = _staged(batch, id_col, content_col, k)
-    sig = sig.localCheckpoint().transform(_cache.track)
+    sig = sig.transform(_cache.lazy)  # fuses into first consumer job (round 13)
     inc_bands = _bands_of(sig)
     inc_h = sig.select("id", F.md5("_text").alias("h"))
 
@@ -204,9 +204,10 @@ def classify_served(spark: SparkSession, root: str, batch: DataFrame,
     st_sh = snapshots.read_snapshot(
         spark, os.path.join(root, "shingles"))
 
+    # left_semi keeps at-most-one match per batch row by itself — a
+    # distinct on the stored-hash side was a pure extra exchange
     exact_ids = (inc_h
-                 .join(st_hashes.select("h").distinct(), "h",
-                       "left_semi")
+                 .join(st_hashes.select("h"), "h", "left_semi")
                  .select("id").withColumn("e", F.lit(1)))
 
     keys = ["band", "band_key"]
@@ -225,23 +226,31 @@ def classify_served(spark: SparkSession, root: str, batch: DataFrame,
                                    "left_anti")
         st_bands = st_bands.join(F.broadcast(hot), keys, "left_anti")
 
-    cand = (inc_bands.join(
-                st_bands.select(*keys, F.col("id").alias("id_corp")),
-                keys)
+    # the batch's band set is bounded by the batch, so it BROADCASTS
+    # into the stored band table — the corpus side is never shuffled
+    # (guide §3.1: broadcast the small side; at 100 TB st_bands is
+    # the corpus-scale side and the ingest batch is the small one)
+    cand = (st_bands.select(*keys, F.col("id").alias("id_corp"))
+            .join(F.broadcast(inc_bands), keys)
             .select(F.col("id").alias("id_in"), "id_corp")
             .distinct()
             .localCheckpoint().transform(_cache.track))
     a = sig.select(F.col("id").alias("id_in"),
                    F.col("sh").alias("sh_a"))
-    b = (st_sh.join(cand.select(F.col("id_corp").alias("id"))
-                    .distinct(), "id", "left_semi")
+    b = (st_sh.join(F.broadcast(cand.select(F.col("id_corp")
+                                            .alias("id")).distinct()),
+                    "id", "left_semi")
          .select(F.col("id").alias("id_corp"),
                  F.col("sh").alias("sh_b")))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0,
                  inter.cast("double") / union).otherwise(0.0)
-    near_ids = (cand.join(a, "id_in").join(b, "id_corp")
+    # candidate pairs and batch shingles are both batch-bounded:
+    # attach them to the (corpus-resident) candidate shingles via
+    # broadcast joins so the verify tier shuffles nothing
+    near_ids = (b.join(F.broadcast(a.join(F.broadcast(cand),
+                                          "id_in")), "id_corp")
                 .select("id_in", F.round(jac, 3).alias("jaccard"))
                 .filter(F.col("jaccard") >= threshold)
                 .select(F.col("id_in").alias("id")).distinct()

@@ -84,14 +84,20 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction the first p rows of its top-max(p) stable
     argsort — so both assignments now materialize ONCE
     (localCheckpoint) and each probe setting is a pure
-    ``probe_rank < p`` filter over the shared query assignment.  The
-    four per-probe top-k branches union into ONE action (a single
-    semi-join against truth + groupBy probe), cutting the query from
-    ~14 sequential jobs to ~5 and the corpus assignment from 4x to
-    1x. Value-identity with the per-probe ``ivf_topk`` calls is
-    pinned in tests/test_ann_recall_curve.py."""
-    from functools import reduce
+    ``probe_rank < p`` filter over the shared query assignment.
 
+    Round-13 optimization pass, step two: the four per-probe
+    branches each re-joined corpus-to-query, re-deduplicated and
+    re-ranked the SAME scored pairs (a pair is a p-candidate iff its
+    minimum shared probe_rank is < p — the candidate sets are
+    nested).  Now the join+score runs ONCE at max(probes); a single
+    groupBy(qid, nid) keeps the min probe_rank (replacing the four
+    dropDuplicates), an array filter explodes each pair to exactly
+    the probe settings it belongs to, and ONE window over
+    (n_probe, qid) ranks all four curves together — 4 joins + 4
+    window exchanges collapse into 1 + 1 (guide §1.2 / §2.4).
+    Value-identity with the per-probe ``ivf_topk`` calls is pinned
+    in tests/test_ann_recall_curve.py."""
     from pyspark.sql import Window
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -112,24 +118,26 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     similarity.norm("embedding").alias("qn"),
                     "cell", "probe_rank")
             .localCheckpoint().transform(_cache.track))
-    per_probe = []
-    for probe in IVF_PROBES:
-        q = (qmax.filter(F.col("probe_rank") < probe)
-             .drop("probe_rank"))
-        scored = (c.join(F.broadcast(q), "cell")
-                  .filter(F.col("qid") != F.col("nid"))
-                  .select("qid", "nid",
-                          F.round(similarity.dot("qvec", "nvec")
-                                  / (F.col("qn") * F.col("nn")), 4)
-                          .alias("cos"))
-                  .dropDuplicates(["qid", "nid"]))
-        w = Window.partitionBy("qid").orderBy(F.desc("cos"),
-                                              F.asc("nid"))
-        got = (scored.withColumn("rank", F.row_number().over(w))
+    # one corpus-to-query join at the loosest setting; min shared
+    # probe_rank decides every tighter setting's membership
+    scored = (c.join(F.broadcast(qmax), "cell")
+              .filter(F.col("qid") != F.col("nid"))
+              .groupBy("qid", "nid")
+              .agg(F.min("probe_rank").alias("pr"),
+                   F.min(F.round(similarity.dot("qvec", "nvec")
+                                 / (F.col("qn") * F.col("nn")), 4))
+                   .alias("cos")))
+    probes_lit = ", ".join(str(p) for p in IVF_PROBES)
+    exploded = scored.select(
+        "qid", "nid", "cos",
+        F.explode(F.expr(
+            f"filter(array({probes_lit}), p -> p > pr)"))
+        .alias("n_probe"))
+    w = Window.partitionBy("n_probe", "qid").orderBy(F.desc("cos"),
+                                                     F.asc("nid"))
+    got_all = (exploded.withColumn("rank", F.row_number().over(w))
                .filter(F.col("rank") <= ANN_K)
-               .select("qid", "nid", F.lit(probe).alias("n_probe")))
-        per_probe.append(got)
-    got_all = reduce(DataFrame.unionByName, per_probe)
+               .select("qid", "nid", "n_probe"))
     hit_rows = (got_all.join(truth, ["qid", "nid"], "left_semi")
                 .groupBy("n_probe")
                 .agg(F.count(F.lit(1)).alias("n_hits")).collect())

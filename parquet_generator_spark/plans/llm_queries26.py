@@ -72,53 +72,68 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold flags."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
-        "doc_id", "source", F.expr(toks_spark("text")).alias("t"))
-    base = toks.select(
-        "doc_id", "source",
-        F.expr("greatest(length(concat_ws('', t)), 1)")
-        .alias("total_chars"), "t")
-    all_grams = ("flatten(array("
-                 + ", ".join(_gram_struct_arr(n) for n in _GR_NS)
-                 + "))")
-    grams = base.select("doc_id",
-                        F.explode(F.expr(all_grams)).alias("g"))
-    counts = (grams
-              .groupBy("doc_id", F.col("g.n").alias("n"),
-                       F.col("g.gram").alias("gram"))
-              .agg(F.count(F.lit(1)).alias("cnt")))
-    cover = F.col("cnt") * (F.length("gram") - (F.col("n") - 1))
-    perdoc_n = (counts.groupBy("doc_id", "n")
-                .agg(F.max(cover).alias("top_cover"),
-                     F.sum(F.when(F.col("cnt") > 1, cover)
-                           .otherwise(F.lit(0))).alias("dup_cover")))
-    perdoc = (perdoc_n.groupBy("doc_id")
-              .agg(*[F.max(F.when(F.col("n") == n,
-                                  F.col("top_cover")))
-                     .alias(f"top{n}_cover") for n in (2, 3, 4)],
-                   F.max(F.when(F.col("n") == 5,
-                                F.col("dup_cover")))
-                   .alias("dup5_cover")))
-    scored = (base.select("doc_id", "source", "total_chars")
-              .join(perdoc, "doc_id", "left"))
+        "source", F.expr(toks_spark("text")).alias("t"))
 
-    def frac(c: str):
-        return F.least(
-            F.coalesce(F.col(c), F.lit(0)).cast("double")
-            / F.col("total_chars"), F.lit(1.0))
+    # Round-13 optimization: the gram accounting is strictly
+    # per-document (the groupBy keys all started with doc_id), so
+    # the explode -> 3-level aggregation -> re-attach join chain —
+    # four exchanges carrying every n-gram string of the corpus —
+    # collapses into ONE narrow Arrow map (guide §4.2 / §2.3
+    # "aggregate before you shuffle"): a Counter per doc over token
+    # tuples (tokens are [a-z0-9]+ runs, so tuple identity ==
+    # joined-gram identity; cover weight = cnt x gram token chars,
+    # exactly cnt x (length(gram) - (n-1)) of the expression form).
+    # Only the per-source rollup shuffles, and it carries 5 doubles
+    # per doc.
+    def per_doc(batches):
+        from collections import Counter
 
-    t2, t3, t4 = frac("top2_cover"), frac("top3_cover"), \
-        frac("top4_cover")
-    d5 = frac("dup5_cover")
-    flag = ((t2 > GR_TOP_THRESH[2]) | (t3 > GR_TOP_THRESH[3])
-            | (t4 > GR_TOP_THRESH[4]) | (d5 > GR_DUP5_THRESH))
+        import pandas as pd
+
+        th2, th3, th4 = (GR_TOP_THRESH[2], GR_TOP_THRESH[3],
+                         GR_TOP_THRESH[4])
+        for pdf in batches:
+            out = {"source": pdf["source"],
+                   "t2": [], "t3": [], "t4": [], "d5": [],
+                   "flag": []}
+            for tok in pdf["t"]:
+                t = tuple(tok) if tok is not None else ()
+                total = max(sum(len(x) for x in t), 1)
+                fr = {}
+                for n in _GR_NS:
+                    if len(t) < n:
+                        fr[n] = 0.0
+                        continue
+                    cnt = Counter(t[i:i + n]
+                                  for i in range(len(t) - n + 1))
+                    if n < 5:
+                        cover = max(c * sum(len(x) for x in g)
+                                    for g, c in cnt.items())
+                    else:
+                        cover = sum(c * sum(len(x) for x in g)
+                                    for g, c in cnt.items() if c > 1)
+                    fr[n] = min(cover / total, 1.0)
+                out["t2"].append(fr[2])
+                out["t3"].append(fr[3])
+                out["t4"].append(fr[4])
+                out["d5"].append(fr[5])
+                out["flag"].append(
+                    fr[2] > th2 or fr[3] > th3 or fr[4] > th4
+                    or fr[5] > GR_DUP5_THRESH)
+            yield pd.DataFrame(out)
+
+    scored = toks.mapInPandas(
+        per_doc,
+        schema=("source string, t2 double, t3 double, t4 double, "
+                "d5 double, flag boolean"))
     return (scored
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("docs"),
-                 F.round(F.avg(t2), 4).alias("avg_top2"),
-                 F.round(F.avg(t3), 4).alias("avg_top3"),
-                 F.round(F.avg(t4), 4).alias("avg_top4"),
-                 F.round(F.avg(d5), 4).alias("avg_dup5"),
-                 F.sum(flag.cast("long")).alias("flagged"))
+                 F.round(F.avg("t2"), 4).alias("avg_top2"),
+                 F.round(F.avg("t3"), 4).alias("avg_top3"),
+                 F.round(F.avg("t4"), 4).alias("avg_top4"),
+                 F.round(F.avg("d5"), 4).alias("avg_dup5"),
+                 F.sum(F.col("flag").cast("long")).alias("flagged"))
             .orderBy("source"))
 
 

@@ -545,36 +545,38 @@ def audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
 
-    def le(c, nbytes):  # int column -> n-byte little-endian binary
-        parts = [F.unhex(F.lpad(F.hex(F.shiftright(c, 8 * i) % 256),
-                                2, "0"))
-                 for i in range(nbytes)]
-        return F.concat(*parts)
+    # Round-13 optimization: the byte assembly used to be a
+    # ~500-node hex/unhex Catalyst expression (96 sample bytes, each
+    # an unhex(lpad(hex(shiftright...)))), which dominated the key's
+    # cost as codegen + per-row expression work. The identical bytes
+    # come out of one numpy vectorized synthesizer in the SAME
+    # Python stage the decoder already runs in (guide §4.2); the
+    # decode path stays genuine — decode_wav still walks the RIFF
+    # chunks of real bytes.
+    import struct
 
     n, rate = _PCM_N, _PCM_RATE
-    data_size = F.lit(n * 2).cast("long")
-    header = F.concat(
-        F.unhex(F.lit("52494646")),             # RIFF
-        le(data_size + 36, 4),
-        F.unhex(F.lit("57415645")),             # WAVE
-        F.unhex(F.lit("666D7420")),             # fmt_
-        le(F.lit(16).cast("long"), 4),
-        le(F.lit(1).cast("long"), 2),           # PCM
-        le(F.lit(1).cast("long"), 2),           # mono
-        le(F.lit(rate).cast("long"), 4),
-        le(F.lit(rate * 2).cast("long"), 4),    # byte rate
-        le(F.lit(2).cast("long"), 2),           # block align
-        le(F.lit(16).cast("long"), 2),          # bits/sample
-        F.unhex(F.lit("64617461")),             # data
-        le(data_size, 4))
-    sample_bytes = []
-    for i in range(n):
-        v = ((F.col("doc_id") * 31 + i * 97) % 4096 - 2048)
-        u = ((v + 65536) % 65536).cast("long")  # two's complement
-        sample_bytes.append(le(u, 2))
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.concat(header, *sample_bytes).alias("payload"))
+    data_size = n * 2
+    header = (b"RIFF" + struct.pack("<I", data_size + 36) + b"WAVE"
+              + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                      rate * 2, 2, 16)
+              + b"data" + struct.pack("<I", data_size))
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        offs = np.arange(n, dtype=np.int64) * 97
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            v = (ids[:, None] * 31 + offs[None, :]) % 4096 - 2048
+            u = ((v + 65536) % 65536).astype("<u2")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [header + row.tobytes() for row in u]})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary")
     return decode_wav_pcm_stats(media).orderBy("media_id")
 
 

@@ -28,8 +28,11 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     sided = docs.withColumn("side", (F.col("doc_id") % 2).cast("int"))
     incoming = sided.filter(F.col("side") == 1)
+    # no distinct on the corpus-hash side: left_semi already keeps
+    # at most one match per incoming row (round-13, guide §2.4 —
+    # "a distinct on data the join semantics already dedupe")
     corpus_h = (sided.filter(F.col("side") == 0)
-                .select(F.md5("text").alias("h")).distinct())
+                .select(F.md5("text").alias("h")))
     exact_ids = (incoming.select("doc_id", F.md5("text").alias("h"))
                  .join(corpus_h, "h", "left_semi")
                  .select("doc_id").withColumn("e", F.lit(1)))
