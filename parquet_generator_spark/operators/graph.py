@@ -29,22 +29,33 @@ def pagerank(pairs: DataFrame, iters: int = 3,
     """``pairs``: undirected edges (id_a, id_b), one row per
     unordered pair. Returns (id, rank) for every node in the edge
     set, ranks summing to ~1."""
+    # Round 13 (guide §2.4/§1.2): the symmetrized edges checkpoint
+    # hash-partitioned on u, so the per-round degree rebuild and the
+    # edge-side exchange of every iteration's join disappear — deg
+    # derives exchange-free from the partitioned edges, is attached
+    # ONCE as (u, v, deg), and each round shuffles only the
+    # node-bounded rank frame plus the one unavoidable contribution
+    # aggregation (the matvec).
     edges = (pairs.select(F.col("id_a").alias("u"),
                           F.col("id_b").alias("v"))
              .unionByName(pairs.select(F.col("id_b").alias("u"),
                                        F.col("id_a").alias("v")))
+             .repartition("u")
              .localCheckpoint().transform(_cache.track))
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()  # bounded scalar: node count
     if n == 0:
         return pairs.select(F.col("id_a").alias("id"),
                             F.lit(0.0).alias("rank")).limit(0)
+    # undirected: out-degree = degree; co-partitioned join, no
+    # exchange, and the checkpoint frees the loop from re-deriving it
+    edgesd = (edges.join(deg, "u").select("u", "v", "deg")
+              .localCheckpoint().transform(_cache.track))
     base = (1.0 - damping) / n
     ranks = deg.select("u", F.lit(round(1.0 / n, PR_QUANT))
                        .alias("rank"))
-    out_deg = deg  # undirected: out-degree = degree
     for _ in range(iters):
-        contrib = (edges.join(ranks, "u").join(out_deg, "u")
+        contrib = (edgesd.join(ranks, "u")
                    .select(F.col("v").alias("u"),
                            (F.col("rank") / F.col("deg"))
                            .alias("c")))
@@ -52,7 +63,7 @@ def pagerank(pairs: DataFrame, iters: int = 3,
                  .agg(F.round(F.lit(base)
                               + F.lit(damping) * F.sum("c"),
                               PR_QUANT).alias("rank"))
-                 .localCheckpoint().transform(_cache.track))
+                 .localCheckpoint(False).transform(_cache.track))
     return ranks.select(F.col("u").alias("id"), "rank")
 
 

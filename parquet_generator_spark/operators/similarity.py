@@ -188,6 +188,31 @@ def lsh_band_buckets(vec_col: str, planes: np.ndarray,
     return out
 
 
+def band_buckets_np(mat: np.ndarray, planes: np.ndarray,
+                    n_bands: int) -> np.ndarray:
+    """(rows, n_bands) int64 band buckets for a vector batch — the
+    vectorized twin of :func:`lsh_band_buckets`, BIT-IDENTICAL by
+    construction: the plane dot is evaluated as the same exact
+    left-to-right float64 fold (acc <- acc + x_d * y_d, d ascending,
+    one elementwise step per dimension — numpy ufuncs round each
+    element exactly like the scalar fold, and nothing fuses into an
+    FMA), so every sign bit matches the SQL expression and the
+    DuckDB mirror on every input. Pinned by
+    tests/test_operators.py::test_band_buckets_np_matches_sql."""
+    mat = np.ascontiguousarray(mat, dtype=np.float64)
+    pt = planes.T  # (dim, n_planes)
+    acc = np.zeros((mat.shape[0], planes.shape[0]), dtype=np.float64)
+    for d in range(pt.shape[0]):
+        acc += mat[:, d:d + 1] * pt[d]
+    bits = (acc >= 0.0).astype(np.int64)
+    r = planes.shape[0] // n_bands
+    weights = 1 << np.arange(r, dtype=np.int64)
+    out = np.empty((mat.shape[0], n_bands), dtype=np.int64)
+    for band in range(n_bands):
+        out[:, band] = bits[:, band * r:(band + 1) * r] @ weights
+    return out
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
              planes: np.ndarray, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
@@ -653,10 +678,6 @@ def embedding_dup_pairs_lsh(df: DataFrame, threshold: float,
     the IDENTICAL banding, so oracle equality holds by construction;
     recall vs the exact baseline is measured in tests.
     """
-    buckets = lsh_band_buckets(vec_col, planes, n_bands)
-    bands = F.array(*[
-        F.struct(F.lit(i).alias("band"), b.alias("bucket"))
-        for i, b in enumerate(buckets)])
     # One shuffle on (band, bucket); the exact verify is a
     # bucket-LOCAL numpy GEMM inside applyInPandas with an epsilon
     # margin pre-filter, so only pairs that can pass the threshold
@@ -686,11 +707,34 @@ def embedding_dup_pairs_lsh(df: DataFrame, threshold: float,
         return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],
                              "cos_raw": cos[ai, bi]})
 
+    # Band buckets via the numpy fold twin (round 13): the expression
+    # form bound n_planes aggregate(zip_with(vec, 64-literal-array))
+    # folds per row — interpreted higher-order functions, plus ~100 KB
+    # of expression text parsed at plan build. One Arrow batch matmul
+    # replaces all of it, bit-identically (band_buckets_np docstring);
+    # the rows were already crossing the Python boundary for the
+    # bucket-local verify (guide §4.2).
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets_udf(vs):
+        import pandas as pd
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        return pd.Series(list(band_buckets_np(mat, planes, n_bands)))
+
+    # asNondeterministic: posexplode plants an implicit
+    # size(..)>0 filter, and the optimizer duplicates a
+    # deterministic UDF below it — every row would pay the banding
+    # matmul twice (guide §4.4; plan showed two ArrowEvalPython
+    # nodes per branch). The marking costs nothing here: there is
+    # no filter that could legitimately push past the banding.
+    _buckets = _buckets_udf.asNondeterministic()
+
     e = (df.select(F.col(id_col).alias("vid"),
-                   F.col(vec_col).alias("vec"),
-                   F.explode(bands).alias("bb"))
-         .select("vid", "vec", F.col("bb.band").alias("band"),
-                 F.col("bb.bucket").alias("bucket")))
+                   F.col(vec_col).alias("vec"))
+         .withColumn("bks", _buckets("vec"))
+         .select("vid", "vec",
+                 F.posexplode("bks").alias("band", "bucket")))
     pairs = e.groupBy("band", "bucket").applyInPandas(
         bucket_pairs, schema="id_a bigint, id_b bigint, cos_raw double")
     return (pairs.dropDuplicates(["id_a", "id_b"])

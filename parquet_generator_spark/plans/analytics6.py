@@ -1,12 +1,17 @@
 """Analytics, sixth wave: market-basket association mining.
 
 Orders are baskets, parts are items: pair support / confidence /
-lift over lineitem. The pair expansion is a self-equi-join on the
-basket key — TPC-H baskets are bounded (~4-7 items), so the fan-out
-is C(k,2) per order, never corpus-quadratic; counts aggregate with
-map-side partials, and ratio metrics are emitted as SINGLE divisions
-of exact int64 products so both engines produce bit-identical
-doubles (no rounding step to disagree on).
+lift over lineitem. Round 13: the pair expansion is no longer a
+basket-key self-join — baskets are bounded (~4-7 items), so each
+basket's C(k,2) pairs, its k items and one basket marker explode
+from a single collect_set pass, and ONE grouped count yields the
+pair table, the item-frequency table and the basket total together
+(guide §1.2: the before-plan scanned lineitem four times — twice
+for the self-join, twice for item frequencies — plus a fifth pass
+for the scalar). Counts aggregate with map-side partials, and ratio
+metrics are emitted as SINGLE divisions of exact int64 products so
+both engines produce bit-identical doubles (no rounding step to
+disagree on).
 """
 
 from __future__ import annotations
@@ -14,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parquet_generator_spark.operators import cache
 from parquet_generator_spark.operators.util import broadcast_scalars
 from parquet_generator_spark.sources.catalog import load_table
 
@@ -23,29 +29,63 @@ ORACLES: dict = {}
 BASKET_MIN_PAIR = 2     # min pair support (absolute baskets)
 BASKET_TOPK = 20
 
+# Per basket emit: one (NULL, NULL) marker row, one (item, NULL) row
+# per distinct item, and one (a, b) row per a < b pair of distinct
+# items (collect_set dedups; sort_array fixes a < b). A single
+# groupBy(item_a, item_b) then carries three aggregates at once:
+#   (NULL, NULL) count  = number of baskets,
+#   (x, NULL)   counts  = baskets containing x  (item frequency),
+#   (a, b)      counts  = baskets containing both (pair support).
+_BASKET_ROWS = """
+    concat(
+      array(named_struct('a', CAST(NULL AS BIGINT),
+                         'b', CAST(NULL AS BIGINT))),
+      transform(items, x -> named_struct(
+          'a', x, 'b', CAST(NULL AS BIGINT))),
+      flatten(transform(items, (x, i) ->
+          transform(slice(items, i + 2, size(items)),
+                    y -> named_struct('a', x, 'b', y)))))
+"""
+
+
+def _basket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared one-pass basket model: (item_a, item_b, cnt) with
+    the NULL-keyed marker/item rows described above. The result is
+    the aggregated model table (distinct items + distinct
+    co-occurring pairs + 1 row), bounded far below the corpus —
+    checkpointed so the scalar collect, the frequency lookups and
+    the pair branch all read it without re-running the scan."""
+    baskets = (load_table(spark, "lineitem", sf_dir)
+               .groupBy(F.col("l_orderkey").alias("okey"))
+               .agg(F.sort_array(F.collect_set("l_partkey"))
+                    .alias("items")))
+    counts = (baskets.select(F.explode(F.expr(_BASKET_ROWS)).alias("r"))
+              .groupBy(F.col("r.a").alias("item_a"),
+                       F.col("r.b").alias("item_b"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    return cache.lazy(counts)
+
 
 def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top co-purchase pairs by lift. Plan: distinct (order, part)
-    once; item frequencies = one grouped pass; pair counts = a
-    basket-key self-join (bounded per-basket fan-out) + one grouped
-    pass; the scalar basket count enters as a plan literal
-    (broadcast_scalars — no nested-loop cross join in the plan
-    text); the two item-frequency joins stay plain equi-joins (AQE
-    picks broadcast when the item dimension fits). Lift/confidence/
-    support are single int64-product divisions — cross-engine
-    bit-identical, unrounded."""
-    li = (load_table(spark, "lineitem", sf_dir)
-          .select(F.col("l_orderkey").alias("okey"),
-                  F.col("l_partkey").alias("item"))
-          .distinct())
-    n_baskets = li.select(F.countDistinct("okey").alias("n"))
-    items = li.groupBy("item").agg(F.count(F.lit(1)).alias("item_cnt"))
-    a = li.select("okey", F.col("item").alias("item_a"))
-    b = li.select("okey", F.col("item").alias("item_b"))
-    pairs = (a.join(b, "okey")
-             .filter(F.col("item_a") < F.col("item_b"))
-             .groupBy("item_a", "item_b")
-             .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    """Top co-purchase pairs by lift. Plan: ONE lineitem scan ->
+    per-basket distinct-item sets -> marker/item/pair explode -> one
+    grouped count (map-side partials); the scalar basket count, the
+    two item-frequency lookups and the pair table all read the
+    checkpointed count model, and the frequency joins are plain
+    equi-joins on the bounded model (AQE broadcasts them).
+    Lift/confidence/support are single int64-product divisions —
+    cross-engine bit-identical, unrounded."""
+    counts = _basket_counts(spark, sf_dir)
+    n_baskets = (counts.filter(F.col("item_a").isNull())
+                 .select(F.col("cnt").alias("n")))
+    items = (counts
+             .filter(F.col("item_a").isNotNull()
+                     & F.col("item_b").isNull())
+             .select(F.col("item_a").alias("item"),
+                     F.col("cnt").alias("item_cnt")))
+    pairs = (counts.filter(F.col("item_b").isNotNull())
+             .select("item_a", "item_b",
+                     F.col("cnt").alias("pair_cnt"))
              .filter(F.col("pair_cnt") >= BASKET_MIN_PAIR))
     enriched = broadcast_scalars(
         pairs
@@ -106,25 +146,24 @@ def dsl_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent pairs by the apriori property and reuse the same
     bounded per-basket expansion). Emits each frequent set with its
     absolute support and support ratio; the ratio is one exact
-    int64 division (unrounded, bit-identical)."""
-    li = (load_table(spark, "lineitem", sf_dir)
-          .select(F.col("l_orderkey").alias("okey"),
-                  F.col("l_partkey").alias("item"))
-          .distinct())
-    n_baskets = li.select(F.countDistinct("okey").alias("n"))
-    singles = (li.groupBy("item")
-               .agg(F.count(F.lit(1)).alias("support"))
-               .select(F.col("item").cast("string").alias("items"),
-                       F.lit(1).alias("set_size"), "support"))
-    a = li.select("okey", F.col("item").alias("item_a"))
-    b = li.select("okey", F.col("item").alias("item_b"))
-    pairs = (a.join(b, "okey")
-             .filter(F.col("item_a") < F.col("item_b"))
-             .groupBy("item_a", "item_b")
-             .agg(F.count(F.lit(1)).alias("support"))
+    int64 division (unrounded, bit-identical). Rides the same
+    one-pass basket count model as basket_lift (singles = the
+    item-frequency rows, pairs = the pair rows, the total = the
+    marker row)."""
+    counts = _basket_counts(spark, sf_dir)
+    n_baskets = (counts.filter(F.col("item_a").isNull())
+                 .select(F.col("cnt").alias("n")))
+    singles = (counts
+               .filter(F.col("item_a").isNotNull()
+                       & F.col("item_b").isNull())
+               .select(F.col("item_a").cast("string").alias("items"),
+                       F.lit(1).alias("set_size"),
+                       F.col("cnt").alias("support")))
+    pairs = (counts.filter(F.col("item_b").isNotNull())
              .select(F.concat_ws(",", "item_a", "item_b")
                      .alias("items"),
-                     F.lit(2).alias("set_size"), "support"))
+                     F.lit(2).alias("set_size"),
+                     F.col("cnt").alias("support")))
     sets = broadcast_scalars(
         singles.unionAll(pairs)
         .filter(F.col("support") >= FIS_MIN_SUPPORT), n_baskets)

@@ -52,8 +52,14 @@ def maximal_dup_spans(docs: DataFrame) -> DataFrame:
             f"transform(sequence(0, size({toks}) - {SPAN_K}), "
             f"i -> array_join(slice({toks}, i + 1, {SPAN_K}), ' ')) "
             f"ELSE array() END")).alias("off", "span"))
-    totals = spans.groupBy("span").agg(F.count(F.lit(1)).alias("total"))
-    dup_off = (spans.join(totals, "span")
+    # span totals as a WINDOW over the span partition (round 13: this
+    # was a self-join of the exploded frame against its own groupBy,
+    # which re-ran the tokenize+explode chain twice — the same shape
+    # span_dedup shed, guide §2.4: the window computes the identical
+    # per-span count on ONE pass sharing the span exchange)
+    dup_off = (spans
+               .withColumn("total", F.count(F.lit(1)).over(
+                   Window.partitionBy("span")))
                .filter(F.col("total") >= 2)
                .select("doc_id", "off"))
     # islands merge on WINDOW OVERLAP, not mere offset adjacency: two

@@ -502,14 +502,22 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'a', CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT), "
         f"'b', CAST(conv(substr(md5(s), 9, 8), 16, 10) AS BIGINT)"
         f")), h -> {hit_body}), 1)), 1)")
-    probed = corpus.withColumn("bloom_hit", hit.cast("int"))
-    exact = (corpus.join(F.broadcast(bench), "s")
-             .select("doc_id").distinct()
-             .withColumn("exact_hit", F.lit(1)))
-    per_doc = (probed.groupBy("doc_id", "source")
-               .agg(F.max("bloom_hit").alias("bloom"))
-               .join(exact, "doc_id", "left")
-               .fillna(0, ["exact_hit"]))
+    # ONE corpus explode pass carries BOTH probes (round 13: the
+    # before-plan ran the corpus explode+md5 chain twice — once
+    # under the bloom projection, once under the exact-match join —
+    # guide §1.2): the bloom test is a projection on the shingle
+    # stream, the exact test a broadcast LEFT join against the
+    # bench-bounded shingle set, and one per-doc rollup folds both
+    # flags. The bench subtree still evaluates twice (driver filter
+    # build + broadcast) but it is the eval suite, never the corpus.
+    per_doc = (corpus.withColumn("bloom_hit", hit.cast("int"))
+               .join(F.broadcast(bench.withColumn("exact_s",
+                                                  F.lit(1))),
+                     "s", "left")
+               .groupBy("doc_id", "source")
+               .agg(F.max("bloom_hit").alias("bloom"),
+                    F.max(F.coalesce("exact_s", F.lit(0)))
+                    .alias("exact_hit")))
     return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("exact_hit").cast("long").alias("n_exact"),

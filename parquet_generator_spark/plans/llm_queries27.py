@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parquet_generator_spark.operators import cache
 from parquet_generator_spark.sources.catalog import load_table
 
 QUERIES: dict = {}
@@ -177,8 +178,15 @@ def dsir_importance_weights(spark: SparkSession,
                        "x -> x != '')")).alias("t"))
            .withColumn("b", F.expr(_BUCKET_SPARK)))
     is_t = F.col("source").isin(*DSIR_TARGET).cast("long")
-    dist = tok.groupBy("b").agg(F.sum(is_t).alias("nt"),
-                                F.count(F.lit(1)).alias("nr"))
+    # the B-row distribution is the aggregated model table: without
+    # a barrier the totals collect, the log-ratio broadcast AND the
+    # scoring join each re-ran the corpus explode+md5 chain (three
+    # corpus passes in the before-plan; round 13, guide §1.2) — the
+    # checkpoint pins it at 128 rows so only the model build and the
+    # scoring pass scan the corpus
+    dist = cache.lazy(
+        tok.groupBy("b").agg(F.sum(is_t).alias("nt"),
+                             F.count(F.lit(1)).alias("nr")))
     totals = dist.agg(F.sum("nt").alias("_tt"),
                       F.sum("nr").alias("_tr"))
     sb = _DSIR_SMOOTH * DSIR_BUCKETS

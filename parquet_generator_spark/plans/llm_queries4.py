@@ -334,33 +334,48 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused); here they recompute from the shared scan, which AQE
     handles at test scale."""
     from parquet_generator_spark.operators import dedup as dedup_ops
+    from parquet_generator_spark.operators.text import shingles_spark
     from parquet_generator_spark.plans.llm_queries3 import (
         BENCH_SOURCE,
-        decontaminate,
+        DECON_K,
     )
     from parquet_generator_spark.plans.pipeline_queries import (
         SPLIT_BUCKETS,
         _bucket_spark,
     )
     docs = load_table(spark, "documents", sf_dir)
-    quality_keep = (gopher_quality(spark, sf_dir)
-                    .filter(F.col("keep")).select("doc_id"))
+    # quality stage carries its word count along: n_words from the
+    # gopher profile IS size(split(text, ' ')), so the final pass
+    # never re-reads text (round 13 — the before-plan re-scanned and
+    # re-split every kept document just to count tokens, guide §2.3)
+    quality = (gopher_quality(spark, sf_dir)
+               .filter(F.col("keep")).select("doc_id", "n_words"))
     canonical = (dedup_ops.exact_dedup_groups(docs, "doc_id", "text")
                  .select(F.col("keep_id").alias("doc_id")))
-    contaminated = (decontaminate(spark, sf_dir)
-                    .filter(F.col("n_shared") >= 1).select("doc_id"))
+    # lean contamination set: the composition only needs the doc ids
+    # sharing >= 1 shingle with the bench source — the standalone
+    # decontaminate query's per-doc countDistinct and global orderBy
+    # added two exchanges and a range sort the anti-join discards
+    sh = F.expr(shingles_spark("text", DECON_K))
+    bench = (docs.filter(F.col("source") == BENCH_SOURCE)
+             .select(F.explode(sh).alias("s")).distinct())
+    contaminated = (docs.filter(F.col("source") != BENCH_SOURCE)
+                    .select("doc_id", F.explode(sh).alias("s"))
+                    .join(F.broadcast(bench), "s")
+                    .select("doc_id").distinct())
     b = _bucket_spark("doc_id")
     split = (F.when(b < SPLIT_BUCKETS[0], "train")
              .when(b < SPLIT_BUCKETS[1], "val")
              .otherwise("test"))
     final = (docs.filter(F.col("source") != BENCH_SOURCE)
-             .join(quality_keep, "doc_id", "left_semi")
+             .select("doc_id", "source")
+             .join(quality, "doc_id")
              .join(canonical, "doc_id", "left_semi")
              .join(contaminated, "doc_id", "left_anti")
              .withColumn("split", split))
     return (final.groupBy("split", "source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+                 F.sum("n_words").alias("n_tokens"))
             .orderBy("split", "source"))
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_generator_spark.operators import cache
 from parquet_generator_spark.operators import text as tx
 from parquet_generator_spark.sources.catalog import load_table
 
@@ -317,16 +318,28 @@ def dsl_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine, emitted unrounded."""
     docs = load_table(spark, "documents", sf_dir)
     t = docs.select(F.expr(tx.toks_spark("text")).alias("tk"))
-    uni = (t.select(F.explode("tk").alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
-    n_tok = t.agg(F.sum(F.size("tk")).alias("n"))
+    # the unigram and bigram models are the vocab-bounded aggregated
+    # tables every downstream lookup reads: without a barrier the
+    # THREE per-slot candidate collects, the token-total scalar and
+    # the four model-lookup join branches each re-ran the corpus
+    # tokenize+explode chain (eight scans in the before-plan; round
+    # 13, guide §1.2) — checkpoint both models, and derive the token
+    # total as sum(unigram counts) instead of a dedicated pass
+    uni = cache.lazy(
+        t.select(F.explode("tk").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    n_tok = uni.agg(F.sum("cnt").alias("n"))
     bg = (t.select(F.explode(F.expr(
         "CASE WHEN size(tk) >= 2 THEN "
         "transform(sequence(0, size(tk) - 2), "
         "i -> struct(tk[i] AS w1, tk[i + 1] AS w2)) "
         "ELSE array() END")).alias("b"))
         .select("b.w1", "b.w2"))
-    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # eager, not lazy: the final job reads the bigram model through
+    # FOUR subtrees (m12/m23/l1/l2) — a lazy barrier would
+    # double-compute under concurrent stage materialization
+    model = cache.checkpoint(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
     lefts = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
 
     def cands(tok: str):

@@ -259,6 +259,34 @@ def test_embedding_lsh_hi_planted_full_recall(spark):
     assert {(i, 1000 + i) for i in range(60)} <= got
 
 
+def test_band_buckets_np_matches_sql(spark):
+    """The numpy band-bucket kernel (round 13) must be BIT-IDENTICAL
+    to the SQL expression form it replaced: same left-to-right
+    float64 fold per plane dot, so every sign bit — and therefore
+    every bucket id — agrees on float32-sourced vectors, including
+    near-zero dots from a zero vector."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    vecs = rng.standard_normal((200, 64)).astype(np.float32)
+    vecs[0] = 0.0                      # zero vector: dot exactly 0.0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    for n_planes, n_bands, seed in ((16, 8, 7), (64, 8, 9)):
+        planes = similarity.make_hyperplanes(64, n_planes, seed=seed)
+        cols = similarity.lsh_band_buckets(
+            "transform(embedding, x -> cast(x AS DOUBLE))",
+            planes, n_bands)
+        sql_rows = df.select(
+            "vec_id", F.array(*cols).alias("bks")).collect()
+        sql = {r["vec_id"]: list(r["bks"]) for r in sql_rows}
+        got = similarity.band_buckets_np(
+            np.array([list(v) for v in vecs], dtype=np.float64),
+            planes, n_bands)
+        for i in range(len(vecs)):
+            assert sql[i] == list(got[i]), f"row {i} diverges"
+
+
 def test_lsh_bucket_cap_skips_hot_bucket(spark):
     """A degenerate bucket (many docs sharing every band signature)
     is skipped above the cap — its pairs disappear, everything else
