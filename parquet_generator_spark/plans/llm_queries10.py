@@ -9,7 +9,7 @@ the driver beyond bounded group-cardinality rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_generator_spark.operators import dedup
@@ -44,8 +44,13 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(shingles_spark("text", NOVELTY_K)))
         .alias("s"))
         .distinct())
-    first = sh.groupBy("s").agg(F.min("batch").alias("first_batch"))
-    per = (sh.join(first, "s")
+    # first-batch as a WINDOW over the shingle partition (round 13:
+    # this was a join of the distinct-shingle frame against its own
+    # groupBy — the explode+distinct chain ran twice, two corpus
+    # scans in the before-plan; the window computes the identical
+    # per-shingle min on ONE pass, guide §2.4)
+    per = (sh.withColumn("first_batch",
+                         F.min("batch").over(Window.partitionBy("s")))
            .groupBy("batch")
            .agg(F.count(F.lit(1)).alias("n_grams"),
                 F.sum((F.col("batch") == F.col("first_batch"))

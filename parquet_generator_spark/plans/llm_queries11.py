@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_generator_spark.operators import dedup
+from parquet_generator_spark.operators import cache, dedup
 from parquet_generator_spark.operators.text import toks_duck, toks_spark
 from parquet_generator_spark.plans.llm_queries import near_dup_edges
 from parquet_generator_spark.plans import llm_queries14 as _L14
@@ -40,7 +40,12 @@ def knn_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_classify_ivf,
     )
 
-    pred = knn_classify_ivf(spark, sf_dir)
+    # the prediction frame is query-cardinality-bounded and feeds
+    # BOTH the marginal count and the confusion rollup — without a
+    # barrier the whole IVF classify pipeline ran twice (round 13,
+    # guide §1.2). Eager: the final job reads it through two
+    # subtrees (the batch-3 lazy-barrier rule).
+    pred = cache.checkpoint(knn_classify_ivf(spark, sf_dir))
     per_true = (pred.groupBy("true_label")
                 .agg(F.count(F.lit(1)).alias("n_true")))
     return (pred.groupBy("true_label", "pred_label")
