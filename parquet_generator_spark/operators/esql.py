@@ -2040,22 +2040,25 @@ def _df_apply(df: DataFrame, commands: list,
                     .groupBy(key)
                     .agg(F.max("_bscore").alias("_bscore")))
                 if normalizer == "minmax":
-                    from parquet_generator_spark.operators.util import (
-                        broadcast_scalars,
-                    )
+                    # minmax via a single-partition window over the
+                    # branch frame (round 14): the former eager
+                    # broadcast_scalars collect was one extra job
+                    # per branch at plan-build time. The window
+                    # input is the branch's already-LIMITed rows
+                    # (<= the rerank-window cap), never the corpus,
+                    # so the single partition is bounded.
+                    from pyspark.sql import Window as _W
 
-                    mm = base.agg(
-                        F.min("_bscore").alias("_mn"),
-                        F.max("_bscore").alias("_mx"))
-                    base = (broadcast_scalars(base, mm)
+                    _w = _W.partitionBy()
+                    _mn = F.min("_bscore").over(_w)
+                    _mx = F.max("_bscore").over(_w)
+                    base = (base
                             .withColumn(
                                 "_bscore",
                                 F.when(
-                                    F.col("_mx") > F.col("_mn"),
-                                    (F.col("_bscore")
-                                     - F.col("_mn"))
-                                    / (F.col("_mx")
-                                       - F.col("_mn")))
+                                    _mx > _mn,
+                                    (F.col("_bscore") - _mn)
+                                    / (_mx - _mn))
                                 .otherwise(F.lit(1.0)))
                             .select(key, "_bscore"))
                 parts.append(base.withColumn(

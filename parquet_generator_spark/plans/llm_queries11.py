@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_generator_spark.operators import cache, dedup
+from parquet_generator_spark.operators import dedup
 from parquet_generator_spark.operators.text import toks_duck, toks_spark
 from parquet_generator_spark.plans.llm_queries import near_dup_edges
 from parquet_generator_spark.plans import llm_queries14 as _L14
@@ -36,24 +36,25 @@ def knn_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-importing the quadratic kernel this family exists to replace
     (sf1 measured 242s / 76x for 10x data; via IVF the eval scales
     with the classifier it audits)."""
+    from pyspark.sql import Window
+
     from parquet_generator_spark.plans.llm_queries14 import (
         knn_classify_ivf,
     )
 
-    # the prediction frame is query-cardinality-bounded and feeds
-    # BOTH the marginal count and the confusion rollup — without a
-    # barrier the whole IVF classify pipeline ran twice (round 13,
-    # guide §1.2). Eager: the final job reads it through two
-    # subtrees (the batch-3 lazy-barrier rule).
-    pred = cache.checkpoint(knn_classify_ivf(spark, sf_dir))
-    per_true = (pred.groupBy("true_label")
-                .agg(F.count(F.lit(1)).alias("n_true")))
-    return (pred.groupBy("true_label", "pred_label")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .join(F.broadcast(per_true), "true_label")
+    # the marginal n_true is exactly the row-sum of the confusion
+    # rollup, so it derives from the label^2-bounded aggregated
+    # frame with a window — the IVF classify pipeline runs ONCE
+    # with no barrier at all (round 14; the round-13 eager
+    # checkpoint materialized the whole pipeline as a dedicated
+    # job and regressed the bench 1.7x).
+    pred = knn_classify_ivf(spark, sf_dir)
+    conf = (pred.groupBy("true_label", "pred_label")
+            .agg(F.count(F.lit(1)).alias("n")))
+    n_true = F.sum("n").over(Window.partitionBy("true_label"))
+    return (conf
             .select("true_label", "pred_label", "n",
-                    F.round(F.col("n") / F.col("n_true"), 4)
-                    .alias("rate"))
+                    F.round(F.col("n") / n_true, 4).alias("rate"))
             .orderBy("true_label", "pred_label"))
 
 

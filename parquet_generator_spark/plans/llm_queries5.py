@@ -423,18 +423,23 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
     toks = docs.select("doc_id",
                        F.explode(F.expr(toks_spark("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.count()   # one scalar; literal in the plan
-    # df as a WINDOW over the term partition of the SAME tf frame
-    # (round 13): the former tf-vs-groupBy(tf) self-join re-ran the
-    # explode+count chain once per branch — two full corpus scans in
-    # the before-plan. The window computes the identical per-term
-    # document frequency sharing one term exchange (guide §2.4).
-    with_df = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    # ONE corpus tokenize pass builds tf, checkpointed (eager — the
+    # final job reads it through two subtrees: the df aggregate and
+    # the join probe side; the batch-3 lazy-barrier rule). df is
+    # then a vocab-bounded groupBy with map-side partial aggregation
+    # joined back on the term key — round 14: the round-13
+    # count-over-Window(term) carried the ENTIRE (doc, term) tf
+    # stream through one sort exchange with no partial aggregation
+    # and regressed the bench 1.3x; this keeps the single corpus
+    # scan AND the partial agg. No broadcast hint on df (billions
+    # of distinct tokens at web scale); AQE broadcasts small vocabs.
+    tf = _cache.checkpoint(
+        toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")))
+    n_docs = docs.count()   # one scalar; parquet footer-stats count
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
-    scored = with_df.select(
+    scored = tf.join(dft, "term").select(
         "doc_id", "term",
         F.round(F.col("tf") * idf, 4).alias("tfidf"))
     w = Window.partitionBy("doc_id").orderBy(
@@ -500,40 +505,56 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of an unpartitioned ranking Window that would funnel
     every scored document through one partition. ``rank`` is derived
     afterwards over the k surviving rows (bounded input, never
-    data-scale)."""
+    data-scale).
+
+    Round 14 shape: the query-term list is BOUNDED (|query| terms),
+    so per-doc tf for every query term is an array-side count over
+    the one tokenized projection — no explode, no (doc, term)
+    shuffle at all. ONE corpus tokenize pass builds the narrow
+    (doc_id, dl, tf_0..tf_q) frame (checkpointed, model-sized per
+    row); one agg over it yields n_docs/avgdl AND the per-term
+    document frequencies (query-cardinality scalars, so idf enters
+    the plan as constant-folded literals — the same Math.log the
+    per-row expression used); the score is then a pure projection
+    + TakeOrderedAndProject. The round-13 window-over-(doc,term)
+    shape carried the whole tf stream through a sort exchange with
+    no partial aggregation and regressed the bench 2.2x."""
     docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
-    toks = docs.select("doc_id",
-                       F.explode(F.expr(toks_spark("text"))).alias("term"))
-    # per-doc length as size(tokens) — one narrow projection, no
-    # explode/shuffle; identical rows to the former explode+groupBy
-    # count (explode emits no row for an empty token array, hence
-    # the dl > 0 filter)
-    dl = (docs.select("doc_id",
-                      F.size(F.expr(toks_spark("text"))).alias("dl"))
-          .filter(F.col("dl") > 0))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.avg("dl").alias("avgdl")).collect()[0]
+    tf_cols = [f"_tf{i}" for i in range(len(BM25_TERMS))]
+    per_doc = (docs
+               .select("doc_id", F.expr(toks_spark("text")).alias("tk"))
+               .select("doc_id", F.size("tk").alias("dl"),
+                       *[F.expr(f"size(filter(tk, x -> x = '{t}'))")
+                         .alias(c)
+                         for t, c in zip(BM25_TERMS, tf_cols)])
+               .filter(F.col("dl") > 0))
+    per_doc = _cache.lazy(per_doc)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(c) > 0).cast("long")).alias(f"_df{i}")
+          for i, c in enumerate(tf_cols)]).collect()[0]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    qt = toks.filter(F.col("term").isin(*BM25_TERMS))
-    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df as a window over the term partition of tf (round 13, same
-    # move as tfidf_topterms): the tf-vs-groupBy(tf) self-join ran
-    # the query-term scan twice; the per-doc-length join side also
-    # re-tokenized the whole corpus — the before-plan carried six
-    # documents scans, this shape carries two.
-    with_df = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
-    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    contrib = (with_df.join(dl, "doc_id")
-               .select("doc_id",
-                       (idf * F.col("tf") * (BM25_K1 + 1.0)
-                        / (F.col("tf") + BM25_K1
-                           * (1.0 - BM25_B
-                              + BM25_B * F.col("dl") / F.lit(avgdl))))
-                       .alias("c")))
-    scored = (contrib.groupBy("doc_id")
-              .agg(F.round(F.sum("c"), 4).alias("score")))
+
+    def contrib(i: int) -> F.Column:
+        # idf constant-folds at plan time (df is a literal); tf=0
+        # terms contribute exactly 0.0, matching the former
+        # explode/groupBy shape where absent terms emitted no row
+        tf = F.col(tf_cols[i])
+        idf = F.log(1.0 + (F.lit(n_docs) - F.lit(stats[f"_df{i}"])
+                           + 0.5)
+                    / (F.lit(stats[f"_df{i}"]) + 0.5))
+        return (idf * tf * (BM25_K1 + 1.0)
+                / (tf + BM25_K1
+                   * (1.0 - BM25_B
+                      + BM25_B * F.col("dl") / F.lit(avgdl))))
+
+    any_hit = F.greatest(*[F.col(c) for c in tf_cols]) > 0
+    score = contrib(0)
+    for i in range(1, len(BM25_TERMS)):
+        score = score + contrib(i)
+    scored = (per_doc.filter(any_hit)
+              .select("doc_id", F.round(score, 4).alias("score")))
     top = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
            .limit(BM25_TOP))
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -399,11 +399,15 @@ def dsl_retriever_linear(spark: SparkSession,
     of reciprocal ranks — score = sum over retrievers of
     weight x (s - min) / (max - min) within each leg's
     rank_window_size, a missing leg contributing 0. Each leg stays
-    a bounded TakeOrderedAndProject; the minmax scalars attach as
-    plan literals (broadcast_scalars — the legs are <= window rows,
-    so the eager scalar collect is bounded); the fusion is a
-    full-outer join of two <= window frames. Nothing data-scale
-    shuffles."""
+    a bounded TakeOrderedAndProject; the minmax scalars come from a
+    single-partition WINDOW over the <= window-row leg (round 14:
+    the former eager broadcast_scalars collect re-ran each leg's
+    corpus scan once for min/max and again for the output — two
+    extra build-time jobs per query; the window shares the leg's
+    one scan, same shape as the oracle's ``max(s) OVER ()``). The
+    window input is the LIMITed leg, never the corpus, so nothing
+    data-scale funnels through the single partition; the fusion is
+    a full-outer join of two <= window frames."""
     import math
 
     from pyspark.sql.window import Window
@@ -428,18 +432,12 @@ def dsl_retriever_linear(spark: SparkSession,
     emb = load_table(spark, "embeddings", sf_dir)
 
     def norm(leg: DataFrame, col: str) -> DataFrame:
-        from parquet_generator_spark.operators.util import (
-            broadcast_scalars,
-        )
-
-        mm = leg.agg(F.min(col).alias("_mn"),
-                     F.max(col).alias("_mx"))
-        return (broadcast_scalars(leg, mm)
-                .withColumn(
+        w = Window.partitionBy()
+        mn, mx = F.min(col).over(w), F.max(col).over(w)
+        return (leg.withColumn(
                     "_ns",
-                    F.when(F.col("_mx") > F.col("_mn"),
-                           (F.col(col) - F.col("_mn"))
-                           / (F.col("_mx") - F.col("_mn")))
+                    F.when(mx > mn,
+                           (F.col(col) - mn) / (mx - mn))
                     .otherwise(F.lit(1.0)))
                 .select("id", "_ns"))
 
