@@ -128,26 +128,34 @@ def gini_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-cardinality, so the rank window is over a handful of rows
     — the corpus only pays one grouped aggregate."""
     from pyspark.sql import Window
+
+    from parquet_generator_spark.operators import cache
     docs = load_table(spark, "documents", sf_dir)
     per = (docs.groupBy("source")
            .agg(F.sum(F.size(F.expr(toks_spark("text"))))
                 .alias("tokens")))
     w = Window.partitionBy(F.lit(1)).orderBy("tokens", "source")
-    ranked = per.withColumn("rk", F.row_number().over(w))
+    # the ranked frame is SOURCE-cardinality (a handful of rows) and
+    # feeds the totals aggregate AND the output — checkpoint it so
+    # the corpus groupBy runs once (round 14: the former nested
+    # broadcast_scalars re-ran the tokenize+groupBy for the gini
+    # collect, the total collect and the final output — three
+    # corpus passes and three jobs; now one pass, one scalar
+    # collect). Lazy: the first consumer is the full-scan totals
+    # aggregate.
+    ranked = cache.lazy(per.withColumn("rk", F.row_number().over(w)))
     tot = ranked.agg(
         F.sum("tokens").alias("t"),
         F.count(F.lit(1)).alias("k"),
-        F.sum(F.col("rk") * F.col("tokens")).alias("rt"))
-    # Gini = (2*sum(rank_i * x_i)) / (k * sum(x)) - (k+1)/k
-    gini = tot.select(F.round(
-        (2.0 * F.col("rt")) / (F.col("k") * F.col("t"))
-        - (F.col("k") + 1.0) / F.col("k"), 4).alias("gini"))
-    out = broadcast_scalars(
-        ranked.select("source", "tokens"),
-        broadcast_scalars(gini, tot.select(F.col("t").alias("_t"))))
-    return (out.select("source", "tokens",
-                       F.round(F.col("tokens") / F.col("_t"), 4)
-                       .alias("share"), "gini")
+        F.sum(F.col("rk") * F.col("tokens")).alias("rt")).first()
+    t, k, rt = F.lit(tot["t"]), F.lit(tot["k"]), F.lit(tot["rt"])
+    # Gini = (2*sum(rank_i * x_i)) / (k * sum(x)) - (k+1)/k —
+    # the identical expression over literals (constant-folded with
+    # the same JVM arithmetic the column form used)
+    gini = F.round((2.0 * rt) / (k * t) - (k + 1.0) / k, 4)
+    return (ranked.select("source", "tokens",
+                          F.round(F.col("tokens") / t, 4)
+                          .alias("share"), gini.alias("gini"))
             .orderBy("source"))
 
 

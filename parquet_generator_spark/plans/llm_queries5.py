@@ -323,52 +323,61 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     float PMI, so engine ulp differences cannot reorder the output.
     """
     docs = widen_if_narrow(load_table(spark, "documents", sf_dir))
-    toks = toks_spark("text")
-    # one row per (w1 <= w2) pair within PMI_WINDOW, positions i < j
+    # ONE corpus tokenize pass emits, per document, a (w, NULL)
+    # marker row per token occurrence AND one (w1 <= w2) pair row
+    # per in-window position pair (round 14 — the basket_lift
+    # one-pass trick: the former shape paid TWO corpus passes, one
+    # for the pair table and one for the unigram table, plus two
+    # checkpoints and two scalar-collect jobs). A single grouped
+    # count is then simultaneously the unigram model (NULL w2) and
+    # the pair model; both corpus totals fall out of one aggregate
+    # over the checkpointed model. The model is pair-vocab/vocab
+    # cardinality — never the raw pair stream — so the barrier cost
+    # stays model-sized at any corpus scale.
     # sequence(a, b) runs DESCENDING when a > b, so both levels are
     # guarded: no outer position past size-2, and the inner range is
     # empty-array'd out when the window would start beyond the end
-    pair_expr = (
-        f"flatten(transform(array(struct({toks} AS t)), s -> "
-        f"CASE WHEN size(s.t) >= 2 THEN "
-        f"flatten(transform(sequence(0, size(s.t) - 2), i -> "
+    combined_expr = (
+        f"concat("
+        f"transform(t, w -> struct(w AS w1, "
+        f"CAST(NULL AS STRING) AS w2)), "
+        f"CASE WHEN size(t) >= 2 THEN "
+        f"flatten(transform(sequence(0, size(t) - 2), i -> "
         f"transform(sequence(i + 1, least(i + {PMI_WINDOW},"
-        f" size(s.t) - 1)), "
-        f"j -> struct(least(s.t[i], s.t[j]) AS w1, "
-        f"greatest(s.t[i], s.t[j]) AS w2)))) "
-        f"ELSE array() END))")
-    pairs = docs.select(F.explode(F.expr(pair_expr)).alias("p")) \
-        .select("p.w1", "p.w2")
-    # Materialize the two aggregated model tables ONCE (round 13):
-    # the pair table feeds the min-count filter AND the corpus pair
-    # total, the unigram table feeds both join sides AND the token
-    # total — without barriers the final plan re-ran the pair
-    # explode / tokenizer once per branch (six documents scans in
-    # the before-plan, five heavy corpus passes per run). Both
-    # frames are aggregated model tables (pair-vocab / vocab
-    # cardinality), never the raw pair stream, so the barrier cost
-    # stays model-sized at any corpus scale.
-    pc_all = (pairs.groupBy("w1", "w2")
-              .agg(F.count(F.lit(1)).alias("c_xy"))
-              .localCheckpoint().transform(_cache.track))
-    pair_cnt = pc_all.filter(F.col("c_xy") >= PMI_MIN_COUNT)
-    uni = (docs.select(F.explode(F.expr(toks)).alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-           .localCheckpoint().transform(_cache.track))
-    totals = broadcast_scalars(
-        uni.agg(F.sum("c_w").alias("t_w")),
-        pc_all.agg(F.sum("c_xy").alias("t_p")))
+        f" size(t) - 1)), "
+        f"j -> struct(least(t[i], t[j]) AS w1, "
+        f"greatest(t[i], t[j]) AS w2)))) "
+        f"ELSE array() END)")
+    model = (docs.select(F.expr(toks_spark("text")).alias("t"))
+             .select(F.explode(F.expr(combined_expr)).alias("p"))
+             .select("p.w1", "p.w2")
+             .groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             # EAGER: the final job reads the model through three
+             # subtrees (pair branch + both unigram join sides)
+             .localCheckpoint().transform(_cache.track))
+    tot = model.agg(
+        F.sum(F.when(F.col("w2").isNull(), F.col("cnt")))
+        .alias("t_w"),
+        F.sum(F.when(F.col("w2").isNotNull(), F.col("cnt")))
+        .alias("t_p")).first()
+    pair_cnt = (model.filter(F.col("w2").isNotNull()
+                             & (F.col("cnt") >= PMI_MIN_COUNT))
+                .select("w1", "w2", F.col("cnt").alias("c_xy")))
+    uni = (model.filter(F.col("w2").isNull())
+           .select(F.col("w1").alias("w"),
+                   F.col("cnt").alias("c_w")))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y"))
-    pmi = (F.log2((F.col("c_xy").cast("double") / F.col("t_p"))
-                  / ((F.col("c_x").cast("double") / F.col("t_w"))
-                     * (F.col("c_y").cast("double") / F.col("t_w")))))
+    t_w, t_p = F.lit(tot["t_w"]), F.lit(tot["t_p"])
+    pmi = (F.log2((F.col("c_xy").cast("double") / t_p)
+                  / ((F.col("c_x").cast("double") / t_w)
+                     * (F.col("c_y").cast("double") / t_w))))
     # u1/u2 are VOCAB-cardinality unigram tables — no broadcast hint
     # (billions of distinct tokens at web scale); the w1/w2 equi-joins
     # shuffle on the word key, and AQE still broadcasts small vocabs.
-    return (broadcast_scalars(
-        pair_cnt.join(u1, "w1")
-                .join(u2, "w2"), totals)
+    return (pair_cnt.join(u1, "w1")
+            .join(u2, "w2")
             .select("w1", "w2", "c_xy",
                     F.round(pmi, 3).alias("pmi"))
             .orderBy("w1", "w2"))

@@ -46,6 +46,20 @@ def get_spark(app_name: str = "parquet-generator-spark",
         # MIN/MAX/COUNT over plain parquet answered from footer stats
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
+        # Status-store retention (guide §5: the driver should do
+        # almost no data work — that includes holding history). Even
+        # with the UI off, AppStatusListener/SQLAppStatusListener
+        # retain per-execution plan graphs + per-task metrics up to
+        # these caps (defaults: 1000 executions / 1000 jobs / 100k
+        # tasks); a long-lived session running hundreds of queries
+        # (the bench sweep, a curation service) accumulates hundreds
+        # of MB of driver heap as pure history, inflating GC pauses
+        # late in the session. Recent history is kept for debugging;
+        # the caps bound it.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "300")
+        .config("spark.ui.retainedStages", "500")
+        .config("spark.ui.retainedTasks", "10000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
