@@ -333,16 +333,31 @@ def test_front_keys_lead_queries():
 def test_no_empty_partition_windows_in_source():
     """Tripwire for the scalar-aggregate-as-global-window
     anti-pattern: ``Window.partitionBy()`` (empty spec) funnels its
-    whole input through one partition. All former uses were converted
-    to eager one-row scalar attachment (broadcast_scalars)."""
+    whole input through one partition. Corpus-scale uses were
+    converted to eager one-row scalar attachment (broadcast_scalars).
+
+    Allowlisted sites (round 14): windows whose input is ALREADY
+    LIMITed to the rank-window cap (retriever/fusion legs, <= 40
+    rows at any corpus scale) — there the single partition is
+    bounded by construction and the window replaces an eager
+    per-leg scalar-collect job that re-ran the corpus leg scan
+    (the r13 driver regression on the retriever class). Same
+    boundedness argument as the long-standing
+    ``Window.orderBy(...)`` rank windows over the same legs."""
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parent.parent
+    allowed = {"plans/reference_queries31.py", "operators/esql.py"}
     offenders = [
-        str(p) for p in (root / "parquet_generator_spark").rglob("*.py")
-        if "Window.partitionBy()" in p.read_text()
+        str(p.relative_to(root / "parquet_generator_spark"))
+        for p in (root / "parquet_generator_spark").rglob("*.py")
+        if ".partitionBy()" in p.read_text()
     ]
-    assert not offenders, offenders
+    assert sorted(set(offenders) - allowed) == [], offenders
+    # stale allowlist entries must be pruned when the site goes away
+    assert set(offenders) >= allowed, (
+        "allowlisted empty-partition window site no longer exists — "
+        "remove it from `allowed`")
 
 
 @pytest.mark.parametrize("name", ["q15_top_supplier", "vocab_coverage",
